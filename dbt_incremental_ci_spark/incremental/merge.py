@@ -1,0 +1,184 @@
+"""Incremental materialization: watermark filter + unique-key upsert.
+
+Reproduces the reference's incremental semantics (SURVEY §2.11, §3.3):
+
+- first run → full CTAS;
+- later runs → source filtered past ``max(watermark)`` of the existing
+  target (``>`` with an epoch fallback, ref
+  student_enrollment_history_incremental.sql:24-26), then a
+  delete+insert by ``unique_key`` (dbt-postgres's default strategy,
+  which is MERGE-equivalent when the key is unique);
+- ``on_schema_change: append_new_columns`` → new columns added to the
+  target, null-backfilled (ref dbt_project.yml:232).
+
+Physical strategy (plain Parquet tables — no Delta in this
+environment, and the same logic maps 1:1 onto Delta/Iceberg MERGE on a
+real lakehouse):
+
+- **Partitioned targets** → *partition-scoped* merge: only partitions
+  containing new keys are rewritten, via dynamic partition overwrite.
+  At 100 TB this is the only viable plan — a day-partitioned fact table
+  merging one day of late data rewrites one partition, not the table.
+- **Unpartitioned targets** → two-phase rewrite through a staging
+  table (Spark cannot overwrite a path it is reading), acceptable for
+  small/medium tables; large tables should declare ``partition_by``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_watermark(
+    spark: SparkSession, qualified_table: str, col: str, default: Any = None
+) -> Any:
+    """Scalar watermark: ``select max(col) from target`` — read as a
+    literal *before* planning the main scan so the incremental filter
+    can partition-prune (SURVEY §4 'scalar subquery' row)."""
+    if not spark.catalog.tableExists(qualified_table):
+        return default
+    row = spark.table(qualified_table).agg(F.max(col).alias("wm")).collect()[0]
+    return row["wm"] if row["wm"] is not None else default
+
+
+def watermark_filter(
+    src: DataFrame, col: str, watermark: Any, strict: bool = True
+) -> DataFrame:
+    """``src WHERE col > watermark`` (``>=`` when strict=False — the
+    reference uses both; ``>=`` re-reads boundary rows, absorbed by the
+    unique-key upsert, ref stg_enrollments_incremental.sql:20)."""
+    if watermark is None:
+        return src
+    return src.filter(F.col(col) > F.lit(watermark) if strict else F.col(col) >= F.lit(watermark))
+
+
+def _align_schemas(
+    spark: SparkSession, target: DataFrame, new_df: DataFrame, on_schema_change: str
+) -> tuple[DataFrame, DataFrame]:
+    """Column alignment for the union. append_new_columns: target gains
+    null-typed versions of new columns; new rows gain nulls for dropped
+    ones. ignore: new rows projected onto the target schema."""
+    tcols = {f.name: f.dataType for f in target.schema.fields}
+    ncols = {f.name: f.dataType for f in new_df.schema.fields}
+    if on_schema_change == "append_new_columns":
+        out_cols = list(tcols) + [c for c in ncols if c not in tcols]
+    else:
+        out_cols = list(tcols)
+    t_sel = [
+        F.col(c) if c in tcols else F.lit(None).cast(ncols[c]).alias(c) for c in out_cols
+    ]
+    n_sel = [
+        F.col(c) if c in ncols else F.lit(None).cast(tcols[c]).alias(c) for c in out_cols
+    ]
+    return target.select(*t_sel), new_df.select(*n_sel)
+
+
+def incremental_upsert(
+    spark: SparkSession,
+    qualified_table: str,
+    new_df: DataFrame,
+    unique_key: str | None = None,
+    watermark_col: str | None = None,
+    on_schema_change: str = "ignore",
+    partition_by: list[str] | None = None,
+) -> str:
+    """MERGE ``new_df`` into ``qualified_table``. Returns the action taken
+    (``created`` | ``appended`` | ``merged``).
+
+    The caller applies the watermark filter to ``new_df`` (the engine
+    does this via :func:`read_watermark` + :func:`watermark_filter`);
+    this function only guarantees key-level upsert semantics:
+    rows whose ``unique_key`` exists in the target replace the old rows,
+    others insert — dbt delete+insert ≡ MERGE WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT (SRC manifest config ``unique_key``,
+    dbt_project.yml:231).
+    """
+    if not spark.catalog.tableExists(qualified_table):
+        writer = new_df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(qualified_table)
+        return "created"
+
+    target = spark.table(qualified_table)
+    target, new_df = _align_schemas(spark, target, new_df, on_schema_change)
+    if on_schema_change == "append_new_columns" and [
+        f.name for f in target.schema.fields
+    ] != [f.name for f in spark.table(qualified_table).schema.fields]:
+        # Schema widened: fall back to a full two-phase rewrite so the
+        # table schema is updated atomically with the data.
+        partition_by = partition_by or None
+        merged = _merge_frames(target, new_df, unique_key)
+        _two_phase_overwrite(spark, qualified_table, merged, partition_by)
+        return "merged"
+
+    if unique_key is None:
+        new_df.write.mode("append").format("parquet").insertInto(qualified_table)
+        return "appended"
+
+    if partition_by:
+        # Partition-scoped merge: rewrite only partitions that receive
+        # new/changed keys (dynamic partition overwrite).
+        parts = new_df.select(*partition_by).distinct()
+        affected_target = target.join(F.broadcast(parts), partition_by, "left_semi")
+        merged = _merge_frames(affected_target, new_df, unique_key)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # Stage through a checkpoint table to avoid read-overwrite overlap.
+            # insertInto matches positionally and saveAsTable moved the
+            # partition columns last — select the table's column order.
+            staged = _stage(spark, qualified_table, merged)
+            tcols = [f.name for f in spark.table(qualified_table).schema.fields]
+            staged.select(*tcols).write.mode("overwrite").insertInto(qualified_table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _drop_stage(spark, qualified_table)
+        return "merged"
+
+    merged = _merge_frames(target, new_df, unique_key)
+    _two_phase_overwrite(spark, qualified_table, merged, None)
+    return "merged"
+
+
+def _merge_frames(target: DataFrame, new_df: DataFrame, unique_key: str | None) -> DataFrame:
+    if unique_key is None:
+        return target.unionByName(new_df)
+    # Late-arriving duplicates inside one batch: last write wins is not
+    # defined without an ordering, so dedupe deterministically by key.
+    deduped_new = new_df.dropDuplicates([unique_key])
+    survivors = target.join(
+        deduped_new.select(unique_key).distinct(), unique_key, "left_anti"
+    )
+    return survivors.unionByName(deduped_new)
+
+
+def _stage_name(qualified_table: str) -> str:
+    return qualified_table + "__stage"
+
+
+def _stage(spark: SparkSession, qualified_table: str, df: DataFrame) -> DataFrame:
+    stage = _stage_name(qualified_table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    return spark.table(stage)
+
+
+def _drop_stage(spark: SparkSession, qualified_table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {_stage_name(qualified_table)}")
+
+
+def _two_phase_overwrite(
+    spark: SparkSession,
+    qualified_table: str,
+    df: DataFrame,
+    partition_by: list[str] | None,
+) -> None:
+    staged = _stage(spark, qualified_table, df)
+    writer = staged.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(qualified_table)
+    _drop_stage(spark, qualified_table)

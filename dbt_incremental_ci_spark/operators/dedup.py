@@ -1,0 +1,339 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- **Exact**: hash-groupBy on a content digest — one shuffle on md5,
+  perfectly parallel, no skew (hashes are uniform).
+- **MinHash + LSH**: per-row signature computation is pure expression
+  work (shingle → xxhash64 per permutation → array_min), entirely
+  JVM-side. Banding turns the O(n²) pair problem into a shuffle on
+  (band_idx, band_hash) buckets; only candidate pairs sharing a bucket
+  are verified with exact Jaccard. This is the standard near-dup plan
+  for web-scale corpora (cf. the MinHashLSH design in Spark MLlib,
+  re-expressed here without the ML pipeline overhead).
+- **SimHash**: 64-bit signature via per-bit token-hash voting; near-dups
+  = hamming distance ≤ k, candidate generation by banding the 64 bits
+  into 4×16-bit chunks (any chunk equal → candidate; catches all pairs
+  with ≤3 differing bits across distinct chunks — the classic
+  Charikar/Manku-Jain-Sarma rotation scheme, simplified to chunking).
+- **n-gram Jaccard**: exact pairwise verification, only ever run on
+  LSH-candidate pairs or small blocks — never the full cross product.
+
+All operators are deterministic (seeded hash permutations, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (digest, doc_ids sorted, n)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per distinct text (deterministic survivor)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def char_shingles(text_col: str, k: int = 5) -> "F.Column":
+    """Distinct lowercase character k-shingles as an array column."""
+    c = F.lower(F.col(text_col))
+    n = F.length(c)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(c, i, k))
+    )).otherwise(F.array(c))
+
+
+def word_ngrams(text_col: str, n: int = 3) -> "F.Column":
+    """Distinct lowercase word n-grams as an array column."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    cnt = F.size(toks)
+    return F.when(cnt >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# -------------------------------------------------------------- minhash
+def minhash_signature(text_col: str, num_hashes: int = 64, shingle_k: int = 5) -> "F.Column":
+    """Array of ``num_hashes`` min-hashes over char shingles.
+
+    Permutation *i* is ``xxhash64(shingle, i)`` — a seeded 64-bit hash.
+    Computed as ONE fold over the shingle array updating a
+    ``num_hashes``-slot accumulator (least-so-far per permutation):
+    the shingle array is evaluated once per row, total work
+    O(shingles × num_hashes) hashes — the naive
+    ``transform(seeds, seed -> array_min(transform(shingles, …)))``
+    form re-materializes the shingle array per seed and measured ~40×
+    slower. No UDF, no shuffle.
+    """
+    sh = char_shingles(text_col, shingle_k)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(9223372036854775807), num_hashes),
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, seed: F.least(a, F.xxhash64(s, seed))),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(__id, __sig) signature table via the *codegen* plan: explode
+    shingles to rows, compute the ``num_hashes`` seeded hashes as flat
+    columns (whole-stage codegen), min-aggregate per doc, re-pack into
+    an array. One shuffle on doc id with map-side partial aggregation —
+    this is the plan that scales to billions of docs, and measured ~25×
+    faster than the interpreted higher-order-function fold of
+    :func:`minhash_signature`."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_shingles(text_col, shingle_k)).alias("__s"),
+    )
+    mins = exploded.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__s"), F.lit(seed))).alias(f"__h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "__id", F.array(*[f"__h{seed}" for seed in range(num_hashes)]).alias("__sig")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH banding: rows whose signature agrees on any band become
+    candidate pairs. Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    Shuffle profile: one exchange on (band, band_hash); bucket sizes are
+    bounded by true near-dup cluster sizes (uniform hashing), so AQE's
+    skew handling covers pathological clusters.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    use_words: bool = False,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle/n-gram sets for candidate pairs only.
+    Output: (id_a, id_b, jaccard) where jaccard >= threshold."""
+    grams = (
+        word_ngrams(text_col, ngram_n) if use_words else char_shingles(text_col, shingle_k)
+    )
+    sets_df = df.select(F.col(id_col).alias("__sid"), grams.alias("__set"))
+    out = (
+        pairs.join(sets_df.withColumnRenamed("__set", "set_a"),
+                   pairs.id_a == F.col("__sid")).drop("__sid")
+        .join(sets_df.withColumnRenamed("__set", "set_b"),
+              pairs.id_b == F.col("__sid")).drop("__sid")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def tune_bands(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose LSH S-curve midpoint (1/b)^(1/r) is
+    closest to the target threshold — too many bands floods the
+    verifier with sub-threshold candidates (measured 500k candidates
+    for 256 true pairs with b=16 at t=0.5 on the word-salad corpus)."""
+    best, best_err = num_hashes, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        err = abs((1.0 / b) ** (1.0 / r) - threshold)
+        if err < best_err:
+            best, best_err = b, err
+    return best
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+    Banding auto-tuned to the threshold unless given explicitly."""
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
+    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_k)
+
+
+# --------------------------------------------------------------- simhash
+def simhash(text_col: str, bits: int = 64) -> "F.Column":
+    """Charikar SimHash over whitespace tokens: per-bit majority vote of
+    token xxhash64 bits, packed into a signed 64-bit long. Pure SQL
+    expression (the Python ``shiftleft``/``shiftright`` wrappers require
+    literal bit counts, so this uses ``F.expr`` lambdas): one pass over
+    the token hashes accumulating a 64-long vote vector, then a finish
+    lambda packs sign bits. O(tokens × bits) per row, no shuffle."""
+    return F.expr(
+        f"""
+        aggregate(
+          transform(filter(split(lower(`{text_col}`), '\\\\s+'), x -> x != ''),
+                    t -> xxhash64(t)),
+          array_repeat(CAST(0 AS BIGINT), {bits}),
+          (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                               (a, b) -> a + (shiftright(h, b) & 1) * 2 - 1),
+          acc -> aggregate(
+            zip_with(acc, sequence(0, {bits - 1}),
+                     (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b),
+                                  CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT),
+            (a, x) -> a | x)
+        )
+        """
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit
+    chunks; verified by ``bit_count(xor) <= max_hamming``.
+    Output: (id_a, id_b, hamming)."""
+    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    chunked = sigs.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> "
+                "struct(c AS chunk, shiftright(__sh, c * 16) & 65535 AS ch))"
+            )
+        ).alias("cc"),
+    ).select("__id", "__sh", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+
+    With ``block_col`` (e.g. an LSH bucket from
+    ``similarity.hyperplane_bucket``), the self-join is per-block; without
+    it, a full O(n²/2) self-join — only for small n or verification.
+    """
+    from dbt_incremental_ci_spark.operators.similarity import cosine
+
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        *([F.col(block_col).alias("__blk")] if block_col else []),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN works on real clusters:
+
+- **Brute-force cosine top-k** — the exactness baseline: cross-join
+  queries × corpus with the dot product as a left-to-right ``aggregate``
+  fold (deterministic summation order → bit-identical to the DuckDB
+  oracle), then per-query ``row_number`` top-k. O(|Q|·|C|·d) — fine for
+  small |Q|, the verification path at any scale.
+- **LSH-bucketed ANN** (random hyperplanes) — the 100 TB path: each
+  vector hashes to a ``n_planes``-bit bucket; queries probe only their
+  bucket (optionally multi-probe neighbors). Candidate set shrinks
+  ~2^n_planes-fold; one shuffle on the bucket id. Hyperplanes are
+  deterministic (hash-derived), not RNG.
+
+No UDFs: the dot product stays in Catalyst's ``aggregate``/``zip_with``
+higher-order functions. For very high dims or huge |Q| a Pandas-UDF
+matmul (numpy BLAS) would win — noted as the escape hatch, not needed
+at this scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    n = norm(a) * norm(b)
+    return F.when(n > 0, dot(a, b) / n).otherwise(0.0)
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank). Self-matches
+    (same id) excluded. Ties break by neighbor_id (deterministic).
+    The corpus side is the big side; the query side is broadcast.
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("__qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(dim: int, plane: int, scale_seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component d of
+    plane p is a hash of (seed, p, d) mapped to [-1, 1). Same values are
+    reproducible anywhere (no RNG state)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"{scale_seed}:{plane}:{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big") / 2**63 - 1.0  # [-1, 1)
+        out.append(v)
+    return out
+
+
+def hyperplane_bucket(
+    vec_col: Column | str, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-random-projection LSH bucket id (0 .. 2^n_planes-1)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p, seed)])
+        d = dot(v, plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed by hyperplane LSH; each
+    query only scans its bucket. Recall rises as n_planes falls.
+    Output schema matches :func:`brute_force_topk`."""
+    bucket = hyperplane_bucket(vec_col, dim, n_planes)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket.alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket.alias("__qbkt"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__bkt") == F.col("__qbkt"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,1077 @@
+"""The engine's query workload: one entry per operator family from
+SURVEY.md §2, expressed Spark-first over the driver's test tables, each
+paired with an ANSI-SQL DuckDB oracle.
+
+Determinism rules (so Spark and DuckDB hash-match bit-for-bit):
+
+- Money/measure aggregation casts doubles to ``decimal(18,2)`` first —
+  decimal arithmetic is exact in both engines regardless of summation
+  order; the final cast to double is then deterministic.
+- Ratios divide two already-deterministic doubles.
+- Inherently floating aggregates (stddev/corr) and cosines are rounded.
+- Rankings always carry an id tiebreaker; ranked floats are rounded
+  *before* ranking in both engines.
+- All aliases are lowercase and identical on both sides (the driver
+  compares columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators import dedup, similarity, text
+from dbt_incremental_ci_spark.plans.recursion import recursive_loop
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; ``nanosAsLong`` reads ``ts`` as raw
+    nanoseconds-since-epoch (exact — no double conversion, nanos exceed
+    2^53). Queries do arithmetic on the long and never emit raw ts."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return t(spark, sf_dir, "events")
+
+
+def dec(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def d(col: F.Column) -> F.Column:
+    return col.cast("double")
+
+
+# =====================================================================
+# §2.2 projections / filters  +  §2.4 aggregation — pricing summary
+# (SURVEY A1/A2/A5/P3; shape of TPC-H Q1 over the driver's lineitem)
+# =====================================================================
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            d(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            d(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            d(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            (d(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# §2.2 P1-P7: projection, computed CASE buckets, BETWEEN, IN, LIKE/ILIKE
+# =====================================================================
+@q(
+    "q02_filter_project",
+    """
+    SELECT p_partkey,
+           p_name,
+           CASE WHEN p_retailprice < 500 THEN 'budget'
+                WHEN p_retailprice < 1200 THEN 'standard'
+                ELSE 'premium' END AS price_band,
+           CAST(p_size AS INT) AS p_size,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+      AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+      AND p_brand <> 'Brand#13'
+      AND lower(p_name) LIKE '%o%'
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 40)
+        & F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+        & (F.col("p_brand") != "Brand#13")
+        & F.lower(F.col("p_name")).like("%o%")
+        & F.col("p_retailprice").isNotNull()
+    ).select(
+        "p_partkey",
+        "p_name",
+        F.when(F.col("p_retailprice") < 500, "budget")
+        .when(F.col("p_retailprice") < 1200, "standard")
+        .otherwise("premium")
+        .alias("price_band"),
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+
+
+# =====================================================================
+# §2.3 J1/J3 joins + §2.6 O1/O2 top-k  (TPC-H Q3 shape)
+# =====================================================================
+@q(
+    "q03_top_revenue_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            d(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))).alias("revenue")
+        )
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.4 A3/A4/A6: conditional aggregates (the reference's house style,
+# count(case when …), count(distinct case when …), null-skipping avg)
+# =====================================================================
+@q(
+    "q04_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS BIGINT)
+               AS n_f_customers,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               / NULLIF(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS avg_f_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    n_f = F.count(F.when(is_f, 1))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.countDistinct(F.when(is_f, F.col("o_custkey"))).alias("n_f_customers"),
+        (d(F.sum(F.when(is_f, dec("o_totalprice")))) / F.when(n_f != 0, n_f)).alias(
+            "avg_f_price"
+        ),
+    )
+
+
+# =====================================================================
+# §2.4 A7: pivot-style max(case when …)  per nation × market segment
+# =====================================================================
+@q(
+    "q05_pivot_segments",
+    """
+    SELECT c_nationkey,
+           CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS max_building,
+           CAST(MAX(CASE WHEN c_mktsegment = 'MACHINERY'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS max_machinery,
+           CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                         THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+               AS sum_automobile
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+
+    def seg(s: str) -> F.Column:
+        return F.when(F.col("c_mktsegment") == s, dec("c_acctbal"))
+
+    return c.groupBy("c_nationkey").agg(
+        d(F.max(seg("BUILDING"))).alias("max_building"),
+        d(F.max(seg("MACHINERY"))).alias("max_machinery"),
+        d(F.sum(F.coalesce(seg("AUTOMOBILE"), F.lit(0).cast("decimal(18,2)")))).alias(
+            "sum_automobile"
+        ),
+    )
+
+
+# =====================================================================
+# §2.4 A13: global (grand-total) aggregate, no GROUP BY
+# =====================================================================
+@q(
+    "q06_global_kpis",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        d(F.sum(dec("l_quantity"))).alias("total_qty"),
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
+    )
+
+
+# =====================================================================
+# §2.4 A12: HAVING on aggregates
+# =====================================================================
+@q(
+    "q07_having",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 550
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            d(F.sum(dec("l_quantity"))).alias("total_qty"),
+        )
+        .filter(F.col("n_items") > 550)
+    )
+
+
+# =====================================================================
+# §2.4 A8/A9: stddev (sample) + Pearson corr  (rounded: float aggs)
+# =====================================================================
+@q(
+    "q08_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+# =====================================================================
+# §2.4 A10/A11 + §2.6 O3: ordered + distinct string aggregation
+# =====================================================================
+@q(
+    "q09_string_agg",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.functions.agg import string_agg_ordered
+
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            string_agg_ordered("n_name", ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@q(
+    "q09b_string_agg_distinct",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q09b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.functions.agg import string_agg_distinct
+
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        string_agg_distinct("c_mktsegment", "|").alias("segments")
+    )
+
+
+# =====================================================================
+# §2.5 W1: row_number top-k per group (ties broken by key)
+# =====================================================================
+@q(
+    "q10_topk_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(rn AS INT) AS rn
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+# =====================================================================
+# §2.5 W2/W3: lag over aggregate output (monthly revenue trend)
+# =====================================================================
+@q(
+    "q11_monthly_trend",
+    """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, revenue,
+           lag(revenue) OVER (ORDER BY ym) AS prev_revenue,
+           revenue - lag(revenue) OVER (ORDER BY ym) AS revenue_delta
+    FROM monthly
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym")
+    ).agg(d(F.sum(dec("o_totalprice"))).alias("revenue"))
+    w = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+    )
+
+
+# =====================================================================
+# §2.5 W4: first_value with ordered window (default frame)
+# =====================================================================
+@q(
+    "q12_first_order",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(first_value(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE) AS first_order_date,
+           CAST(date_diff('day',
+                 CAST(first_value(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS INT) AS days_since_first
+    FROM orders
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first_dt = F.first("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        first_dt.cast("date").alias("first_order_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), first_dt.cast("date"))
+        .cast("int")
+        .alias("days_since_first"),
+    )
+
+
+# =====================================================================
+# §2.5 W5: percent_rank over global ordering
+# =====================================================================
+@q(
+    "q13_percent_rank",
+    """
+    SELECT s_suppkey,
+           ROUND(percent_rank() OVER (ORDER BY s_acctbal), 6) AS balance_pct_rank
+    FROM supplier
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.round(F.percent_rank().over(Window.orderBy("s_acctbal")), 6).alias(
+            "balance_pct_rank"
+        ),
+    )
+
+
+# =====================================================================
+# §2.5 W6: aggregate over partition window (share-of-group)
+# =====================================================================
+@q(
+    "q14_share_of_customer",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                               OVER (PARTITION BY o_custkey) AS DOUBLE), 0), 6)
+               AS share_of_customer
+    FROM orders
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    tot = d(F.sum(dec("o_totalprice")).over(w))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(d(dec("o_totalprice")) / F.when(tot != 0, tot), 6).alias(
+            "share_of_customer"
+        ),
+    )
+
+
+# =====================================================================
+# §2.5 W7 at scale: grand-total share — NOT over() (single-partition
+# shuffle); scalar agg + broadcast cross-join instead (SURVEY §4)
+# =====================================================================
+@q(
+    "q15_nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(nation_rev AS DOUBLE) AS nation_revenue,
+           ROUND(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM rev
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum(dec("o_totalprice")).alias("nation_rev"))
+    )
+    total = rev.agg(F.sum("nation_rev").alias("total_rev"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "c_nationkey",
+        d(F.col("nation_rev")).alias("nation_revenue"),
+        F.round(d(F.col("nation_rev")) / d(F.col("total_rev")), 6).alias("revenue_share"),
+    )
+
+
+# =====================================================================
+# §2.3 J7: self theta-join, unordered pair generation (id < id)
+# =====================================================================
+@q(
+    "q16_supplier_pairs",
+    """
+    SELECT a.s_nationkey AS nationkey,
+           a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(ABS(CAST(a.s_acctbal AS DECIMAL(18,2))
+                    - CAST(b.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance_gap
+    FROM supplier a
+    JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_nationkey").alias("nationkey"),
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        d(F.abs(dec(F.col("a.s_acctbal")) - dec(F.col("b.s_acctbal")))).alias(
+            "balance_gap"
+        ),
+    )
+
+
+# =====================================================================
+# §2.3 J8: non-equi residual join (shipped > 90 days after order)
+# =====================================================================
+@q(
+    "q17_late_shipments",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS late_value
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            d(F.sum(dec("l_extendedprice"))).alias("late_value"),
+        )
+    )
+
+
+# =====================================================================
+# §2.3 J5: full outer join with coalesced key
+# =====================================================================
+@q(
+    "q18_full_outer_nations",
+    """
+    WITH cust AS (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+      FROM customer WHERE c_acctbal > 7000 GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_poor_suppliers
+      FROM supplier WHERE s_acctbal < 2000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_rich_customers, 0) AS n_rich_customers,
+           COALESCE(n_poor_suppliers, 0) AS n_poor_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    cust = (
+        c.filter(F.col("c_acctbal") > 7000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    supp = (
+        s.filter(F.col("s_acctbal") < 2000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_poor_suppliers"))
+    )
+    return cust.join(supp, cust.nk_c == supp.nk_s, "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_poor_suppliers", F.lit(0)).alias("n_poor_suppliers"),
+    )
+
+
+# =====================================================================
+# §2.3 J4: right outer join (keep all customers)
+# =====================================================================
+@q(
+    "q19_orders_per_customer",
+    """
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_open_orders
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+    )
+
+
+# =====================================================================
+# §2.3 J6: cross join of dimension × single-row aggregate
+# =====================================================================
+@q(
+    "q20_region_vs_global",
+    """
+    SELECT r.r_name,
+           CAST(g.global_avg AS DOUBLE) AS global_avg_balance
+    FROM region r
+    CROSS JOIN (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS global_avg
+      FROM customer
+    ) g
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region")
+    c = t(spark, sf_dir, "customer")
+    g = c.agg((d(F.sum(dec("c_acctbal"))) / F.count(F.lit(1))).alias("global_avg"))
+    return r.crossJoin(F.broadcast(g)).select(
+        "r_name", F.col("global_avg").cast("double").alias("global_avg_balance")
+    )
+
+
+# =====================================================================
+# §2.3 J10: anti-join (customers with no completed 'F' orders)
+# =====================================================================
+@q(
+    "q21_anti_join",
+    """
+    SELECT c_custkey, c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+# =====================================================================
+# §2.3 J11: semi-join (EXISTS)
+# =====================================================================
+@q(
+    "q22_semi_join",
+    """
+    SELECT c_custkey
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# =====================================================================
+# §2.7 U1: UNION ALL conformed-KPI stack
+# =====================================================================
+@q(
+    "q23_union_kpis",
+    """
+    SELECT 'total_customers' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM customer
+    UNION ALL
+    SELECT 'total_orders' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT 'total_order_value' AS metric,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value FROM orders
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    b1 = c.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        F.lit("total_customers").alias("metric"), "value"
+    )
+    b2 = o.agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        F.lit("total_orders").alias("metric"), "value"
+    )
+    b3 = o.agg(d(F.sum(dec("o_totalprice"))).alias("value")).select(
+        F.lit("total_order_value").alias("metric"), "value"
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+# =====================================================================
+# §2.8 R1: recursive hierarchy walk (WITH RECURSIVE substitute).
+# Synthetic binary-tree hierarchy over part: parent(k) = k // 2;
+# the driver-side frontier loop mirrors
+# int_course_prerequisite_chains.sql:3-36 (depth cap, path string).
+# =====================================================================
+@q(
+    "q24_recursive_hierarchy",
+    """
+    WITH RECURSIVE chain AS (
+      SELECT p_partkey, CAST(0 AS INT) AS depth,
+             CAST(p_partkey AS VARCHAR) AS path
+      FROM part WHERE p_partkey = 1
+      UNION ALL
+      SELECT p.p_partkey, c.depth + 1,
+             c.path || '->' || CAST(p.p_partkey AS VARCHAR)
+      FROM part p JOIN chain c ON p.p_partkey // 2 = c.p_partkey
+      WHERE p.p_partkey > 1 AND c.depth < 10
+    )
+    SELECT p_partkey, depth, path FROM chain
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    seed = p.filter(F.col("p_partkey") == 1).select(
+        "p_partkey",
+        F.lit(0).cast("int").alias("depth"),
+        F.col("p_partkey").cast("string").alias("path"),
+    )
+    children = p.filter(F.col("p_partkey") > 1).select(
+        "p_partkey", F.floor(F.col("p_partkey") / 2).alias("parent")
+    )
+
+    def step(frontier: DataFrame, depth: int) -> DataFrame:
+        return (
+            children.join(
+                frontier.select(
+                    F.col("p_partkey").alias("parent_key"),
+                    F.col("depth").alias("parent_depth"),
+                    F.col("path").alias("parent_path"),
+                ),
+                F.col("parent") == F.col("parent_key"),
+            )
+            .filter(F.col("parent_depth") < 10)
+            .select(
+                "p_partkey",
+                (F.col("parent_depth") + 1).cast("int").alias("depth"),
+                F.concat(
+                    F.col("parent_path"), F.lit("->"), F.col("p_partkey").cast("string")
+                ).alias("path"),
+            )
+        )
+
+    return recursive_loop(seed, step, max_iterations=11)
+
+
+# =====================================================================
+# §2.11 I1/I2: incremental watermark filter (scalar watermark read as a
+# literal first — the partition-pruning-friendly plan, SURVEY §4)
+# =====================================================================
+@q(
+    "q25_incremental_watermark",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS new_value
+    FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events
+                WHERE event_id < (SELECT MAX(event_id) / 2 FROM events))
+    GROUP BY event_type
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    half = ev.agg((F.max("event_id") / 2).alias("h")).collect()[0]["h"]
+    wm = ev.filter(F.col("event_id") < half).agg(F.max("ts").alias("wm")).collect()[0]["wm"]
+    return (
+        ev.filter(F.col("ts") > F.lit(wm))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            d(F.sum(dec("value"))).alias("new_value"),
+        )
+    )
+
+
+# =====================================================================
+# Dedup: exact (hash-groupBy on content digest)
+# =====================================================================
+@q(
+    "q26_exact_dedup",
+    """
+    SELECT md5(text) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# =====================================================================
+# Text analysis: token counts / punct ratio / quality / fingerprint
+# =====================================================================
+@q(
+    "q27_text_stats",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             length(text) AS n_chars_total,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           ROUND(CASE WHEN n_chars_total > 0
+                      THEN CAST(n_punct AS DOUBLE) / n_chars_total ELSE 0 END, 6)
+               AS punct_ratio,
+           ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                 + 0.5 * (CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                               ELSE 0 END)
+                 - least(CASE WHEN n_chars_total > 0
+                              THEN CAST(n_punct AS DOUBLE) / n_chars_total ELSE 0 END,
+                         0.5), 6) AS quality_score,
+           md5(array_to_string(list_sort(list_distinct(
+               list_transform(toks, x -> lower(x)))), ' ')) AS fingerprint
+    FROM tok
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(text.punct_ratio("text"), 6).alias("punct_ratio"),
+        text.quality_score("text").alias("quality_score"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# =====================================================================
+# Text analysis: stopword-vote language ID
+# =====================================================================
+def _langid_oracle() -> str:
+    lists = {
+        code: ", ".join(f"'{w}'" for w in text.STOPWORDS[code]) for code in text.STOPWORDS
+    }
+    score = {
+        code: (
+            f"len(list_filter(list_transform(list_filter(string_split_regex(text, '\\s+'),"
+            f" x -> x <> ''), x -> lower(x)), x -> list_contains([{lists[code]}], x)))"
+        )
+        for code in lists
+    }
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {score['en']} AS s_en, {score['es']} AS s_es,
+             {score['de']} AS s_de, {score['fr']} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """
+
+
+@q("q28_lang_id", _langid_oracle())
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+# =====================================================================
+# Similarity search: brute-force cosine top-k (exact baseline).
+# Rank on ROUNDED cosine + id so Spark/DuckDB orderings agree.
+# =====================================================================
+@q(
+    "q29_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv, q.qv))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[])), 0),
+                   6) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# =====================================================================
+# Sessionization over the events stream table (gap > 30 min ⇒ new
+# session): lag + running sum — batch analogue of stateful streaming.
+# =====================================================================
+@q(
+    "q30_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        # epoch seconds (floor), matching DuckDB date_diff('second', …)
+        # boundary-crossing semantics; integer div keeps nanos exact
+        "ts_sec",
+        F.expr("CAST(ts DIV 1000000000 AS BIGINT)"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_sec = F.lag("ts_sec").over(w)
+    is_new = (
+        F.when(prev_sec.isNull(), 1)
+        .when(F.col("ts_sec") - prev_sec > 1800, 1)
+        .otherwise(0)
+    )
+    return (
+        ev.withColumn("is_new_session", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# =====================================================================
+# JSON property extraction from the events props column
+# =====================================================================
+@q(
+    "q31_json_extract",
+    r"""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# =====================================================================
+# Rows-only queries (no SQL oracle — algorithmic operators whose hash
+# functions aren't replicable in DuckDB; the driver records the weaker
+# rows-only check, correctness covered by unit tests instead)
+# =====================================================================
+@q("q32_minhash_near_dups")
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+@q("q33_simhash_near_dups")
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+@q("q34_lsh_ann_topk")
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, dim=64, n_planes=6)

@@ -1,0 +1,162 @@
+"""Unit tests for the scale operators: dedup, similarity, text, recursion."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators import dedup, similarity, text
+from dbt_incremental_ci_spark.plans.recursion import recursive_loop
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (3, "completely unrelated text about spark query engines and columnar io paths"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark)
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [1, 4]
+    survivors = dedup.exact_dedup(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 2, 3]
+
+
+def test_minhash_finds_near_dups(spark):
+    df = docs_df(spark)
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.7)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+
+
+def test_jaccard_values(spark):
+    df = docs_df(spark)
+    pairs = spark.createDataFrame([(1, 4), (1, 3)], ["id_a", "id_b"])
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify(df, pairs, "doc_id", "text", 0.0).collect()
+    }
+    assert out[(1, 4)] == 1.0  # identical docs
+    assert out[(1, 3)] < 0.2
+
+
+def test_simhash_hamming(spark):
+    df = docs_df(spark)
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", dedup.simhash("text").alias("sh")).collect()
+    }
+    assert sigs[1] == sigs[4]  # identical docs → identical signature
+    ham = lambda a, b: bin(a ^ b).count("1")
+    # one-token edit is much closer than an unrelated doc
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    pairs = dedup.simhash_near_pairs(df, "doc_id", "text", max_hamming=0)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(1, 4): 0}
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -1
+    expected = list(np.argsort(-np.round(sims, 6), kind="stable")[:3])
+    assert got == [int(x) for x in expected]
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(50, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.lsh_topk(
+        df, df.filter(F.col("vec_id") < 3), k=5, dim=16, n_planes=2
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["rank"] <= 5 for r in rows)
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    got = [r[0] for r in df.select(similarity.cosine(F.col("a"), F.col("b"))).collect()]
+    assert abs(got[0]) < 1e-12 and abs(got[1] - 1.0) < 1e-12
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! the the end.")], ["doc_id", "text"])
+    row = text.with_text_stats(df).collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["n_chars_computed"] == 26
+    assert row["punct_ratio"] > 0
+    assert 0 <= row["quality_score"] <= 1
+    assert row["lang_pred"] == "en"  # 'the' ×2
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "el perro y el gato en la casa"),
+            (2, "der hund und die katze ist das"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r[1] for r in df.select("doc_id", text.lang_id("text")).collect()}
+    assert got == {1: "es", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma BETA alpha alpha")], ["doc_id", "text"]
+    )
+    fps = [r[0] for r in df.select(text.fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_recursive_loop_chain(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 4)], ["child", "parent"]
+    )
+    seed = spark.createDataFrame([(1, 0)], ["node", "depth"])
+
+    def step(frontier, depth):
+        return edges.join(
+            frontier.select(F.col("node").alias("p"), "depth"),
+            edges.parent == F.col("p"),
+        ).select(F.col("child").alias("node"), (F.col("depth") + 1).alias("depth"))
+
+    out = {r["node"]: r["depth"] for r in recursive_loop(seed, step).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_recursive_loop_depth_cap(spark):
+    edges = spark.createDataFrame([(i + 1, i) for i in range(1, 30)], ["child", "parent"])
+    seed = spark.createDataFrame([(1, 0)], ["node", "depth"])
+
+    def step(frontier, depth):
+        return edges.join(
+            frontier.select(F.col("node").alias("p"), "depth"),
+            edges.parent == F.col("p"),
+        ).select(F.col("child").alias("node"), (F.col("depth") + 1).alias("depth"))
+
+    out = recursive_loop(seed, step, max_iterations=10)
+    assert out.count() == 11  # seed + 10 iterations, cap respected
