@@ -137,6 +137,7 @@ def incremental_upsert(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _drop_stage(spark, qualified_table)
+        spark.catalog.refreshTable(qualified_table)
         return "merged"
 
     merged = _merge_frames(target, new_df, unique_key)
@@ -182,3 +183,6 @@ def _two_phase_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(qualified_table)
     _drop_stage(spark, qualified_table)
+    # Invalidate cached file listings — readers planned against the old
+    # files would otherwise hit FAILED_READ_FILE after the rewrite.
+    spark.catalog.refreshTable(qualified_table)

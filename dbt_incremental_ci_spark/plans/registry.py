@@ -47,6 +47,12 @@ class Model:
             src = inspect.getsource(self.builder)
         except (OSError, TypeError):
             src = repr(self.builder)
+        closure = getattr(self.builder, "__closure__", None)
+        if closure:
+            # Captured variables are model logic too (the dbt-vars
+            # analogue) — a builder parameterized by a closure value
+            # must re-fingerprint when that value changes.
+            src += "\nclosure:" + repr([c.cell_contents for c in closure])
         cfg = json.dumps(
             {
                 "deps": sorted(self.deps),

@@ -1,0 +1,108 @@
+"""Structured Streaming analogue of the incremental pipeline.
+
+The reference's incremental machinery (watermark filter + unique-key
+upsert, SURVEY §2.11 I1-I3) is the batch expression of exactly what
+Structured Streaming gives natively:
+
+- watermark filter               → ``withWatermark`` (bounded lateness)
+- ``unique_key`` dedupe          → ``dropDuplicates([key])`` with state
+- delete+insert materialization  → ``foreachBatch`` running the same
+  :func:`incremental_upsert` MERGE used by the batch engine — one code
+  path for both (the Kappa-architecture shape).
+
+At scale: the foreachBatch MERGE inherits the partition-scoped rewrite
+from the batch layer, so a day-partitioned 100 TB target merges only
+the partitions each micro-batch touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def incremental_stream(
+    stream_df: DataFrame,
+    target_table: str,
+    unique_key: str,
+    event_time_col: str,
+    lateness: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "upsert",
+) -> DataStreamWriter:
+    """Streaming MERGE into a table, one of two key semantics:
+
+    - ``upsert`` (default, the reference's ``unique_key`` behavior):
+      later micro-batches *replace* rows by key — so cross-batch
+      duplicates must flow through to the MERGE; only in-batch dupes
+      are dropped (inside ``incremental_upsert``).
+    - ``dedupe``: exactly-once event ingestion — stateful
+      ``dropDuplicates`` over the watermark window swallows re-deliveries
+      of the same key across batches (first write wins).
+
+    Returns the configured ``DataStreamWriter`` (caller ``.start()``s
+    it — tests use ``trigger(availableNow=True)`` for bounded runs).
+    """
+    from dbt_incremental_ci_spark.incremental.merge import incremental_upsert
+
+    deduped = stream_df.withWatermark(event_time_col, lateness)
+    if mode == "dedupe":
+        deduped = deduped.dropDuplicates([unique_key])
+    elif mode != "upsert":
+        raise ValueError(f"unknown mode: {mode}")
+    # foreachBatch executes in a *cloned* session; the defining session
+    # keeps its own relation cache, which a parquet-table rewrite makes
+    # stale — refresh it after each merge so readers see the new files.
+    defining_session = stream_df.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_upsert(
+            batch_df.sparkSession,
+            target_table,
+            batch_df,
+            unique_key=unique_key,
+            partition_by=partition_by,
+        )
+        try:
+            defining_session.catalog.refreshTable(target_table)
+        except Exception:  # noqa: BLE001 — refresh is best-effort
+            pass
+
+    writer = deduped.writeStream.foreachBatch(merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    event_time_col: str = "ts",
+    window_duration: str = "10 minutes",
+    lateness: str = "30 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    the batch sessionization/trend queries. Late rows beyond the
+    watermark are dropped; state is bounded by ``lateness``."""
+    groups = [F.window(F.col(event_time_col), window_duration)] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    return (
+        stream_df.withWatermark(event_time_col, lateness)
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(c) for c in (group_cols or [])],
+            "n_events",
+            "total_value",
+        )
+    )

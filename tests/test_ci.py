@@ -1,0 +1,111 @@
+"""Slim-CI layer: state diff, modified+ closure, schema mapping,
+selective copy of incremental models into the CI schema."""
+
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.ci.copier import TableCopier, compute_target_schema
+from dbt_incremental_ci_spark.ci.core import SlimCI
+from dbt_incremental_ci_spark.ci.state import StateStore, diff_state, modified_plus
+from dbt_incremental_ci_spark.plans.registry import ModelRegistry
+from dbt_incremental_ci_spark.plans.runner import Engine
+
+
+def make_registry(version: int = 1):
+    reg = ModelRegistry()
+
+    @reg.model("stg_ev", deps=["raw_ev"])
+    def stg_ev(ctx):
+        df = ctx.source("raw_ev")
+        if version == 2:
+            df = df.filter(F.col("id") > 0)  # "edited model"
+        return df
+
+    @reg.model("mart_inc", deps=["stg_ev"], materialized="incremental", unique_key="id")
+    def mart_inc(ctx):
+        return ctx.ref("stg_ev")
+
+    @reg.model("mart_view", deps=["stg_ev"])
+    def mart_view(ctx):
+        return ctx.ref("stg_ev")
+
+    return reg
+
+
+def test_compute_target_schema():
+    assert compute_target_schema("prod", "prod", "ci") == "ci"
+    assert compute_target_schema("prod_finance", "prod", "ci") == "ci_finance"
+    assert compute_target_schema("other", "prod", "ci") == "ci_other"
+
+
+def test_state_diff_and_closure(tmp_path):
+    reg1 = make_registry(version=1)
+    store = StateStore(tmp_path / "state.json")
+    store.save(reg1)
+    # unchanged → empty diff
+    assert diff_state(reg1, store.load()) == set()
+    # edit stg_ev → modified; + closure pulls both marts
+    reg2 = make_registry(version=2)
+    assert diff_state(reg2, store.load()) == {"stg_ev"}
+    assert modified_plus(reg2, store.load()) == {"stg_ev", "mart_inc", "mart_view"}
+
+
+def test_slim_ci_copies_only_incremental(spark, tmp_path):
+    reg1 = make_registry(version=1)
+    raw = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    # build "production"
+    eng = Engine(spark, reg1, schema="t_prod", sources={"raw_ev": raw})
+    assert all(r.status == "success" for r in eng.run())
+    assert spark.catalog.tableExists("t_prod.mart_inc")
+
+    store = StateStore(tmp_path / "state.json")
+    store.save(reg1)
+
+    # CI run with the edited project
+    reg2 = make_registry(version=2)
+    ci = SlimCI(spark, reg2, store, base_schema="t_prod", ci_schema="t_ci")
+    result = ci.run()
+    assert result.modified == {"stg_ev", "mart_inc", "mart_view"}
+    # only the incremental model's table is pre-seeded (views rebuild cheaply)
+    assert result.to_copy == ["t_prod.mart_inc"]
+    assert result.ok
+    assert spark.catalog.tableExists("t_ci.mart_inc")
+    assert spark.table("t_ci.mart_inc").count() == 2
+
+
+def test_slim_ci_noop_when_unchanged(spark, tmp_path):
+    reg = make_registry(version=1)
+    store = StateStore(tmp_path / "state.json")
+    store.save(reg)
+    ci = SlimCI(spark, reg, store, base_schema="t_prod", ci_schema="t_ci")
+    result = ci.run()
+    assert result.modified == set() and result.copies == []
+
+
+def test_dry_run_emits_sql_without_executing(spark, tmp_path):
+    reg1 = make_registry(version=1)
+    raw = spark.createDataFrame([(1, "a")], ["id", "v"])
+    eng = Engine(spark, reg1, schema="t_prod2", sources={"raw_ev": raw})
+    eng.run()
+    store = StateStore(tmp_path / "state.json")
+    store.save(reg1)
+    reg2 = make_registry(version=2)
+    ci = SlimCI(
+        spark, reg2, store, base_schema="t_prod2", ci_schema="t_ci2", dry_run=True
+    )
+    result = ci.run()
+    assert [c.status for c in result.copies] == ["dry_run"]
+    assert "CREATE TABLE t_ci2.mart_inc AS SELECT * FROM t_prod2.mart_inc" in (
+        result.copies[0].sql
+    )
+    assert not spark.catalog.tableExists("t_ci2.mart_inc")
+
+
+def test_parallel_copy(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_prod3")
+    for i in range(3):
+        spark.range(5).write.mode("overwrite").saveAsTable(f"t_prod3.tab{i}")
+    copier = TableCopier(spark, "t_prod3", "t_ci3", threads=3)
+    results = copier.copy_tables([f"t_prod3.tab{i}" for i in range(3)])
+    assert all(r.status == "copied" for r in results)
+    for i in range(3):
+        assert spark.table(f"t_ci3.tab{i}").count() == 5

@@ -1,0 +1,76 @@
+"""Structured Streaming: watermarked dedupe + foreachBatch MERGE must
+converge to the same table a batch rebuild produces."""
+
+from datetime import datetime
+
+from dbt_incremental_ci_spark.streaming.pipeline import (
+    incremental_stream,
+    windowed_event_counts,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, "id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_incremental_stream_upserts(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    _write_batch(
+        spark,
+        src,
+        [(1, t0, 1.0), (2, t0, 2.0), (2, t0, 2.0)],  # in-batch dup on key 2
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_stream")
+    spark.sql("DROP TABLE IF EXISTS t_stream.tgt")
+
+    stream = spark.readStream.schema("id long, ts timestamp, value double").parquet(src)
+    q = (
+        incremental_stream(stream, "t_stream.tgt", "id", "ts", checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["value"] for r in spark.table("t_stream.tgt").collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    # second micro-batch: update key 2, add key 3 → MERGE semantics
+    _write_batch(spark, src, [(2, datetime(2024, 1, 1, 0, 30), 9.0), (3, t0, 3.0)])
+    q = (
+        incremental_stream(stream, "t_stream.tgt", "id", "ts", checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["value"] for r in spark.table("t_stream.tgt").collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src = str(tmp_path / "win_src")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 1), 1.0),
+        (2, datetime(2024, 1, 1, 0, 5), 2.0),
+        (3, datetime(2024, 1, 1, 0, 12), 4.0),
+    ]
+    spark.createDataFrame(rows, "id long, ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, ts timestamp, value double").parquet(src)
+    out = windowed_event_counts(stream, "ts", "10 minutes", "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].minute, r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {(0, 2, 3.0), (10, 1, 4.0)}
