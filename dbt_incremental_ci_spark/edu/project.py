@@ -1,0 +1,48 @@
+"""Assembly of the education project: registry + engine + fixtures.
+
+The reference's seeds (DEDP/seeds/*.csv) are loaded as seed models from
+embedded literals (same data shape; the CSVs are reference content we
+re-type rather than copy verbatim).
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import SparkSession
+
+from dbt_incremental_ci_spark.edu import fixtures
+from dbt_incremental_ci_spark.edu.intermediate import register_intermediate
+from dbt_incremental_ci_spark.edu.marts import register_marts
+from dbt_incremental_ci_spark.edu.seeds import register_seeds
+from dbt_incremental_ci_spark.edu.staging import register_staging
+from dbt_incremental_ci_spark.edu.tests_models import register_tests
+from dbt_incremental_ci_spark.plans.registry import ModelRegistry
+from dbt_incremental_ci_spark.plans.runner import Engine
+
+
+def edu_registry() -> ModelRegistry:
+    reg = ModelRegistry()
+    register_seeds(reg)
+    register_staging(reg)
+    register_intermediate(reg)
+    register_marts(reg)
+    register_tests(reg)
+    return reg
+
+
+def build_edu_engine(
+    spark: SparkSession,
+    schema: str = "edu",
+    run_date: date | None = None,
+    fixture_sizes: dict | None = None,
+) -> Engine:
+    pdfs = fixtures.generate_raw_edu(**(fixture_sizes or {}))
+    sources = fixtures.to_spark(spark, pdfs)
+    return Engine(
+        spark,
+        edu_registry(),
+        schema=schema,
+        sources=sources,
+        run_date=run_date or fixtures.RUN_DATE,
+    )

@@ -33,6 +33,7 @@ class Model:
     schema: str | None = None  # custom schema suffix (ref SRC/copier.py:38-64)
     unique_key: str | None = None  # incremental upsert key
     watermark_col: str | None = None  # incremental watermark column
+    watermark_strict: bool = True  # > (strict) vs >= (boundary re-read)
     on_schema_change: str = "ignore"  # ignore | append_new_columns
     partition_by: list[str] = field(default_factory=list)  # write partitioning
     tags: list[str] = field(default_factory=list)

@@ -130,6 +130,18 @@ class Engine:
             writer.saveAsTable(qualified)
             return None
         if m.materialized == "incremental":
+            if m.watermark_col is not None:
+                # dbt is_incremental() guard: on later runs only rows past
+                # the target's max watermark are processed (SURVEY §2.11
+                # I1/I2; `>=` variants re-read boundary rows, absorbed by
+                # the unique-key upsert).
+                from dbt_incremental_ci_spark.incremental.merge import (
+                    read_watermark,
+                    watermark_filter,
+                )
+
+                wm = read_watermark(self.spark, qualified, m.watermark_col)
+                df = watermark_filter(df, m.watermark_col, wm, strict=m.watermark_strict)
             incremental_upsert(
                 self.spark,
                 qualified,
