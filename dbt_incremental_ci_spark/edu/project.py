@@ -13,6 +13,10 @@ from pyspark.sql import SparkSession
 
 from dbt_incremental_ci_spark.edu import fixtures
 from dbt_incremental_ci_spark.edu.intermediate import register_intermediate
+from dbt_incremental_ci_spark.edu.intermediate2 import (
+    register_intermediate2,
+    register_intermediate3,
+)
 from dbt_incremental_ci_spark.edu.marts import register_marts
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
@@ -26,6 +30,8 @@ def edu_registry() -> ModelRegistry:
     register_seeds(reg)
     register_staging(reg)
     register_intermediate(reg)
+    register_intermediate2(reg)
+    register_intermediate3(reg)
     register_marts(reg)
     register_tests(reg)
     return reg

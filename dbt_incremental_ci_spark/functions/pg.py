@@ -60,6 +60,19 @@ def safe_div(num: Column | str, den: Column | str) -> Column:
     return _c(num) / F.when(den_c != 0, den_c)
 
 
+def pg_corr(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation with PG NULL semantics under ANSI mode.
+
+    Spark 4 (ANSI on) raises DIVIDE_BY_ZERO inside ``corr`` when a
+    group has zero variance or a single row; PG returns NULL. Same
+    statistic via ``covar_samp / (stddev·stddev)`` with ``try_divide``.
+    """
+    xc, yc = _c(x), _c(y)
+    return F.try_divide(
+        F.covar_samp(xc, yc), F.stddev_samp(xc) * F.stddev_samp(yc)
+    )
+
+
 def pg_round(col: Column | str, scale: int = 0) -> Column:
     """PG ``round(numeric, n)`` — HALF_UP. Spark ``F.round`` is also
     HALF_UP, so this is a direct mapping; kept as a named shim so every

@@ -141,3 +141,33 @@ def test_incremental_equals_full_rebuild(spark):
     a = sorted(map(tuple, incremental.select(*cols).collect()))
     b = sorted(map(tuple, full.select(*cols).collect()))
     assert a == b
+
+
+def test_all_views_execute(edu_engine):
+    """View models are lazy plans — force each one to run end-to-end."""
+    eng, _ = edu_engine
+    counts = {}
+    for m in eng.registry.models():
+        if m.materialized in ("view", "ephemeral") and m.resource_type == "model":
+            counts[m.name] = eng.resolve(m.name).count()
+    assert all(n > 0 for n in counts.values()), counts
+
+
+def test_collaboration_networks_shape(edu_engine):
+    eng, _ = edu_engine
+    nets = eng.resolve("int_academic_collaboration_networks")
+    rows = nets.limit(2000).collect()
+    assert rows, "expected collaborating pairs (fixtures guarantee cohorts)"
+    assert all(r["student_a"] < r["student_b"] for r in rows)
+    assert all(r["shared_courses"] >= 2 for r in rows)
+    assert "collaboration_value_score" in nets.columns
+
+
+def test_grade_inflation_windows(edu_engine):
+    eng, _ = edu_engine
+    gia = eng.resolve("int_grade_inflation_analysis")
+    rows = gia.collect()
+    assert rows
+    # first year per course: no previous-year values, zero cumulative change
+    firsts = [r for r in rows if r["prev_year_gpa"] is None]
+    assert firsts and all(abs(r["cumulative_gpa_change"]) < 1e-9 for r in firsts)
