@@ -159,3 +159,116 @@ def register_marts(reg: ModelRegistry) -> None:
                 )
             ).alias("students_per_100k_budget"),
         )
+
+
+def register_marts_finance(reg: ModelRegistry) -> None:
+    @reg.model(
+        "student_financial_profile",
+        deps=["stg_students", "stg_departments", "stg_financial_aid",
+              "stg_tuition_payments", "stg_semesters"],
+        materialized="table",
+    )
+    def student_financial_profile(ctx) -> DataFrame:
+        # ref: DEDP/models/marts/finance/student_financial_profile.sql:1-110 —
+        # two left-join fan-outs (aid × payments per student), distinct-count
+        # collapse, pivot-style max(case) per aid category (A7).
+        s = ctx.ref("stg_students").select(
+            "student_id", "full_name", "email", "student_status", "gpa",
+            "academic_standing", "years_enrolled", "major_id",
+        )
+        d = ctx.ref("stg_departments").select(
+            F.col("department_id"), F.col("department_name").alias("major_department")
+        )
+        fa = ctx.ref("stg_financial_aid").select(
+            F.col("student_id").alias("fa_student"), "aid_id", "aid_category",
+            F.col("amount").alias("aid_amount"),
+            F.col("academic_year").alias("aid_academic_year"),
+        )
+        tp = ctx.ref("stg_tuition_payments").select(
+            F.col("student_id").alias("tp_student"), "payment_id", "semester_id",
+            F.col("amount").alias("payment_amount"), "late_fee", "total_payment",
+            "payment_timeliness",
+        )
+        sem = ctx.ref("stg_semesters").select(
+            "semester_id", F.col("academic_year").alias("payment_academic_year")
+        )
+        joined = (
+            s.join(F.broadcast(d), s.major_id == d.department_id, "left")
+            .drop("major_id", "department_id")
+            .join(fa, s.student_id == fa.fa_student, "left")
+            .join(tp, s.student_id == tp.tp_student, "left")
+            .join(F.broadcast(sem), "semester_id", "left")
+        )
+        n_late = F.count(F.when(F.col("payment_timeliness") == "Late Payment", 1))
+        n_pay = F.count("payment_id")
+
+        def max_cat(cat):
+            return F.max(
+                F.when(F.col("aid_category") == cat, F.col("aid_amount")).otherwise(
+                    F.lit(0).cast("decimal(10,2)")
+                )
+            )
+
+        summary = (
+            joined.filter(F.col("student_id").isNotNull())
+            .groupBy(
+                "student_id", "full_name", "email", "student_status", "gpa",
+                "academic_standing", "years_enrolled", "major_department",
+            )
+            .agg(
+                F.countDistinct("aid_id").alias("total_aid_awards"),
+                F.sum("aid_amount").alias("total_aid_received"),
+                F.avg("aid_amount").alias("avg_aid_amount"),
+                F.countDistinct("payment_id").alias("total_payments_made"),
+                F.sum("payment_amount").alias("total_tuition_paid"),
+                F.sum("late_fee").alias("total_late_fees"),
+                F.sum("total_payment").alias("total_amount_paid"),
+                F.avg("payment_amount").alias("avg_payment_amount"),
+                n_late.alias("late_payments_count"),
+                F.round(n_late * 100.0 / F.when(n_pay != 0, n_pay), 2).alias(
+                    "late_payment_rate"
+                ),
+                max_cat("Merit-Based").alias("max_merit_aid"),
+                max_cat("Need-Based").alias("max_need_aid"),
+                max_cat("Loan").alias("max_loan_amount"),
+                F.countDistinct("aid_academic_year").alias("aid_years_count"),
+                F.countDistinct("payment_academic_year").alias("payment_years_count"),
+            )
+        )
+        tar = F.col("total_aid_received")
+        lpr = F.col("late_payment_rate")
+        tlf = F.col("total_late_fees")
+        ye = F.when(F.col("years_enrolled") != 0, F.col("years_enrolled"))
+        return summary.select(
+            "*",
+            F.when(tar >= 20_000, "High Aid Recipient")
+            .when(tar >= 10_000, "Moderate Aid Recipient")
+            .when(tar >= 5_000, "Low Aid Recipient")
+            .when(tar > 0, "Minimal Aid Recipient")
+            .otherwise("No Aid Received")
+            .alias("aid_recipient_category"),
+            F.when(lpr == 0, "Excellent Payment History")
+            .when(lpr <= 10, "Good Payment History")
+            .when(lpr <= 25, "Fair Payment History")
+            .otherwise("Poor Payment History")
+            .alias("payment_reliability"),
+            F.when(tlf == 0, "No Late Fees")
+            .when(tlf <= 100, "Minimal Late Fees")
+            .when(tlf <= 500, "Moderate Late Fees")
+            .otherwise("High Late Fees")
+            .alias("late_fee_category"),
+            F.round(tar / ye, 2).alias("avg_aid_per_year"),
+            F.round(F.col("total_tuition_paid") / ye, 2).alias(
+                "avg_tuition_per_year"
+            ),
+            F.when(
+                (F.col("max_merit_aid") > F.col("max_need_aid"))
+                & (F.col("max_merit_aid") > F.col("max_loan_amount")),
+                "Merit-Based Primary",
+            )
+            .when(F.col("max_need_aid") > F.col("max_loan_amount"),
+                  "Need-Based Primary")
+            .when(F.col("max_loan_amount") > 0, "Loan-Based Primary")
+            .otherwise("No Primary Aid Type")
+            .alias("primary_aid_type"),
+        )

@@ -17,7 +17,8 @@ from dbt_incremental_ci_spark.edu.intermediate2 import (
     register_intermediate2,
     register_intermediate3,
 )
-from dbt_incremental_ci_spark.edu.marts import register_marts
+from dbt_incremental_ci_spark.edu.intermediate3 import register_intermediate4
+from dbt_incremental_ci_spark.edu.marts import register_marts, register_marts_finance
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -32,7 +33,9 @@ def edu_registry() -> ModelRegistry:
     register_intermediate(reg)
     register_intermediate2(reg)
     register_intermediate3(reg)
+    register_intermediate4(reg)
     register_marts(reg)
+    register_marts_finance(reg)
     register_tests(reg)
     return reg
 
