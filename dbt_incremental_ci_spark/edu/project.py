@@ -19,6 +19,7 @@ from dbt_incremental_ci_spark.edu.intermediate2 import (
 )
 from dbt_incremental_ci_spark.edu.intermediate3 import register_intermediate4
 from dbt_incremental_ci_spark.edu.marts import register_marts, register_marts_finance
+from dbt_incremental_ci_spark.edu.marts2 import register_marts2
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -36,6 +37,7 @@ def edu_registry() -> ModelRegistry:
     register_intermediate4(reg)
     register_marts(reg)
     register_marts_finance(reg)
+    register_marts2(reg)
     register_tests(reg)
     return reg
 
