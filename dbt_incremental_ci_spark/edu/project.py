@@ -17,7 +17,11 @@ from dbt_incremental_ci_spark.edu.intermediate2 import (
     register_intermediate2,
     register_intermediate3,
 )
-from dbt_incremental_ci_spark.edu.intermediate3 import register_intermediate4
+from dbt_incremental_ci_spark.edu.intermediate3 import (
+    register_intermediate4,
+    register_intermediate5,
+    register_intermediate6,
+)
 from dbt_incremental_ci_spark.edu.marts import register_marts, register_marts_finance
 from dbt_incremental_ci_spark.edu.marts2 import register_marts2
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
@@ -35,6 +39,8 @@ def edu_registry() -> ModelRegistry:
     register_intermediate2(reg)
     register_intermediate3(reg)
     register_intermediate4(reg)
+    register_intermediate5(reg)
+    register_intermediate6(reg)
     register_marts(reg)
     register_marts_finance(reg)
     register_marts2(reg)
