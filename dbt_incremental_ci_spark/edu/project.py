@@ -25,6 +25,7 @@ from dbt_incremental_ci_spark.edu.intermediate3 import (
 from dbt_incremental_ci_spark.edu.marts import register_marts, register_marts_finance
 from dbt_incremental_ci_spark.edu.marts2 import register_marts2
 from dbt_incremental_ci_spark.edu.marts3 import register_marts3, register_marts_finance2
+from dbt_incremental_ci_spark.edu.marts4 import register_marts4
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -47,6 +48,7 @@ def edu_registry() -> ModelRegistry:
     register_marts2(reg)
     register_marts3(reg)
     register_marts_finance2(reg)
+    register_marts4(reg)
     register_tests(reg)
     return reg
 
