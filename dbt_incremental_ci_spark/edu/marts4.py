@@ -335,3 +335,138 @@ def register_marts4(reg: ModelRegistry) -> None:
             "dept_avg_gpa", "dept_avg_completion_rate",
         )
         return ra.join(F.broadcast(dr_j), "department_name", "left")
+
+
+def register_marts5(reg: ModelRegistry) -> None:
+    @reg.model(
+        "assignment_workload_analysis",
+        deps=["stg_semesters", "stg_assignments", "stg_courses", "stg_departments",
+              "int_assignment_performance"],
+        materialized="table",
+    )
+    def assignment_workload_analysis(ctx) -> DataFrame:
+        # ref: DEDP/models/marts/academic/assignment_workload_analysis.sql:1-148
+        # — ISO week buckets (extract(week)), PG dow weekend flag, J6
+        # `on 1=1` course-stats cross join (:137) preserved.
+        from dbt_incremental_ci_spark.functions.pg import pg_dow
+
+        sem = ctx.ref("stg_semesters").select("semester_id", "semester_name",
+                                              "academic_year", "semester_type")
+        a = ctx.ref("stg_assignments")
+        c = ctx.ref("stg_courses").select("course_id", "course_code", "course_name",
+                                          "credits", "difficulty_level",
+                                          "department_id")
+        d = ctx.ref("stg_departments").select("department_id", "department_name")
+        ap = ctx.ref("int_assignment_performance").select(
+            F.col("assignment_id").alias("ap_id"), "total_submissions",
+            "avg_percentage_score", "late_submission_rate", "avg_score",
+        )
+        aw = (
+            sem.join(a, "semester_id")
+            .join(F.broadcast(c), "course_id")
+            .join(F.broadcast(d), "department_id")
+            .join(ap, a.assignment_id == F.col("ap_id"), "left")
+            .withColumn("due_week", F.weekofyear("due_date"))
+            .withColumn("due_month", F.month("due_date"))
+            .withColumn(
+                "due_day_type",
+                F.when(pg_dow("due_date").isin(0, 6), "Weekend").otherwise(
+                    "Weekday"
+                ),
+            )
+        )
+        ac = F.col("assignment_category")
+        swa = aw.groupBy("semester_id", "semester_name", "academic_year",
+                         "semester_type").agg(
+            F.countDistinct("assignment_id").alias("total_assignments"),
+            F.countDistinct("course_id").alias("courses_with_assignments"),
+            F.sum("max_points").alias("total_possible_points"),
+            F.avg("max_points").alias("avg_assignment_points"),
+            F.sum("weight_percentage").alias("total_weight_percentage"),
+            F.avg("weight_percentage").alias("avg_assignment_weight"),
+            F.count(F.when(ac == "Assessment", 1)).alias("exam_count"),
+            F.count(F.when(ac == "Project", 1)).alias("project_count"),
+            F.count(F.when(ac == "Homework", 1)).alias("homework_count"),
+            F.count(F.when(ac == "Quiz", 1)).alias("quiz_count"),
+            F.count(F.when(F.col("due_day_type") == "Weekend", 1)).alias(
+                "weekend_due_assignments"
+            ),
+            F.avg("avg_percentage_score").alias("semester_avg_score"),
+            F.avg("late_submission_rate").alias("semester_late_rate"),
+        )
+        cwa = aw.groupBy("course_id", "course_code", "course_name", "credits",
+                         "difficulty_level", "department_name").agg(
+            F.countDistinct("assignment_id").alias("assignments_per_course"),
+            F.sum("max_points").alias("total_points_possible"),
+            F.avg("max_points").alias("avg_points_per_assignment"),
+            F.sum("weight_percentage").alias("total_course_weight"),
+            F.round(
+                F.countDistinct("assignment_id").cast("decimal(18,2)")
+                / F.col("credits"),
+                2,
+            ).alias("assignments_per_credit"),
+            F.round(
+                F.sum("max_points").cast("decimal(18,2)") / F.col("credits"), 2
+            ).alias("points_per_credit"),
+            F.count(F.when(ac == "Assessment", 1)).alias("course_exams"),
+            F.count(F.when(ac == "Project", 1)).alias("course_projects"),
+            F.count(F.when(ac == "Homework", 1)).alias("course_homework"),
+            F.avg("avg_percentage_score").alias("course_avg_performance"),
+            F.avg("late_submission_rate").alias("course_late_rate"),
+        )
+        www = (
+            aw.filter(F.col("due_week").isNotNull())
+            .groupBy("semester_id", "semester_name", "due_week")
+            .agg(
+                F.countDistinct("assignment_id").alias(
+                    "assignments_due_this_week"
+                ),
+                F.sum("max_points").alias("total_points_due_this_week"),
+                F.countDistinct("course_id").alias(
+                    "courses_with_assignments_due"
+                ),
+                F.avg("weight_percentage").alias("avg_weight_this_week"),
+            )
+            .groupBy("semester_id")
+            .agg(
+                F.max("assignments_due_this_week").alias("max_weekly_assignments"),
+                F.max("total_points_due_this_week").alias("max_weekly_points"),
+                F.avg("assignments_due_this_week").alias("avg_weekly_assignments"),
+            )
+        )
+        cwa_1 = cwa.groupBy("course_id").agg(
+            F.avg("assignments_per_course").alias("assignments_per_course"),
+            F.avg("assignments_per_credit").alias("assignments_per_credit"),
+            F.avg("points_per_credit").alias("points_per_credit"),
+        )
+        ta = F.col("total_assignments")
+        mwa = F.col("max_weekly_assignments")
+        slr = F.col("semester_late_rate")
+        return (
+            swa.crossJoin(  # sql:137 `on 1=1` cross join preserved
+                F.broadcast(cwa_1.drop("course_id"))
+            )
+            .join(F.broadcast(www), "semester_id", "left")
+            .select(
+                "*",
+                F.when(ta >= 100, "Very High Workload")
+                .when(ta >= 75, "High Workload")
+                .when(ta >= 50, "Moderate Workload")
+                .when(ta >= 25, "Light Workload")
+                .otherwise("Very Light Workload")
+                .alias("semester_workload_category"),
+                F.when(mwa >= 15, "Overwhelming Weeks")
+                .when(mwa >= 10, "Heavy Weeks")
+                .when(mwa >= 7, "Busy Weeks")
+                .otherwise("Manageable Weeks")
+                .alias("peak_week_intensity"),
+                F.round(ta.cast("decimal(18,2)") / 16, 2).alias(
+                    "avg_assignments_per_week"
+                ),
+                F.when(slr >= 25, "High Stress Semester")
+                .when(slr >= 15, "Moderate Stress Semester")
+                .when(slr >= 10, "Low Stress Semester")
+                .otherwise("Well-Managed Semester")
+                .alias("stress_indicator"),
+            )
+        )
