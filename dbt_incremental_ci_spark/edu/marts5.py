@@ -359,3 +359,190 @@ def register_marts6(reg: ModelRegistry) -> None:
             .otherwise("Standard Recognition")
             .alias("award_eligibility"),
         ).orderBy(F.desc("effectiveness_score"), "faculty_id")
+
+
+def register_marts7(reg: ModelRegistry) -> None:
+    @reg.model(
+        "learning_outcome_assessment",
+        deps=["stg_courses", "stg_departments", "int_course_performance_metrics",
+              "int_assignment_performance", "course_success_predictors",
+              "stg_students", "int_student_enrollment_history", "stg_enrollments"],
+        materialized="table",
+    )
+    def learning_outcome_assessment(ctx) -> DataFrame:
+        # ref: DEDP/models/marts/academic/learning_outcome_assessment.sql:1-209
+        # — per-difficulty null-skipping averages (A6), stddev consistency
+        # (A8), mastery rollups. The course_outcome_effectiveness CTE
+        # (:137-172) is dead code in the reference (never referenced by the
+        # final select) and is not materialized.
+        c = ctx.ref("stg_courses").select("course_id", "course_code",
+                                          "course_name", "difficulty_level",
+                                          "credits", "department_id")
+        d = ctx.ref("stg_departments").select("department_id", "department_name")
+        cpm = ctx.ref("int_course_performance_metrics").select(
+            F.col("course_id").alias("cpm_id"), "avg_grade_points", "pass_rate",
+            "withdrawal_rate", "avg_attendance",
+        )
+        agp, pr = F.col("avg_grade_points"), F.col("pass_rate")
+        clo = (
+            c.join(F.broadcast(d), "department_id")
+            .join(cpm, c.course_id == F.col("cpm_id"), "left")
+            .select(
+                "course_id",
+                F.when(pr >= 90, "Excellent Mastery")
+                .when(pr >= 80, "Good Mastery")
+                .when(pr >= 70, "Acceptable Mastery")
+                .when(pr >= 60, "Poor Mastery")
+                .otherwise("Very Poor Mastery")
+                .alias("content_mastery_level"),
+            )
+        )
+        s = ctx.ref("stg_students").select("student_id", "full_name", "gpa",
+                                           "academic_standing", "major_id")
+        eh = (
+            ctx.ref("int_student_enrollment_history")
+            .groupBy(F.col("student_id").alias("eh_student"))
+            .agg(
+                F.max("total_credits_earned").alias("total_credits_earned"),
+                F.max("avg_grade_points").alias("avg_grade_points"),
+            )
+        )
+        e = ctx.ref("stg_enrollments").filter(
+            F.col("enrollment_status") == "Completed"
+        ).select(
+            F.col("student_id").alias("e_student"),
+            F.col("course_id").alias("e_course"), "grade_points",
+        )
+        c2 = ctx.ref("stg_courses").select(
+            F.col("course_id").alias("c2_id"),
+            F.col("difficulty_level").alias("c2_diff"),
+        )
+        dl, gp = F.col("c2_diff"), F.col("grade_points")
+        cml = F.col("content_mastery_level")
+        slp = (
+            s.join(F.broadcast(d), s.major_id == d.department_id)
+            .withColumnRenamed("department_name", "major")
+            .drop("major_id", "department_id")
+            .join(eh, s.student_id == F.col("eh_student"), "left")
+            .drop("eh_student")
+            .join(e, s.student_id == F.col("e_student"), "left")
+            .join(F.broadcast(c2), F.col("e_course") == F.col("c2_id"), "left")
+            .join(F.broadcast(clo), F.col("e_course") == clo.course_id, "left")
+            .groupBy(
+                "student_id", "full_name", "gpa", "academic_standing", "major",
+                "total_credits_earned",
+                F.col("avg_grade_points").alias("avg_grade_points"),
+            )
+            .agg(
+                F.countDistinct("e_course").alias("courses_completed"),
+                F.avg(dl).alias("avg_course_difficulty"),
+                F.count(
+                    F.when(cml.isin("Excellent Mastery", "Good Mastery"), 1)
+                ).alias("well_mastered_courses"),
+                F.count(
+                    F.when(cml.isin("Poor Mastery", "Very Poor Mastery"), 1)
+                ).alias("poorly_mastered_courses"),
+                F.avg(F.when(dl == 1, gp)).alias("avg_beginner_performance"),
+                F.avg(F.when(dl == 2, gp)).alias("avg_intermediate_performance"),
+                F.avg(F.when(dl >= 3, gp)).alias("avg_advanced_performance"),
+                F.stddev(gp).alias("performance_consistency"),
+            )
+        )
+        abp = F.col("avg_beginner_performance")
+        aip = F.col("avg_intermediate_performance")
+        aap = F.col("avg_advanced_performance")
+        pc = F.col("performance_consistency")
+        loa = slp.select(
+            "*",
+            F.when(abp.isNotNull() & aip.isNotNull(), aip - abp).alias(
+                "beginner_to_intermediate_growth"
+            ),
+            F.when(aip.isNotNull() & aap.isNotNull(), aap - aip).alias(
+                "intermediate_to_advanced_growth"
+            ),
+            F.when(abp.isNotNull() & aap.isNotNull(), aap - abp).alias(
+                "overall_learning_growth"
+            ),
+            F.round(
+                F.col("well_mastered_courses") * 100.0
+                / F.when(F.col("courses_completed") != 0,
+                         F.col("courses_completed")),
+                2,
+            ).alias("mastery_success_rate"),
+            F.when(pc <= 0.5, "Very Consistent")
+            .when(pc <= 1.0, "Consistent")
+            .when(pc <= 1.5, "Moderately Consistent")
+            .otherwise("Inconsistent")
+            .alias("performance_consistency_level"),
+            F.when(aap >= abp + 0.5, "Strong Learning Growth")
+            .when(aap >= abp + 0.2, "Moderate Learning Growth")
+            .when(aap >= abp - 0.2, "Stable Performance")
+            .otherwise("Declining Performance")
+            .alias("learning_trajectory"),
+        )
+        lt = F.col("learning_trajectory")
+        dept_out = loa.groupBy("major").agg(
+            F.count(F.lit(1)).alias("students_in_major"),
+            F.avg("gpa").alias("major_avg_gpa"),
+            F.avg("mastery_success_rate").alias("avg_mastery_rate"),
+            F.avg("overall_learning_growth").alias("avg_learning_growth"),
+            F.count(F.when(lt == "Strong Learning Growth", 1)).alias(
+                "strong_learners"
+            ),
+            F.count(F.when(lt == "Declining Performance", 1)).alias(
+                "declining_learners"
+            ),
+            F.round(
+                F.count(F.when(lt == "Strong Learning Growth", 1)) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("strong_learner_percentage"),
+            F.avg("avg_course_difficulty").alias("major_avg_difficulty"),
+        )
+        dept_j = dept_out.select(
+            "major", "major_avg_gpa",
+            F.col("strong_learner_percentage").alias("dept_strong_learner_rate"),
+            F.col("major_avg_difficulty").alias("dept_avg_difficulty"),
+        )
+        olg, msr = F.col("overall_learning_growth"), F.col("mastery_success_rate")
+        pcl = F.col("performance_consistency_level")
+        return loa.join(F.broadcast(dept_j), "major", "left").select(
+            "*",
+            F.when((olg > 0.5) & (msr > 80), "Exceptional Learning Outcomes")
+            .when((olg > 0.2) & (msr > 70), "Strong Learning Outcomes")
+            .when((olg > 0) & (msr > 60), "Adequate Learning Outcomes")
+            .when((olg <= 0) | (msr <= 50), "Poor Learning Outcomes")
+            .otherwise("Mixed Learning Outcomes")
+            .alias("overall_learning_outcome_assessment"),
+            F.when(
+                (lt == "Strong Learning Growth")
+                & pcl.isin("Very Consistent", "Consistent"),
+                "Ready for advanced coursework and independent study",
+            )
+            .when(
+                (lt == "Moderate Learning Growth") & (msr >= 70),
+                "Progressing well, continue current academic plan",
+            )
+            .when(
+                (lt == "Stable Performance") & (msr >= 60),
+                "Consider academic enrichment activities",
+            )
+            .when(
+                (lt == "Declining Performance") | (msr < 50),
+                "Requires academic intervention and support",
+            )
+            .otherwise("Monitor progress and provide targeted support")
+            .alias("learning_outcome_recommendation"),
+            F.when((aap >= 3.0) & (msr >= 80), "Ready for Graduate Studies")
+            .when((aap >= 2.5) & (msr >= 70), "Ready for Senior Capstone")
+            .when(
+                (aip >= 2.5) & (F.col("total_credits_earned") >= 60),
+                "Ready for Advanced Courses",
+            )
+            .when(
+                (abp >= 2.0) & (F.col("total_credits_earned") >= 30),
+                "Ready for Intermediate Courses",
+            )
+            .otherwise("Continue Foundation Building")
+            .alias("academic_readiness_level"),
+        )

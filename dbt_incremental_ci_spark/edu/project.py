@@ -26,7 +26,7 @@ from dbt_incremental_ci_spark.edu.marts import register_marts, register_marts_fi
 from dbt_incremental_ci_spark.edu.marts2 import register_marts2
 from dbt_incremental_ci_spark.edu.marts3 import register_marts3, register_marts_finance2
 from dbt_incremental_ci_spark.edu.marts4 import register_marts4, register_marts5
-from dbt_incremental_ci_spark.edu.marts5 import register_marts6
+from dbt_incremental_ci_spark.edu.marts5 import register_marts6, register_marts7
 from dbt_incremental_ci_spark.edu.marts_ews import register_marts_ews
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
@@ -54,6 +54,7 @@ def edu_registry() -> ModelRegistry:
     register_marts5(reg)
     register_marts6(reg)
     register_marts_ews(reg)
+    register_marts7(reg)
     register_tests(reg)
     return reg
 
