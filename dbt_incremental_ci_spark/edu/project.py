@@ -28,6 +28,7 @@ from dbt_incremental_ci_spark.edu.marts3 import register_marts3, register_marts_
 from dbt_incremental_ci_spark.edu.marts4 import register_marts4, register_marts5
 from dbt_incremental_ci_spark.edu.marts5 import register_marts6, register_marts7
 from dbt_incremental_ci_spark.edu.marts_ews import register_marts_ews
+from dbt_incremental_ci_spark.edu.marts_ied import register_marts_ied
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -55,6 +56,7 @@ def edu_registry() -> ModelRegistry:
     register_marts6(reg)
     register_marts_ews(reg)
     register_marts7(reg)
+    register_marts_ied(reg)
     register_tests(reg)
     return reg
 
