@@ -29,6 +29,7 @@ from dbt_incremental_ci_spark.edu.marts4 import register_marts4, register_marts5
 from dbt_incremental_ci_spark.edu.marts5 import register_marts6, register_marts7
 from dbt_incremental_ci_spark.edu.marts_ews import register_marts_ews
 from dbt_incremental_ci_spark.edu.marts_ied import register_marts_ied
+from dbt_incremental_ci_spark.edu.marts_bench import register_marts_bench
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -57,6 +58,7 @@ def edu_registry() -> ModelRegistry:
     register_marts_ews(reg)
     register_marts7(reg)
     register_marts_ied(reg)
+    register_marts_bench(reg)
     register_tests(reg)
     return reg
 
