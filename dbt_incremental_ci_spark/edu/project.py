@@ -30,6 +30,10 @@ from dbt_incremental_ci_spark.edu.marts5 import register_marts6, register_marts7
 from dbt_incremental_ci_spark.edu.marts_ews import register_marts_ews
 from dbt_incremental_ci_spark.edu.marts_ied import register_marts_ied
 from dbt_incremental_ci_spark.edu.marts_bench import register_marts_bench
+from dbt_incremental_ci_spark.edu.marts_budget import (
+    register_marts_budget,
+    register_marts_revenue,
+)
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
 from dbt_incremental_ci_spark.edu.tests_models import register_tests
@@ -59,6 +63,8 @@ def edu_registry() -> ModelRegistry:
     register_marts7(reg)
     register_marts_ied(reg)
     register_marts_bench(reg)
+    register_marts_budget(reg)
+    register_marts_revenue(reg)
     register_tests(reg)
     return reg
 
