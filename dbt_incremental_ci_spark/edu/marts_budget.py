@@ -463,3 +463,194 @@ def register_marts_revenue(reg: ModelRegistry) -> None:
             .otherwise("Low Risk")
             .alias("financial_risk_level"),
         )
+
+
+def register_marts_calibration(reg: ModelRegistry) -> None:
+    @reg.model(
+        "course_difficulty_calibration",
+        deps=["stg_courses", "stg_departments", "int_course_performance_metrics",
+              "int_assignment_performance"],
+        materialized="table",
+    )
+    def course_difficulty_calibration(ctx) -> DataFrame:
+        # ref: DEDP/models/marts/academic/
+        #   course_difficulty_calibration.sql:1-183 — tri-source difficulty
+        # scoring vs assigned level, prerequisite-progression assessment,
+        # department calibration rollup.
+        c = ctx.ref("stg_courses").select(
+            "course_id", "course_code", "course_name",
+            F.col("difficulty_level").alias("assigned_difficulty"), "credits",
+            "prerequisite_course_id", "department_id",
+        )
+        d = ctx.ref("stg_departments").select("department_id", "department_name")
+        cpm = ctx.ref("int_course_performance_metrics").select(
+            F.col("course_id").alias("cpm_id"), "total_enrollments",
+            "avg_grade_points", "pass_rate", "withdrawal_rate", "avg_attendance",
+        )
+        prereq = ctx.ref("stg_courses").select(
+            F.col("course_id").alias("pr_id"),
+            F.col("difficulty_level").alias("prerequisite_difficulty"),
+        )
+        ia = (
+            ctx.ref("int_assignment_performance")
+            .groupBy(F.col("course_id").alias("ia_id"))
+            .agg(
+                F.avg("avg_percentage_score").alias("avg_assignment_score"),
+                F.avg("late_submission_rate").alias("late_submission_rate"),
+            )
+        )
+        agp, pr_ = F.col("avg_grade_points"), F.col("pass_rate")
+        aa, lsr = F.col("avg_attendance"), F.col("late_submission_rate")
+        wr = F.col("withdrawal_rate")
+        da = (
+            c.join(F.broadcast(d), "department_id", "left")
+            .join(cpm, c.course_id == F.col("cpm_id"), "left")
+            .drop("cpm_id")
+            .join(F.broadcast(prereq),
+                  c.prerequisite_course_id == F.col("pr_id"), "left")
+            .drop("pr_id")
+            .join(F.broadcast(ia), c.course_id == F.col("ia_id"), "left")
+            .drop("ia_id")
+            .filter(F.col("total_enrollments") >= 10)
+            .select(
+                "*",
+                F.when((agp >= 3.5) & (pr_ >= 90), 1)
+                .when((agp >= 3.0) & (pr_ >= 80), 2)
+                .when((agp >= 2.5) & (pr_ >= 70), 3)
+                .when((agp >= 2.0) & (pr_ >= 60), 4)
+                .otherwise(5)
+                .alias("performance_based_difficulty"),
+                F.when((aa >= 95) & (lsr <= 10), 1)
+                .when((aa >= 85) & (lsr <= 20), 2)
+                .when((aa >= 75) & (lsr <= 30), 3)
+                .when((aa >= 65) & (lsr <= 40), 4)
+                .otherwise(5)
+                .alias("engagement_based_difficulty"),
+                F.when(wr <= 5, 1)
+                .when(wr <= 10, 2)
+                .when(wr <= 15, 3)
+                .when(wr <= 25, 4)
+                .otherwise(5)
+                .alias("withdrawal_based_difficulty"),
+            )
+        )
+        calc = F.round(
+            (
+                F.col("performance_based_difficulty")
+                + F.col("engagement_based_difficulty")
+                + F.col("withdrawal_based_difficulty")
+            ) / 3.0,
+            1,
+        )
+        ad = F.col("assigned_difficulty")
+        cd_ = da.select(
+            "*",
+            calc.alias("calculated_difficulty"),
+            F.abs(ad - calc).alias("difficulty_calibration_error"),
+            F.when(
+                F.col("prerequisite_course_id").isNotNull()
+                & F.col("prerequisite_difficulty").isNotNull(),
+                ad - F.col("prerequisite_difficulty"),
+            ).alias("difficulty_progression_from_prerequisite"),
+        )
+        dce = F.col("difficulty_calibration_error")
+        cdif = F.col("calculated_difficulty")
+        dpp_ = F.col("difficulty_progression_from_prerequisite")
+        ca_df = cd_.select(
+            "*",
+            F.when(dce <= 0.5, "Well Calibrated")
+            .when(dce <= 1.0, "Moderately Calibrated")
+            .when(dce <= 1.5, "Poorly Calibrated")
+            .otherwise("Very Poorly Calibrated")
+            .alias("calibration_status"),
+            F.when(cdif > ad + 1, "Course Harder Than Expected")
+            .when(cdif > ad + 0.5, "Course Somewhat Harder")
+            .when(cdif < ad - 1, "Course Easier Than Expected")
+            .when(cdif < ad - 0.5, "Course Somewhat Easier")
+            .otherwise("Course As Expected")
+            .alias("difficulty_assessment"),
+            F.when(
+                dpp_.isNotNull(),
+                F.when(dpp_ < 0, "Easier than prerequisite")
+                .when(dpp_ == 0, "Same difficulty as prerequisite")
+                .when(dpp_ == 1, "Appropriate progression")
+                .when(dpp_ > 1, "Large difficulty jump")
+                .otherwise("Unknown progression"),
+            )
+            .otherwise("No prerequisite for comparison")
+            .alias("prerequisite_progression_assessment"),
+            F.when(
+                (cdif > ad + 1) & (pr_ < 60),
+                "Consider reducing course difficulty or improving support",
+            )
+            .when(
+                (cdif < ad - 1) & (pr_ > 95),
+                "Consider increasing course rigor or advancing difficulty level",
+            )
+            .when(wr > 20,
+                  "High dropout rate suggests course may be too demanding")
+            .when(aa < 70,
+                  "Low engagement suggests course structure review needed")
+            .when(dce > 1.5,
+                  "Significant calibration error - review course design")
+            .otherwise("Course difficulty appropriately calibrated")
+            .alias("calibration_recommendation"),
+        )
+        cs_ = F.col("calibration_status")
+        da_ = F.col("difficulty_assessment")
+        ddp = ca_df.groupBy("department_name").agg(
+            F.count(F.lit(1)).alias("total_courses"),
+            F.avg(ad).alias("avg_assigned_difficulty"),
+            F.avg(cdif).alias("avg_calculated_difficulty"),
+            F.avg(dce).alias("avg_calibration_error"),
+            F.count(F.when(cs_ == "Well Calibrated", 1)).alias(
+                "well_calibrated_courses"
+            ),
+            F.count(F.when(da_.like("%Harder%"), 1)).alias(
+                "harder_than_expected_courses"
+            ),
+            F.count(F.when(da_.like("%Easier%"), 1)).alias(
+                "easier_than_expected_courses"
+            ),
+            F.round(
+                F.count(F.when(cs_ == "Well Calibrated", 1)) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("calibration_accuracy_rate"),
+        )
+        ddp_j = ddp.select(
+            "department_name",
+            F.col("avg_assigned_difficulty").alias(
+                "dept_avg_assigned_difficulty"
+            ),
+            F.col("avg_calculated_difficulty").alias(
+                "dept_avg_calculated_difficulty"
+            ),
+            F.col("calibration_accuracy_rate").alias("dept_calibration_accuracy"),
+        )
+        dacd = F.col("dept_avg_calculated_difficulty")
+        return (
+            ca_df.join(F.broadcast(ddp_j), "department_name", "left")
+            .select(
+                "*",
+                F.when(cdif > dacd + 1, "Above Department Average Difficulty")
+                .when(cdif < dacd - 1, "Below Department Average Difficulty")
+                .otherwise("Near Department Average Difficulty")
+                .alias("relative_difficulty_in_department"),
+                F.round(
+                    F.when(cs_ == "Well Calibrated", 25)
+                    .when(cs_ == "Moderately Calibrated", 20)
+                    .when(cs_ == "Poorly Calibrated", 10)
+                    .otherwise(5)
+                    + F.when(pr_ >= 80, 25).when(pr_ >= 70, 20)
+                    .when(pr_ >= 60, 15).otherwise(10)
+                    + F.when(wr <= 10, 25).when(wr <= 15, 20)
+                    .when(wr <= 20, 15).otherwise(10)
+                    + F.when(aa >= 85, 25).when(aa >= 75, 20)
+                    .when(aa >= 65, 15).otherwise(10),
+                    0,
+                ).alias("course_health_score"),
+            )
+            .orderBy(F.desc("difficulty_calibration_error"),
+                     F.asc("course_health_score"), "course_id")
+        )

@@ -33,6 +33,7 @@ from dbt_incremental_ci_spark.edu.marts_bench import register_marts_bench
 from dbt_incremental_ci_spark.edu.marts_budget import (
     register_marts_budget,
     register_marts_revenue,
+    register_marts_calibration,
 )
 from dbt_incremental_ci_spark.edu.seeds import register_seeds
 from dbt_incremental_ci_spark.edu.staging import register_staging
@@ -65,6 +66,7 @@ def edu_registry() -> ModelRegistry:
     register_marts_bench(reg)
     register_marts_budget(reg)
     register_marts_revenue(reg)
+    register_marts_calibration(reg)
     register_tests(reg)
     return reg
 

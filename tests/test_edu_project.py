@@ -171,3 +171,21 @@ def test_grade_inflation_windows(edu_engine):
     # first year per course: no previous-year values, zero cumulative change
     firsts = [r for r in rows if r["prev_year_gpa"] is None]
     assert firsts and all(abs(r["cumulative_gpa_change"]) < 1e-9 for r in firsts)
+
+
+def test_full_model_inventory(edu_engine):
+    """Parity with the reference manifest: 47 models (24 view / 21 table /
+    2 incremental), 3 seeds, 17 tests (SURVEY intro + §5)."""
+    eng, _ = edu_engine
+    models = [m for m in eng.registry.models() if m.resource_type == "model"]
+    seeds = [m for m in eng.registry.models() if m.resource_type == "seed"]
+    tests = [m for m in eng.registry.models() if m.resource_type == "test"]
+    by_mat = {}
+    for m in models:
+        by_mat.setdefault(m.materialized, []).append(m.name)
+    assert len(models) == 47, sorted(m.name for m in models)
+    assert len(by_mat.get("view", [])) == 24
+    assert len(by_mat.get("table", [])) == 21
+    assert len(by_mat.get("incremental", [])) == 2
+    assert len(seeds) == 3
+    assert len(tests) == 17
