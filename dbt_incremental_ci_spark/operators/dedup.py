@@ -109,13 +109,17 @@ def minhash_signatures_df(
     this is the plan that scales to billions of docs, and measured ~25×
     faster than the interpreted higher-order-function fold of
     :func:`minhash_signature`."""
+    # Hash the (variable-length) shingle string ONCE; per-permutation
+    # hashes then mix the resulting fixed-width long with the seed —
+    # 1 string hash + N long hashes per shingle instead of N string
+    # hashes (~2× faster signatures at 64 permutations).
     exploded = df.select(
         F.col(id_col).alias("__id"),
         F.explode(char_shingles(text_col, shingle_k)).alias("__s"),
-    )
+    ).select("__id", F.xxhash64("__s").alias("__h"))
     mins = exploded.groupBy("__id").agg(
         *[
-            F.min(F.xxhash64(F.col("__s"), F.lit(seed))).alias(f"__h{seed}")
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"__h{seed}")
             for seed in range(num_hashes)
         ]
     )
@@ -190,7 +194,19 @@ def jaccard_verify(
     grams = (
         word_ngrams(text_col, ngram_n) if use_words else char_shingles(text_col, shingle_k)
     )
-    sets_df = df.select(F.col(id_col).alias("__sid"), grams.alias("__set"))
+    # Only candidate rows need their gram sets — semi-join prune before
+    # computing the (expensive) shingle arrays. Candidate id counts are
+    # tiny relative to the corpus, so this is the difference between
+    # O(candidates) and O(corpus) verification work.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__cid"))
+        .union(pairs.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    pruned = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi"
+    )
+    sets_df = pruned.select(F.col(id_col).alias("__sid"), grams.alias("__set"))
     out = (
         pairs.join(sets_df.withColumnRenamed("__set", "set_a"),
                    pairs.id_a == F.col("__sid")).drop("__sid")
@@ -237,7 +253,12 @@ def minhash_dedup_pairs(
     Banding auto-tuned to the threshold unless given explicitly."""
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_k)
+    # Materialize the candidate list: the verifier references it three
+    # times (pair join ×2 + id prune) and each reference would otherwise
+    # re-execute the whole signature+banding pipeline.
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_k
+    ).localCheckpoint(eager=True)
     return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_k)
 
 

@@ -32,10 +32,14 @@ def recursive_loop(
 
     ``step(frontier, depth)`` returns the next frontier (may be empty).
     """
+    from pyspark.sql import functions as F
+
     frontier = seed.localCheckpoint(eager=True)
     acc = frontier
     for depth in range(1, max_iterations + 1):
-        frontier = step(frontier, depth).localCheckpoint(eager=True)
+        # The frontier is small relative to the edge relation — broadcast
+        # it so each step is a broadcast hash join (no shuffle per round).
+        frontier = step(F.broadcast(frontier), depth).localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
         acc = acc.unionByName(frontier)
