@@ -1075,3 +1075,116 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5, dim=64, n_planes=6)
+
+
+# =====================================================================
+# Tumbling-window aggregation over the event stream (batch twin of the
+# streaming windowed_event_counts; hour buckets via exact integer
+# arithmetic on epoch nanos so Spark and DuckDB agree bit-for-bit)
+# =====================================================================
+@q(
+    "q35_tumbling_windows",
+    """
+    SELECT CAST(date_part('epoch', date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    hour = F.expr("CAST((ts DIV 3600000000000) * 3600 AS BIGINT)")
+    return (
+        ev.groupBy(hour.alias("hour_epoch"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            d(F.sum(dec("value"))).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# Embedding-cosine near-duplicate pairs (LSH-blocked at scale;
+# rows-only: the hyperplane hash isn't replicable in DuckDB)
+# =====================================================================
+@q("q36_embedding_near_dups")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    blocked = emb.withColumn(
+        "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=4)
+    )
+    return dedup.embedding_near_dup_pairs(
+        blocked, "vec_id", "embedding", threshold=0.9, block_col="bucket"
+    )
+
+
+# =====================================================================
+# Multimodal plumbing: synthesize binary payloads from documents, then
+# run the Arrow-batched feature extractor (rows-only; deterministic)
+# =====================================================================
+@q("q37_multimodal_features")
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return mm.extract_features(media, dim=8)
+
+
+# =====================================================================
+# n-gram (word) Jaccard near-dup verification on a fixed pair set —
+# SQL-expressible, so it carries a full DuckDB oracle
+# =====================================================================
+@q(
+    "q38_ngram_jaccard",
+    r"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1]))
+                 AS gset
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 40
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.gset, b.gset))), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    gset = dedup.word_ngrams("text", 2)
+    g = docs.select(F.col("doc_id").alias("__sid"), gset.alias("__set"))
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.col("a.__sid") < F.col("b.__sid"))
+        .select(
+            F.col("a.__sid").alias("id_a"),
+            F.col("b.__sid").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.__set", "b.__set")).cast("double")
+                / F.size(F.array_union("a.__set", "b.__set")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
