@@ -123,6 +123,19 @@ class Engine:
         qualified = self.qualified(m.name)
         sch = qualified.split(".")[0]
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {sch}")
+        if m.materialized == "snapshot" or m.resource_type == "snapshot":
+            from datetime import datetime as _dt
+
+            from dbt_incremental_ci_spark.incremental.snapshot import snapshot
+
+            snapshot(
+                self.spark,
+                qualified,
+                df,
+                unique_key=m.unique_key or df.columns[0],
+                run_ts=_dt.combine(self.run_date, _dt.min.time()),
+            )
+            return None
         if m.materialized == "table" or m.resource_type == "seed":
             writer = df.write.mode("overwrite").format("parquet")
             if m.partition_by:
