@@ -716,7 +716,14 @@ def register_intermediate3(reg: ModelRegistry) -> None:
         cgc, cac, gch = (F.col("cumulative_gpa_change"),
                          F.col("cumulative_a_change"), F.col("gpa_change"))
         ii = (
-            ia.join(F.broadcast(dt), ["department_name", "year"], "left")
+            # only the two dept-trend columns appear in the reference's
+            # final select (sql:156-157) — don't leak the whole CTE
+            ia.join(
+                F.broadcast(dt.select("department_name", "year", "dept_avg_gpa",
+                                      "dept_avg_a_percentage")),
+                ["department_name", "year"],
+                "left",
+            )
             .select(
                 "*",
                 F.when(cgc >= 0.5, "Significant Grade Inflation")

@@ -265,6 +265,12 @@ def register_marts_finance2(reg: ModelRegistry) -> None:
                 "receives_aid",
                 F.when(F.col("fa_student").isNotNull(), 1).otherwise(0),
             )
+            # reference quirk preserved (sql:5 selects fa.student_id): the
+            # output key is the RIGHT-JOIN's nullable aid-side student_id,
+            # so no-aid students carry a NULL id (verified by the DuckDB
+            # differential oracle running the original SQL)
+            .drop("student_id")
+            .withColumnRenamed("fa_student", "student_id")
         )
 
         def max_cat(cat):

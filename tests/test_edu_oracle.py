@@ -1,0 +1,219 @@
+"""Differential oracle for the education workload: render the
+REFERENCE'S OWN SQL (Jinja → plain SQL, frozen clock) and run it in
+DuckDB against the same fixtures, then compare with the Spark ports.
+
+This is the strongest parity evidence available: the original model
+text executes (PG dialect ≈ DuckDB) and must agree with the DataFrame
+re-implementation row-for-row.
+
+Scope: the 12 staging models compare exactly; aggregate intermediates
+compare with float rounding (decimal-vs-double accumulation) and with
+window-tie-dependent columns excluded (the ports add deterministic
+tiebreakers the reference lacks — documented deviation).
+"""
+
+import re
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+from dbt_incremental_ci_spark.edu import build_edu_engine
+from dbt_incremental_ci_spark.edu.fixtures import RUN_DATE
+
+REF = Path("/root/reference/DbtEducationalDataProject/models")
+
+STAGING = [
+    "stg_students", "stg_courses", "stg_departments", "stg_faculty",
+    "stg_enrollments", "stg_semesters", "stg_class_sessions",
+    "stg_assignments", "stg_assignment_submissions", "stg_financial_aid",
+    "stg_tuition_payments",
+]
+
+# aggregate models: (name, columns to exclude from comparison)
+AGGREGATES = [
+    ("int_course_performance_metrics", set()),
+    ("int_department_analytics", set()),
+    ("int_assignment_performance", set()),
+    ("int_faculty_teaching_load", set()),
+    # lag/first_value windows keyed by (course, year) — unique, so
+    # deterministic in both engines
+    ("int_grade_inflation_analysis", set()),
+    # full_sequence string_agg orders by prerequisite_depth (ties between
+    # same-depth courses → order engine-dependent; documented deviation)
+    ("int_course_prerequisite_chains", {"full_sequence"}),
+    # int_academic_collaboration_networks is NOT comparable here: DuckDB
+    # raises "Cannot perform non-inner join on subquery!" on the
+    # reference's correlated-IN LEFT JOIN (sql:172-176) — the original
+    # only executes on PG; the engine's decorrelated rewrite is covered
+    # by unit tests instead (SURVEY §7.2).
+]
+
+# marts (tables): tie-independent aggregate rollups over the views
+MARTS = [
+    ("student_financial_profile", set()),
+    ("student_academic_summary", set()),
+    ("semester_enrollment_trends", set()),
+    # the reference's lag window partitions by department but orders by
+    # (year, quarter), which is NOT unique per department (several
+    # semesters share a quarter) — prev-period columns are
+    # tie-dependent in the reference itself; excluded.
+    ("tuition_revenue_analysis", {"prev_period_revenue", "revenue_growth_rate"}),
+    ("financial_aid_impact_analysis", set()),
+    ("department_efficiency_report", set()),
+]
+MART_DIR = {
+    "student_financial_profile": "marts/finance",
+    "student_academic_summary": "marts/core",
+    "semester_enrollment_trends": "marts/academic",
+    "tuition_revenue_analysis": "marts/finance",
+    "financial_aid_impact_analysis": "marts/finance",
+    "department_efficiency_report": "marts/core",
+}
+
+
+def render(sql_path: Path) -> str:
+    """Jinja → plain SQL: strip config, inline refs/sources, freeze clock."""
+    sql = sql_path.read_text()
+    sql = re.sub(r"\{\{\s*config\([^}]*\)\s*\}\}", "", sql)
+    sql = re.sub(r"\{\{\s*source\(\s*'[^']*'\s*,\s*'([^']*)'\s*\)\s*\}\}", r"\1", sql)
+    sql = re.sub(r"\{\{\s*ref\(\s*'([^']*)'\s*\)\s*\}\}", r"\1", sql)
+    sql = re.sub(r"\bcurrent_date\b", f"DATE '{RUN_DATE}'", sql)
+    sql = re.sub(r"\bcurrent_timestamp\b", f"TIMESTAMP '{RUN_DATE} 00:00:00'", sql)
+    return sql
+
+
+@pytest.fixture(scope="module")
+def harness(spark):
+    eng = build_edu_engine(spark, schema="edu_oracle")
+    # build only the models under comparison (+ their staging deps) —
+    # the rest of the DAG is irrelevant to this harness
+    needed = (
+        STAGING
+        + [m for m, _ in AGGREGATES]
+        + [m for m, _ in MARTS]
+        + ["int_student_enrollment_history"]  # mart dependency
+    )
+    results = eng.run(select=needed)
+    assert all(r.status == "success" for r in results), [
+        (r.name, r.error) for r in results if r.status != "success"
+    ]
+    con = duckdb.connect()
+    # PG builtins DuckDB 1.0 lacks: initcap (single-word inputs here)
+    con.execute(
+        "CREATE MACRO initcap(s) AS upper(s[1:1]) || lower(s[2:])"
+    )
+    # register raw fixtures; session_time as TIME (reference column type)
+    for name, df in eng.sources.items():
+        pdf = df.toPandas()
+        con.register(f"__raw_{name}", pdf)
+        cast = (
+            "* REPLACE (CAST(session_time AS TIME) AS session_time)"
+            if name == "class_sessions"
+            else "*"
+        )
+        con.execute(f"CREATE VIEW {name} AS SELECT {cast} FROM __raw_{name}")
+    # build reference staging views in DuckDB (dependency-free tier)
+    for m in STAGING:
+        con.execute(
+            f"CREATE VIEW {m} AS " + render(REF / "staging" / f"{m}.sql")
+        )
+    return eng, con
+
+
+def normalize(pdf: pd.DataFrame, exclude: set[str]) -> tuple[pd.DataFrame, list]:
+    """Returns (normalized frame, float column names). Floats are kept
+    numeric for tolerance comparison; everything else is stringified."""
+    pdf = pdf[[c for c in sorted(pdf.columns) if c not in exclude]].copy()
+    float_cols = []
+    for c in pdf.columns:
+        is_num = pd.api.types.is_numeric_dtype(pdf[c]) and not (
+            pd.api.types.is_bool_dtype(pdf[c])
+        )
+        is_dec = False
+        if pdf[c].dtype == object:
+            sample = pdf[c].dropna()
+            is_dec = len(sample) > 0 and type(sample.iloc[0]).__name__ == "Decimal"
+        if is_num or is_dec:
+            pdf[c] = pdf[c].astype(float)
+            float_cols.append(c)
+    key_cols = [c for c in pdf.columns if c not in float_cols]
+    out = pdf.copy()
+    for c in key_cols:
+        out[c] = (
+            out[c].astype(str).replace({"NaT": "None", "nan": "None",
+                                        "<NA>": "None"})
+        )
+    out = out.sort_values(
+        by=key_cols + float_cols, kind="mergesort"
+    ).reset_index(drop=True)
+    return out, float_cols
+
+
+def compare(eng, con, model: str, exclude: set[str] = frozenset()):
+    spark_pdf = eng.resolve(model).toPandas()
+    duck_pdf = con.execute(f"SELECT * FROM {model}").df()
+    a, fa = normalize(spark_pdf, set(exclude))
+    b, fb = normalize(duck_pdf, set(exclude))
+    assert list(a.columns) == list(b.columns), (
+        model, list(a.columns), list(b.columns))
+    assert fa == fb, (model, fa, fb)
+    assert len(a) == len(b), (model, len(a), len(b))
+    key_cols = [c for c in a.columns if c not in fa]
+    mism = (a[key_cols] != b[key_cols]).any(axis=1)
+    # rounding-boundary tolerance: engines disagree by 1 ulp of the
+    # rounded scale on exact .5 boundaries (PG HALF_UP vs float repr)
+    for c in fa:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        both_nan = pd.isna(av) & pd.isna(bv)
+        close = both_nan | (abs(av - bv) <= 0.02)
+        mism = mism | ~close
+    if mism.any():
+        bad = mism[mism].index[:3]
+        detail = [
+            {"spark": a.loc[i].to_dict(), "duckdb": b.loc[i].to_dict()}
+            for i in bad
+        ]
+        raise AssertionError(f"{model}: {int(mism.sum())} mismatched rows "
+                             f"{detail}")
+
+
+@pytest.mark.parametrize("model", STAGING)
+def test_staging_matches_reference_sql(harness, model):
+    eng, con = harness
+    compare(eng, con, model)
+
+
+@pytest.mark.parametrize("model,exclude", AGGREGATES)
+def test_aggregate_intermediates_match_reference_sql(harness, model, exclude):
+    eng, con = harness
+    tier = "intermediate"
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS {model} AS "
+        + render(REF / tier / f"{model}.sql")
+    )
+    compare(eng, con, model, exclude)
+
+
+@pytest.mark.parametrize("model,exclude", MARTS)
+def test_marts_match_reference_sql(harness, model, exclude):
+    eng, con = harness
+    # mart dependencies that are views in the reference
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS int_student_enrollment_history AS "
+        + render(REF / "intermediate" / "int_student_enrollment_history.sql")
+    )
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS int_course_performance_metrics AS "
+        + render(REF / "intermediate" / "int_course_performance_metrics.sql")
+    )
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS int_department_analytics AS "
+        + render(REF / "intermediate" / "int_department_analytics.sql")
+    )
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS {model} AS "
+        + render(REF / MART_DIR[model] / f"{model}.sql")
+    )
+    compare(eng, con, model, exclude)
