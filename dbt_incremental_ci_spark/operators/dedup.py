@@ -52,13 +52,19 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- shingles
-def char_shingles(text_col: str, k: int = 5) -> "F.Column":
-    """Distinct lowercase character k-shingles as an array column."""
+def char_shingles(text_col: str, k: int = 5, distinct: bool = True) -> "F.Column":
+    """Lowercase character k-shingles as an array column.
+
+    ``distinct=False`` skips the O(n²) ``array_distinct`` — safe for
+    MinHash (a duplicated shingle cannot change any per-permutation
+    minimum) but required for exact Jaccard set arithmetic.
+    """
     c = F.lower(F.col(text_col))
     n = F.length(c)
-    return F.when(n >= k, F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(c, i, k))
-    )).otherwise(F.array(c))
+    arr = F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: F.substring(c, i, k))
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(n >= k, arr).otherwise(F.array(c))
 
 
 def word_ngrams(text_col: str, n: int = 3) -> "F.Column":
@@ -115,7 +121,7 @@ def minhash_signatures_df(
     # hashes (~2× faster signatures at 64 permutations).
     exploded = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, shingle_k)).alias("__s"),
+        F.explode(char_shingles(text_col, shingle_k, distinct=False)).alias("__s"),
     ).select("__id", F.xxhash64("__s").alias("__h"))
     mins = exploded.groupBy("__id").agg(
         *[
