@@ -98,7 +98,10 @@ def register_marts6(reg: ModelRegistry) -> None:
         ayd, ye = F.col("actual_years_to_degree"), F.col("years_enrolled")
         tce = F.col("total_credits_earned")
         pe = (
-            sdp.join(cs_rollup, sdp.student_id == F.col("cs_student"), "left")
+            # pathway_efficiency (sql:64-110) does not carry
+            # required_credits_for_graduation through — drop it here
+            sdp.drop("required_credits_for_graduation")
+            .join(cs_rollup, sdp.student_id == F.col("cs_student"), "left")
             .drop("cs_student")
             .withColumn(
                 "credit_efficiency",

@@ -256,14 +256,17 @@ def register_marts_bench(reg: ModelRegistry) -> None:
             F.row_number().over(
                 Window.orderBy(F.desc(total), "program_name")
             ).alias("overall_competitiveness_rank"),
-            F.percent_rank().over(Window.orderBy(gr)).alias(
+            # PG ASC NULLS LAST parity (SURVEY §7.3)
+            F.percent_rank().over(Window.orderBy(gr.asc_nulls_last())).alias(
                 "graduation_rate_percentile"
             ),
-            F.percent_rank().over(Window.orderBy(rer)).alias(
+            F.percent_rank().over(Window.orderBy(rer.asc_nulls_last())).alias(
                 "revenue_efficiency_percentile"
             ),
-            F.percent_rank().over(Window.orderBy(pag)).alias("gpa_percentile"),
-            F.percent_rank().over(Window.orderBy(sfp_)).alias(
+            F.percent_rank().over(Window.orderBy(pag.asc_nulls_last())).alias(
+                "gpa_percentile"
+            ),
+            F.percent_rank().over(Window.orderBy(sfp_.asc_nulls_last())).alias(
                 "faculty_quality_percentile"
             ),
             F.avg(gr).over(w_all).alias("institutional_avg_graduation_rate"),

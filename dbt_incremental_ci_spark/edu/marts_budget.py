@@ -131,17 +131,21 @@ def register_marts_budget(reg: ModelRegistry) -> None:
         w_all = Window.partitionBy()
         pb = cba.select(
             "*",
-            F.percent_rank().over(Window.orderBy(rbr)).alias(
+            # PG null placement: ASC → NULLS LAST, DESC → NULLS FIRST
+            # (cost_per_graduate is null for graduate-less departments)
+            F.percent_rank().over(Window.orderBy(rbr.asc_nulls_last())).alias(
                 "revenue_efficiency_percentile"
             ),
-            F.percent_rank().over(Window.orderBy(cpg)).alias(
+            F.percent_rank().over(Window.orderBy(cpg.asc_nulls_last())).alias(
                 "cost_effectiveness_percentile"
             ),
-            F.percent_rank().over(Window.orderBy(F.desc(qwo))).alias(
+            F.percent_rank().over(Window.orderBy(qwo.desc_nulls_first())).alias(
                 "quality_output_percentile"
             ),
             F.percent_rank().over(
-                Window.orderBy(F.desc("graduates_per_100k_budget"))
+                Window.orderBy(
+                    F.col("graduates_per_100k_budget").desc_nulls_first()
+                )
             ).alias("graduate_productivity_percentile"),
             F.avg("cost_per_student").over(w_all).alias(
                 "institutional_avg_cost_per_student"
@@ -504,6 +508,7 @@ def register_marts_calibration(reg: ModelRegistry) -> None:
         wr = F.col("withdrawal_rate")
         da = (
             c.join(F.broadcast(d), "department_id", "left")
+            .drop("department_id")  # not in the reference's projection (sql:4-19)
             .join(cpm, c.course_id == F.col("cpm_id"), "left")
             .drop("cpm_id")
             .join(F.broadcast(prereq),

@@ -142,16 +142,21 @@ def register_marts_ied(reg: ModelRegistry) -> None:
             (ipr - F.lag(ipr).over(w)).alias("pass_rate_trend"),
             (use - F.lag(use).over(w)).alias("enrollment_trend"),
             (ttr - F.lag(ttr).over(w)).alias("revenue_trend"),
-            F.percent_rank().over(Window.orderBy(iag)).alias("gpa_percentile"),
-            F.percent_rank().over(Window.orderBy(ipr)).alias(
+            # PG orders ASC NULLS LAST; Spark defaults to NULLS FIRST —
+            # future semesters with no enrollments have null metrics, so
+            # the null placement shifts every percentile (SURVEY §7.3)
+            F.percent_rank().over(Window.orderBy(iag.asc_nulls_last())).alias(
+                "gpa_percentile"
+            ),
+            F.percent_rank().over(Window.orderBy(ipr.asc_nulls_last())).alias(
                 "pass_rate_percentile"
             ),
-            F.percent_rank().over(Window.orderBy(use)).alias(
+            F.percent_rank().over(Window.orderBy(use.asc_nulls_last())).alias(
                 "enrollment_percentile"
             ),
-            F.percent_rank().over(Window.orderBy("revenue_per_student")).alias(
-                "revenue_efficiency_percentile"
-            ),
+            F.percent_rank().over(
+                Window.orderBy(F.col("revenue_per_student").asc_nulls_last())
+            ).alias("revenue_efficiency_percentile"),
         )
         iaa = F.col("institutional_avg_attendance")
         dls_ratio = F.col("deans_list_students").cast("decimal(18,4)") / F.when(

@@ -66,10 +66,17 @@ def pg_corr(x: Column | str, y: Column | str) -> Column:
     Spark 4 (ANSI on) raises DIVIDE_BY_ZERO inside ``corr`` when a
     group has zero variance or a single row; PG returns NULL. Same
     statistic via ``covar_samp / (stddev·stddev)`` with ``try_divide``.
+
+    PG/ANSI corr performs *pairwise* deletion: a row where EITHER input
+    is null is excluded from all three statistics — so the stddevs must
+    be computed over the both-non-null rows, not independently
+    (verified against DuckDB running the reference SQL).
     """
     xc, yc = _c(x), _c(y)
+    both = xc.isNotNull() & yc.isNotNull()
+    xn, yn = F.when(both, xc), F.when(both, yc)
     return F.try_divide(
-        F.covar_samp(xc, yc), F.stddev_samp(xc) * F.stddev_samp(yc)
+        F.covar_samp(xn, yn), F.stddev_samp(xn) * F.stddev_samp(yn)
     )
 
 

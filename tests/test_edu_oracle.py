@@ -62,6 +62,19 @@ MARTS = [
     ("tuition_revenue_analysis", {"prev_period_revenue", "revenue_growth_rate"}),
     ("financial_aid_impact_analysis", set()),
     ("department_efficiency_report", set()),
+    ("student_retention_analysis", set()),
+    ("graduation_pathway_analysis", set()),
+    ("course_success_predictors", set()),
+    ("course_difficulty_calibration", set()),
+    ("faculty_performance_dashboard", set()),
+    ("course_catalog_enhanced", set()),
+    ("learning_outcome_assessment", set()),
+    ("institutional_revenue_optimization", set()),
+    # lag/percent_rank windows order by semester_id (unique) → deterministic
+    ("institutional_effectiveness_dashboard", set()),
+    # struggling_courses string_agg orders by grade_points (ties + PG
+    # nulls-last vs Spark nulls-first — documented deviation)
+    ("academic_early_warning_system", {"struggling_courses"}),
 ]
 MART_DIR = {
     "student_financial_profile": "marts/finance",
@@ -70,7 +83,28 @@ MART_DIR = {
     "tuition_revenue_analysis": "marts/finance",
     "financial_aid_impact_analysis": "marts/finance",
     "department_efficiency_report": "marts/core",
+    "student_retention_analysis": "marts/academic",
+    "graduation_pathway_analysis": "marts/core",
+    "course_success_predictors": "marts/academic",
+    "course_difficulty_calibration": "marts/academic",
+    "faculty_performance_dashboard": "marts/core",
+    "course_catalog_enhanced": "marts/core",
+    "learning_outcome_assessment": "marts/academic",
+    "institutional_revenue_optimization": "marts/finance",
+    "institutional_effectiveness_dashboard": "marts/core",
+    "academic_early_warning_system": "marts/core",
 }
+# DuckDB view dependencies (rendered in order before the mart under test)
+MART_DEPS = [
+    ("int_student_enrollment_history", "intermediate"),
+    ("int_course_performance_metrics", "intermediate"),
+    ("int_department_analytics", "intermediate"),
+    ("int_assignment_performance", "intermediate"),
+    ("int_faculty_teaching_load", "intermediate"),
+    ("int_faculty_student_interactions", "intermediate"),
+    ("student_financial_profile", "marts/finance"),
+    ("course_success_predictors", "marts/academic"),
+]
 
 
 def render(sql_path: Path) -> str:
@@ -134,7 +168,10 @@ def normalize(pdf: pd.DataFrame, exclude: set[str]) -> tuple[pd.DataFrame, list]
         is_dec = False
         if pdf[c].dtype == object:
             sample = pdf[c].dropna()
-            is_dec = len(sample) > 0 and type(sample.iloc[0]).__name__ == "Decimal"
+            # all-null object columns (e.g. a decimal avg over an
+            # in-progress semester) coerce to float so both engines'
+            # null representations align
+            is_dec = len(sample) == 0 or type(sample.iloc[0]).__name__ == "Decimal"
         if is_num or is_dec:
             pdf[c] = pdf[c].astype(float)
             float_cols.append(c)
@@ -199,19 +236,12 @@ def test_aggregate_intermediates_match_reference_sql(harness, model, exclude):
 @pytest.mark.parametrize("model,exclude", MARTS)
 def test_marts_match_reference_sql(harness, model, exclude):
     eng, con = harness
-    # mart dependencies that are views in the reference
-    con.execute(
-        "CREATE VIEW IF NOT EXISTS int_student_enrollment_history AS "
-        + render(REF / "intermediate" / "int_student_enrollment_history.sql")
-    )
-    con.execute(
-        "CREATE VIEW IF NOT EXISTS int_course_performance_metrics AS "
-        + render(REF / "intermediate" / "int_course_performance_metrics.sql")
-    )
-    con.execute(
-        "CREATE VIEW IF NOT EXISTS int_department_analytics AS "
-        + render(REF / "intermediate" / "int_department_analytics.sql")
-    )
+    # mart dependencies (reference views/marts), rendered in order
+    for dep, tier in MART_DEPS:
+        con.execute(
+            f"CREATE VIEW IF NOT EXISTS {dep} AS "
+            + render(REF / tier / f"{dep}.sql")
+        )
     con.execute(
         f"CREATE VIEW IF NOT EXISTS {model} AS "
         + render(REF / MART_DIR[model] / f"{model}.sql")
