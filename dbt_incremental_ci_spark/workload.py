@@ -1236,3 +1236,45 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+def _lsh_topk_oracle() -> str:
+    """Full value oracle for the LSH ANN path: the hyperplanes are
+    deterministic hash-derived constants, so they inline into SQL as
+    literal arrays and DuckDB reproduces bucket assignment + ranking."""
+    from dbt_incremental_ci_spark.operators.similarity import _hyperplane
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in plane) + "]"
+
+    def bucket(col: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr(_hyperplane(64, p, 42))})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                      {bucket('embedding')} AS bkt
+               FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  {bucket('embedding')} AS qbkt
+           FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT qs.query_id, c.neighbor_id,
+             ROUND(list_dot_product(qs.qv, c.cv)
+                   / NULLIF(sqrt(list_dot_product(qs.qv, qs.qv))
+                            * sqrt(list_dot_product(c.cv, c.cv)), 0), 6) AS cosine
+      FROM qs JOIN c ON c.bkt = qs.qbkt AND c.neighbor_id <> qs.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+ORACLES["q34_lsh_ann_topk"] = _lsh_topk_oracle()
