@@ -21,19 +21,17 @@ def register_marts2(reg: ModelRegistry) -> None:
     )
     def institutional_kpi_dashboard(ctx) -> DataFrame:
         # ref: DEDP/models/marts/core/institutional_kpi_dashboard.sql:1-259.
-        # Scale deviations (outputs identical):
-        # - operational_kpis' three `on 1=1` cartesians (sql:108-111) are
-        #   uniform row multiplications; every aggregate there is either a
-        #   distinct-count or an average, all invariant under uniform
-        #   multiplication — computed as independent sub-aggregates +
-        #   cross-join of one-row results (O(n) instead of O(n⁴); at
-        #   100 TB the literal cartesian is unrunnable).
-        # - the dead `semester_trends` CTE (sql:121-151, never referenced
-        #   by the final select) is not materialized.
+        # Two of the reference's CTEs are dead code — neither
+        # `operational_kpis` (the three `on 1=1` cartesians, sql:108-111)
+        # nor `semester_trends` (sql:121-151) is referenced by the final
+        # select — so they are not materialized (at 100 TB the literal
+        # O(n⁴) cartesian would also be unrunnable; a query optimizer
+        # prunes it the same way).
         # The financial full-outer chain (sql:89-92) multiplies sums, so
         # it is preserved exactly. PG integer division of counts at
         # sql:65 (student_faculty_ratio) is reproduced with truncating
-        # division (SURVEY §7.3).
+        # division (SURVEY §7.3). Output parity with the original SQL is
+        # verified by tests/test_edu_oracle.py.
         rd = F.lit(ctx.run_date)
         s = ctx.ref("stg_students")
         e = ctx.ref("stg_enrollments")
