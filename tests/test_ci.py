@@ -109,3 +109,34 @@ def test_parallel_copy(spark, tmp_path):
     assert all(r.status == "copied" for r in results)
     for i in range(3):
         assert spark.table(f"t_ci3.tab{i}").count() == 5
+
+
+def test_slim_ci_copies_snapshots(spark, tmp_path):
+    """Snapshots are the other pre-seedable resource type
+    (SRC/dbt_helper.py:146-156)."""
+    def make(version=1):
+        reg = ModelRegistry()
+
+        @reg.model("snap_customers", materialized="snapshot",
+                   resource_type="snapshot", unique_key="id")
+        def snap_customers(ctx):
+            df = ctx.spark.createDataFrame([(1, "a")], ["id", "v"])
+            if version == 2:
+                df = df.withColumn("v2", F.lit("x"))
+            return df
+
+        return reg
+
+    reg1 = make(1)
+    eng = Engine(spark, reg1, schema="t_prod_snap")
+    assert all(r.status == "success" for r in eng.run())
+    store = StateStore(tmp_path / "state.json")
+    store.save(reg1)
+
+    reg2 = make(2)
+    ci = SlimCI(spark, reg2, store, base_schema="t_prod_snap",
+                ci_schema="t_ci_snap")
+    result = ci.run()
+    assert result.to_copy == ["t_prod_snap.snap_customers"]
+    assert result.ok
+    assert spark.table("t_ci_snap.snap_customers").count() == 1
