@@ -77,6 +77,9 @@ def register_marts(reg: ModelRegistry) -> None:
         watermark_strict=True,
         schema="incremental_models",  # custom schema (dbt_project.yml:229-230)
         on_schema_change="append_new_columns",
+        # partition by semester → incremental MERGE rewrites only the
+        # semesters receiving late rows (the 100 TB plan, docs/SCALE.md §5)
+        partition_by=["semester_id"],
     )
     def student_enrollment_history_incremental(ctx) -> DataFrame:
         # ref: DEDP/models/marts/core/
