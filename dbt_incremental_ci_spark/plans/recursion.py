@@ -26,21 +26,34 @@ def recursive_loop(
     seed: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     max_iterations: int = 10,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Union of seed + all step results, dbt/PG ``WITH RECURSIVE … UNION ALL``
     semantics (each iteration sees only the previous frontier).
 
     ``step(frontier, depth)`` returns the next frontier (may be empty).
+
+    ``checkpoint_interval``: steps between lineage checkpoints. Each
+    checkpoint costs a fixed job round-trip (~0.25 s in local mode);
+    chaining a few cheap broadcast joins between checkpoints amortizes
+    it, at the cost of re-executing ≤ interval-1 joins when the
+    accumulated union is evaluated, and of detecting frontier
+    exhaustion only at checkpoint boundaries (steps on an empty
+    frontier are empty — semantics unchanged).
     """
     from pyspark.sql import functions as F
 
     frontier = seed.localCheckpoint(eager=True)
     acc = frontier
-    for depth in range(1, max_iterations + 1):
-        # The frontier is small relative to the edge relation — broadcast
-        # it so each step is a broadcast hash join (no shuffle per round).
-        frontier = step(F.broadcast(frontier), depth).localCheckpoint(eager=True)
+    depth = 0
+    while depth < max_iterations:
+        for _ in range(min(checkpoint_interval, max_iterations - depth)):
+            depth += 1
+            # The frontier is small relative to the edge relation —
+            # broadcast it so each step is a broadcast hash join.
+            frontier = step(F.broadcast(frontier), depth)
+            acc = acc.unionByName(frontier)
+        frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break
-        acc = acc.unionByName(frontier)
     return acc
