@@ -157,8 +157,12 @@ def generate_raw_edu(
     out["students"] = pd.DataFrame(
         dict(
             student_id=np.arange(1, n_students + 1),
+            # student 7 has a NULL last_name so the `||` NULL propagation
+            # in full_name (stg_students.sql:8) is actually exercised
             first_name=[f"First{i}" for i in range(1, n_students + 1)],
-            last_name=[f"Last{i}" for i in range(1, n_students + 1)],
+            last_name=[
+                f"Last{i}" if i != 7 else None for i in range(1, n_students + 1)
+            ],
             email=[
                 f"s{i}@uni.edu" if rng.rand() > 0.05 else None
                 for i in range(1, n_students + 1)

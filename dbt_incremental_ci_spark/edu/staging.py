@@ -26,7 +26,10 @@ def register_staging(reg: ModelRegistry) -> None:
             "student_id",
             "first_name",
             "last_name",
-            F.concat_ws(" ", "first_name", "last_name").alias("full_name"),
+            # `||` null semantics: any NULL name -> NULL full_name (the
+            # reference's first_name || ' ' || last_name; concat_ws would
+            # silently skip NULLs). ref stg_students.sql:8 / stg_faculty.sql:8
+            F.concat("first_name", F.lit(" "), "last_name").alias("full_name"),
             "email",
             "date_of_birth",
             "enrollment_date",
@@ -108,7 +111,10 @@ def register_staging(reg: ModelRegistry) -> None:
             "faculty_id",
             "first_name",
             "last_name",
-            F.concat_ws(" ", "first_name", "last_name").alias("full_name"),
+            # `||` null semantics: any NULL name -> NULL full_name (the
+            # reference's first_name || ' ' || last_name; concat_ws would
+            # silently skip NULLs). ref stg_students.sql:8 / stg_faculty.sql:8
+            F.concat("first_name", F.lit(" "), "last_name").alias("full_name"),
             "email",
             "department_id",
             "position",
@@ -367,14 +373,15 @@ def register_staging(reg: ModelRegistry) -> None:
         materialized="incremental",
         unique_key="enrollment_id",
         watermark_col="enrollment_date",
+        watermark_strict=False,
     )
     def stg_enrollments_incremental(ctx) -> DataFrame:
         # ref: DEDP/models/staging/stg_enrollments_incremental.sql:1-24.
         # The original selects final_grade/credits_earned, columns that do
         # not exist in the declared sources (bit-rot, SURVEY §7.5) — built
         # here against the real columns (grade, grade_points). The >=
-        # watermark (sql:20) re-reads boundary rows; the unique-key upsert
-        # absorbs them (engine applies the watermark via Model config).
+        # watermark (sql:20, watermark_strict=False above) re-reads
+        # boundary rows; the unique-key upsert absorbs them.
         return ctx.source("enrollments").select(
             "enrollment_id",
             "student_id",

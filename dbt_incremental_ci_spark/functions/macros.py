@@ -17,13 +17,14 @@ _GRADE_POINTS: list[tuple[str, float]] = [
     ("B+", 3.30), ("B", 3.00), ("B-", 2.70),
     ("C+", 2.30), ("C", 2.00), ("C-", 1.70),
     ("D+", 1.30), ("D", 1.00), ("D-", 0.70),
-    ("F", 0.00),
+    ("F", 0.00), ("WF", 0.00),
 ]
 
 
 def grade_point_calculator(grade: Column | str) -> Column:
-    """Letter grade → grade points (W/WF/I/null → NULL), mirroring
-    DEDP/macros/grade_point_calculator.sql."""
+    """Letter grade → grade points (W/I/unknown/null → NULL; the
+    withdrawn-failing grade WF counts as 0.0 like F), mirroring
+    DEDP/macros/grade_point_calculator.sql:16 (`in ('F','WF')`)."""
     g = F.col(grade) if isinstance(grade, str) else grade
     expr: Column | None = None
     for letter, points in _GRADE_POINTS:

@@ -121,9 +121,24 @@ def incremental_upsert(
 
     if partition_by:
         # Partition-scoped merge: rewrite only partitions that receive
-        # new/changed keys (dynamic partition overwrite).
+        # new/changed keys (dynamic partition overwrite). dbt's
+        # delete+insert deletes by key TABLE-WIDE, so a key arriving
+        # under a different partition value (e.g. a corrected
+        # semester_id) must also evict its stale row from the partition
+        # it used to live in — include those partitions in the rewrite
+        # set via a semi-join of the target on the incoming keys.
         parts = new_df.select(*partition_by).distinct()
-        affected_target = target.join(F.broadcast(parts), partition_by, "left_semi")
+        stale_parts = (
+            target.join(
+                F.broadcast(new_df.select(unique_key).distinct()),
+                unique_key,
+                "left_semi",
+            )
+            .select(*partition_by)
+            .distinct()
+        )
+        all_parts = parts.unionByName(stale_parts).distinct()
+        affected_target = target.join(F.broadcast(all_parts), partition_by, "left_semi")
         merged = _merge_frames(affected_target, new_df, unique_key)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -134,6 +149,20 @@ def incremental_upsert(
             staged = _stage(spark, qualified_table, merged)
             tcols = [f.name for f in spark.table(qualified_table).schema.fields]
             staged.select(*tcols).write.mode("overwrite").insertInto(qualified_table)
+            # Dynamic overwrite only touches partitions present in the
+            # written data: a partition whose every row was a moved key
+            # ends up empty in `merged` and would silently keep its
+            # stale files — drop those partitions explicitly.
+            emptied = (
+                all_parts.exceptAll(staged.select(*partition_by).distinct()).collect()
+            )
+            for row in emptied:
+                spec = ", ".join(
+                    f"{c}={_partition_literal(row[c])}" for c in partition_by
+                )
+                spark.sql(
+                    f"ALTER TABLE {qualified_table} DROP IF EXISTS PARTITION ({spec})"
+                )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         _drop_stage(spark, qualified_table)
@@ -155,6 +184,17 @@ def _merge_frames(target: DataFrame, new_df: DataFrame, unique_key: str | None) 
         deduped_new.select(unique_key).distinct(), unique_key, "left_anti"
     )
     return survivors.unionByName(deduped_new)
+
+
+def _partition_literal(value: Any) -> str:
+    """SQL literal for a partition value in ALTER TABLE ... PARTITION."""
+    if value is None:
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return str(value)
+    return "'" + str(value).replace("'", "''") + "'"
 
 
 def _stage_name(qualified_table: str) -> str:

@@ -428,6 +428,10 @@ def minhash_signatures_pandas(
                 sigs.append(h.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"__id": ids, "__sig": sigs})
 
+    # Preserve the caller's id type (string/int/long ids all valid —
+    # the expr backend already does; hardcoding `long` here coerced or
+    # broke non-long ids).
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        run, schema="__id long, __sig array<long>"
+        run, schema=f"__id {id_type}, __sig array<long>"
     )

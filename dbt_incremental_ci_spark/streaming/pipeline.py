@@ -49,7 +49,13 @@ def incremental_stream(
 
     deduped = stream_df.withWatermark(event_time_col, lateness)
     if mode == "dedupe":
-        deduped = deduped.dropDuplicates([unique_key])
+        # dropDuplicates([key]) alone keeps per-key state forever —
+        # watermark eviction only applies when the event-time column is
+        # among the dedup keys. dropDuplicatesWithinWatermark (3.5+)
+        # evicts a key's state once its last-seen event time falls
+        # behind the watermark, so state is truly bounded by
+        # ``lateness`` while still swallowing re-deliveries inside it.
+        deduped = deduped.dropDuplicatesWithinWatermark([unique_key])
     elif mode != "upsert":
         raise ValueError(f"unknown mode: {mode}")
     # foreachBatch executes in a *cloned* session; the defining session

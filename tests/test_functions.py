@@ -51,9 +51,12 @@ def test_int_div_and_safe_div(spark):
 
 
 def test_grade_points(spark):
-    df = spark.createDataFrame([("A",), ("B-",), ("F",), ("W",), (None,)], ["g"])
+    # WF counts 0.0 like F (macro: `in ('F','WF')`); only W/I/unknown/null → NULL
+    df = spark.createDataFrame(
+        [("A",), ("B-",), ("F",), ("WF",), ("W",), ("I",), (None,)], ["g"]
+    )
     got = [r[0] for r in df.select(grade_point_calculator("g")).collect()]
-    assert got == [4.0, 2.7, 0.0, None, None]
+    assert got == [4.0, 2.7, 0.0, 0.0, None, None, None]
 
 
 def test_calculate_gpa_plain(spark):

@@ -118,3 +118,31 @@ def test_batch_internal_duplicates_deduped(spark):
     )
     incremental_upsert(spark, tgt, b2, unique_key="id")
     assert spark.table(tgt).count() == 2
+
+
+def test_partitioned_merge_key_moves_partition(spark):
+    """A key arriving under a new partition value must evict its stale
+    row from the old partition (dbt delete+insert deletes table-wide),
+    and a partition left empty by the move must disappear."""
+    tgt = "t_inc.moved"
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_inc")
+    spark.sql("DROP TABLE IF EXISTS " + tgt)
+    b1 = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-02", "b"), (3, "2024-03", "c")],
+        ["id", "month", "val"],
+    )
+    incremental_upsert(spark, tgt, b1, unique_key="id", partition_by=["month"])
+    # id=2 corrects its month 2024-02 -> 2024-01 (old partition keeps
+    # nothing else -> must be dropped); id=3 stays put with a new value
+    b2 = spark.createDataFrame(
+        [(2, "2024-01", "b2"), (3, "2024-03", "c2")], ["id", "month", "val"]
+    )
+    incremental_upsert(spark, tgt, b2, unique_key="id", partition_by=["month"])
+    got = {r["id"]: (r["month"], r["val"]) for r in spark.table(tgt).collect()}
+    assert got == {
+        1: ("2024-01", "a"),
+        2: ("2024-01", "b2"),
+        3: ("2024-03", "c2"),
+    }
+    months = {r["month"] for r in spark.table(tgt).select("month").distinct().collect()}
+    assert months == {"2024-01", "2024-03"}
