@@ -1106,28 +1106,114 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Embedding-cosine near-duplicate pairs (LSH-blocked at scale;
-# rows-only: the hyperplane hash isn't replicable in DuckDB)
+# Embedding-cosine near-duplicate pairs (LSH-blocked at scale). The
+# synthetic corpus has no true near-duplicates (max pairwise cosine
+# ≈ 0.44), so the query PLANTS deterministic twins — vec_id < 50 get a
+# copy at id+1000000 with each dim scaled by 1 ± ≤3% (cosine ≈ 0.999)
+# — and runs the real production threshold 0.95 over the LSH-blocked
+# pipeline. Fully value-oracled: the perturbation, the hyperplane
+# buckets (inlined constants) and the cosine all reproduce in DuckDB.
 # =====================================================================
+def _q36_perturbed_union(emb: DataFrame) -> DataFrame:
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # two steps: perturb first, THEN rename — in a single select the
+    # lambda's `vec_id` resolves against the aliased output (id+1000000)
+    twins = (
+        base.filter(F.col("vec_id") < 50)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (1.0 + ((F.col("vec_id") + i) % 7 - F.lit(3)) / F.lit(100.0)),
+            ),
+        )
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    return base.unionByName(twins)
+
+
 @q("q36_embedding_near_dups")
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    blocked = emb.withColumn(
+    unioned = _q36_perturbed_union(emb)
+    blocked = unioned.withColumn(
         "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=3)
     )
-    # the synthetic corpus has no true near-duplicates (max pairwise
-    # cosine ≈ 0.44), so the driver-facing demo uses a low threshold to
-    # exercise the full block→pair→verify path with non-empty output
     return dedup.embedding_near_dup_pairs(
-        blocked, "vec_id", "embedding", threshold=0.30, block_col="bucket"
+        blocked, "vec_id", "embedding", threshold=0.95, block_col="bucket"
     )
+
+
+def _q36_oracle() -> str:
+    """DuckDB replica of q36: same planted twins, same inlined
+    hyperplanes (q34 technique), same per-bucket self-join + rounded
+    cosine threshold — value-exact, including LSH recall behavior."""
+    from dbt_incremental_ci_spark.operators.similarity import _hyperplane
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in plane) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(_hyperplane(64, p, 42))})"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(3)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    twins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(generate_series(1, 64),
+                            i -> v[i] * (1.0 + ((vec_id + i - 1) % 7 - 3) / 100.0)) AS v
+      FROM base WHERE vec_id < 50
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    b AS (SELECT vec_id, v, ({bucket_terms}) AS bkt FROM u)
+    SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, x.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(x.v, x.v))), 6) AS cosine
+    FROM b a JOIN b x ON a.vec_id < x.vec_id AND a.bkt = x.bkt
+    WHERE ROUND(list_dot_product(a.v, x.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(x.v, x.v))), 6) >= 0.95
+    """
+
+
+ORACLES["q36_embedding_near_dups"] = _q36_oracle()
 
 
 # =====================================================================
 # Multimodal plumbing: synthesize binary payloads from documents, then
-# run the Arrow-batched feature extractor (rows-only; deterministic)
+# run the Arrow-batched feature extractor. Full value oracle: the stub
+# feature is a sha256 derivation, reproducible in DuckDB — each of the
+# 8 dims is the digest's i-th 4-byte window as u32; the query emits
+# those windows as exact BIGINTs (f0..f7) plus a feature_ok flag
+# asserting the operator's array<float> column agrees with them (the
+# floats themselves can't be hash-compared across engines).
 # =====================================================================
-@q("q37_multimodal_features")
+@q(
+    "q37_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           sha256(text) AS digest,
+    """
+    + ",\n".join(
+        f"           ('0x' || substr(sha256(text), {8 * i + 1}, 8))::BIGINT AS f{i}"
+        for i in range(8)
+    )
+    + """,
+           TRUE AS feature_ok
+    FROM documents
+    """,
+)
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import multimodal as mm
 
@@ -1146,7 +1232,26 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
-    return mm.extract_features(media, dim=8)
+    feats = mm.extract_features(media, dim=8)
+    fcols = [
+        F.conv(F.substring("digest", 8 * i + 1, 8), 16, 10)
+        .cast("bigint")
+        .alias(f"f{i}")
+        for i in range(8)
+    ]
+    # |float32(u32/2^32) - u32/2^32| <= 2^-25 — 1e-6 bounds it safely
+    ok = F.aggregate(
+        F.zip_with(
+            F.col("feature"),
+            F.array(*[c / F.lit(4294967296.0) for c in fcols]),
+            lambda a, b: F.abs(a.cast("double") - b) < 1e-6,
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "digest", *fcols, ok.alias("feature_ok")
+    )
 
 
 # =====================================================================
@@ -1226,15 +1331,32 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Approximate distinct counting (HLL) — sketch differs per engine, so
-# rows-only; the error bound vs the exact count is unit-asserted
+# Approximate distinct counting (HLL). The sketch value differs per
+# engine, so the oracle checks the CONTRACT instead: the exact count
+# hash-matches, and a within_tolerance boolean asserts the sketch is
+# inside its configured error envelope (rsd=0.02; bound 5% ≈ 2.5σ).
 # =====================================================================
-@q("q40_approx_distinct")
+@q(
+    "q40_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_tolerance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    err = F.abs(F.col("approx_orders") - F.col("exact_orders")) / F.col(
+        "exact_orders"
+    )
+    return agg.select(
+        "l_returnflag", "exact_orders", (err <= 0.05).alias("within_tolerance")
     )
 
 
