@@ -1054,11 +1054,34 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# Rows-only queries (no SQL oracle — algorithmic operators whose hash
-# functions aren't replicable in DuckDB; the driver records the weaker
-# rows-only check, correctness covered by unit tests instead)
+# MinHash+LSH near-dup pipeline vs a GROUND-TRUTH oracle: DuckDB
+# brute-forces exact char-5-shingle Jaccard >= 0.7 over all pairs; the
+# LSH pipeline's output must equal that set exactly (banding at t=0.7
+# has recall 1.0 on this corpus — near-dups are ~0.97+ similar — and
+# the verify stage makes precision exact by construction). The sketch
+# hashes themselves never need replicating: only the exact-Jaccard
+# contract is compared.
 # =====================================================================
-@q("q32_minhash_near_dups")
+@q(
+    "q32_minhash_near_dups",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+)
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
@@ -1068,6 +1091,82 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+def _q33_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Expected-pairs VALUES oracle for the SimHash pipeline.
+
+    xxhash64 doesn't exist in DuckDB, but the corpus is fixed and the
+    driver compares at sf0.01 — so the oracle recomputes the whole
+    pipeline INDEPENDENTLY in pure Python: public-spec XXH64
+    (functions/xxh64.py, unit-tested bit-compatible with Spark's
+    xxhash64), per-bit token voting, 16-bit-chunk candidate banding,
+    hamming ≤ 12 — and inlines the resulting pairs as literals. Any
+    divergence in tokenization, voting, banding, or popcount between
+    the Spark operator and this replica fails the hash compare.
+    """
+    import re
+    from collections import defaultdict
+
+    import numpy as np
+
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+    except Exception:
+        return None  # corpus unavailable → driver falls back to rows-only
+    from dbt_incremental_ci_spark.functions.xxh64 import xxh64
+
+    shifts = np.arange(64, dtype=np.uint64)
+    sigs: dict[int, int] = {}
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        toks = [tok for tok in re.split(r"\s+", (text or "").lower()) if tok]
+        if not toks:
+            sigs[doc_id] = 0
+            continue
+        hashes = np.array(
+            [xxh64(tok.encode("utf-8"), 42) for tok in toks], dtype=np.uint64
+        )
+        ones = ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+        votes = 2 * ones.astype(np.int64) - len(toks)
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        sigs[doc_id] = sig
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, s in sigs.items():
+        for c in range(4):
+            buckets[(c, (s >> (c * 16)) & 0xFFFF)].append(i)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.add((ids[x], ids[y]))
+    rows = [
+        f"({a},{b},{(sigs[a] ^ sigs[b]).bit_count()})"
+        for a, b in sorted(pairs)
+        if (sigs[a] ^ sigs[b]).bit_count() <= 12
+    ]
+    if not rows:
+        return None
+    return (
+        "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, "
+        "CAST(hamming AS INT) AS hamming FROM (VALUES "
+        + ",".join(rows)
+        + ") AS t(id_a, id_b, hamming)"
+    )
+
+
+_o33 = _q33_oracle()
+if _o33 is not None:
+    ORACLES["q33_simhash_near_dups"] = _o33
 
 
 @q("q34_lsh_ann_topk")

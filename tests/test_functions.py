@@ -98,3 +98,17 @@ def test_string_agg_distinct(spark):
     df = spark.createDataFrame([(1, "b"), (1, "a"), (1, "b")], ["k", "v"])
     got = df.groupBy("k").agg(string_agg_distinct("v", "|").alias("s")).collect()[0]["s"]
     assert got == "a|b"
+
+
+def test_xxh64_matches_spark(spark):
+    """functions/xxh64.py must stay bit-compatible with Spark's
+    xxhash64 (seed 42) — the q33 VALUES oracle depends on it."""
+    from pyspark.sql import functions as F
+
+    from dbt_incremental_ci_spark.functions.xxh64 import xxh64_signed
+
+    cases = ["", "a", "hello world", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+             "q" * 100, "üñïçødé tęxt", "the quick brown fox"]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxh64_signed(c.encode("utf-8")) for c in cases]
