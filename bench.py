@@ -56,17 +56,40 @@ def main() -> None:
         workload.QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Round-over-round tracking: report per-query deltas vs the most
+    # recent driver-recorded BENCH_r{N}.json (negative = faster).
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    if prior:
+        try:
+            with open(os.path.join(here, prior[-1])) as fh:
+                prev = json.load(fh)
+            # the driver wraps the bench line in {"parsed": {...}, ...}
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            prev_q = prev.get("queries", {})
+            out["prev_round"] = prior[-1]
+            out["prev_value"] = prev.get("value")
+            out["delta"] = {
+                name: round(timings[name] - prev_q[name], 3)
+                for name in timings
+                if name in prev_q
+            }
+        except (OSError, ValueError):
+            pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -119,7 +119,9 @@ def minhash_signatures_df(
     # hashes then mix the resulting fixed-width long with the seed —
     # 1 string hash + N long hashes per shingle instead of N string
     # hashes (~2× faster signatures at 64 permutations).
-    exploded = df.select(
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    exploded = ensure_min_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"),
         F.explode(char_shingles(text_col, shingle_k, distinct=False)).alias("__s"),
     ).select("__id", F.xxhash64("__s").alias("__h"))
@@ -179,6 +181,12 @@ def minhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Materialize before the self-join: both join sides reference this
+    # subtree and Spark plans the signature stage TWICE otherwise (no
+    # ReusedExchange across the <-condition asymmetry; measured 2× the
+    # mapInPandas cost). The banded table is tiny — bands × docs rows
+    # of (id, band, hash) — so the checkpoint is cheap at any scale.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -310,7 +318,11 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 16-bit
     chunks; verified by ``bit_count(xor) <= max_hamming``.
     Output: (id_a, id_b, hamming)."""
-    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    sigs = ensure_min_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
+    )
     chunked = sigs.select(
         "__id",
         "__sh",
@@ -407,31 +419,69 @@ def minhash_signatures_pandas(
     )  # FNV-prime powers for k-gram codes
     C1, C2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
 
+    def _mix(h):
+        h ^= h >> np.uint64(30); h *= C1
+        h ^= h >> np.uint64(27); h *= C2
+        h ^= h >> np.uint64(31)
+        return h
+
+    # Whole-batch vectorization: ONE byte buffer for all docs in the
+    # Arrow batch, per-window byte positions built by repeat/arange (no
+    # per-doc Python), per-doc minima via minimum.reduceat over doc
+    # segments. All heavy intermediates (window gather, k-gram codes,
+    # the num_hashes × windows hash block) are produced per ~2^15-window
+    # chunk so they live in cache — materializing them batch-wide
+    # measured 2.6× SLOWER than the per-doc loop from DRAM traffic
+    # alone; chunked, the batch form wins by cutting per-doc Python
+    # dispatch (~8 numpy calls/doc → ~6 calls per 32k windows).
     def run(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
-                b = np.frombuffer((txt or "").lower().encode("utf-8"),
-                                  dtype=np.uint8)
-                if len(b) >= shingle_k:
-                    w = np.lib.stride_tricks.sliding_window_view(
-                        b, shingle_k
-                    ).astype(np.uint64)
-                    codes = (w * P).sum(axis=1)
-                else:
-                    codes = (b.astype(np.uint64) * P[: len(b)]).sum(keepdims=True)
-                h = codes[None, :] * A[:, None] + B[:, None]
-                h ^= h >> np.uint64(30); h *= C1
-                h ^= h >> np.uint64(27); h *= C2
-                h ^= h >> np.uint64(31)
-                ids.append(doc_id)
-                sigs.append(h.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"__id": ids, "__sig": sigs})
+            texts = [(t or "").lower().encode("utf-8") for t in pdf[text_col]]
+            ndocs = len(texts)
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=ndocs)
+            sig = np.empty((ndocs, num_hashes), dtype=np.uint64)
+
+            long_mask = lens >= shingle_k
+            if long_mask.any():
+                big = np.frombuffer(b"".join(texts), dtype=np.uint8)
+                starts = np.cumsum(lens) - lens
+                n_win = np.where(long_mask, lens - shingle_k + 1, 0)
+                cumw = np.cumsum(n_win)
+                # byte position of window i = i + (start_d - cumw_d + n_win_d)
+                wpos = np.arange(cumw[-1]) + np.repeat(starts - cumw + n_win, n_win)
+                windows = np.lib.stride_tricks.sliding_window_view(big, shingle_k)
+                long_idx = np.flatnonzero(long_mask)
+                win_lo = (cumw - n_win)[long_idx]
+                chunk = 1 << 14  # h block ≈ 8 MB — stays in L2/L3
+                d0 = 0
+                while d0 < len(long_idx):
+                    d1 = d0 + 1
+                    while (
+                        d1 < len(long_idx)
+                        and cumw[long_idx[d1]] - win_lo[d0] <= chunk
+                    ):
+                        d1 += 1
+                    lo, hi = win_lo[d0], cumw[long_idx[d1 - 1]]
+                    codes = (windows[wpos[lo:hi]].astype(np.uint64) * P).sum(axis=1)
+                    h = _mix(codes[None, :] * A[:, None] + B[:, None])
+                    mins = np.minimum.reduceat(h, win_lo[d0:d1] - lo, axis=1)
+                    sig[long_idx[d0:d1]] = mins.T
+                    d0 = d1
+
+            for d in np.flatnonzero(~long_mask):  # rare: doc shorter than k
+                b = np.frombuffer(texts[d], dtype=np.uint8)
+                code = (b.astype(np.uint64) * P[: len(b)]).sum(keepdims=True)
+                sig[d] = _mix(code * A + B)
+
+            yield pd.DataFrame(
+                {"__id": pdf[id_col], "__sig": sig.astype(np.int64).tolist()}
+            )
 
     # Preserve the caller's id type (string/int/long ids all valid —
     # the expr backend already does; hardcoding `long` here coerced or
     # broke non-long ids).
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
-        run, schema=f"__id {id_type}, __sig array<long>"
-    )
+    src = ensure_min_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(run, schema=f"__id {id_type}, __sig array<long>")

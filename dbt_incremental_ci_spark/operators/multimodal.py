@@ -88,7 +88,9 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

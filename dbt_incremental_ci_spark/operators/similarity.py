@@ -65,10 +65,15 @@ def brute_force_topk(
     (same id) excluded. Ties break by neighbor_id (deterministic).
     The corpus side is the big side; the query side is broadcast.
     """
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("__qv"))
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # corpus side carries the O(|Q|·d) fold per row — spread it
+    c = ensure_min_parallelism(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -125,8 +130,10 @@ def lsh_topk(
     """Approximate top-k: both sides bucketed by hyperplane LSH; each
     query only scans its bucket. Recall rises as n_planes falls.
     Output schema matches :func:`brute_force_topk`."""
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
     bucket = hyperplane_bucket(vec_col, dim, n_planes)
-    c = emb.select(
+    c = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         bucket.alias("__bkt"),

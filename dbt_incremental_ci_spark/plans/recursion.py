@@ -1,9 +1,14 @@
-"""Iterative fixpoint loop — the ``WITH RECURSIVE`` substitute.
+"""Recursive-query support: native ``WITH RECURSIVE`` (Spark 4+) with
+an iterative fixpoint loop as the portable fallback.
 
-Spark ≤3.5 has no recursive CTE (SURVEY §2.8 R1; the reference's one
-site is the course-prerequisite chain walk,
-int_course_prerequisite_chains.sql:3-36, depth-capped at 10). The
-Spark-native shape is a driver-side loop over a *frontier* DataFrame:
+Spark 4.0 added recursive CTEs to the SQL dialect; on such sessions
+:func:`supports_recursive_cte` probes once and SQL-text recursion runs
+natively (single query, loop unrolled inside the engine — no per-step
+driver round trips). For DataFrame-built step functions (the edu
+prerequisite chains) and for Spark ≤3.5, the substitute is a
+driver-side loop over a *frontier* DataFrame (SURVEY §2.8 R1; the
+reference's one site is the course-prerequisite chain walk,
+int_course_prerequisite_chains.sql:3-36, depth-capped at 10):
 
     seed → step(frontier) → union — until the frontier is empty or the
     depth cap hits.
@@ -19,7 +24,26 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+_NATIVE_RECURSION: bool | None = None
+
+
+def supports_recursive_cte(spark: SparkSession) -> bool:
+    """One-time probe for native ``WITH RECURSIVE`` (Spark 4+). A
+    feature probe, not a version sniff — forks/backports stay honest."""
+    global _NATIVE_RECURSION
+    if _NATIVE_RECURSION is None:
+        try:
+            spark.sql(
+                "WITH RECURSIVE __probe(n) AS ("
+                "SELECT 1 UNION ALL SELECT n + 1 FROM __probe WHERE n < 2"
+                ") SELECT count(*) FROM __probe"
+            ).collect()
+            _NATIVE_RECURSION = True
+        except Exception:
+            _NATIVE_RECURSION = False
+    return _NATIVE_RECURSION
 
 
 def recursive_loop(

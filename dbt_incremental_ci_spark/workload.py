@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.operators import dedup, similarity, text
-from dbt_incremental_ci_spark.plans.recursion import recursive_loop
+from dbt_incremental_ci_spark.plans.recursion import (
+    recursive_loop,
+    supports_recursive_cte,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -784,6 +787,26 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if supports_recursive_cte(spark):
+        # Spark 4+: one native recursive query — the engine unrolls the
+        # loop internally, no per-step driver round trips / checkpoints
+        part_path = os.path.join(sf_dir, "part.parquet")
+        return spark.sql(
+            f"""
+            WITH RECURSIVE chain AS (
+              SELECT p_partkey, CAST(0 AS INT) AS depth,
+                     CAST(p_partkey AS STRING) AS path
+              FROM parquet.`{part_path}` WHERE p_partkey = 1
+              UNION ALL
+              SELECT p.p_partkey, CAST(c.depth + 1 AS INT) AS depth,
+                     CONCAT(c.path, '->', CAST(p.p_partkey AS STRING)) AS path
+              FROM parquet.`{part_path}` p
+              JOIN chain c ON p.p_partkey DIV 2 = c.p_partkey
+              WHERE p.p_partkey > 1 AND c.depth < 10
+            )
+            SELECT p_partkey, depth, path FROM chain
+            """
+        )
     p = t(spark, sf_dir, "part").select("p_partkey")
     seed = p.filter(F.col("p_partkey") == 1).select(
         "p_partkey",
