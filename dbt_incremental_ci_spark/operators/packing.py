@@ -1,0 +1,90 @@
+"""Sequence packing (concat-and-chunk) for LLM training pipelines.
+
+Packing concatenates documents in a canonical order and slices the
+token stream into fixed-size context windows; every document needs its
+global token offset. The naive Spark expression — ``sum(tokens) over
+(order by id)`` with no partitionBy — collapses the whole table into
+ONE task and is the canonical scale trap. The scalable plan here is
+the classic two-phase distributed prefix sum:
+
+1. range-partition by the order key (so partitions hold contiguous
+   key ranges),
+2. per-partition running sums via a window *partitioned by* the
+   partition id (parallel),
+3. per-partition totals (one tiny row per partition) are collected,
+   exclusive-prefix-summed on the driver, and broadcast-joined back
+   as offsets.
+
+Step 3's collect is O(num_partitions) — thousands of rows at 100 TB,
+not data-sized. Results are identical to the single-task window (the
+offsets correct for any partition boundary placement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order_col`` order,
+    computed with partition-parallel windows + broadcast offsets (no
+    single-task global window). ``order_col`` must be unique."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn("__local", F.sum(value_col).over(w))
+    totals = (
+        local.groupBy("__pid").agg(F.sum(value_col).alias("__total")).collect()
+    )
+    offsets, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__total"]
+    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    context_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are concatenated in
+    ``order_col`` order and the token stream is cut into
+    ``context_len``-token windows. Emits each document's global token
+    span and the window range it lands in (a document may straddle a
+    boundary — ``bin_start < bin_end`` — exactly like real
+    concat-and-chunk LLM pretraining batches).
+
+    Output columns: id, n_tokens, tok_start, tok_end (exclusive),
+    bin_start, bin_end (inclusive).
+    """
+    order_col = order_col or id_col
+    c = global_cumsum(df, order_col, token_col, out_col="tok_end")
+    tok_start = F.col("tok_end") - F.col(token_col)
+    return c.select(
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+        tok_start.cast("bigint").alias("tok_start"),
+        F.col("tok_end"),
+        F.floor(tok_start / context_len).cast("bigint").alias("bin_start"),
+        F.floor((F.col("tok_end") - 1) / context_len)
+        .cast("bigint")
+        .alias("bin_end"),
+    )

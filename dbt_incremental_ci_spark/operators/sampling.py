@@ -1,0 +1,71 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Training-data work needs samples and train/val/test splits that are
+(a) reproducible run-over-run, (b) stable under repartitioning and
+engine changes, and (c) consistent per KEY (a document keeps its split
+assignment forever, so models never train on yesterday's eval set).
+RNG-based ``df.sample`` gives none of that; hashing the key does.
+
+The uniform variate is the first 32 bits of ``md5(key || ':' || salt)``
+scaled to [0,1) — md5 is available in every engine (the DuckDB oracle
+replicates it verbatim), and changing ``salt`` draws an independent
+sample. Pure per-row expressions: no shuffle, no state, fully pushed
+into whole-stage codegen, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_uniform(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) variate per key."""
+    c = F.col(key) if isinstance(key, str) else key
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return u32 / F.lit(4294967296.0)
+
+
+def hash_uniform_sql(key_expr: str, salt: str = "") -> str:
+    """The DuckDB twin of :func:`hash_uniform` (for oracle builders)."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8))"
+        f"::BIGINT / 4294967296.0)"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, deterministically by key."""
+    return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative weight ranges
+    (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``). Weights must
+    sum to 1; the last split absorbs the boundary."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform(key_col, salt)
+    expr: Column | None = None
+    hi = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += weights[name]
+        expr = (
+            F.when(u < hi, name) if expr is None else expr.when(u < hi, name)
+        )
+    out = names[-1] if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, F.lit(out) if isinstance(out, str) else out)

@@ -118,6 +118,118 @@ def hyperplane_bucket(
     return bucket
 
 
+def ivf_centroid(dim: int, cid: int, seed: int = 7) -> list[float]:
+    """Deterministic coarse-quantizer centroid (hash-derived like
+    :func:`_hyperplane`, distinct seed namespace). A trained quantizer
+    (k-means over a sample) is an offline job in real IVF deployments;
+    the engine consumes whatever centroid set it is given — these
+    hash-derived ones keep every result value-reproducible."""
+    return _hyperplane(dim, cid, seed * 1000003)
+
+
+def _centroid_dists(v: Column, dim: int, n_centroids: int, seed: int) -> Column:
+    """Array of squared-L2 distances to each centroid, index = cid.
+    Rounded to 9 decimals so argmin/probe ordering is immune to
+    engine-level float summation differences (gaps between distinct
+    centroid distances are ~O(1); 1e-9 is far below them)."""
+    dists = []
+    for cid in range(n_centroids):
+        cvec = F.array(*[F.lit(x) for x in ivf_centroid(dim, cid, seed)])
+        dists.append(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        cvec,
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            )
+        )
+    return F.array(*dists)
+
+
+def ivf_assign(
+    vec_col: Column | str, dim: int, n_centroids: int = 8, seed: int = 7
+) -> Column:
+    """Nearest-centroid (Voronoi cell / inverted-list) id for a vector.
+    Ties break to the lowest cid (``array_position`` of the min)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    d = _centroid_dists(v, dim, n_centroids, seed)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def ivf_probe_lists(
+    vec_col: Column | str,
+    dim: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> Column:
+    """The ``nprobe`` nearest centroid ids for a query vector —
+    IVF's recall knob. Sorted (distance, cid) structs keep tie-breaks
+    deterministic and SQL-reproducible."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    d = _centroid_dists(v, dim, n_centroids, seed)
+    ranked = F.array_sort(
+        F.transform(
+            d,
+            lambda dist, i: F.struct(dist.alias("d"), i.cast("int").alias("c")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["c"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: the corpus is bucketed into inverted lists by
+    nearest centroid (one shuffle key); each query scans only its
+    ``nprobe`` nearest lists. Complements :func:`lsh_topk` — IVF
+    partitions space into Voronoi cells with a tunable probe count,
+    the standard billion-scale layout (cf. FAISS IVF-Flat).
+    Output schema matches :func:`brute_force_topk`."""
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    c = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(vec_col, dim, n_centroids, seed).alias("__list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            ivf_probe_lists(vec_col, dim, n_centroids, nprobe, seed)
+        ).alias("__probe"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("__list") == F.col("__probe"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

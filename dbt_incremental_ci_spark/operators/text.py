@@ -108,6 +108,36 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+# PII patterns kept in the Java∩RE2 common dialect so the DuckDB
+# oracle replicates them verbatim (no lookarounds, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails / phone numbers / SSN-shaped strings with typed
+    placeholders. Order matters (SSN before phone — a 3-2-4 grouping
+    must not half-match the 3-3-4 phone pattern); both engines apply
+    the same order. Pure regexp_replace chain — codegen'd, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    c = F.regexp_replace(c, PII_PATTERNS["ssn"], "<SSN>")
+    c = F.regexp_replace(c, PII_PATTERNS["phone"], "<PHONE>")
+    return c
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (audit/reporting side-channel)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat suite as columns — one narrow projection,
     no shuffle."""

@@ -23,7 +23,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbt_incremental_ci_spark.operators import dedup, similarity, text
+from dbt_incremental_ci_spark.operators import (
+    dedup,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from dbt_incremental_ci_spark.plans.recursion import (
     recursive_loop,
     supports_recursive_cte,
@@ -1479,6 +1485,195 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag", "exact_orders", (err <= 0.05).alias("within_tolerance")
+    )
+
+
+# =====================================================================
+# Deterministic hash sampling + train/val/test split (training-data
+# reproducibility: a key keeps its sample membership and split forever,
+# independent of partitioning/engine — md5-derived uniform, replicated
+# verbatim in DuckDB)
+# =====================================================================
+def _q41_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u1 = hash_uniform_sql("doc_id", "bench")
+    u2 = hash_uniform_sql("doc_id", "split")
+    # build the CASE with the SAME float accumulation as hash_split
+    # (0.8 + 0.1 != 0.9 exactly in binary — the literals must match)
+    weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    case, hi = "CASE", 0.0
+    for name, wgt in weights[:-1]:
+        hi += wgt
+        case += f" WHEN u2 < {hi!r} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    return f"""
+    SELECT doc_id, ROUND(u1, 6) AS u_sample, {case} AS split
+    FROM (SELECT doc_id, {u1} AS u1, {u2} AS u2 FROM documents)
+    WHERE u1 < 0.5
+    """
+
+
+@q("q41_hash_sample_split", _q41_oracle())
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sampled = sampling.hash_sample(docs, "doc_id", 0.5, salt="bench")
+    split = sampling.hash_split(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split"
+    )
+    return split.select(
+        "doc_id",
+        F.round(sampling.hash_uniform("doc_id", "bench"), 6).alias("u_sample"),
+        "split",
+    )
+
+
+# =====================================================================
+# Sequence packing (concat-and-chunk) — the distributed prefix sum is
+# the scale-critical part: two-phase (range partition → local window →
+# broadcast offsets), never a single-task global window. DuckDB's
+# single-node global window is the ground truth it must equal.
+# =====================================================================
+@q(
+    "q42_sequence_packing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS tok_end
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+           CAST(tok_end AS BIGINT) AS tok_end,
+           CAST((tok_end - n_tokens) // 2048 AS BIGINT) AS bin_start,
+           CAST((tok_end - 1) // 2048 AS BIGINT) AS bin_end
+    FROM c
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    with_tok = docs.select("doc_id", text.token_count("text").alias("n_tok"))
+    return packing.pack_sequences(with_tok, "doc_id", "n_tok", context_len=2048)
+
+
+# =====================================================================
+# IVF-style ANN (Voronoi inverted lists + nprobe) — the second
+# billion-scale ANN layout next to q34's hyperplane LSH. Centroids are
+# deterministic constants, so the full pipeline (assignment, probe
+# selection, in-list cosine top-k) replays in DuckDB.
+# =====================================================================
+def _q43_oracle(dim: int = 64, n_centroids: int = 8, nprobe: int = 2) -> str:
+    from dbt_incremental_ci_spark.operators.similarity import ivf_centroid
+
+    def arr(vec: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    dist_terms = ", ".join(
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (v[i] - ({arr(ivf_centroid(dim, cid))})[i])"
+        f" * (v[i] - ({arr(ivf_centroid(dim, cid))})[i]))), 9)"
+        for cid in range(n_centroids)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, v, [{dist_terms}] AS dists FROM e),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv,
+                 CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS lst
+          FROM d),
+    q AS (SELECT vec_id AS query_id, v AS qv,
+                 list_transform(
+                   list_slice(
+                     list_sort(list_transform(generate_series(1, {n_centroids}),
+                                              ci -> {{'d': dists[ci], 'c': ci - 1}})),
+                     1, {nprobe}),
+                   s -> s.c) AS probes
+          FROM d WHERE vec_id < 10),
+    qp AS (SELECT query_id, qv, unnest(probes) AS probe FROM q),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / NULLIF(sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv)), 0), 6) AS cosine
+      FROM qp JOIN c ON c.lst = qp.probe AND c.neighbor_id <> qp.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@q("q43_ivf_ann_topk", _q43_oracle())
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, dim=64, n_centroids=8, nprobe=2
+    )
+
+
+# =====================================================================
+# PII scrubbing — regex redaction + audit counts. PII is PLANTED
+# deterministically (every 5th doc gets an email/phone/SSN suffix) so
+# the redaction paths actually fire; patterns live in the Java∩RE2
+# common dialect and DuckDB replays them with the 'g' flag.
+# =====================================================================
+def _q44_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.text import PII_PATTERNS
+
+    em, ph, ssn = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ssn"]
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567 ssn 123-45-6789'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{em}', '<EMAIL>', 'g'),
+               '{ssn}', '<SSN>', 'g'),
+               '{ph}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{ssn}')) AS INT) AS n_ssn
+    FROM planted
+    """
+
+
+@q("q44_pii_scrub", _q44_oracle())
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = text.pii_counts("text")
+    return planted.select(
+        "doc_id",
+        text.scrub_pii("text").alias("scrubbed"),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
     )
 
 

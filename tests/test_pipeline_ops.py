@@ -1,0 +1,127 @@
+"""Training-pipeline operators: hash sampling/splits, sequence packing
+(distributed prefix sum vs naive single-window), IVF ANN, PII scrub."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators import packing, sampling, similarity, text
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in sampling.hash_sample(df, "k", 0.3, "a").collect()}
+    s2 = {r["k"] for r in sampling.hash_sample(df, "k", 0.3, "a").collect()}
+    assert s1 == s2  # reproducible
+    assert 0.25 < len(s1) / 2000 < 0.35  # close to the rate
+    # repartitioning must not change membership (key-hash, not RNG)
+    s3 = {
+        r["k"]
+        for r in sampling.hash_sample(df.repartition(13), "k", 0.3, "a").collect()
+    }
+    assert s1 == s3
+    # a different salt draws an effectively independent sample
+    s4 = {r["k"] for r in sampling.hash_sample(df, "k", 0.3, "b").collect()}
+    assert s4 != s1
+
+
+def test_hash_split_partition_of_rows(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    out = sampling.hash_split(
+        df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, "s"
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 3000  # a partition, not a sample
+    assert counts["train"] > counts["val"]
+    # growing the table never reassigns an existing key's split
+    small = {r["k"]: r["split"] for r in out.filter(F.col("k") < 100).collect()}
+    bigger = sampling.hash_split(
+        spark.range(0, 5000).withColumnRenamed("id", "k"),
+        "k", {"train": 0.8, "val": 0.1, "test": 0.1}, "s",
+    )
+    again = {r["k"]: r["split"] for r in bigger.filter(F.col("k") < 100).collect()}
+    assert small == again
+
+
+def test_global_cumsum_matches_single_window(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 17 + 1).alias("v")
+    )
+    got = {
+        r["k"]: r["cumsum"]
+        for r in packing.global_cumsum(df, "k", "v", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = {r["k"]: r["c"] for r in df.withColumn("c", F.sum("v").over(w)).collect()}
+    assert got == exp
+
+
+def test_pack_sequences_spans(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 120), (4, 10)], ["doc_id", "n_tok"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(df, "doc_id", "n_tok", 128).collect()
+    }
+    assert rows[1]["tok_start"] == 0 and rows[1]["tok_end"] == 100
+    assert rows[2]["bin_start"] == 0 and rows[2]["bin_end"] == 1  # straddles 128
+    assert rows[4]["tok_end"] == 280
+    # spans tile the stream with no gaps or overlaps
+    spans = sorted((r["tok_start"], r["tok_end"]) for r in rows.values())
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
+
+
+def test_ivf_topk_subset_of_probed_lists_and_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = similarity.ivf_topk(emb, queries, k=5, dim=64, n_centroids=8, nprobe=8)
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    # probing ALL lists == exact brute force (sanity: IVF loses nothing
+    # when nprobe = n_centroids)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    assert g == e
+    # with nprobe=2 every neighbor must come from a probed list
+    narrow = similarity.ivf_topk(emb, queries, k=5, dim=64, n_centroids=8, nprobe=2)
+    assigned = {
+        r["vec_id"]: r["lst"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_assign("embedding", 64, 8).alias("lst")
+        ).collect()
+    }
+    probes = {
+        r["vec_id"]: r["p"]
+        for r in queries.select(
+            "vec_id",
+            similarity.ivf_probe_lists("embedding", 64, 8, 2).alias("p"),
+        ).collect()
+    }
+    for r in narrow.collect():
+        assert assigned[r["neighbor_id"]] in probes[r["query_id"]]
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and b.c-d_e@x.org now"),
+            (2, "call 555-123-4567 or 555.987.6543"),
+            (3, "ssn 123-45-6789 but not 1234-56-789"),
+            (4, "clean text"),
+        ],
+        ["i", "t"],
+    )
+    got = {r["i"]: r["s"] for r in df.select("i", text.scrub_pii("t").alias("s")).collect()}
+    assert got[1] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3].startswith("ssn <SSN> but not")
+    assert got[4] == "clean text"
+    counts = df.select(
+        "i", *[c.alias(k) for k, c in text.pii_counts("t").items()]
+    ).collect()
+    by_i = {r["i"]: (r["email"], r["phone"], r["ssn"]) for r in counts}
+    assert by_i[1] == (2, 0, 0)
+    assert by_i[2] == (0, 2, 0)
+    assert by_i[3][2] == 1
