@@ -1677,6 +1677,56 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Native session windows (F.session_window) — the engine-native form
+# of q30's manual gap-and-islands sessionization, shared verbatim with
+# the streaming pipeline (streaming/pipeline.session_event_counts).
+# Oracle: classic gap-and-islands SQL; a session's end is
+# last-event + gap and an event at EXACTLY gap distance opens a new
+# session (Spark's [start, last+gap) exclusivity — oracle uses >=).
+# =====================================================================
+@q(
+    "q45_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    f AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    g AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           epoch_us(MIN(t)) AS session_start_us,
+           epoch_us(MAX(t) + INTERVAL 30 MINUTE) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.streaming.pipeline import session_event_counts
+
+    ev = events_table(spark, sf_dir).withColumn(
+        "t", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    out = session_event_counts(ev, "t", gap="30 minutes", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as

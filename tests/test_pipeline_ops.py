@@ -125,3 +125,13 @@ def test_scrub_pii(spark):
     assert by_i[1] == (2, 0, 0)
     assert by_i[2] == (0, 2, 0)
     assert by_i[3][2] == 1
+
+
+def test_hash_sample_rate_monotone(spark):
+    """sample(r1) ⊆ sample(r2) for r1 < r2 under the same salt — a
+    property RNG sampling lacks; lets pipelines grow a sample without
+    reprocessing the old one."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s_small = {r["k"] for r in sampling.hash_sample(df, "k", 0.1, "m").collect()}
+    s_big = {r["k"] for r in sampling.hash_sample(df, "k", 0.4, "m").collect()}
+    assert s_small <= s_big

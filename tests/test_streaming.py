@@ -74,3 +74,49 @@ def test_windowed_event_counts(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == {(0, 2, 3.0), (10, 1, 4.0)}
+
+
+def test_session_event_counts_streaming(spark, tmp_path):
+    from dbt_incremental_ci_spark.streaming.pipeline import session_event_counts
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 40-min
+        # gap (new session); user 2: single event
+        (1, datetime(2024, 1, 1, 0, 0), 1.0),
+        (1, datetime(2024, 1, 1, 0, 10), 1.0),
+        (1, datetime(2024, 1, 1, 0, 50), 1.0),
+        (2, datetime(2024, 1, 1, 0, 5), 1.0),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    out = session_event_counts(stream, "ts", gap="30 minutes", group_cols=["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == {
+        (1, datetime(2024, 1, 1, 0, 0), 2),
+        (1, datetime(2024, 1, 1, 0, 50), 1),
+        (2, datetime(2024, 1, 1, 0, 5), 1),
+    }
+    # batch twin gives the same sessions (one code path, Kappa shape)
+    batch = session_event_counts(
+        spark.read.parquet(src), "ts", gap="30 minutes", group_cols=["user_id"]
+    )
+    got_b = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got_b == got
