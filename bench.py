@@ -36,6 +36,18 @@ BENCH_QUERIES = [
     "q32_minhash_near_dups",
 ]
 
+# Newer operators, timed and reported separately (queries_extra) so the
+# headline total stays round-over-round comparable with BENCH_r01.
+EXTRA_QUERIES = [
+    "q34_lsh_ann_topk",
+    "q36_embedding_near_dups",
+    "q41_hash_sample_split",
+    "q42_sequence_packing",
+    "q43_ivf_ann_topk",
+    "q44_pii_scrub",
+    "q45_session_windows",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,11 +68,18 @@ def main() -> None:
         workload.QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        workload.QUERIES[name](spark, sf_dir).count()
+        extra[name] = round(time.time() - t0, 3)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_extra": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

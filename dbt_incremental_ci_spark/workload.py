@@ -1268,8 +1268,11 @@ def _q36_perturbed_union(emb: DataFrame) -> DataFrame:
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     unioned = _q36_perturbed_union(emb)
+    # 6 planes = 64 blocks: pair count (quadratic in block size) drops
+    # 8× vs 3 planes for a few percent recall on the planted twins —
+    # the standard LSH dial, and the oracle replays the same blocking
     blocked = unioned.withColumn(
-        "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=3)
+        "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=6)
     )
     return dedup.embedding_near_dup_pairs(
         blocked, "vec_id", "embedding", threshold=0.95, block_col="bucket"
@@ -1278,8 +1281,8 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q36_oracle() -> str:
     """DuckDB replica of q36: same planted twins, same inlined
-    hyperplanes (q34 technique), same per-bucket self-join + rounded
-    cosine threshold — value-exact, including LSH recall behavior."""
+    hyperplanes (q34 technique), same L2-normalize-then-dot cosine and
+    per-bucket self-join — value-exact, including LSH recall behavior."""
     from dbt_incremental_ci_spark.operators.similarity import _hyperplane
 
     def arr(plane: list[float]) -> str:
@@ -1288,7 +1291,7 @@ def _q36_oracle() -> str:
     bucket_terms = " + ".join(
         f"(CASE WHEN list_dot_product(v, {arr(_hyperplane(64, p, 42))})"
         f" >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(3)
+        for p in range(6)
     )
     return f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1299,15 +1302,14 @@ def _q36_oracle() -> str:
       FROM base WHERE vec_id < 50
     ),
     u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
-    b AS (SELECT vec_id, v, ({bucket_terms}) AS bkt FROM u)
+    b AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
+                 ({bucket_terms}) AS bkt
+          FROM u)
     SELECT a.vec_id AS id_a, x.vec_id AS id_b,
-           ROUND(list_dot_product(a.v, x.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(x.v, x.v))), 6) AS cosine
+           ROUND(list_dot_product(a.v, x.v), 6) AS cosine
     FROM b a JOIN b x ON a.vec_id < x.vec_id AND a.bkt = x.bkt
-    WHERE ROUND(list_dot_product(a.v, x.v)
-                / (sqrt(list_dot_product(a.v, a.v))
-                   * sqrt(list_dot_product(x.v, x.v))), 6) >= 0.95
+    WHERE ROUND(list_dot_product(a.v, x.v), 6) >= 0.95
     """
 
 
