@@ -18,8 +18,10 @@ def _c(col: Column | str) -> Column:
 
 def ilike(col: Column | str, pattern: str) -> Column:
     """Case-insensitive LIKE (PG ``ILIKE``; 18 sites e.g.
-    DEDP/models/staging/stg_assignments.sql:14-19)."""
-    return F.lower(_c(col)).like(pattern.lower())
+    DEDP/models/staging/stg_assignments.sql:14-19). Uses Spark's
+    native ``ilike`` (3.3+) — unlike the ``lower().like()`` shim it
+    also case-folds non-literal pattern characters engine-side."""
+    return _c(col).ilike(pattern)
 
 
 def pg_dow(col: Column | str) -> Column:
