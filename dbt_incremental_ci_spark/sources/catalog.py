@@ -59,3 +59,39 @@ def load_seed_csv(spark: SparkSession, path: str, schema: str | None = None) -> 
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines source — the interchange format of most raw
+    web/crawl/training-data drops. Schema is REQUIRED: at 100 TB,
+    schema inference is a full extra pass over the data, and drifting
+    inferred types silently fork pipelines. ``PERMISSIVE`` mode parks
+    malformed lines in ``bad_records_col`` instead of failing the job —
+    callers route them to a quarantine sink."""
+    full_schema = f"{schema}, {bad_records_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, bad_records_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, quarantine_rows) from a PERMISSIVE JSONL read.
+
+    Quarantine rows keep ALL columns, not just the raw line — partly
+    for triage, partly because Spark disallows queries that reference
+    only the internal corrupt-record column of a JSON scan."""
+    from pyspark.sql import functions as F
+
+    clean = df.filter(F.col(bad_records_col).isNull()).drop(bad_records_col)
+    bad = df.filter(F.col(bad_records_col).isNotNull())
+    return clean, bad

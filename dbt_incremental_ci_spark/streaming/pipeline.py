@@ -84,6 +84,53 @@ def incremental_stream(
     return writer
 
 
+def stateful_running_stats(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, last-seen) maintained across micro-batches in
+    Arrow-typed state — the escape hatch for aggregations the built-in
+    windowed/dedup operators can't express (running ratios, model
+    feature state, per-entity counters).
+
+    State is one tiny tuple per key, partitioned by the groupBy key —
+    memory scales with |keys|, not events; each micro-batch touches
+    only the keys it contains. Emits one updated row per key per batch
+    (``update`` mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total double, last_ts timestamp"
+    state_schema = "n long, total double, last_us long"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, total, last_us = state.get
+        else:
+            n, total, last_us = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf[ts_col].max().value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [n],
+                "total": [total],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def session_event_counts(
     stream_df: DataFrame,
     event_time_col: str = "ts",

@@ -108,3 +108,24 @@ def test_fingerprint_changes_with_config():
     m1 = Model(name="x", builder=lambda ctx: 1, materialized="view")
     m2 = Model(name="x", builder=lambda ctx: 1, materialized="table")
     assert m1.fingerprint() != m2.fingerprint()
+
+
+def test_load_jsonl_with_quarantine(spark, tmp_path):
+    """JSONL source: explicit schema, malformed lines quarantined
+    instead of failing the job (PERMISSIVE corrupt-record routing)."""
+    from dbt_incremental_ci_spark.sources.catalog import load_jsonl, split_corrupt
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "world"}\n'
+        '{"doc_id": "oops"}\n'
+    )
+    df = load_jsonl(spark, str(p), "doc_id long, text string")
+    clean, bad = split_corrupt(df)
+    good = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert good == {1: "hello", 2: "world"}
+    bad_rows = bad.collect()
+    assert "this is not json" in [r["_corrupt_record"] for r in bad_rows]
+    assert len(bad_rows) == 2  # type-mismatch line quarantined too

@@ -120,3 +120,54 @@ def test_session_event_counts_streaming(spark, tmp_path):
         (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
     }
     assert got_b == got
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    batch 2 continues batch 1's running totals via the checkpoint."""
+    from dbt_incremental_ci_spark.streaming.pipeline import stateful_running_stats
+
+    src = str(tmp_path / "st_src")
+    ckpt = str(tmp_path / "st_ckpt")
+    t0 = datetime(2024, 1, 1, 0, 0)
+
+    sink = str(tmp_path / "st_sink")
+
+    def run_batch():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        out = stateful_running_stats(stream, "user_id", "ts", "value")
+        # memory sink can't recover from a checkpoint; append updated
+        # rows to parquet and read the latest (max n_events) per key
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.read.parquet(sink).collect():
+            cur = latest.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                latest[r["user_id"]] = (r["n_events"], r["total"])
+        return latest
+
+    _write_batch_users(spark, src, [(1, t0, 2.0), (1, t0, 3.0), (2, t0, 1.0)])
+    got = run_batch()
+    assert got[1] == (2, 5.0) and got[2] == (1, 1.0)
+
+    _write_batch_users(spark, src, [(1, datetime(2024, 1, 1, 1, 0), 10.0), (3, t0, 7.0)])
+    got = run_batch()
+    assert got[1] == (3, 15.0)  # state carried over
+    assert got[3] == (1, 7.0)
+
+
+def _write_batch_users(spark, path, rows):
+    spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
