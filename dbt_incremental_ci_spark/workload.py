@@ -1729,6 +1729,35 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Exact interpolated quantiles per group (the distributed exact path —
+# Spark's `percentile` sorts within each group; at scale per-group
+# sorting shuffles once on the group key. DuckDB's quantile_cont uses
+# the same linear interpolation; results rounded to 6.)
+# =====================================================================
+@q(
+    "q46_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+               AS price_p50
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("l_quantity").cast("double"), F.lit(0.9)), 6).alias("p90"),
+        F.round(
+            F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)), 6
+        ).alias("price_p50"),
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as
