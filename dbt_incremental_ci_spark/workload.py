@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.operators import (
+    asof,
     dedup,
     packing,
     sampling,
@@ -1755,6 +1756,97 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)), 6
         ).alias("price_p50"),
+    )
+
+
+# =====================================================================
+# Backward as-of join (attribution: each purchase event's most recent
+# prior view by the same user). Spark has no ASOF JOIN; the operator
+# uses the union-merge plan — one shuffle on user_id, per-key sorted
+# carry-forward — instead of the quadratic join+argmax rewrite. DuckDB
+# replicates via join + row_number argmax with the same (ts desc, id
+# desc) tiebreak. Gap is integer seconds on exact nanos, no floats.
+# =====================================================================
+@q(
+    "q47_asof_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         j AS (
+           SELECT p.event_id, p.user_id, v.event_id AS last_view_id,
+                  (epoch_ns(p.ts) - epoch_ns(v.ts)) // 1000000000 AS gap_sec,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY v.ts DESC, v.event_id DESC) AS rn
+           FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+         )
+    SELECT event_id, user_id, last_view_id,
+           CAST(gap_sec AS BIGINT) AS gap_sec
+    FROM j WHERE rn = 1
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("last_view_id"),
+    )
+    joined = asof.asof_join_backward(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+        right_payload=["last_view_id", "vts"],
+        tiebreak="last_view_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "last_view_id",
+        F.expr("(ts - vts) DIV 1000000000").alias("gap_sec"),
+    )
+
+
+# =====================================================================
+# Keyless range (interval) join: error events within 5 minutes AFTER
+# any purchase, cross-user. With no equi key Spark would plan a
+# BroadcastNestedLoopJoin (O(|L| x |R|)); the operator buckets the
+# time axis into window-width bins and equi-joins on the bin, so each
+# qualifying pair meets in exactly one bin. DuckDB brute-forces the
+# inequality join as ground truth.
+# =====================================================================
+@q(
+    "q48_range_join",
+    """
+    SELECT p.event_id AS p_id, e.event_id AS e_id,
+           CAST((epoch_ns(e.ts) - epoch_ns(p.ts)) // 1000000000 AS BIGINT)
+               AS delta_sec
+    FROM events p JOIN events e
+      ON p.event_type = 'purchase' AND e.event_type = 'error'
+     AND epoch_ns(e.ts) >= epoch_ns(p.ts)
+     AND epoch_ns(e.ts) <= epoch_ns(p.ts) + 300000000000
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("pts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("ts").alias("ets")
+    )
+    pairs = asof.range_join(
+        purchases, errors, left_ts="pts", right_ts="ets",
+        lower=0, upper=300_000_000_000,
+    )
+    return pairs.select(
+        "p_id", "e_id", F.expr("(ets - pts) DIV 1000000000").alias("delta_sec")
     )
 
 
