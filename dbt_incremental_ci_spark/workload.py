@@ -29,6 +29,7 @@ from dbt_incremental_ci_spark.operators import (
     packing,
     sampling,
     similarity,
+    skew,
     text,
 )
 from dbt_incremental_ci_spark.plans.recursion import (
@@ -1488,6 +1489,78 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "l_returnflag", "exact_orders", (err <= 0.05).alias("within_tolerance")
+    )
+
+
+# =====================================================================
+# Approximate quantiles with a tolerance contract (the sketch twin of
+# q46's exact path): approx_percentile is a Greenwald-Khanna mergeable
+# sketch — one partial-agg pass, no per-group sort — the right plan at
+# 100 TB. Accuracy is engine-specific, so the oracle checks the
+# CONTRACT: the approximate p50/p90 must land within the 1% rank band
+# of the exact distribution (verified in-plan against exact
+# percentiles at ranks 0.49/0.51 and 0.89/0.91).
+# =====================================================================
+@q(
+    "q49_approx_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(qty, F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx(qty, F.lit(0.9), F.lit(10000)).alias("a90"),
+        F.percentile(qty, F.lit(0.49)).alias("e49"),
+        F.percentile(qty, F.lit(0.51)).alias("e51"),
+        F.percentile(qty, F.lit(0.89)).alias("e89"),
+        F.percentile(qty, F.lit(0.91)).alias("e91"),
+    )
+    in_band = lambda a, lo, hi: (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "n",
+        in_band("a50", "e49", "e51").alias("p50_in_band"),
+        in_band("a90", "e89", "e91").alias("p90_in_band"),
+    )
+
+
+# =====================================================================
+# Skew-salted fact-to-dim join: identical semantics to the plain join
+# (the oracle IS the plain join), but the hot key's rows spread over
+# `salts` reducers — the deterministic fallback when AQE's skew split
+# can't help (shuffled-hash build, single monster key). Money math in
+# decimal before the double cast, per the determinism rules.
+# =====================================================================
+@q(
+    "q50_salted_join",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = skew.salted_join(li, part, on=["p_partkey"], salts=8)
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        d(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).alias("n_items")
     )
 
 
