@@ -190,3 +190,47 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "15 minutes",
+    lateness: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of the batch
+    ``operators.asof.range_join``): pair each left event with right
+    events on the same key arriving within ``[left_ts, left_ts +
+    upper]``.
+
+    Both sides carry a watermark and the join condition bounds the
+    time skew, which is what lets Spark EVICT join state: a buffered
+    left row can be dropped once the right watermark passes
+    ``left_ts + upper``, so state is O(events inside the watermark
+    window), not O(stream). Without the range condition a
+    stream-stream join buffers both sides forever — the unbounded
+    variant is rejected by Spark for exactly that reason.
+
+    ``how``: "inner" or "leftOuter" (outer results emit only after the
+    watermark closes the window — availableNow runs flush them).
+    Key/ts column names must differ between the two sides (rename
+    before calling) so the joined schema is unambiguous.
+    """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
+    dupes = set(left.columns) & set(right.columns)
+    if dupes:
+        raise ValueError(f"rename before joining; ambiguous columns: {sorted(dupes)}")
+    l = left.withWatermark(left_ts, lateness)
+    r = right.withWatermark(right_ts, lateness)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)

@@ -171,3 +171,44 @@ def _write_batch_users(spark, path, rows):
     spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
         1
     ).write.mode("append").parquet(path)
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch join."""
+    from dbt_incremental_ci_spark.streaming.pipeline import stream_interval_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ij_ckpt")
+    t = lambda m, s=0: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    imps = [(1, 10, t(0)), (2, 10, t(5)), (3, 20, t(6)), (4, 30, t(7))]
+    clks = [
+        (101, 10, t(4)),   # joins imp 1 (within 15m) — not imp 2 (before it)
+        (102, 10, t(12)),  # joins imps 1 and 2
+        (103, 20, t(30)),  # outside 15m of imp 3 -> no match
+        (104, 99, t(8)),   # unknown ad -> no match
+    ]
+    spark.createDataFrame(
+        imps, "imp_id long, ad_id long, its timestamp"
+    ).write.mode("overwrite").parquet(imp_dir)
+    spark.createDataFrame(
+        clks, "clk_id long, c_ad_id long, cts timestamp"
+    ).write.mode("overwrite").parquet(clk_dir)
+
+    imp_s = spark.readStream.schema("imp_id long, ad_id long, its timestamp").parquet(imp_dir)
+    clk_s = spark.readStream.schema("clk_id long, c_ad_id long, cts timestamp").parquet(clk_dir)
+    joined = stream_interval_join(
+        imp_s, clk_s, "ad_id", "c_ad_id", "its", "cts", upper="15 minutes"
+    )
+    q = (
+        joined.select("imp_id", "clk_id")
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ij_out").collect()
+    )
+    assert got == [(1, 101), (1, 102), (2, 102)]
