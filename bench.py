@@ -46,6 +46,11 @@ EXTRA_QUERIES = [
     "q43_ivf_ann_topk",
     "q44_pii_scrub",
     "q45_session_windows",
+    "q46_quantiles",
+    "q47_asof_attribution",
+    "q48_range_join",
+    "q49_approx_quantiles",
+    "q50_salted_join",
 ]
 
 
