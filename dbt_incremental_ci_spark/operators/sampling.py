@@ -69,3 +69,31 @@ def hash_split(
         )
     out = names[-1] if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, F.lit(out) if isinstance(out, str) else out)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    rate (e.g. downsample the dominant language, keep all of a rare
+    one — the standard training-mix rebalance). Same md5 variate as
+    :func:`hash_sample`, so membership is key-stable and independent
+    of partitioning; strata not listed in ``rates`` fall back to
+    ``default_rate`` (0 = drop).
+
+    Still a pure per-row filter — no shuffle, no per-group pass; the
+    rate lookup compiles to a CASE chain over the stratum column.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} out of [0,1]: {r}")
+    s = F.col(strata_col)
+    rate: Column = F.lit(float(default_rate))
+    for name, r in reversed(list(rates.items())):
+        rate = F.when(s == name, F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_uniform(key_col, salt) < rate)

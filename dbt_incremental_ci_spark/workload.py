@@ -1923,6 +1923,42 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Stratified deterministic sampling (training-mix rebalance: keep all
+# of the rare languages, downsample the dominant one). Same md5
+# variate as q41, so the DuckDB oracle replays it exactly; the rate
+# lookup is a CASE chain — still a pure per-row filter, no shuffle.
+# =====================================================================
+def _q51_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", "mix")
+    rates = ("CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 "
+             "WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0 ELSE 0.0 END")
+    return f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(SUM({u}), 6) AS u_sum
+    FROM documents WHERE {u} < {rates}
+    GROUP BY lang
+    """
+
+
+@q("q51_stratified_sample", _q51_oracle())
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    kept = sampling.stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "zh": 0.5, "de": 1.0, "fr": 1.0},
+        salt="mix",
+    )
+    u = sampling.hash_uniform("doc_id", "mix")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.round(F.sum(u), 6).alias("u_sum")
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as

@@ -135,3 +135,36 @@ def test_hash_sample_rate_monotone(spark):
     s_small = {r["k"] for r in sampling.hash_sample(df, "k", 0.1, "m").collect()}
     s_big = {r["k"] for r in sampling.hash_sample(df, "k", 0.4, "m").collect()}
     assert s_small <= s_big
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("rare").alias("g"),
+    )
+    rates = {"en": 0.2, "rare": 1.0}
+    kept = sampling.stratified_hash_sample(df, "k", "g", rates, salt="s")
+    by_g = {r["g"]: r["n"] for r in kept.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_g["rare"] == 3000  # rate 1.0 keeps every row
+    assert 120 <= by_g["en"] <= 280  # ~200 of 1000 at rate 0.2
+
+    # key-stable: same membership set regardless of partitioning
+    s1 = {r["k"] for r in kept.collect()}
+    s2 = {
+        r["k"]
+        for r in sampling.stratified_hash_sample(
+            df.repartition(17), "k", "g", rates, salt="s"
+        ).collect()
+    }
+    assert s1 == s2
+
+    # unlisted strata fall back to default_rate
+    none_kept = sampling.stratified_hash_sample(df, "k", "g", {"en": 0.2}, salt="s")
+    assert none_kept.filter(F.col("g") == "rare").count() == 0
+    # a stratum's members at rate r are a subset of hash_sample at r
+    en_only = {r["k"] for r in kept.filter(F.col("g") == "en").collect()}
+    uni = {r["k"] for r in sampling.hash_sample(df, "k", 0.2, "s").collect()}
+    assert en_only <= uni
