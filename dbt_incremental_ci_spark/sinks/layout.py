@@ -1,0 +1,94 @@
+"""Layout-aware parquet sinks: clustering for data-skipping and
+small-file compaction.
+
+At 100 TB the WRITE layout decides every future read:
+
+- **Clustering** (``write_clustered``): range-partition by the cluster
+  key, then sort within each partition. Every output file then covers
+  a narrow, mostly-disjoint key range, so parquet row-group min/max
+  stats let any later ``WHERE key ...`` scan skip whole files —
+  Catalyst's filter pushdown does the rest. This is the poor man's
+  Z-order for a single dominant predicate column (the common case);
+  multi-column Z-order curves only pay off when several independent
+  predicates share the table.
+- **Compaction** (``write_compacted``): a 100 TB table ingested by
+  many tasks degenerates into millions of KB-sized files; open/footer
+  overhead then dominates scans and driver memory (file index). We
+  size the output file count from the INPUT bytes (sum of source file
+  sizes — an upper bound on the re-encoded size, cheap to compute,
+  no extra pass) so each output file lands near ``target_mb``.
+
+Both are plain ``DataFrameWriter`` flows — no RDDs, no driver-side
+data movement; the repartition is the only shuffle and it is the
+point (it buys every later scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Upper-bound size estimate from the source files backing ``df``.
+
+    ``inputFiles`` enumerates concrete files for file-based sources —
+    metadata only, no data pass. Falls back to 0 (→ one file) for
+    non-file plans (in-memory test frames, joins of tiny seeds).
+    """
+    import os
+
+    total = 0
+    for f in df.inputFiles():
+        path = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return total
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 512,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``df`` as ~``target_mb``-sized parquet files; returns
+    the file count used. Partitioned outputs repartition on the
+    partition columns first so each hive partition is written by few
+    tasks (otherwise every task opens a writer per partition value —
+    the classic small-file explosion)."""
+    n = max(1, _input_bytes(df) // (target_mb * 1024 * 1024))
+    if partition_by:
+        out = df.repartition(int(n), *[F.col(c) for c in partition_by])
+        out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    else:
+        out = df.repartition(int(n))
+        out.write.mode(mode).parquet(path)
+    return int(n)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    target_mb: int = 512,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` range-clustered on ``cluster_cols``: file i holds
+    the i-th key range, sorted within, so min/max stats prune reads.
+    Returns the file count used."""
+    if not cluster_cols:
+        raise ValueError("cluster_cols must be non-empty")
+    n = n_files or max(1, _input_bytes(df) // (target_mb * 1024 * 1024))
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(int(n), *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return int(n)
