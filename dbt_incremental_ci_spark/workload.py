@@ -1959,6 +1959,60 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Near-dup GROUPS: connected components over the MinHash pair graph
+# (pairs alone don't dedup — transitive chains must collapse to one
+# survivor per component). Spark side: iterative min-label
+# propagation, one shuffle per round, rounds = component diameter.
+# DuckDB replays it as WITH RECURSIVE min-reachable-label over the
+# same ground-truth exact-Jaccard edges the q32 oracle brute-forces.
+# =====================================================================
+@q(
+    "q52_dedup_components",
+    r"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import components as cc
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    return cc.dedup_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as

@@ -1,0 +1,45 @@
+"""Connected components: chains (multi-round convergence), cliques,
+singletons, and the dedup survivor contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.components import (
+    connected_components,
+    dedup_components,
+)
+
+
+def test_chain_triangle_and_isolated(spark):
+    # chain 1-2-3-4-5 (diameter 4, needs several rounds),
+    # triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_components_survivors(spark):
+    df = spark.range(1, 8).select(F.col("id").alias("doc"))
+    pairs = spark.createDataFrame([(2, 5), (5, 7)], ["id_a", "id_b"])
+    out = dedup_components(df, pairs, "doc")
+    rows = {r["doc"]: (r["component"], r["is_survivor"]) for r in out.collect()}
+    # 2-5-7 collapse to component 2 with single survivor 2
+    assert rows[2] == (2, True)
+    assert rows[5] == (2, False)
+    assert rows[7] == (2, False)
+    # untouched docs are their own singleton survivors
+    for d in (1, 3, 4, 6):
+        assert rows[d] == (d, True)
+    assert sum(1 for _, s in rows.values() if s) == 5
