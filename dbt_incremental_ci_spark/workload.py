@@ -2013,6 +2013,103 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Window-function breadth: ntile quartiles, cume_dist, nth_value.
+# Ordering carries the c_custkey tiebreak on BOTH sides so tied
+# balances bucket identically; nth_value uses an explicit full frame
+# (DuckDB's default frame stops at the current row, Spark's nth_value
+# needs unbounded-following to see the 2nd row from everywhere).
+# =====================================================================
+@q(
+    "q53_window_family",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(4) OVER w AS balance_quartile,
+           ROUND(cume_dist() OVER w, 6) AS balance_cume,
+           nth_value(c_custkey, 2) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("balance_cume"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_poorest"),
+    )
+
+
+# =====================================================================
+# Set operations: INTERSECT / EXCEPT (distinct semantics both sides).
+# =====================================================================
+@q(
+    "q54_set_ops",
+    """
+    SELECT 'both' AS tag, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "nk")
+    # subtract == SQL EXCEPT (distinct semantics)
+    only = cust.subtract(supp).select(F.lit("customer_only").alias("tag"), "nk")
+    return both.unionByName(only)
+
+
+# =====================================================================
+# CUBE + grouping_id (all four grouping combinations in one pass —
+# Spark expands the cube map-side, one shuffle). gid bit order is
+# (first col = MSB) in both engines; DuckDB spells it GROUPING(a, b).
+# =====================================================================
+@q(
+    "q55_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            d(F.sum(dec("o_totalprice"))).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "total",
+            "n",
+        )
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as
