@@ -2110,6 +2110,85 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# UNPIVOT (wide → long): stack() in Spark, spelled as UNION ALL in the
+# oracle (engine-portable). Decimal-cast before the per-measure sums.
+# =====================================================================
+@q(
+    "q56_unpivot",
+    """
+    SELECT measure, CAST(SUM(v) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'extendedprice' AS measure,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem
+      UNION ALL
+      SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)),"
+            " 'discount', CAST(l_discount AS DECIMAL(18,2)),"
+            " 'tax', CAST(l_tax AS DECIMAL(18,2))) AS (measure, v)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        d(F.sum("v")).alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# =====================================================================
+# Lateral explode / unnest: tokenize documents and count word
+# frequencies per language (top-5 with deterministic tiebreak). The
+# explode is map-side — no shuffle until the count agg; DuckDB's
+# unnest over string_split_regex is the exact twin of the \s+ split.
+# =====================================================================
+@q(
+    "q57_explode_tokens",
+    r"""
+    WITH words AS (
+      SELECT lang, lower(w) AS word
+      FROM documents,
+           unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+      WHERE strlen(trim(text)) > 0
+    ),
+    counts AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM words GROUP BY lang, word
+    )
+    SELECT lang, word, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, word) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "lang",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .select("lang", F.lower("w").alias("word"))
+    )
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as
