@@ -2189,6 +2189,94 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Fuzzy entity matching: blocked levenshtein self-join (the
+# entity-resolution primitive). Blocking on nation bounds the pair
+# space to per-block quadratics (the same block-then-verify shape as
+# the LSH dedup pipelines — never an unblocked cartesian); edit
+# distance is a JVM built-in on both engines.
+# =====================================================================
+@q(
+    "q58_fuzzy_match",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
+                F.col("a.c_custkey") < F.col("b.c_custkey"),
+            ],
+        )
+        .filter(dist <= 1)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
+# =====================================================================
+# Explicit ROWS-frame windows: 7-row moving average and running sum of
+# daily revenue (the reference uses only default frames — this covers
+# the bounded-frame surface). The unpartitioned window is safe HERE
+# because it runs on the post-aggregation daily table (|days| rows,
+# thousands at any SF), never on the fact table — the same
+# aggregate-then-window shape as the reference's trend models.
+# =====================================================================
+@q(
+    "q59_moving_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+           ROUND(CAST(SUM(rev) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 4) AS cum_rev
+    FROM daily
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window sums stay DECIMAL (exact in any accumulation order /
+    # segment-tree shape); the double cast + divide happen on already-
+    # exact values, so both engines round the same number
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("day")
+    ma = w.rowsBetween(-6, Window.currentRow)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.round(
+            d(F.sum("rev").over(ma)) / F.count(F.lit(1)).over(ma), 4
+        ).alias("ma7"),
+        F.round(d(F.sum("rev").over(cum)), 4).alias("cum_rev"),
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as
