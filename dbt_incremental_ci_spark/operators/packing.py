@@ -43,14 +43,17 @@ def global_cumsum(
     )
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = ranged.withColumn("__local", F.sum(value_col).over(w))
-    totals = (
-        local.groupBy("__pid").agg(F.sum(value_col).alias("__total")).collect()
+    # exclusive prefix sum of the per-partition totals: one row per
+    # partition, so the unpartitioned window is a deliberate
+    # single-task step over O(num_partitions) rows — never data-sized.
+    # Staying in the plan (vs collect + createDataFrame) saves two
+    # driver round trips and keeps lineage in one job.
+    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__total"))
+    tw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__total").over(tw), F.lit(0)).alias("__offset"),
     )
-    offsets, acc = [], 0
-    for row in sorted(totals, key=lambda r: r["__pid"]):
-        offsets.append((row["__pid"], acc))
-        acc += row["__total"]
-    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("bigint"))
