@@ -2277,6 +2277,72 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Date-function breadth: date_trunc / add_months / last_day / datediff
+# / quarter (beyond the §2.9 shim families). Spark's date_trunc emits
+# TIMESTAMP — cast back to DATE on both sides; month addition clamps
+# month-ends identically in both engines.
+# =====================================================================
+@q(
+    "q60_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS order_month,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+               AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", day).cast("date").alias("order_month"),
+        F.add_months(day, 3).alias("plus3m"),
+        F.last_day(day).alias("month_end"),
+        F.datediff(day, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
+
+
+# =====================================================================
+# String-function breadth: lpad/rpad, split_part, instr/strpos,
+# translate, reverse, left — identical semantics across engines.
+# =====================================================================
+@q(
+    "q61_string_functions",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           split_part(p_name, ' ', 1) AS first_word,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           reverse(left(p_name, 5)) AS rev5,
+           rpad(p_type, 12, '.') AS type_padded
+    FROM part
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.split_part("p_name", F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.reverse(F.expr("left(p_name, 5)")).alias("rev5"),
+        F.rpad("p_type", 12, ".").alias("type_padded"),
+    )
+
+
 def _lsh_topk_oracle() -> str:
     """Full value oracle for the LSH ANN path: the hyperplanes are
     deterministic hash-derived constants, so they inline into SQL as
