@@ -51,6 +51,9 @@ EXTRA_QUERIES = [
     "q48_range_join",
     "q49_approx_quantiles",
     "q50_salted_join",
+    "q58_fuzzy_match",
+    "q62_tfidf_top_terms",
+    "q65_hopping_windows",
 ]
 
 

@@ -2383,3 +2383,315 @@ def _lsh_topk_oracle() -> str:
 
 
 ORACLES["q34_lsh_ann_topk"] = _lsh_topk_oracle()
+
+
+# =====================================================================
+# TF-IDF top terms per document (text-analysis breadth for the
+# training-data pipeline). Shape: explode → two hash aggs (term
+# frequency, document frequency) → join → per-doc top-k window. The
+# doc-frequency join keys on the term — vocabulary is heavy-tailed, so
+# this stays a shuffle join under AQE (broadcasting a 100 TB corpus
+# vocabulary is not an option); the corpus size N rides along as a
+# broadcast single-row cross join, never a driver-side collect.
+# Determinism: tf/doc_len/df are exact integers; ln and the divides are
+# IEEE-deterministic on them; round(…, 6) before ranking; word
+# tiebreak.
+# =====================================================================
+@q(
+    "q62_tfidf_top_terms",
+    r"""
+    WITH words AS (
+      SELECT doc_id, lower(w) AS word
+      FROM documents,
+           unnest(string_split_regex(trim(text), '\s+')) AS u(w)
+      WHERE strlen(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, word
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id
+    ),
+    dfreq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM doclen),
+    scored AS (
+      SELECT t.doc_id, t.word, t.tf,
+             ROUND((CAST(t.tf AS DOUBLE) / dl.doc_len)
+                   * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf t
+      JOIN doclen dl USING (doc_id)
+      JOIN dfreq d USING (word)
+      CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .select("doc_id", F.lower("w").alias("word"))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = doclen.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+# =====================================================================
+# Histogram binning: fixed-bound equal-width buckets as pure integer
+# arithmetic (no two-pass min/max, no sort — one hash agg at any
+# scale), plus each bucket's share of rows via a broadcast single-row
+# total (the scale-safe rewrite of `over ()`, same as q15).
+# =====================================================================
+@q(
+    "q63_histogram",
+    """
+    WITH b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(o_totalprice / 30000.0) AS INT), 0), 19)
+                 AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    agg AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(price) AS DOUBLE) AS total
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS all_n FROM agg)
+    SELECT bucket, n, total, ROUND(CAST(n AS DOUBLE) / all_n, 6) AS share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 30000.0).cast("int"), F.lit(0)),
+        F.lit(19),
+    )
+    agg = orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        d(F.sum(dec("o_totalprice"))).alias("total"),
+    )
+    tot = agg.agg(F.sum("n").alias("all_n"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "total",
+        F.round(F.col("n").cast("double") / F.col("all_n"), 6).alias("share"),
+    )
+
+
+# =====================================================================
+# Per-group z-score normalization (feature scaling for training
+# pipelines). stddev over doubles is accumulation-order-dependent, so
+# the moments are computed as EXACT integer sums (n, Σx, Σx²) — one
+# hash agg — and mean/variance derived from them in closed form; the
+# derivation is bit-identical in any engine, so z-scores hash-match
+# without tolerance. The tiny per-group moment table broadcasts back
+# onto the fact side.
+# =====================================================================
+@q(
+    "q64_zscore_normalize",
+    """
+    WITH m AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           ROUND((d.n_chars - CAST(m.s AS DOUBLE) / m.n)
+                 / NULLIF(sqrt((m.ss - CAST(m.s AS DOUBLE) * m.s / m.n)
+                               / NULLIF(m.n - 1, 0)), 0), 4) AS z
+    FROM documents d JOIN m USING (lang)
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.nullif(
+        (F.col("n") - 1).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    return docs.join(F.broadcast(m), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(
+            (F.col("n_chars") - mean) / F.nullif(F.sqrt(var), F.lit(0.0)), 4
+        ).alias("z"),
+    )
+
+
+# =====================================================================
+# Hopping (sliding) windows: 10-minute windows every 5 minutes via the
+# NATIVE F.window(…, windowDuration, slideDuration) operator — each
+# event lands in W/H = 2 windows, expanded map-side before the single
+# hash agg. events.ts arrives as raw nanoseconds (see events_table);
+# truncating to microseconds feeds Spark's timestamp windowing, and
+# the oracle replays the same epoch-µs arithmetic. Window starts are
+# emitted as epoch seconds (H divides them exactly).
+# =====================================================================
+@q(
+    "q65_hopping_windows",
+    """
+    WITH e AS (
+      SELECT epoch_ns(ts) // 1000 AS us,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    expanded AS (
+      SELECT ((us // 300000000) - k.k) * 300 AS win_start,
+             v
+      FROM e, (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT CAST(win_start AS BIGINT) AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY win_start
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    tstamp = F.timestamp_micros(F.expr("ts DIV 1000"))
+    return (
+        ev.select(tstamp.alias("t"), dec("value").alias("v"))
+        .groupBy(F.window("t", "10 minutes", "5 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            d(F.sum("v")).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# =====================================================================
+# Incremental aggregate maintenance: history and new batch are each
+# reduced to mergeable state (count + decimal sum — a commutative
+# monoid), then merged with a second O(|keys|) aggregation; avg is
+# derived at read time. At 100 TB the history state is a stored table
+# and only the batch is scanned — the oracle (one flat aggregate over
+# everything) IS the semantics being preserved. Operator:
+# operators/aggstate.py; split/merge equivalence property-tested in
+# tests.
+# =====================================================================
+@q(
+    "q66_partial_agg_merge",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import aggstate
+
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "price", dec("o_totalprice")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    measures = {"n_orders": ("count", "o_custkey"), "total_dec": ("sum", "price")}
+    history = aggstate.partial_agg(
+        orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], measures
+    )
+    batch = aggstate.partial_agg(
+        orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], measures
+    )
+    merged = aggstate.merge_partials([history, batch], ["o_custkey"], measures)
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        d(F.col("total_dec")).alias("total"),
+        # no round: the quotient of an exact decimal-derived double by an
+        # int is the same IEEE double in every engine; rounding a
+        # halfway repr is what diverges (q01's avg_qty rule)
+        (d(F.col("total_dec")) / F.col("n_orders")).alias("avg_price"),
+    )
+
+
+# =====================================================================
+# Array-function breadth over the embedding column: size / array_max /
+# array_min / array_position / slice — all JVM built-ins, no UDFs. The
+# 8-element head sum is written as explicit left-associated element
+# adds so both engines accumulate in the same order (a fold over the
+# full vector is q29's job; per-element expansion beyond ~8 terms is
+# the documented plan-bloat landmine — docs/SCALE.md).
+# =====================================================================
+@q(
+    "q67_array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           CAST(list_position(embedding, list_max(embedding)) AS INT) AS pos_max,
+           ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+                 + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+                 + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE),
+                 6) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
+    head = el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7) + el(8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.array_position("embedding", F.array_max("embedding"))
+        .cast("int")
+        .alias("pos_max"),
+        F.round(head, 6).alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
+    )

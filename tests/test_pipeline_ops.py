@@ -168,3 +168,47 @@ def test_stratified_sample_rates_and_stability(spark):
     en_only = {r["k"] for r in kept.filter(F.col("g") == "en").collect()}
     uni = {r["k"] for r in sampling.hash_sample(df, "k", 0.2, "s").collect()}
     assert en_only <= uni
+
+
+def test_partial_agg_merge_equals_full_agg(spark):
+    from dbt_incremental_ci_spark.operators import aggstate
+
+    rows = [(i % 7, float(i) + 0.25, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v double, ord int").withColumn(
+        "v", F.col("v").cast("decimal(18,2)")
+    )
+    measures = {
+        "n": ("count", "k"),
+        "s": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    full = aggstate.partial_agg(df, ["k"], measures)
+    # split three ways on an arbitrary non-key predicate, aggregate each
+    # split independently, merge — the monoid must not care how the
+    # input was split
+    splits = [
+        df.filter(F.col("ord") % 3 == i) for i in range(3)
+    ]
+    partials = [aggstate.partial_agg(s, ["k"], measures) for s in splits]
+    merged = aggstate.merge_partials(partials, ["k"], measures)
+
+    def canon(d):
+        return sorted(tuple(str(x) for x in r) for r in d.collect())
+
+    assert canon(merged) == canon(full)
+
+
+def test_merge_partials_overlapping_states(spark):
+    from dbt_incremental_ci_spark.operators import aggstate
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k int, v int"
+    )
+    measures = {"n": ("count", "k"), "s": ("sum", "v")}
+    st = aggstate.partial_agg(df, ["k"], measures)
+    # merging a state with itself doubles counts/sums (overlap is the
+    # caller's contract to avoid; the algebra itself is well-defined)
+    doubled = aggstate.merge_partials([st, st], ["k"], measures)
+    got = {r["k"]: (r["n"], r["s"]) for r in doubled.collect()}
+    assert got == {1: (4, 60), 2: (2, 10)}
