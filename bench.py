@@ -55,6 +55,8 @@ EXTRA_QUERIES = [
     "q62_tfidf_top_terms",
     "q65_hopping_windows",
     "q68_curation_pipeline",
+    "q70_hll_merge",
+    "q71_bitmap_distinct",
 ]
 
 

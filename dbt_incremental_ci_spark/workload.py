@@ -2753,6 +2753,187 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Heavy hitters via approx_top_k (Spark 4's frequent-items sketch —
+# mergeable, one pass, no global sort; the 100 TB replacement for
+# ORDER BY count DESC LIMIT k over a high-cardinality domain). The
+# sketch tracks 10k items, far above this domain's cardinality, so
+# reported counts are exact and the oracle is the exact top-k; on a
+# larger-than-tracked domain the contract would weaken to
+# within-tolerance (q40's pattern).
+# =====================================================================
+@q(
+    "q69_heavy_hitters",
+    """
+    SELECT event_type, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT event_type, COUNT(*) AS cnt,
+             row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS rnk
+      FROM events GROUP BY event_type
+    ) WHERE rnk <= 3
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    topk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    item = F.explode("tk").alias("e")
+    return (
+        topk.select(item)
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("event_type")))
+            .cast("int"),
+        )
+    )
+
+
+# =====================================================================
+# Mergeable HLL sketch state — q66's incremental-aggregate-maintenance
+# pattern extended to APPROX-DISTINCT: per-month sketches built
+# independently over history and new batch (hll_sketch_agg), merged
+# with hll_union_agg (the sketch is the monoid state; a stored state
+# table needs only the batch scanned per run), estimate checked
+# against exact COUNT(DISTINCT) with a tolerance contract (HLL lgK=12
+# rel. err ≈1.6% ≪ the 5% gate). Estimates are engine-specific, so
+# the oracle pins the exact counts + the contract boolean (q40 rule).
+# =====================================================================
+@q(
+    "q70_hll_merge",
+    """
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_tolerance
+    FROM orders GROUP BY 1
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    sketch = lambda df: df.groupBy(month.alias("month")).agg(  # noqa: E731
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    history = sketch(orders.filter(F.col("o_orderdate") < cutoff))
+    batch = sketch(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        history.unionByName(batch)
+        .groupBy("month")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_custs"))
+    )
+    exact = orders.groupBy(month.alias("month")).agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    err = F.abs(F.col("approx_custs") - F.col("exact_custs")) / F.col("exact_custs")
+    return exact.join(merged, "month").select(
+        "month", "exact_custs", (err <= 0.05).alias("within_tolerance")
+    )
+
+
+# =====================================================================
+# Bitmap-accelerated EXACT distinct (the roaring-bitmap technique of
+# Doris/ClickHouse/Databricks, on Spark built-ins): keys map to
+# (bucket, bit-position); per (group, bucket) a fixed 4 KB bitmap is
+# OR-aggregated, then bitmap_count sums per group. Two cheap hash aggs
+# — no count-distinct sort/dedup state, fully mergeable across
+# incremental batches — and the result is EXACT, so the oracle is the
+# plain COUNT(DISTINCT).
+# =====================================================================
+@q(
+    "q71_bitmap_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_suppkey)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").alias("bm"))
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_supp")
+    )
+
+
+# =====================================================================
+# Regression aggregates (regr_slope / regr_intercept / regr_r2).
+# Built-in regr_* accumulate doubles (order-dependent), so the
+# hash-compared values are closed forms over EXACT decimal moments
+# (q64's rule: n, Σx, Σy, Σxy, Σx², Σy² — decimal sums are exact in
+# any order); the built-ins are exercised in-plan and pinned to the
+# exact-moment values by 1e-6 consistency flags.
+# =====================================================================
+@q(
+    "q72_regression",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           TRUE AS regr_consistent
+    FROM m
+    """,
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        d(F.sum(x)).alias("sx"),
+        d(F.sum(y)).alias("sy"),
+        d(F.sum(x * y)).alias("sxy"),
+        d(F.sum(x * x)).alias("sxx"),
+        d(F.sum(y * y)).alias("syy"),
+        F.regr_slope(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_slope"),
+        F.regr_intercept(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "b_icpt"
+        ),
+        F.regr_r2(F.col("l_extendedprice"), F.col("l_quantity")).alias("b_r2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icpt = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    consistent = (
+        (F.abs(F.col("b_slope") - slope) < 1e-6)
+        & (F.abs(F.col("b_icpt") - icpt) < 1e-6)
+        & (F.abs(F.col("b_r2") - r2) < 1e-6)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(icpt, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        consistent.alias("regr_consistent"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
