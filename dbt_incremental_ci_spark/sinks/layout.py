@@ -92,3 +92,76 @@ def write_clustered(
         .parquet(path)
     )
     return int(n)
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bounds: dict[str, tuple[float, float]] | None = None,
+    bits: int = 16,
+) -> F.Column:
+    """Morton (Z-order) curve key over numeric ``cols`` as a pure
+    Column expression: each column is min-max scaled to ``bits`` bits,
+    then the bits are interleaved. Rows close on the curve are close
+    in EVERY clustered dimension, so per-file min/max stats stay tight
+    on all of them at once — the multi-predicate upgrade over
+    single-column range clustering (cf. Delta/Iceberg OPTIMIZE ZORDER).
+
+    ``bounds``: {col: (min, max)}. When omitted they are computed with
+    one scalar aggregate — a metadata-scale pass (same class as the
+    watermark read); at 100 TB pass table-level bounds in.
+    """
+    if bounds is None:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) or 1.0
+        s = F.least(
+            F.greatest(
+                F.floor((F.col(c).cast("double") - float(lo)) / span * top).cast(
+                    "bigint"
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(top).cast("bigint"),
+        )
+        scaled.append(s)
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    target_mb: int = 512,
+    mode: str = "overwrite",
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> int:
+    """Write ``df`` clustered along the Z-order curve of
+    ``cluster_cols``: range-partition + sort on the interleaved key, so
+    every file covers a small hyper-box and min/max pruning works for
+    predicates on ANY clustered column (tests assert the per-file range
+    shrink on the second dimension vs linear clustering)."""
+    n = n_files or max(1, _input_bytes(df) // (target_mb * 1024 * 1024))
+    key = zorder_key(df, cluster_cols, bounds=bounds)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(int(n), F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return int(n)

@@ -68,3 +68,60 @@ def test_write_compacted_partitioned(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.groupBy("p").count().count() == 3
     assert back.count() == 300
+
+
+def _file_ranges(path, col_idx):
+    ranges = []
+    for f in _files(path):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(col_idx)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_write_zordered_tight_boxes_on_both_dims(spark, tmp_path):
+    from dbt_incremental_ci_spark.sinks.layout import write_zordered
+
+    lin = str(tmp_path / "linear")
+    zo = str(tmp_path / "zorder")
+    # two independent uniform dims: linear clustering on x leaves y
+    # ranges at full width; z-order must shrink them
+    df = spark.range(0, 40000).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+    )
+    write_clustered(df, lin, ["x"], n_files=16)
+    write_zordered(df, zo, ["x", "y"], n_files=16)
+
+    def mean_span(path, idx):
+        rs = _file_ranges(path, idx)
+        return sum(hi - lo for lo, hi in rs) / len(rs)
+
+    full = 2000.0  # hash % 1000 spans (-999, 999)
+    # linear: y unclustered -> spans ~ full width
+    assert mean_span(lin, 1) > 0.8 * full
+    # z-order: both dims well under half the full span per file
+    assert mean_span(zo, 0) < 0.5 * full
+    assert mean_span(zo, 1) < 0.5 * full
+    # roundtrip: nothing lost, no helper column leaks
+    back = spark.read.parquet(zo)
+    assert back.columns == ["x", "y"]
+    assert back.count() == 40000
+
+
+def test_zorder_key_deterministic_and_bounded(spark):
+    from dbt_incremental_ci_spark.sinks.layout import zorder_key
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("x"), (99 - F.col("id")).alias("y")
+    )
+    k1 = df.select(zorder_key(df, ["x", "y"], bounds={"x": (0, 99), "y": (0, 99)}).alias("z"))
+    k2 = df.select(zorder_key(df, ["x", "y"]).alias("z"))  # derived bounds
+    assert sorted(r["z"] for r in k1.collect()) == sorted(r["z"] for r in k2.collect())
+    zs = [r["z"] for r in k1.collect()]
+    assert all(0 <= z < (1 << 32) for z in zs)
+    assert len(set(zs)) == 100
