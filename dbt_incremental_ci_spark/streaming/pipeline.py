@@ -168,13 +168,19 @@ def windowed_event_counts(
     window_duration: str = "10 minutes",
     lateness: str = "30 minutes",
     group_cols: list[str] | None = None,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation — the streaming twin of
-    the batch sessionization/trend queries. Late rows beyond the
-    watermark are dropped; state is bounded by ``lateness``."""
-    groups = [F.window(F.col(event_time_col), window_duration)] + [
-        F.col(c) for c in (group_cols or [])
-    ]
+    """Watermarked windowed aggregation — the streaming twin of the
+    batch sessionization/trend queries (tumbling) and of q65's hopping
+    windows when ``slide_duration`` is given (each event counts into
+    window/slide overlapping windows). Late rows beyond the watermark
+    are dropped; state is bounded by ``lateness`` × windows-per-event."""
+    win = (
+        F.window(F.col(event_time_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(event_time_col), window_duration)
+    )
+    groups = [win] + [F.col(c) for c in (group_cols or [])]
     return (
         stream_df.withWatermark(event_time_col, lateness)
         .groupBy(*groups)
@@ -190,6 +196,22 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast-hinted) dimension snapshot. Stateless — unlike a
+    stream-stream join there is nothing to buffer or evict, so this is
+    the right shape whenever the right side is a slowly-changing
+    reference table rather than a stream. The static side is re-read
+    every micro-batch (picks up dim updates); cache the dim DataFrame
+    to pin one snapshot instead."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
 
 
 def stream_interval_join(

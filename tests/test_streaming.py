@@ -212,3 +212,76 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         (r["imp_id"], r["clk_id"]) for r in spark.sql("SELECT * FROM ij_out").collect()
     )
     assert got == [(1, 101), (1, 102), (2, 102)]
+
+
+def test_hopping_windows_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "hop_src")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 1), 1.0),
+        (2, datetime(2024, 1, 1, 0, 7), 2.0),
+        (3, datetime(2024, 1, 1, 0, 12), 4.0),
+    ]
+    spark.createDataFrame(rows, "id long, ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, ts timestamp, value double").parquet(src)
+    out = windowed_event_counts(
+        stream, "ts", "10 minutes", "30 minutes", slide_duration="5 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].minute, r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM hop_counts").collect()
+    }
+    # each event lands in two hopping windows
+    # 0:01 -> [55',0:05) prev-hour window and [0:00,0:10)
+    # 0:07 -> [0:00,0:10) and [0:05,0:15); 0:12 -> [0:05,0:15) and [0:10,0:20)
+    assert got == {
+        (55, 1, 1.0),
+        (0, 2, 3.0),
+        (5, 2, 6.0),
+        (10, 1, 4.0),
+    }
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    from dbt_incremental_ci_spark.streaming.pipeline import enrich_stream
+
+    src = str(tmp_path / "enrich_src")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 1), 10.0),
+        (2, datetime(2024, 1, 1, 0, 2), 20.0),
+        (9, datetime(2024, 1, 1, 0, 3), 90.0),  # no dim row
+    ]
+    spark.createDataFrame(rows, "id long, ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(src)
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "id long, tier string")
+
+    stream = spark.readStream.schema("id long, ts timestamp, value double").parquet(src)
+    q = (
+        enrich_stream(stream, dim, "id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["tier"]) for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = {
+        (r["id"], r["tier"])
+        for r in enrich_stream(
+            spark.read.parquet(src), dim, "id"
+        ).collect()
+    }
+    assert got == batch == {(1, "gold"), (2, "silver"), (9, None)}
