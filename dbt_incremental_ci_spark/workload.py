@@ -2934,6 +2934,142 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# posexplode — ordinal-preserving lateral explode (token position
+# features for sequence models). Map-side expansion, no shuffle at
+# all; DuckDB replays ordinals via a two-arg list_transform lambda
+# (WITH ORDINALITY is unsupported there).
+# =====================================================================
+@q(
+    "q73_posexplode",
+    r"""
+    SELECT doc_id, CAST(e.pos AS INT) AS pos, e.tok
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split_regex(trim(text), '\s+'),
+                                   (x, i) -> {'pos': i - 1, 'tok': x})) AS e
+      FROM documents
+      WHERE strlen(trim(text)) > 0
+    )
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
+    )
+
+
+# =====================================================================
+# GROUPING SETS — the general form behind q39's ROLLUP and q55's CUBE:
+# explicitly chosen grouping combinations, one pass, grouping() flags
+# disambiguating the all-rows NULL from a real NULL.
+# =====================================================================
+@q(
+    "q74_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__q74_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __q74_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# =====================================================================
+# Null-safety scalar family: try_divide / try_cast (Spark runs ANSI
+# mode — plain ÷0 or bad casts THROW; the try_* forms return NULL,
+# which is what a 100 TB pipeline wants instead of a 3 a.m. job
+# abort), ifnull / nvl2 / nullif, null-safe equality (<=>, DuckDB
+# IS NOT DISTINCT FROM). NULLs are PLANTED (every 7th key) so every
+# branch actually fires.
+# =====================================================================
+@q(
+    "q75_null_safety",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name_opt,
+             c_acctbal, c_mktsegment
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN (c_custkey % 5) = 0 THEN NULL
+                ELSE c_acctbal / (c_custkey % 5) END AS safe_div,
+           TRY_CAST(name_opt AS INTEGER) AS name_as_int,
+           ifnull(name_opt, 'missing') AS name_or_default,
+           CASE WHEN name_opt IS NOT NULL THEN 'has' ELSE 'none' END AS name_flag,
+           nullif(c_mktsegment, 'BUILDING') AS seg_not_building,
+           (name_opt IS NOT DISTINCT FROM NULL) AS name_null_safe_eq
+    FROM c
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    name_opt = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_name")
+    )
+    return cust.select(
+        "c_custkey",
+        F.try_divide(F.col("c_acctbal"), F.col("c_custkey") % 5).alias("safe_div"),
+        name_opt.try_cast("int").alias("name_as_int"),
+        F.ifnull(name_opt, F.lit("missing")).alias("name_or_default"),
+        F.nvl2(name_opt, F.lit("has"), F.lit("none")).alias("name_flag"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_not_building"),
+        name_opt.eqNullSafe(F.lit(None).cast("string")).alias("name_null_safe_eq"),
+    )
+
+
+# =====================================================================
+# Map-type functions: build a map from columns, explode it to rows
+# (map_keys/map_values are the non-exploding forms). The driver's
+# canonicalizer can't hash map cells, so the query emits exploded
+# (key, value) rows; the oracle is the portable UNION ALL spelling.
+# =====================================================================
+@q(
+    "q76_map_functions",
+    """
+    SELECT p_partkey, 'brand' AS attr, p_brand AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'name', p_name FROM part
+    UNION ALL
+    SELECT p_partkey, 'type', p_type FROM part
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("name"), F.col("p_name"),
+        F.lit("type"), F.col("p_type"),
+    )
+    return part.select("p_partkey", F.explode(m).alias("attr", "val"))
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
