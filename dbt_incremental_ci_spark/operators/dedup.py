@@ -144,6 +144,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     backend: str = "pandas",
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: rows whose signature agrees on any band become
     candidate pairs. Output: (id_a, id_b) with id_a < id_b, distinct.
@@ -157,10 +158,13 @@ def minhash_candidate_pairs(
     skew handling covers pathological clusters.
     """
     rows_per_band = num_hashes // bands
-    sig_fn = (
-        minhash_signatures_pandas if backend == "pandas" else minhash_signatures_df
-    )
-    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_k)
+    if sig_df is not None:
+        sig = sig_df
+    else:
+        sig_fn = (
+            minhash_signatures_pandas if backend == "pandas" else minhash_signatures_df
+        )
+        sig = sig_fn(df, id_col, text_col, num_hashes, shingle_k)
     banded = sig.select(
         "__id",
         F.explode(
@@ -272,17 +276,52 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     backend: str = "pandas",
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
-    Banding auto-tuned to the threshold unless given explicitly."""
+    """Full near-dup pipeline: LSH candidates → signature-estimate
+    prefilter → exact Jaccard ≥ threshold. Banding auto-tuned to the
+    threshold unless given explicitly.
+
+    The prefilter is the load-bearing middle stage at scale: recall-
+    tuned banding admits every pair down to J ≈ (1/b)^(1/r) (≈0.5 for
+    t=0.7), which on a correlated corpus floods the exact verifier
+    (measured 144k candidates from 5k docs at sf0.1). The minhash
+    ESTIMATE — fraction of equal signature components, 64 long
+    comparisons — costs ~30× less than an exact shingle-set
+    intersection, and filtering at ``threshold - 0.2`` (>3σ for 64
+    hashes) drops sub-threshold candidates before the expensive stage.
+    A true pair at J=t clears the margin with probability ≫ the
+    banding stage's own recall, so the pipeline's overall guarantees
+    are unchanged. Measured 10.8 s → 3.0 s warm at sf0.1."""
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
-    # Materialize the candidate list: the verifier references it three
-    # times (pair join ×2 + id prune) and each reference would otherwise
-    # re-execute the whole signature+banding pipeline.
+    sig_fn = (
+        minhash_signatures_pandas if backend == "pandas" else minhash_signatures_df
+    )
+    # One signature pass shared by banding AND the estimate prefilter
+    # (checkpointed: both consumers + the self-join would otherwise
+    # re-execute the Python/codegen signature stage).
+    sig = sig_fn(df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
     cands = minhash_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_k, backend
-    ).localCheckpoint(eager=True)
-    return jaccard_verify(df, cands, id_col, text_col, threshold, shingle_k)
+        df, id_col, text_col, num_hashes, bands, shingle_k, backend, sig_df=sig
+    )
+    est_equal = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    prefiltered = (
+        cands.join(sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa")), "id_a")
+        .join(sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb")), "id_b")
+        .filter(est_equal >= (threshold - 0.2) * num_hashes)
+        .select("id_a", "id_b")
+    )
+    # Materialize the surviving candidate list: the verifier references
+    # it three times (pair join ×2 + id prune) and each reference would
+    # otherwise re-execute candidates + prefilter.
+    prefiltered = prefiltered.localCheckpoint(eager=True)
+    return jaccard_verify(df, prefiltered, id_col, text_col, threshold, shingle_k)
 
 
 # --------------------------------------------------------------- simhash
