@@ -3070,6 +3070,116 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", F.explode(m).alias("attr", "val"))
 
 
+# =====================================================================
+# Equi-depth (quantile) binning — the stats/optimizer histogram dual
+# of q63's equal-width bins: exact global quartiles (one aggregate),
+# broadcast back as a 1-row cross join, pure CASE bucketing. At scale
+# the quantile pass would use q49's GK sketch; the exact path keeps
+# the driver gate bit-deterministic (q46 proved percentile ≡
+# quantile_cont, rounded). Boundary comparison uses the ROUNDED
+# quantiles on both sides so the bucket edges are engine-identical.
+# =====================================================================
+@q(
+    "q77_equidepth_bins",
+    """
+    WITH q AS (
+      SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS q1,
+             ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS q2,
+             ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS q3
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CASE WHEN l_extendedprice < q.q1 THEN 0
+                  WHEN l_extendedprice < q.q2 THEN 1
+                  WHEN l_extendedprice < q.q3 THEN 2
+                  ELSE 3 END AS bucket,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem CROSS JOIN q
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM b GROUP BY bucket
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    qs = li.agg(
+        F.round(F.percentile(price, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(price, F.lit(0.50)), 4).alias("q2"),
+        F.round(F.percentile(price, F.lit(0.75)), 4).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("l_extendedprice") < F.col("q1"), 0)
+        .when(F.col("l_extendedprice") < F.col("q2"), 1)
+        .when(F.col("l_extendedprice") < F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        li.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d(F.sum(dec("l_extendedprice"))).alias("total"),
+        )
+    )
+
+
+# =====================================================================
+# Quality-weighted importance sampling: acceptance probability IS the
+# document's quality score (keys with better quality are kept more
+# often), driven by the same md5 uniform variate as q41/q51 — per-row
+# filter, no shuffle, key-stable across engines/reruns, exactly
+# replayable in SQL. The training-data pattern for up-weighting clean
+# text without a separate weighting pass.
+# =====================================================================
+def _q78_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("doc_id", "wsamp")
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             ROUND(0.5 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+                   + 0.5 * (CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks) ELSE 0 END)
+                   - least(CASE WHEN nc > 0
+                                THEN CAST(np AS DOUBLE) / nc ELSE 0 END,
+                           0.5), 6) AS quality
+      FROM tok
+    )
+    SELECT doc_id, lang, quality, ROUND({u}, 6) AS u_accept
+    FROM scored WHERE {u} < quality
+    """
+
+
+@q("q78_weighted_sample", _q78_oracle())
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    u = sampling.hash_uniform("doc_id", "wsamp")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(text.quality_score("text"), 6).alias("quality"),
+            F.round(u, 6).alias("u_accept"),
+            u.alias("__u"),
+        )
+        .filter(F.col("__u") < F.col("quality"))
+        .drop("__u")
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
