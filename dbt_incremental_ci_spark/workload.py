@@ -3180,6 +3180,108 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Sequential funnel (view → click → purchase, order-constrained): each
+# stage's earliest qualifying timestamp must follow the previous
+# stage's. Three filtered aggregates chained by broadcast-joinable
+# per-user minima — shuffle keys are all user_id, so AQE coalesces the
+# chain onto one exchange footprint; all arithmetic on exact nanos.
+# =====================================================================
+@q(
+    "q79_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_ns(ts)) AS tv FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    count_stage = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    ).select("stage", "n_users")
+    return (
+        count_stage(v, "view")
+        .unionByName(count_stage(c, "click_after_view"))
+        .unionByName(count_stage(p, "purchase_after_click"))
+    )
+
+
+# =====================================================================
+# Cohort retention: users bucketed by first-seen week; cells count the
+# distinct users active at each week offset. Two hash aggs (per-user
+# first week; per-cell distinct) — the standard retention-matrix plan;
+# weeks are exact integer arithmetic on the nano timeline.
+# =====================================================================
+@q(
+    "q80_cohort_retention",
+    """
+    WITH wk AS (
+      SELECT user_id,
+             epoch_ns(ts) // 604800000000000 AS week
+      FROM events
+    ),
+    first_seen AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+           CAST(w.week - f.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM wk w JOIN first_seen f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    wk = ev.select("user_id", F.expr("ts DIV 604800000000000").alias("week"))
+    first_seen = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
