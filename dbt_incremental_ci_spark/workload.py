@@ -3282,6 +3282,70 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# argmax/argmin aggregates (max_by / min_by ↔ DuckDB arg_max/arg_min):
+# which-row-wins aggregation without a window+filter detour — one hash
+# agg instead of a shuffle+sort. max_by is nondeterministic on value
+# ties, so the ordering value is a composed UNIQUE integer
+# (price-cents ⊕ orderkey) — the same rule as ranked-float tiebreaks.
+# =====================================================================
+@q(
+    "q81_argmax",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * 100000000 + o_orderkey) AS best_order,
+           arg_min(o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * 100000000 + o_orderkey) AS worst_order,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    # double→bigint casts TRUNCATE in Spark but ROUND in DuckDB; the
+    # decimal(18,2) hop is exact in both (the workload-wide dec() rule)
+    rank_key = (dec("o_totalprice") * 100).cast("bigint") * F.lit(
+        100000000
+    ) + F.col("o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", rank_key).alias("best_order"),
+        F.min_by("o_orderkey", rank_key).alias("worst_order"),
+        d(F.max(dec("o_totalprice"))).alias("best_price"),
+    )
+
+
+# =====================================================================
+# Boolean / conditional aggregate family: count_if, bool_and/bool_or
+# (every/any), conditional sums — the compact form of CASE-wrapped
+# aggregation (reference A4's pattern, first-class functions here).
+# =====================================================================
+@q(
+    "q82_bool_aggs",
+    """
+    SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS discounted_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(disc).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        d(F.sum(F.when(disc, dec("l_extendedprice")))).alias("discounted_revenue"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
