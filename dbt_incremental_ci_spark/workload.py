@@ -3346,6 +3346,45 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Context-window chunking (operators/chunking.py): fixed-size char
+# chunks via sequence → substr → posexplode — map-side row expansion,
+# zero shuffle, codegen'd; the UDTF twin is unit-tested equivalent
+# (the slow-path template for logic that truly needs Python). md5 of
+# each chunk keeps the compared payload small while pinning content.
+# =====================================================================
+@q(
+    "q83_text_chunking",
+    """
+    SELECT doc_id,
+           CAST(e.idx - 1 AS INT) AS chunk_idx,
+           md5(e.chunk) AS chunk_md5,
+           CAST(strlen(e.chunk) AS INT) AS chunk_len,
+           CAST(CEIL(strlen(text) / 200.0) AS INT) AS n_chunks
+    FROM (
+      SELECT doc_id, text,
+             unnest(list_transform(
+               generate_series(1, CAST(CEIL(strlen(text) / 200.0) AS INT)),
+               i -> {'idx': i, 'chunk': substr(text, (i - 1) * 200 + 1, 200)}
+             )) AS e
+      FROM documents WHERE strlen(text) > 0
+    )
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import chunking
+
+    docs = t(spark, sf_dir, "documents")
+    out = chunking.chunk_text(docs, "doc_id", "text", size=200)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").cast("int").alias("chunk_len"),
+        "n_chunks",
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")

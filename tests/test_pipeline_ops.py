@@ -212,3 +212,44 @@ def test_merge_partials_overlapping_states(spark):
     doubled = aggstate.merge_partials([st, st], ["k"], measures)
     got = {r["k"]: (r["n"], r["s"]) for r in doubled.collect()}
     assert got == {1: (4, 60), 2: (2, 10)}
+
+
+def test_chunk_text_expr_shapes(spark):
+    from dbt_incremental_ci_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(1, "a" * 450), (2, "xy"), (3, ""), (4, None)], "id long, text string"
+    )
+    out = chunking.chunk_text(df, "id", "text", size=200).collect()
+    got = {(r["id"], r["chunk_idx"], len(r["chunk"]), r["n_chunks"]) for r in out}
+    assert got == {(1, 0, 200, 3), (1, 1, 200, 3), (1, 2, 50, 3), (2, 0, 2, 1)}
+    # chunks reassemble the document exactly
+    body = "".join(
+        r["chunk"]
+        for r in sorted(out, key=lambda r: (r["id"], r["chunk_idx"]))
+        if r["id"] == 1
+    )
+    assert body == "a" * 450
+
+
+def test_chunk_udtf_matches_expression_path(spark):
+    from dbt_incremental_ci_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(i, ("word%d " % i) * (i * 7)) for i in range(1, 15)],
+        "id long, text string",
+    )
+    expr_rows = {
+        (r["id"], r["chunk_idx"], r["chunk"], r["n_chunks"])
+        for r in chunking.chunk_text(df, "id", "text", size=64).collect()
+    }
+    spark.udtf.register("chunk_text_udtf", chunking.make_chunk_udtf(64))
+    df.createOrReplaceTempView("__chunk_src")
+    udtf_rows = {
+        (r["id"], r["chunk_idx"], r["chunk"], r["n_chunks"])
+        for r in spark.sql(
+            "SELECT s.id, c.chunk_idx, c.chunk, c.n_chunks "
+            "FROM __chunk_src s, LATERAL chunk_text_udtf(s.text) c"
+        ).collect()
+    }
+    assert expr_rows == udtf_rows and len(expr_rows) > 0
