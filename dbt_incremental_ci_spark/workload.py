@@ -3385,6 +3385,34 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Hash / encoding function family: md5, sha2-256, base64, hex — the
+# content-addressing primitives the dedup/sampling operators build on,
+# exposed as first-class scalars. hex case differs across engines →
+# lower() on both sides.
+# =====================================================================
+@q(
+    "q84_hash_functions",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           to_base64(p_name::BLOB) AS name_b64,
+           lower(hex(p_name::BLOB)) AS name_hex
+    FROM part
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.lower(F.hex("p_name")).alias("name_hex"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
