@@ -57,6 +57,8 @@ EXTRA_QUERIES = [
     "q68_curation_pipeline",
     "q70_hll_merge",
     "q71_bitmap_distinct",
+    "q79_funnel",
+    "q83_text_chunking",
 ]
 
 

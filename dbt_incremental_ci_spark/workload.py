@@ -3413,6 +3413,50 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Numeric scalar family: pow/sqrt/exp/ln/log10, abs/sign, mod/pmod,
+# floor/ceil at scale. Transcendentals can differ in the last ulp
+# across libm implementations → round(…, 6) (the q29 cosine rule);
+# integer mod/sign/floor are exact. pmod has no DuckDB twin →
+# ((x % m) + m) % m spelling.
+# =====================================================================
+@q(
+    "q85_numeric_functions",
+    """
+    SELECT p_partkey,
+           ROUND(pow(p_size, 1.5), 6) AS size_pow,
+           ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
+           ROUND(exp(p_size / 25.0), 6) AS size_exp,
+           ROUND(ln(p_retailprice), 6) AS price_ln,
+           ROUND(log10(p_retailprice), 6) AS price_log10,
+           CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+           CAST(sign(p_size - 25) AS INT) AS size_sign,
+           CAST(p_partkey % 7 AS BIGINT) AS key_mod,
+           CAST((((p_partkey - 40) % 7) + 7) % 7 AS BIGINT) AS key_pmod,
+           CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS price_hundreds,
+           CAST(CEIL(p_retailprice / 100) AS BIGINT) AS price_hundreds_up
+    FROM part
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(F.pow("p_size", F.lit(1.5)), 6).alias("size_pow"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.exp(F.col("p_size") / 25.0), 6).alias("size_exp"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dev"),
+        F.signum(F.col("p_size") - 25).cast("int").alias("size_sign"),
+        (F.col("p_partkey") % 7).cast("bigint").alias("key_mod"),
+        F.pmod(F.col("p_partkey") - 40, F.lit(7)).cast("bigint").alias("key_pmod"),
+        F.floor(price / 100).cast("bigint").alias("price_hundreds"),
+        F.ceil(price / 100).cast("bigint").alias("price_hundreds_up"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
