@@ -3457,6 +3457,110 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Five-table star join (TPC-H Q5 shape): region→nation→customer dims
+# chained onto orders⋈lineitem facts. Every dimension side is
+# broadcast-hinted so the fact tables shuffle at most once (on the
+# orders⋈lineitem key) — the §2(SCALE) star-schema discipline in one
+# query; supplier-nation consistency predicate keeps the local-supply
+# semantics of the original.
+# =====================================================================
+@q(
+    "q86_star_join",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            d(
+                F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# Value-based RANGE window frames (q59 covered ROWS): trailing-30-day
+# revenue per day — the frame is defined by the ORDER-BY VALUE (days),
+# so gaps in the calendar shrink the window, which ROWS frames get
+# wrong. Runs on the post-aggregation daily table (q59's
+# aggregate-then-window shape); decimal window sums keep it exact.
+# =====================================================================
+@q(
+    "q87_range_frames",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS day_no,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT day_no,
+           CAST(SUM(rev) OVER (ORDER BY day_no
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS rev_30d,
+           CAST(COUNT(*) OVER (ORDER BY day_no
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS days_present_30d
+    FROM daily
+    """,
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day_no")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("day_no").rangeBetween(-29, Window.currentRow)
+    return daily.select(
+        "day_no",
+        d(F.sum("rev").over(w)).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("days_present_30d"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
