@@ -55,3 +55,41 @@ def test_incremental_merge_equals_full_build(spark, rows, split):
     # the deterministic first occurrence; key coverage is the invariant
     # the slim-CI pre-seeding relies on)
     assert inc == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=500,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    size=st.integers(min_value=1, max_value=97),
+)
+def test_chunks_reassemble_exactly(spark, texts, size):
+    """Chunking invariants for ANY size: concatenating a doc's chunks in
+    index order reproduces the document byte-for-byte; every chunk but
+    the last is exactly `size` chars; n_chunks is consistent."""
+    from dbt_incremental_ci_spark.operators import chunking
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = chunking.chunk_text(df, "id", "text", size=size).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    for i, txt in enumerate(texts):
+        if not txt:
+            assert i not in by_id
+            continue
+        got = sorted(by_id[i], key=lambda r: r["chunk_idx"])
+        assert "".join(r["chunk"] for r in got) == txt
+        assert all(len(r["chunk"]) == size for r in got[:-1])
+        expected_n = (len(txt) + size - 1) // size
+        assert {r["n_chunks"] for r in got} == {expected_n}
+        assert len(got) == expected_n
