@@ -3561,6 +3561,71 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Bigram frequency table (sequence features — the n>1 companion to
+# q57's unigram counts): adjacent-token pairs built by indexing the
+# token array (sequence → element_at ‖ element_at), exploded map-side,
+# one count agg + per-lang top-k. Docs need ≥2 tokens — guarded on
+# BOTH sides (Spark's sequence(1,0) would count DOWN, not come back
+# empty).
+# =====================================================================
+@q(
+    "q88_bigram_counts",
+    r"""
+    WITH toks AS (
+      SELECT lang,
+             list_transform(
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> ''), x -> x) AS l
+      FROM documents WHERE strlen(trim(text)) > 0
+    ),
+    bigrams AS (
+      SELECT lang, b
+      FROM (
+        SELECT lang,
+               unnest(list_transform(generate_series(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i + 1])) AS b
+        FROM toks WHERE len(l) >= 2
+      )
+    ),
+    counts AS (
+      SELECT lang, b AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bigrams GROUP BY lang, b
+    )
+    SELECT lang, bigram, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, bigram) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "")
+    base = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("lang", toks.alias("l"))
+        .filter(F.size("l") >= 2)
+    )
+    bigram = F.transform(
+        F.sequence(F.lit(1), F.size("l") - 1),
+        lambda i: F.concat(
+            F.element_at("l", i), F.lit(" "), F.element_at("l", i + 1)
+        ),
+    )
+    counts = (
+        base.select("lang", F.explode(bigram).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
