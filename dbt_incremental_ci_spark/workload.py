@@ -797,18 +797,27 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     if supports_recursive_cte(spark):
         # Spark 4+: one native recursive query — the engine unrolls the
-        # loop internally, no per-step driver round trips / checkpoints
-        part_path = os.path.join(sf_dir, "part.parquet")
+        # loop internally, no per-step driver round trips. The edge
+        # relation is projected to the key column and localCheckpoint-ed
+        # first: every recursion level re-joins it, and 11 in-memory
+        # probes beat 11 parquet re-scans (measured 2.65 s → 1.65 s
+        # warm at sf0.1; on a cluster the same trick is a cached table).
+        edges = (
+            t(spark, sf_dir, "part")
+            .select("p_partkey")
+            .localCheckpoint(eager=True)
+        )
+        edges.createOrReplaceTempView("__q24_parts")
         return spark.sql(
-            f"""
+            """
             WITH RECURSIVE chain AS (
               SELECT p_partkey, CAST(0 AS INT) AS depth,
                      CAST(p_partkey AS STRING) AS path
-              FROM parquet.`{part_path}` WHERE p_partkey = 1
+              FROM __q24_parts WHERE p_partkey = 1
               UNION ALL
               SELECT p.p_partkey, CAST(c.depth + 1 AS INT) AS depth,
                      CONCAT(c.path, '->', CAST(p.p_partkey AS STRING)) AS path
-              FROM parquet.`{part_path}` p
+              FROM __q24_parts p
               JOIN chain c ON p.p_partkey DIV 2 = c.p_partkey
               WHERE p.p_partkey > 1 AND c.depth < 10
             )
