@@ -3635,6 +3635,64 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# Regex scalar family: extract (group), extract-all count, boolean
+# match, global replace — patterns kept in the Java∩RE2∩DuckDB common
+# dialect (the q44 PII rule).
+# =====================================================================
+@q(
+    "q89_regex_functions",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+           CAST(len(regexp_extract_all(c_name, '[0-9]')) AS INT) AS n_digits,
+           regexp_matches(c_name, '^Customer') AS is_customer,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+    FROM customer
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("cust_num"),
+        F.size(F.regexp_extract_all("c_name", F.lit(r"([0-9])"), 1))
+        .cast("int")
+        .alias("n_digits"),
+        F.col("c_name").rlike("^Customer").alias("is_customer"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+    )
+
+
+# =====================================================================
+# Date formatting: Spark's SimpleDateFormat-style patterns vs DuckDB
+# strftime — different pattern languages, same rendered strings (the
+# oracle is the semantic twin, not a token-for-token copy). Day names
+# use each engine's default English locale.
+# =====================================================================
+@q(
+    "q90_date_format",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS year_month,
+           strftime(CAST(o_orderdate AS DATE), '%d') AS day_padded,
+           dayname(CAST(o_orderdate AS DATE)) AS day_name,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS iso_day
+    FROM orders
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(day, "yyyy-MM").alias("year_month"),
+        F.date_format(day, "dd").alias("day_padded"),
+        F.date_format(day, "EEEE").alias("day_name"),
+        F.date_format(day, "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
