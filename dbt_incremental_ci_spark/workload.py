@@ -3693,6 +3693,39 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# JSON function family (q31 parses with regex; this is the real JSON
+# surface): path extraction as string, schema'd from_json with typed
+# field access, missing-path → NULL, and to_json re-serialization
+# (int/string fields only — float rendering differs across engines).
+# =====================================================================
+@q(
+    "q91_json_functions",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.missing') AS missing_field,
+           to_json(struct_pack(et := event_type,
+                               k := CAST(json_extract_string(props, '$.k')
+                                         AS INTEGER))) AS rebuilt
+    FROM events
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    k_int = F.from_json("props", "k INT").getField("k")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("et"), k_int.alias("k"))
+        ).alias("rebuilt"),
+    )
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
