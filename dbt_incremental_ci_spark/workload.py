@@ -3726,6 +3726,47 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q92_oracle(bits: int = 16) -> str:
+    """DuckDB replica of sinks.layout.zorder_key: the same min-max
+    scaling and bit interleave, loop-unrolled into SQL (the q34
+    inline-the-constants technique applied to bit arithmetic)."""
+    bounds = {"p_size": (1.0, 50.0), "p_retailprice": (900.0, 2100.0)}
+    scaled = []
+    top = (1 << bits) - 1
+    for c, (lo, hi) in bounds.items():
+        span = hi - lo
+        scaled.append(
+            f"LEAST(GREATEST(CAST(FLOOR((CAST({c} AS DOUBLE) - {lo!r})"
+            f" / {span!r} * {top}) AS BIGINT), 0), {top})"
+        )
+    terms = []
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            terms.append(f"((({s} >> {i}) & 1) << {i * len(scaled) + j})")
+    return f"""
+    SELECT p_partkey, CAST({' | '.join(terms)} AS BIGINT) AS zkey
+    FROM part
+    """
+
+
+# =====================================================================
+# Z-order key as a value-oracled query (upgrades sinks/layout.py's
+# Morton curve from unit-tested to oracle-verified): fixed caller
+# bounds, 16 bits/dim, bit-for-bit interleave replicated in DuckDB.
+# =====================================================================
+@q("q92_zorder_key", _q92_oracle())
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.sinks.layout import zorder_key
+
+    part = t(spark, sf_dir, "part")
+    key = zorder_key(
+        part,
+        ["p_size", "p_retailprice"],
+        bounds={"p_size": (1.0, 50.0), "p_retailprice": (900.0, 2100.0)},
+    )
+    return part.select("p_partkey", key.alias("zkey"))
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
