@@ -3767,6 +3767,45 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select("p_partkey", key.alias("zkey"))
 
 
+# =====================================================================
+# Multimodal frame sampling (operators/multimodal.sample_frames — the
+# 1→N mapInPandas fan-out): every 64-byte chunk of the video payload
+# becomes a "frame" with a sha256[:16] digest. Oracle chunks the text
+# as VARCHAR — valid because the corpus is verified pure-ASCII (char
+# positions ≡ byte offsets, UTF-8 of ASCII ≡ the raw bytes); the
+# operator itself is byte-based.
+# =====================================================================
+@q(
+    "q93_frame_sampling",
+    """
+    SELECT doc_id AS media_id,
+           CAST(e.i - 1 AS INT) AS frame_idx,
+           substr(sha256(substr(text, (e.i - 1) * 64 + 1, 64)), 1, 16)
+               AS frame_digest
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1,
+                    CAST(CEIL(strlen(text) / 64.0) AS INT))) AS i
+      FROM documents
+      WHERE doc_id % 3 = 2 AND strlen(text) > 0
+    ) AS e(doc_id, text, i)
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import multimodal as mm
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return mm.sample_frames(media, every_n_bytes=64)
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
