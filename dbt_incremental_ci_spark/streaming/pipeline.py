@@ -131,6 +131,52 @@ def stateful_running_stats(
     )
 
 
+def running_stats_tws(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """:func:`stateful_running_stats` on the Spark 4
+    ``transformWithStateInPandas`` API (the successor to
+    ``applyInPandasWithState``: typed state variables, timers, TTL,
+    RocksDB-backed state store). Same contract — per-key running
+    (count, sum) maintained across micro-batches, one updated row per
+    key per batch — so the equivalence test pins the two APIs to each
+    other. Requires
+    ``spark.sql.streaming.stateStore.providerClass =
+    …RocksDBStateStoreProvider`` (the v2 state API's store) and a
+    working ``google.protobuf`` (the state protocol's wire format;
+    absent in this build container, so the test import-skips)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, total = (prev[0], prev[1]) if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        RunningAgg(),
+        outputStructType=f"{key_col} long, n_events long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def session_event_counts(
     stream_df: DataFrame,
     event_time_col: str = "ts",
