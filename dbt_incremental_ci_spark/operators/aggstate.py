@@ -51,6 +51,8 @@ def merge_partials(states: list[DataFrame], keys: list[str], measures: dict[str,
     care) into a single state table. Equivalent to ``partial_agg`` over
     the concatenated raw inputs; asserted by tests/test_operators.py.
     """
+    if not states:
+        raise ValueError("merge_partials needs at least one state table")
     unioned = states[0]
     for s in states[1:]:
         unioned = unioned.unionByName(s)

@@ -28,6 +28,8 @@ def chunk_text(
 ) -> DataFrame:
     """(id, chunk_idx, chunk, n_chunks) — empty/NULL texts yield no
     rows (zero-length sequence), matching the UDTF generator."""
+    if size < 1:
+        raise ValueError(f"chunk size must be >= 1, got {size}")
     n_chunks = F.ceil(F.length(text_col) / F.lit(float(size))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
