@@ -3806,6 +3806,60 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(media, every_n_bytes=64)
 
 
+# =====================================================================
+# Keyset-free pagination: ORDER BY … LIMIT … OFFSET on a unique total
+# order (the offset surface added in Spark 3.4). A global sort + skip
+# is the WRONG primitive at 100 TB (each page re-sorts; keyset
+# pagination on the ordered key is the scale path — documented here,
+# exercised as the API surface).
+# =====================================================================
+@q(
+    "q94_pagination",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+# =====================================================================
+# explode_outer — NULL-preserving lateral explode (rows with empty
+# token arrays survive with NULL, the LEFT JOIN LATERAL twin). The
+# corpus has no token-less docs, so one is PLANTED (doc_id −1, empty
+# text — the q44/q36 planted-fixture rule) so the NULL branch is
+# actually exercised and compared.
+# =====================================================================
+@q(
+    "q95_explode_outer",
+    r"""
+    SELECT d.doc_id, u.tok
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT -1, '')
+    ) d
+    LEFT JOIN LATERAL unnest(d.toks) AS u(tok) ON TRUE
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.unionByName(
+        docs.sparkSession.createDataFrame([(-1, "")], "doc_id long, text string")
+    )
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    return planted.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
 @q("q67_array_functions", _Q67_SQL)
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
