@@ -32,4 +32,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted for the
     hash-based algorithmic operators → rows-only check)."""
-    return dict(workload.ORACLES)
+    return workload.get_oracles()

@@ -41,6 +41,8 @@ are part of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,12 +151,17 @@ def range_join(
     if on:
         return left.join(right, on=on, how="inner").filter(residual)
 
-    width = int(upper - lower)
+    # Bin width must be >= the window span or a window can straddle
+    # more than two bins. ceil() guarantees that for float spans too
+    # (a truncating int() silently dropped middle-bin pairs for
+    # fractional spans, and gave width 0 for spans < 1). Exploding the
+    # full sequence [lo_bin, hi_bin] keeps correctness independent of
+    # the width choice; with width >= span that sequence has <= 2
+    # elements, so the explosion factor is unchanged.
+    width = max(1, math.ceil(upper - lower))
     lo_bin = F.floor((F.col(left_ts) + F.lit(lower)) / F.lit(width))
     hi_bin = F.floor((F.col(left_ts) + F.lit(upper)) / F.lit(width))
-    l_binned = left.withColumn(
-        "__bin", F.explode(F.array_distinct(F.array(lo_bin, hi_bin)))
-    )
+    l_binned = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
     r_binned = right.withColumn("__bin", F.floor(F.col(right_ts) / F.lit(width)))
     return (
         l_binned.join(r_binned, on="__bin", how="inner")

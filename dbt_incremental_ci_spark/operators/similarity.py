@@ -58,17 +58,36 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
+    max_pairs: int | None = 10_000_000_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor_id, cosine, rank). Self-matches
     (same id) excluded. Ties break by neighbor_id (deterministic).
     The corpus side is the big side; the query side is broadcast.
+
+    This is O(|corpus| x |queries| x dim) BY CONSTRUCTION — the
+    exactness baseline, not the scale path. When the estimated pair
+    count exceeds ``max_pairs`` it raises rather than silently planning
+    a quadratic BroadcastNestedLoopJoin over a 100 TB corpus; use
+    :func:`lsh_topk` or :func:`ivf_topk` for large corpora, or pass
+    ``max_pairs=None`` to explicitly accept the quadratic. The check
+    costs two count jobs (parquet counts are metadata-only; negligible
+    next to the cross product it guards).
     """
     from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
 
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    if max_pairs is not None:
+        pairs = emb.count() * queries.count()
+        if pairs > max_pairs:
+            raise ValueError(
+                f"brute_force_topk would score ~{pairs:,} corpus x query pairs "
+                f"(> max_pairs={max_pairs:,}). Use lsh_topk or ivf_topk for "
+                "corpora this large, or pass max_pairs=None to accept the "
+                "quadratic plan."
+            )
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("__qv"))
     # corpus side carries the O(|Q|·d) fold per row — spread it
     c = ensure_min_parallelism(

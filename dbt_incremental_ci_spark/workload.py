@@ -39,6 +39,19 @@ from dbt_incremental_ci_spark.plans.recursion import (
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Oracles whose construction is expensive (parquet I/O, Python replica
+# pipelines) register a thunk here instead of computing at import time;
+# get_oracles() materializes them once on first access.
+_LAZY_ORACLES: dict[str, Callable[[], str | None]] = {}
+
+
+def get_oracles() -> dict[str, str]:
+    """ORACLES plus lazily-built entries (memoized into ORACLES)."""
+    for name in list(_LAZY_ORACLES):
+        sql = _LAZY_ORACLES.pop(name)()
+        if sql is not None:
+            ORACLES[name] = sql
+    return dict(ORACLES)
 
 
 def q(name: str, oracle: str | None = None):
@@ -1204,9 +1217,7 @@ def _q33_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
     )
 
 
-_o33 = _q33_oracle()
-if _o33 is not None:
-    ORACLES["q33_simhash_near_dups"] = _o33
+_LAZY_ORACLES["q33_simhash_near_dups"] = _q33_oracle
 
 
 @q("q34_lsh_ann_topk")
@@ -3297,17 +3308,21 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg instead of a shuffle+sort. max_by is nondeterministic on value
 # ties, so the ordering value is a composed UNIQUE integer
 # (price-cents ⊕ orderkey) — the same rule as ranked-float tiebreaks.
+# The composition is 128-bit (Spark decimal(38,0) / DuckDB HUGEINT)
+# with a 10^12 orderkey slot: TPC-H orderkeys stay < 10^12 up to
+# ~sf150,000 (>100 TB), so the key never collides across prices at the
+# workload's target scale (a 64-bit slot of 10^8 broke at sf>=17).
 # =====================================================================
 @q(
     "q81_argmax",
     """
     SELECT o_custkey,
            arg_max(o_orderkey,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * 100000000 + o_orderkey) AS best_order,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS HUGEINT) * 1000000000000 + o_orderkey) AS best_order,
            arg_min(o_orderkey,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                       * 100000000 + o_orderkey) AS worst_order,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS HUGEINT) * 1000000000000 + o_orderkey) AS worst_order,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
     FROM orders GROUP BY o_custkey
     """,
@@ -3315,10 +3330,14 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     # double→bigint casts TRUNCATE in Spark but ROUND in DuckDB; the
-    # decimal(18,2) hop is exact in both (the workload-wide dec() rule)
-    rank_key = (dec("o_totalprice") * 100).cast("bigint") * F.lit(
-        100000000
-    ) + F.col("o_orderkey")
+    # decimal(18,2) hop is exact in both (the workload-wide dec() rule).
+    # decimal(20,0) * 13-digit literal -> decimal(34,0): exact 128-bit
+    # integer arithmetic matching DuckDB's HUGEINT composition.
+    rank_key = (
+        (dec("o_totalprice") * 100).cast("bigint").cast("decimal(20,0)")
+        * F.lit(1000000000000).cast("decimal(13,0)")
+        + F.col("o_orderkey").cast("decimal(20,0)")
+    )
     return orders.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", rank_key).alias("best_order"),
         F.min_by("o_orderkey", rank_key).alias("worst_order"),

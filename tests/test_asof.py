@@ -96,6 +96,28 @@ def test_range_join_keyed(spark):
     assert got == expect
 
 
+def test_range_join_keyless_float_span(spark):
+    """Float bounds: fractional spans must not truncate the bin width
+    (int(2.5)=2 dropped middle-bin pairs) and sub-1 spans must not hit
+    width 0. Differential vs brute cartesian + filter on a float axis."""
+    t = spark.createDataFrame(
+        [(i, i * 0.7) for i in range(40)], ["lid", "ts"]
+    )
+    q = spark.createDataFrame(
+        [(100 + i, i * 0.45) for i in range(60)], ["rid", "qts"]
+    )
+    for lo, hi in [(-1.25, 1.25), (0.1, 0.6), (-2.5, 0.0), (-0.3, 0.2)]:
+        out = range_join(t, q, left_ts="ts", right_ts="qts", lower=lo, upper=hi)
+        got = sorted((r["lid"], r["rid"]) for r in out.collect())
+        brute = sorted(
+            (lid, 100 + i)
+            for lid in range(40)
+            for i in range(60)
+            if lid * 0.7 + lo <= i * 0.45 <= lid * 0.7 + hi
+        )
+        assert got == brute, (lo, hi)
+
+
 def test_range_join_keyless_equals_cartesian_filter(spark):
     """Bucketed keyless plan == brute cartesian + filter, window fully
     inside one bucket and straddling two."""

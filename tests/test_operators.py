@@ -78,6 +78,19 @@ def test_brute_force_topk_matches_numpy(spark):
     assert got == [int(x) for x in expected]
 
 
+def test_brute_force_topk_guardrail(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], ["vec_id", "embedding"]
+    )
+    # 20 x 20 = 400 pairs > max_pairs=100 -> refuse the quadratic plan
+    with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+        similarity.brute_force_topk(df, df, k=3, max_pairs=100)
+    # explicit opt-out accepts it
+    assert similarity.brute_force_topk(df, df, k=1, max_pairs=None).count() > 0
+
+
 def test_lsh_topk_subset_of_bucket(spark):
     import numpy as np
 
