@@ -128,9 +128,14 @@ def incremental_upsert(
         # it used to live in — include those partitions in the rewrite
         # set via a semi-join of the target on the incoming keys.
         parts = new_df.select(*partition_by).distinct()
+        # No broadcast hint on the incoming key set: a backfill batch can
+        # carry a data-sized number of distinct keys, and forcing a
+        # broadcast of it would OOM the driver/executors at scale. AQE
+        # picks broadcast on its own when the batch is genuinely small;
+        # otherwise this is a shuffled left-semi join.
         stale_parts = (
             target.join(
-                F.broadcast(new_df.select(unique_key).distinct()),
+                new_df.select(unique_key).distinct(),
                 unique_key,
                 "left_semi",
             )
@@ -152,7 +157,11 @@ def incremental_upsert(
             # Dynamic overwrite only touches partitions present in the
             # written data: a partition whose every row was a moved key
             # ends up empty in `merged` and would silently keep its
-            # stale files — drop those partitions explicitly.
+            # stale files — drop those partitions explicitly. The
+            # collect() is O(emptied partitions), NOT O(rows): bounded by
+            # the partition count of the affected slice (thousands is
+            # fine; a table with 10^5+ emptied partitions in one batch
+            # should batch the DROPs through the metastore API instead).
             emptied = (
                 all_parts.exceptAll(staged.select(*partition_by).distinct()).collect()
             )

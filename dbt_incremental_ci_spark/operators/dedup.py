@@ -223,15 +223,16 @@ def jaccard_verify(
     # Only candidate rows need their gram sets — semi-join prune before
     # computing the (expensive) shingle arrays. Candidate id counts are
     # tiny relative to the corpus, so this is the difference between
-    # O(candidates) and O(corpus) verification work.
+    # O(candidates) and O(corpus) verification work. No broadcast hint:
+    # on a dup-heavy web corpus the candidate set is itself data-sized
+    # (millions of ids) and a forced broadcast would OOM; AQE broadcasts
+    # on its own when the set is actually small.
     cand_ids = (
         pairs.select(F.col("id_a").alias("__cid"))
         .union(pairs.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
-    pruned = df.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi"
-    )
+    pruned = df.join(cand_ids, F.col(id_col) == F.col("__cid"), "left_semi")
     sets_df = pruned.select(F.col(id_col).alias("__sid"), grams.alias("__set"))
     out = (
         pairs.join(sets_df.withColumnRenamed("__set", "set_a"),
