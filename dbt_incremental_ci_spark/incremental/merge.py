@@ -127,23 +127,7 @@ def incremental_upsert(
         # semester_id) must also evict its stale row from the partition
         # it used to live in — include those partitions in the rewrite
         # set via a semi-join of the target on the incoming keys.
-        parts = new_df.select(*partition_by).distinct()
-        # No broadcast hint on the incoming key set: a backfill batch can
-        # carry a data-sized number of distinct keys, and forcing a
-        # broadcast of it would OOM the driver/executors at scale. AQE
-        # picks broadcast on its own when the batch is genuinely small;
-        # otherwise this is a shuffled left-semi join.
-        stale_parts = (
-            target.join(
-                new_df.select(unique_key).distinct(),
-                unique_key,
-                "left_semi",
-            )
-            .select(*partition_by)
-            .distinct()
-        )
-        all_parts = parts.unionByName(stale_parts).distinct()
-        affected_target = target.join(F.broadcast(all_parts), partition_by, "left_semi")
+        all_parts, affected_target = merge_scope(target, new_df, unique_key, partition_by)
         merged = _merge_frames(affected_target, new_df, unique_key)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -181,6 +165,40 @@ def incremental_upsert(
     merged = _merge_frames(target, new_df, unique_key)
     _two_phase_overwrite(spark, qualified_table, merged, None)
     return "merged"
+
+
+def merge_scope(
+    target: DataFrame,
+    new_df: DataFrame,
+    unique_key: str,
+    partition_by: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """The partition-scoped merge's rewrite set: ``(all_parts,
+    affected_target)`` where ``all_parts`` is every partition value the
+    merge must rewrite (partitions receiving new rows + partitions
+    holding stale rows of moved keys) and ``affected_target`` is the
+    target slice in those partitions.
+
+    No broadcast hint on the incoming key set: a backfill batch can
+    carry a data-sized number of distinct keys, and forcing a broadcast
+    of it would OOM the driver/executors at scale. AQE picks broadcast
+    on its own when the batch is genuinely small; otherwise this is a
+    shuffled left-semi join. ``all_parts`` itself IS hinted — it is
+    O(distinct partition values), a dimension-sized set by construction.
+    """
+    parts = new_df.select(*partition_by).distinct()
+    stale_parts = (
+        target.join(
+            new_df.select(unique_key).distinct(),
+            unique_key,
+            "left_semi",
+        )
+        .select(*partition_by)
+        .distinct()
+    )
+    all_parts = parts.unionByName(stale_parts).distinct()
+    affected_target = target.join(F.broadcast(all_parts), partition_by, "left_semi")
+    return all_parts, affected_target
 
 
 def _merge_frames(target: DataFrame, new_df: DataFrame, unique_key: str | None) -> DataFrame:

@@ -146,3 +146,52 @@ def test_partitioned_merge_key_moves_partition(spark):
     }
     months = {r["month"] for r in spark.table(tgt).select("month").distinct().collect()}
     assert months == {"2024-01", "2024-03"}
+
+
+def test_large_key_batch_no_forced_broadcast(spark):
+    """A backfill batch with >=10^5 distinct keys goes through the
+    partition-scoped path with NO BroadcastExchange in the executed
+    stale-partition plan when AQE declines to broadcast (threshold -1
+    emulates a key set larger than executor memory allows) — the
+    round-2 scale fix for the forced-broadcast OOM at merge.py's
+    moved-key semi-join."""
+    from dbt_incremental_ci_spark.incremental.merge import merge_scope
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        target = spark.range(0, 200_000).select(
+            F.col("id"), (F.col("id") % 16).cast("int").alias("p"),
+            F.lit("old").alias("val"),
+        )
+        # 120k distinct keys: 100k updates + 20k inserts; key 5 moves
+        # partitions would need a different p — keep p = id % 16 so the
+        # scope is partition-complete either way.
+        batch = spark.range(100_000, 220_000).select(
+            F.col("id"), (F.col("id") % 16).cast("int").alias("p"),
+            F.lit("new").alias("val"),
+        )
+        all_parts, affected = merge_scope(target, batch, "id", ["p"])
+        # collect() (not count()) so the DataFrame's OWN QueryExecution
+        # runs — count() derives a separate plan and the adaptive plan
+        # here would never finalize
+        assert len(all_parts.collect()) == 16
+        plan = all_parts._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+
+        # end-to-end: the full merge at this key count stays correct
+        tgt = "t_inc.bigkeys"
+        spark.sql("CREATE DATABASE IF NOT EXISTS t_inc")
+        spark.sql("DROP TABLE IF EXISTS " + tgt)
+        incremental_upsert(spark, tgt, target, unique_key="id", partition_by=["p"])
+        assert (
+            incremental_upsert(spark, tgt, batch, unique_key="id", partition_by=["p"])
+            == "merged"
+        )
+        out = spark.table(tgt)
+        assert out.count() == 220_000
+        assert out.filter(F.col("val") == "new").count() == 120_000
+        assert out.filter((F.col("id") == 150_000) & (F.col("val") == "new")).count() == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -173,3 +173,27 @@ def test_recursive_loop_depth_cap(spark):
 
     out = recursive_loop(seed, step, max_iterations=10)
     assert out.count() == 11  # seed + 10 iterations, cap respected
+
+
+def test_jaccard_verify_prune_no_forced_broadcast(spark):
+    """The candidate-id semi-join prune must follow AQE's choice, not a
+    forced broadcast: on a dup-heavy corpus the candidate set is itself
+    data-sized (round-2 scale fix). threshold -1 emulates AQE declining;
+    the executed plan must then contain no BroadcastExchange at all."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("document body text number "), F.col("id")).alias("text"),
+        )
+        pairs = spark.range(0, 1000).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1000).alias("id_b")
+        )
+        out = dedup.jaccard_verify(df, pairs, "doc_id", "text", 0.0)
+        assert len(out.collect()) == 1000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
