@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_components"]
+__all__ = [
+    "connected_components",
+    "connected_components_logn",
+    "dedup_components",
+]
 
 
 def connected_components(
@@ -83,6 +87,93 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(f"components did not converge in {max_iter} rounds")
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14 §3): every node u
+    connects its strictly-larger neighbors to min(Γ(u) ∪ {u})."""
+    nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node u connects
+    its (all smaller) neighbors and itself to min(Γ(u))."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("node"), F.col("m"))
+        .where(F.col("node") != F.col("m"))
+        .unionByName(mins.select(F.col("u").alias("node"), F.col("m")))
+    )
+    return (
+        relinked.select(F.col("node").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_logn(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    Returns (node, component) like :func:`connected_components`.
+
+    Rounds are O(log n) in the component size — the high-diameter
+    complement to min-label propagation's O(diameter): a 10^4-node
+    chain converges in ~a dozen rounds here vs 10^4 label-prop rounds.
+    Per round: two groupBy-min shuffles + a join, all |E|-sized; the
+    edge frame is localCheckpointed so round N never replays rounds
+    1..N-1. Convergence = the star-edge set reaches a fixpoint
+    (``exceptAll`` emptiness on |E|-sized frames, the same scalar-probe
+    class as the min-label loop). ``stats['rounds']``, when a dict is
+    passed, records the measured round count.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    for rounds in range(1, max_iter + 1):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        converged = (
+            nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty()
+        )
+        e = nxt
+        if converged:
+            if stats is not None:
+                stats["rounds"] = rounds
+            # fixpoint e is a star forest: (node → component root) for
+            # every non-root; roots and isolated nodes label themselves
+            return all_nodes.join(
+                e, on=all_nodes.node == e.u, how="left"
+            ).select("node", F.coalesce("v", F.col("node")).alias("component"))
     raise RuntimeError(f"components did not converge in {max_iter} rounds")
 
 
