@@ -149,12 +149,20 @@ def incremental_upsert(
             emptied = (
                 all_parts.exceptAll(staged.select(*partition_by).distinct()).collect()
             )
-            for row in emptied:
-                spec = ", ".join(
-                    f"{c}={_partition_literal(row[c])}" for c in partition_by
+            # One ALTER TABLE drops many partitions — batches of 500
+            # keep the statement size bounded and cut metastore round
+            # trips from O(partitions) to O(partitions/500).
+            for i in range(0, len(emptied), 500):
+                specs = ", ".join(
+                    "PARTITION ("
+                    + ", ".join(
+                        f"{c}={_partition_literal(row[c])}" for c in partition_by
+                    )
+                    + ")"
+                    for row in emptied[i : i + 500]
                 )
                 spark.sql(
-                    f"ALTER TABLE {qualified_table} DROP IF EXISTS PARTITION ({spec})"
+                    f"ALTER TABLE {qualified_table} DROP IF EXISTS {specs}"
                 )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
