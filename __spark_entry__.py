@@ -25,8 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(workload.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered back-half first: the driver's CORRECTNESS window records
+    the first 50 entries, and round 2 already driver-verified
+    q01–q50 — leading with q51+ gets the remaining queries the same
+    driver-grade record (the committed CORRECTNESS_LOCAL artifact
+    covers all of them regardless)."""
+    items = sorted(workload.QUERIES.items())
+    back = [(k, v) for k, v in items if k >= "q51"]
+    front = [(k, v) for k, v in items if k < "q51"]
+    return dict(back + front)
 
 
 def oracle_sql() -> dict[str, str]:
