@@ -2241,36 +2241,22 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the bounded form levenshtein(l, r, k) early-exits in O(len·k) per
-    # pair (vs O(len²) unbounded) and is computed ONCE per pair via a
-    # projected column instead of once in the filter and again in the
-    # select — 23.6 s → ~1 s at sf0.1 on the ~9M blocked pairs
+    # Deletion-neighborhood (FastSS) blocking: lev(a,b) <= 1 iff the
+    # {s} ∪ del1(s) variant sets intersect, so the plan is one shuffle
+    # on (nation, variant) + bounded levenshtein verify on candidates —
+    # LINEAR in rows where the old per-nation all-pairs broadcast was
+    # quadratic in block size (49.7× wall for the 10× sf1 step; this
+    # plan steps ~linearly). Semantics identical to the oracle's
+    # all-pairs SQL — blocking is exact for edit distance 1.
+    from dbt_incremental_ci_spark.operators.fuzzy import edit_distance_pairs
     from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
 
-    cust = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", "c_name"
+    cust = ensure_min_parallelism(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
     )
-    # probe side carries the per-pair levenshtein work — spread it across
-    # cores (single-row-group scans plan as ONE task locally; no-op on a
-    # real cluster). The build side broadcasts.
-    a = ensure_min_parallelism(cust).alias("a")
-    b = cust.alias("b")
-    bounded = F.expr("levenshtein(a.c_name, b.c_name, 1)")
-    return (
-        a.join(
-            F.broadcast(b),
-            on=[
-                F.col("a.c_nationkey") == F.col("b.c_nationkey"),
-                F.col("a.c_custkey") < F.col("b.c_custkey"),
-            ],
-        )
-        .select(
-            F.col("a.c_custkey").alias("id_a"),
-            F.col("b.c_custkey").alias("id_b"),
-            bounded.cast("int").alias("dist"),
-        )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
-    )
+    return edit_distance_pairs(
+        cust, "c_custkey", "c_name", block_cols=["c_nationkey"]
+    ).select("id_a", "id_b", "dist")
 
 
 # =====================================================================

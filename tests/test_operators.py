@@ -197,3 +197,63 @@ def test_jaccard_verify_prune_no_forced_broadcast(spark):
         assert "BroadcastExchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_edit_distance_pairs_exact_neighborhood(spark):
+    """Deletion-neighborhood blocking is EXACT for lev<=1: identity,
+    substitution, insertion/deletion pairs all found; lev=2 pairs and
+    cross-block pairs excluded."""
+    from dbt_incremental_ci_spark.operators import fuzzy
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "smith"),
+            (2, 1, "smith"),   # identical        -> dist 0
+            (3, 1, "smyth"),   # substitution     -> dist 1 vs 1,2
+            (4, 1, "smiths"),  # insertion        -> dist 1 vs 1,2
+            (5, 1, "smythe"),  # dist 1 vs 3 (insertion); dist 2 vs 1,4 (excluded)
+            (6, 1, "jones"),   # unrelated
+            (7, 2, "smith"),   # other block: no cross-block pairs
+        ],
+        ["id", "blk", "name"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy.edit_distance_pairs(
+            df, "id", "name", block_cols=["blk"]
+        ).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1, (1, 4): 1, (2, 4): 1,
+                   (3, 5): 1}
+
+    # exhaustive agreement with the quadratic plan on a generated corpus
+    words = [(i, 0, w) for i, w in enumerate(
+        ["abcde", "abde", "abcdee", "xbcde", "abcdx", "abcd", "zzzzz"])]
+    df2 = spark.createDataFrame(words, ["id", "blk", "name"])
+    fast = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy.edit_distance_pairs(df2, "id", "name").collect()
+    }
+    a, b = df2.alias("a"), df2.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr("levenshtein(a.name, b.name, 1)").cast("int").alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+        .collect()
+    }
+    assert fast == brute
+
+
+def test_edit_distance_pairs_rejects_unsupported_radius(spark):
+    from dbt_incremental_ci_spark.operators import fuzzy
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_dist=1"):
+        fuzzy.edit_distance_pairs(df, "id", "name", max_dist=2)
