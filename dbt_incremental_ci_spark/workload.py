@@ -1304,31 +1304,41 @@ def _q36_perturbed_union(emb: DataFrame) -> DataFrame:
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     unioned = _q36_perturbed_union(emb)
-    # 6 planes = 64 blocks: pair count (quadratic in block size) drops
-    # 8× vs 3 planes for a few percent recall on the planted twins —
-    # the standard LSH dial, and the oracle replays the same blocking
-    blocked = unioned.withColumn(
-        "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=6)
-    )
-    return dedup.embedding_near_dup_pairs(
-        blocked, "vec_id", "embedding", threshold=0.95, block_col="bucket"
+    # Banded SRP-LSH (4 bands × adaptive planes): fixed-plane blocking
+    # was quadratic in scale (26.6× wall for the 10× sf1 step); the
+    # adaptive plane count keeps expected bucket size ~64 at any n and
+    # banding keeps recall up as planes grow. At every correctness SF
+    # (sf0.001/0.01/0.1) adaptive resolves to the clamp floor of 6
+    # planes — exactly what the DuckDB oracle inlines.
+    return dedup.embedding_near_dup_pairs_banded(
+        unioned, "vec_id", "embedding", dim=64, threshold=0.95,
+        bands=4, planes_per_band=None, target_block=64, seed=42,
     )
 
 
 def _q36_oracle() -> str:
     """DuckDB replica of q36: same planted twins, same inlined
-    hyperplanes (q34 technique), same L2-normalize-then-dot cosine and
-    per-bucket self-join — value-exact, including LSH recall behavior."""
+    hyperplanes per band (q34 technique), same L2-normalize-then-dot
+    cosine; candidates = pairs agreeing in ANY of the 4 bands (OR-join
+    twin of the banded explode) — value-exact, including LSH recall
+    behavior. Inlines 6 planes per band: the adaptive plane count
+    resolves to its clamp floor of 6 at every correctness SF."""
     from dbt_incremental_ci_spark.operators.similarity import _hyperplane
 
     def arr(plane: list[float]) -> str:
         return "[" + ",".join(repr(x) for x in plane) + "]"
 
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {arr(_hyperplane(64, p, 42))})"
-        f" >= 0 THEN {1 << p} ELSE 0 END)"
-        for p in range(6)
+    def bucket_terms(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {arr(_hyperplane(64, p, 42 + 1000 * band))})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        )
+
+    bkt_cols = ",\n                 ".join(
+        f"({bucket_terms(band)}) AS bkt{band}" for band in range(4)
     )
+    any_band = " OR ".join(f"a.bkt{band} = x.bkt{band}" for band in range(4))
     return f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     twins AS (
@@ -1340,11 +1350,11 @@ def _q36_oracle() -> str:
     u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
     b AS (SELECT vec_id,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v,
-                 ({bucket_terms}) AS bkt
+                 {bkt_cols}
           FROM u)
     SELECT a.vec_id AS id_a, x.vec_id AS id_b,
            ROUND(list_dot_product(a.v, x.v), 6) AS cosine
-    FROM b a JOIN b x ON a.vec_id < x.vec_id AND a.bkt = x.bkt
+    FROM b a JOIN b x ON a.vec_id < x.vec_id AND ({any_band})
     WHERE ROUND(list_dot_product(a.v, x.v), 6) >= 0.95
     """
 

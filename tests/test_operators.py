@@ -257,3 +257,40 @@ def test_edit_distance_pairs_rejects_unsupported_radius(spark):
 
     with _pytest.raises(ValueError, match="max_dist=1"):
         fuzzy.edit_distance_pairs(df, "id", "name", max_dist=2)
+
+
+def test_adaptive_n_planes_growth():
+    from dbt_incremental_ci_spark.operators.dedup import adaptive_n_planes
+
+    assert adaptive_n_planes(0) == 6
+    assert adaptive_n_planes(2_100) == 6        # every correctness SF -> floor
+    assert adaptive_n_planes(20_050) == 9       # sf1 replica
+    assert adaptive_n_planes(64 * 2**16) == 16  # clamped at hi
+    # expected bucket size stays ~target as n grows 10x
+    assert adaptive_n_planes(200_000) - adaptive_n_planes(20_000) in (3, 4)
+
+
+def test_banded_lsh_superset_of_single_band(spark):
+    """Banding only ever ADDS recall: band 0 replays the single-band
+    blocking (same seed), so after the exact-cosine verify the banded
+    result is a superset of the single-band result."""
+    from dbt_incremental_ci_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = emb.withColumn(
+        "bucket", similarity.hyperplane_bucket("embedding", dim=64, n_planes=6)
+    )
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            single, "vec_id", "embedding", threshold=0.5, block_col="bucket"
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_banded(
+            emb, "vec_id", "embedding", dim=64, threshold=0.5,
+            bands=4, planes_per_band=6,
+        ).collect()
+    }
+    assert base <= banded
