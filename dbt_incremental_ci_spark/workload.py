@@ -1320,9 +1320,13 @@ def _q36_oracle() -> str:
     """DuckDB replica of q36: same planted twins, same inlined
     hyperplanes per band (q34 technique), same L2-normalize-then-dot
     cosine; candidates = pairs agreeing in ANY of the 4 bands (OR-join
-    twin of the banded explode) — value-exact, including LSH recall
-    behavior. Inlines 6 planes per band: the adaptive plane count
-    resolves to its clamp floor of 6 at every correctness SF."""
+    twin of the banded explode), then the same hamming-estimate
+    prefilter over all 24 sign bits (bit_count(xor) ≤ ham_max) the
+    operator applies before its exact verify — value-exact, including
+    LSH recall behavior. Inlines 6 planes per band: the adaptive plane
+    count resolves to its clamp floor of 6 at every correctness SF."""
+    import math
+
     from dbt_incremental_ci_spark.operators.similarity import _hyperplane
 
     def arr(plane: list[float]) -> str:
@@ -1339,6 +1343,13 @@ def _q36_oracle() -> str:
         f"({bucket_terms(band)}) AS bkt{band}" for band in range(4)
     )
     any_band = " OR ".join(f"a.bkt{band} = x.bkt{band}" for band in range(4))
+    # same ham_max formula as embedding_near_dup_pairs_banded:
+    # bands=4 × planes=6 bits, frac = min(0.45, 2.5·acos(0.95)/π)
+    ham_max = int(4 * 6 * min(0.45, 2.5 * math.acos(0.95) / math.pi))
+    ham_sum = " + ".join(
+        f"bit_count(xor(a.bkt{band}::BIGINT, x.bkt{band}::BIGINT))"
+        for band in range(4)
+    )
     return f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     twins AS (
@@ -1355,7 +1366,8 @@ def _q36_oracle() -> str:
     SELECT a.vec_id AS id_a, x.vec_id AS id_b,
            ROUND(list_dot_product(a.v, x.v), 6) AS cosine
     FROM b a JOIN b x ON a.vec_id < x.vec_id AND ({any_band})
-    WHERE ROUND(list_dot_product(a.v, x.v), 6) >= 0.95
+    WHERE {ham_sum} <= {ham_max}
+      AND ROUND(list_dot_product(a.v, x.v), 6) >= 0.95
     """
 
 
