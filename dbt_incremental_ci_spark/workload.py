@@ -3961,3 +3961,69 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pages[1:]:
         out = out.unionByName(p)
     return out
+
+
+# =====================================================================
+# Benchmark decontamination: the n-gram-overlap hygiene step every
+# pre-training corpus runs against its eval suites. Eval set = every
+# 41st document (held OUT of the corpus); contamination is planted the
+# q36-twin way — each eval doc re-enters the corpus under id+2000000
+# with a prefix, so its interior 5-grams still overlap. A doc is
+# flagged when it shares >= 3 distinct word 5-grams with ANY eval doc.
+# Value-exact oracle: same shingling, same plant, joined on the n-gram
+# string (Spark joins on xxhash64 of the same string — equal up to
+# 2^-64 collisions).
+# =====================================================================
+@q(
+    "q97_decontamination",
+    """
+    WITH evals AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+    corp AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'copied from benchmark : ' || text AS text
+      FROM evals
+    ),
+    cng AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 4)),
+                 i -> array_to_string(toks[i:i+4], ' '))) AS ng
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM corp))
+    ),
+    eng AS (
+      SELECT DISTINCT ng FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 4)),
+                 i -> array_to_string(toks[i:i+4], ' '))) AS ng
+        FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM evals))
+    )
+    SELECT doc_id, count(*) AS overlap_ngrams
+    FROM cng JOIN eng USING (ng)
+    GROUP BY doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import decontam
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0).unionByName(
+        evals.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.lit("copied from benchmark : "), F.col("text")).alias(
+                "text"
+            ),
+        )
+    )
+    return decontam.contaminated(
+        corpus, evals, id_col="doc_id", text_col="text", n=5, min_overlap=3
+    )

@@ -294,3 +294,53 @@ def test_banded_lsh_superset_of_single_band(spark):
         ).collect()
     }
     assert base <= banded
+
+
+def test_decontamination_flags_planted_and_cleans(spark):
+    """Planted near-copies of eval docs are flagged; decontaminate()
+    drops exactly the flagged ids; sub-n-token docs shingle to empty."""
+    from dbt_incremental_ci_spark.operators import decontam
+
+    evals = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-copy: shares interior 5-grams despite the prefix
+            (10, "copied alpha beta gamma delta epsilon zeta eta theta"),
+            # unrelated
+            (11, "one two three four five six seven eight nine"),
+            # too short for any 5-gram
+            (12, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {
+        r["doc_id"]: r["overlap_ngrams"]
+        for r in decontam.contaminated(
+            corpus, evals, n=5, min_overlap=3
+        ).collect()
+    }
+    assert set(flagged) == {10}
+    assert flagged[10] == 4  # 8-token eval doc has 4 distinct 5-grams
+    clean = {
+        r["doc_id"]
+        for r in decontam.decontaminate(corpus, evals, n=5, min_overlap=3)
+        .select("doc_id")
+        .collect()
+    }
+    assert clean == {11, 12}
+
+
+def test_word_ngrams_edges(spark):
+    from dbt_incremental_ci_spark.operators.decontam import word_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a b c",), ("  padded   spaces  here now  ",), ("",)], ["t"]
+    )
+    rows = df.select(word_ngrams("t", 2).alias("ng")).collect()
+    assert rows[0]["ng"] == ["a b", "b c"]
+    assert rows[1]["ng"] == ["padded spaces", "spaces here", "here now"]
+    assert rows[2]["ng"] == []
