@@ -152,3 +152,117 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Array of space-joined word bigrams; < 2 tokens → empty array."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram_fraction(text: Column | str) -> Column:
+    """Occurrences of the most frequent word bigram / total bigrams
+    (0.0 when fewer than 2 tokens) — the Gopher-style repetition
+    signal. Count fraction rather than character fraction: the count
+    is tie-free (the max is unique even when several bigrams share
+    it), so the metric stays deterministic for the value oracle.
+    Per-row O(distinct²) array work — bounded by document length,
+    embarrassingly parallel, no shuffle."""
+    bg = word_bigrams(text)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda x: F.size(F.filter(bg, lambda y: y == x)),
+        )
+    )
+    return F.when(
+        F.size(bg) > 0, top.cast("double") / F.size(bg)
+    ).otherwise(0.0)
+
+
+def dup_word_fraction(text: Column | str) -> Column:
+    """1 − distinct/total tokens (0.0 for empty docs)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(0.0)
+
+
+def mean_word_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / F.size(toks),
+    ).otherwise(0.0)
+
+
+def alpha_word_fraction(text: Column | str) -> Column:
+    """Fraction of tokens containing at least one ASCII letter."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / F.size(toks),
+    ).otherwise(0.0)
+
+
+def symbol_to_word_ratio(text: Column | str) -> Column:
+    """Hash/ellipsis-class symbol chars per token (Gopher's
+    symbol-to-word rule; symbols = '#' and '.')."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(text)
+    n_sym = F.length(F.regexp_replace(c, r"[^#.]", ""))
+    return F.when(
+        F.size(toks) > 0, n_sym.cast("double") / F.size(toks)
+    ).otherwise(0.0)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.08,
+    word_len_bounds: tuple[float, float] = (3.0, 10.0),
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_to_word: float = 0.1,
+) -> DataFrame:
+    """Gopher-style repetition/quality rule suite as columns plus a
+    combined ``gopher_keep`` flag.
+
+    Every rule is a pure per-row Column expression — at 100 TB this is
+    a map-only pass fused into the scan, no shuffle, no Python. The
+    rule set follows the published Gopher filters (doc length, mean
+    word length bounds, symbol-to-word ratio, alphabetic-word
+    fraction, duplicate/top-n-gram repetition); thresholds are
+    parameters because every corpus tunes them.
+    """
+    t = text_col
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.round(dup_word_fraction(t), 6).alias("dup_word_frac"),
+        F.round(top_bigram_fraction(t), 6).alias("top_bigram_frac"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(alpha_word_fraction(t), 6).alias("alpha_word_frac"),
+        F.round(symbol_to_word_ratio(t), 6).alias("symbol_to_word"),
+    ).withColumn(
+        "gopher_keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & F.col("mean_word_len").between(*word_len_bounds)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("symbol_to_word") <= max_symbol_to_word),
+    )

@@ -4027,3 +4027,65 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.contaminated(
         corpus, evals, id_col="doc_id", text_col="text", n=5, min_overlap=3
     )
+
+
+# =====================================================================
+# Gopher-style repetition/quality filter suite: published pre-training
+# heuristics (doc length, duplicate-word fraction, top-bigram
+# repetition, mean word length, alphabetic-word fraction,
+# symbol-to-word ratio) as pure per-row expressions — a map-only pass
+# fused into the scan at any scale. Full value oracle: every metric
+# and the combined keep flag replicated in DuckDB list functions.
+# Count-fraction (not char-fraction) for the top-bigram rule keeps the
+# metric tie-free and deterministic.
+# =====================================================================
+@q(
+    "q98_gopher_quality",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END, 6) AS dup_word_frac,
+        ROUND(CASE WHEN len(toks) >= 2 THEN (
+          SELECT list_max(list_transform(list_distinct(bgs),
+                          x -> len(list_filter(bgs, y -> y = x))))::DOUBLE
+                 / len(bgs)
+          FROM (SELECT list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bgs)
+        ) ELSE 0.0 END, 6) AS top_bigram_frac,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END, 6) AS mean_word_len,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks,
+                       t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END, 6) AS alpha_word_frac,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(regexp_replace(text, '[^#.]', '', 'g'))::DOUBLE
+                   / len(toks)
+              ELSE 0.0 END, 6) AS symbol_to_word
+      FROM tk
+    )
+    SELECT *,
+           (n_tokens >= 20 AND dup_word_frac <= 0.6
+            AND top_bigram_frac <= 0.08
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_frac >= 0.8
+            AND symbol_to_word <= 0.1) AS gopher_keep
+    FROM m
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.gopher_quality(docs).drop("text")

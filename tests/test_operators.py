@@ -344,3 +344,35 @@ def test_word_ngrams_edges(spark):
     assert rows[0]["ng"] == ["a b", "b c"]
     assert rows[1]["ng"] == ["padded spaces", "spaces here", "here now"]
     assert rows[2]["ng"] == []
+
+
+def test_gopher_quality_rules(spark):
+    """Each rule flags its planted pathological doc; a clean doc passes."""
+    from dbt_incremental_ci_spark.operators import text as T
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog while seven wise "
+        "owls watch from tall oak trees near running water and sing "
+        "gentle evening songs about distant mountain villages"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                   # passes all rules
+            (2, "spam ham " * 30),                        # dup words + top bigram
+            (3, "word " + "### #### ##### " * 10),        # symbols
+            (4, "too short"),                             # min tokens
+            (5, "aa " * 25),                              # mean word len < 3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in T.gopher_quality(docs).collect()}
+    assert out[1]["gopher_keep"] is True
+    assert out[2]["gopher_keep"] is False
+    assert out[2]["dup_word_frac"] > 0.9
+    # "spam ham"×30 alternates two bigrams: top one holds 30 of 59
+    assert out[2]["top_bigram_frac"] > 0.5
+    assert out[3]["gopher_keep"] is False
+    assert out[3]["symbol_to_word"] > 0.1
+    assert out[4]["gopher_keep"] is False
+    assert out[5]["gopher_keep"] is False
+    assert out[5]["mean_word_len"] == 2.0
