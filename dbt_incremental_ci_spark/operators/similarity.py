@@ -424,3 +424,191 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (cf. Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", and the FAISS PQ
+# scan). The 100 TB story: each 64-double vector compresses map-side
+# to m small codes (here 8 codes of 3 bits — the scan side carries 8
+# ints instead of 64 doubles, a 64× payload cut); queries precompute a
+# per-subspace lookup table once and score every corpus code with m
+# table lookups — no per-pair dot products at all.
+# ---------------------------------------------------------------------
+def pq_codebooks(
+    dim: int, m: int = 8, ks: int = 8, seed: int = 11, scale: float = 0.25
+) -> list[list[list[float]]]:
+    """Deterministic hash-derived codebooks: m subspaces × ks codewords
+    × (dim/m) components, scaled into the data range. Like
+    :func:`ivf_centroid`, these keep every result value-reproducible
+    with zero training state; :func:`train_pq_codebooks` fits real
+    ones from a sample."""
+    sub = dim // m
+    return [
+        [
+            [scale * x for x in _hyperplane(sub, j * 1000 + c, seed * 101)]
+            for c in range(ks)
+        ]
+        for j in range(m)
+    ]
+
+
+def _sq_dist_literal(subvec: Column, codeword: list[float]) -> Column:
+    """round(||subvec − codeword||², 9) against a literal codeword —
+    rounded so argmin ties resolve identically in Spark and DuckDB
+    (same convention as the IVF assignment)."""
+    lit = F.array(*[F.lit(x) for x in codeword])
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                subvec, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def pq_encode(
+    vec_col: Column | str,
+    dim: int,
+    m: int = 8,
+    ks: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 11,
+) -> Column:
+    """array<int> of m codes: per subspace, the index of the nearest
+    codeword (first-index tie-break via array_position of the rounded
+    min). Pure Column expressions — the encode is a map-only pass."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed)
+    sub = dim // m
+    codes = []
+    for j in range(m):
+        subvec = F.slice(v, j * sub + 1, sub)
+        dists = F.array(*[_sq_dist_literal(subvec, cw) for cw in cbs[j]])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_lut(
+    vec_col: Column | str,
+    dim: int,
+    m: int = 8,
+    ks: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 11,
+) -> Column:
+    """array<array<double>> ADC lookup table for a QUERY vector:
+    lut[j][c] = round(||q_sub_j − codeword_jc||², 9)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed)
+    sub = dim // m
+    return F.array(
+        *[
+            F.array(*[_sq_dist_literal(F.slice(v, j * sub + 1, sub), cw) for cw in cbs[j]])
+            for j in range(m)
+        ]
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: encode the corpus
+    map-side, broadcast the (small) query set with per-query LUTs, and
+    score each corpus code with m table lookups — the compressed-
+    domain linear scan. Output: (query_id, neighbor_id, approx_dist
+    ASC, rank), self-pairs excluded, ties on neighbor_id.
+
+    The scan never touches the original vectors: at 100 TB the code
+    table is ~64× smaller than the embedding column, and re-ranking
+    survivors against full vectors (fetch-back join on id) is the
+    standard second stage when exactness matters."""
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    cbs = codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed)
+    c = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_encode(vec_col, dim, m, ks, cbs).alias("__code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_lut(vec_col, dim, m, ks, cbs).alias("__lut"),
+    )
+    approx = F.element_at(F.element_at("__lut", 1), F.element_at("__code", 1) + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(
+            F.element_at("__lut", j + 1), F.element_at("__code", j + 1) + 1
+        )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(approx, 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 8,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    iters: int = 10,
+    seed: int = 11,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks with per-subspace k-means over a bounded,
+    deterministic sample (same 100 TB shape as
+    :func:`train_ivf_centroids`: hash-ordered TakeOrderedAndProject
+    sample, driver-side numpy on the sample only, literals shipped
+    back into the plan)."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .withColumn("__h", F.xxhash64(F.col("__v").cast("string")))
+        .orderBy("__h")
+        .limit(sample_cap)
+        .select("__v")
+        .collect()
+    )
+    X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < ks:
+        raise ValueError(f"need at least ks={ks} sample vectors, got {X.shape[0]}")
+    sub = dim // m
+    out: list[list[list[float]]] = []
+    rng = np.random.default_rng(seed)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        centers = S[rng.choice(S.shape[0], size=ks, replace=False)].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for cidx in range(ks):
+                mask = assign == cidx
+                if mask.any():
+                    centers[cidx] = S[mask].mean(axis=0)
+        out.append([[float(x) for x in row] for row in centers])
+    return out

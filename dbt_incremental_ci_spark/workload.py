@@ -4089,3 +4089,62 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.gopher_quality(docs).drop("text")
+
+
+# =====================================================================
+# Product-quantization ADC top-k (Jégou et al.; FAISS PQ scan shape):
+# the corpus compresses map-side to m=8 codes (ks=8 codewords per
+# subspace — the scan side carries 8 ints instead of 64 doubles),
+# queries precompute per-subspace lookup tables, and scoring is m
+# table lookups per corpus code — no per-pair dot products. Codebooks
+# are the deterministic hash-derived defaults so the full pipeline
+# (encode, LUT, ADC sum, rank) replays value-exactly in DuckDB with
+# inlined codeword literals; train_pq_codebooks() is the fitted path
+# (recall-tested in units, same contract as trained IVF).
+# =====================================================================
+def _q99_oracle(dim: int = 64, m: int = 8, ks: int = 8) -> str:
+    from dbt_incremental_ci_spark.operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(dim, m, ks)
+    sub = dim // m
+
+    def arr(vec: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    def dists(j: int, src: str) -> str:
+        terms = ", ".join(
+            f"ROUND(list_sum(list_transform(generate_series(1, {sub}), "
+            f"i -> ({src}[{j * sub}+i] - ({arr(cbs[j][c])})[i])"
+            f" * ({src}[{j * sub}+i] - ({arr(cbs[j][c])})[i]))), 9)"
+            for c in range(ks)
+        )
+        return f"[{terms}]"
+
+    code_cols = ", ".join(
+        f"list_position({dists(j, 'v')}, list_min({dists(j, 'v')})) AS c{j}"
+        for j in range(m)
+    )
+    lut_cols = ", ".join(f"{dists(j, 'v')} AS l{j}" for j in range(m))
+    adc = " + ".join(f"q.l{j}[c.c{j}]" for j in range(m))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, {code_cols} FROM e),
+    q AS (SELECT vec_id AS query_id, {lut_cols} FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id, ROUND({adc}, 6) AS approx_dist
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@q("q99_pq_adc_topk", _q99_oracle())
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk(emb, queries, k=5, dim=64, m=8, ks=8)

@@ -376,3 +376,67 @@ def test_gopher_quality_rules(spark):
     assert out[4]["gopher_keep"] is False
     assert out[5]["gopher_keep"] is False
     assert out[5]["mean_word_len"] == 2.0
+
+
+def test_pq_encode_and_adc(spark):
+    """Codes are in range, deterministic, and ADC ranks the exact
+    nearest neighbor first on well-separated clusters."""
+    from pyspark.sql import functions as F
+    from dbt_incremental_ci_spark.operators import similarity as S
+
+    # two tight clusters far apart: PQ must keep them separated
+    base_a = [0.2] * 64
+    base_b = [-0.2] * 64
+    rows = []
+    for i in range(6):
+        eps = 0.001 * i
+        rows.append((i, [x + eps for x in base_a]))
+        rows.append((100 + i, [x - eps for x in base_b]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = emb.select(
+        "vec_id", S.pq_encode("embedding", dim=64, m=8, ks=8).alias("code")
+    ).collect()
+    for r in codes:
+        assert len(r["code"]) == 8
+        assert all(0 <= c < 8 for c in r["code"])
+    by_id = {r["vec_id"]: tuple(r["code"]) for r in codes}
+    # same-cluster vectors encode identically; clusters differ
+    assert by_id[0] == by_id[5]
+    assert by_id[100] == by_id[105]
+
+    out = S.pq_adc_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, dim=64, m=8, ks=8
+    ).collect()
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # all five same-cluster neighbors outrank every cross-cluster vector
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_train_pq_codebooks_beats_hash_on_clusters(spark):
+    """Trained codebooks reconstruct clustered data with far lower
+    quantization error than the hash-derived defaults."""
+    import numpy as np
+    from dbt_incremental_ci_spark.operators import similarity as S
+
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-0.4, 0.4, size=(4, 64))
+    X = np.vstack([c + rng.normal(0, 0.01, size=(30, 64)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    trained = S.train_pq_codebooks(emb, dim=64, m=8, ks=8, iters=5)
+    assert len(trained) == 8 and all(len(cb) == 8 for cb in trained)
+
+    def quant_err(cbs):
+        err = 0.0
+        for j in range(8):
+            sub = X[:, j * 8 : (j + 1) * 8]
+            cw = np.asarray(cbs[j])
+            d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    hash_err = quant_err(S.pq_codebooks(64, 8, 8))
+    trained_err = quant_err(trained)
+    assert trained_err < 0.5 * hash_err
