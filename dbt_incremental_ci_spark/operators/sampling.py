@@ -97,3 +97,55 @@ def stratified_hash_sample(
     for name, r in reversed(list(rates.items())):
         rate = F.when(s == name, F.lit(float(r))).otherwise(rate)
     return df.filter(hash_uniform(key_col, salt) < rate)
+
+
+def mixture_rates(
+    counts: dict[str, int], target_shares: dict[str, float]
+) -> dict[str, float]:
+    """Per-category acceptance rates that hit ``target_shares`` with
+    the LARGEST corpus achievable by downsampling alone (no category
+    is upsampled): the binding category keeps rate 1.0 and everything
+    else downsamples to match. N* = min_c count_c/share_c;
+    rate_c = (share_c · N*) / count_c. Categories absent from
+    ``target_shares`` get no rate (callers drop them)."""
+    for c, s in target_shares.items():
+        if s < 0:
+            raise ValueError(f"negative share for {c!r}: {s}")
+    total_share = sum(target_shares.values())
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total_share}")
+    missing = [c for c, s in target_shares.items() if s > 0 and not counts.get(c)]
+    if missing:
+        raise ValueError(f"no rows for targeted categories: {missing}")
+    n_star = min(counts[c] / s for c, s in target_shares.items() if s > 0)
+    return {
+        c: min(1.0, (s * n_star) / counts[c])
+        for c, s in target_shares.items()
+        if s > 0
+    }
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    category_col: str,
+    target_shares: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically resample to a TARGET MIXTURE over a category
+    column (language, source domain …) — the standard pre-training
+    data-mix rebalance, derived rather than hand-tuned: observed
+    per-category counts (one tiny aggregate, O(categories) driver
+    rows — same class as the incremental watermark read) feed
+    :func:`mixture_rates`, then membership is the usual key-stable md5
+    filter via :func:`stratified_hash_sample`. Categories outside the
+    target are dropped. Expected output composition equals
+    ``target_shares`` (exact in expectation; per-category realized
+    counts are binomial around it)."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(category_col).count().collect()
+    }
+    rates = mixture_rates(counts, target_shares)
+    return stratified_hash_sample(
+        df, key_col, category_col, rates, default_rate=0.0, salt=salt
+    )

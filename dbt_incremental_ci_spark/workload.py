@@ -4148,3 +4148,47 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.pq_adc_topk(emb, queries, k=5, dim=64, m=8, ks=8)
+
+
+# =====================================================================
+# Target-mixture resampling: rebalance the corpus to a prescribed
+# language mix by derived per-category acceptance rates (largest
+# corpus achievable by downsampling alone: the binding category keeps
+# rate 1.0). Membership is the key-stable md5 variate shared with
+# q41/q51 — reproducible across engines, partitionings, and runs. The
+# oracle recomputes counts → N* → rates → filter entirely in SQL with
+# the same operation order, so the rate doubles (and therefore the
+# survivor set) are bit-identical to the Spark side's driver-computed
+# literals.
+# =====================================================================
+_Q100_SHARES = {"en": 0.3, "zh": 0.2, "es": 0.2, "de": 0.15, "fr": 0.15}
+
+
+def _q100_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    shares_rows = ", ".join(f"('{c}', {s})" for c, s in _Q100_SHARES.items())
+    u = hash_uniform_sql("d.doc_id", "mix")
+    return f"""
+    WITH tgt(lang, share) AS (VALUES {shares_rows}),
+    cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    n AS (SELECT min(c / share) AS nmax FROM cnt JOIN tgt USING (lang)
+          WHERE share > 0),
+    rates AS (
+      SELECT t.lang, least(1.0, (t.share * n.nmax) / c.c) AS rate
+      FROM tgt t JOIN cnt c USING (lang) CROSS JOIN n
+      WHERE t.share > 0
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {u} < r.rate
+    """
+
+
+@q("q100_mixture_resample", _q100_oracle())
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.mixture_resample(
+        docs, key_col="doc_id", category_col="lang",
+        target_shares=_Q100_SHARES, salt="mix",
+    )

@@ -440,3 +440,41 @@ def test_train_pq_codebooks_beats_hash_on_clusters(spark):
     hash_err = quant_err(S.pq_codebooks(64, 8, 8))
     trained_err = quant_err(trained)
     assert trained_err < 0.5 * hash_err
+
+
+def test_mixture_rates_math():
+    import pytest
+    from dbt_incremental_ci_spark.operators.sampling import mixture_rates
+
+    counts = {"en": 200, "de": 50, "fr": 50}
+    rates = mixture_rates(counts, {"en": 0.5, "de": 0.25, "fr": 0.25})
+    # de/fr are binding (50/0.25=200 < en 200/0.5=400): they keep 1.0
+    assert rates["de"] == 1.0 and rates["fr"] == 1.0
+    assert abs(rates["en"] - 0.5) < 1e-12  # 0.5*200/200
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_rates(counts, {"en": 0.5})
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_rates(counts, {"en": 0.5, "ja": 0.5})
+
+
+def test_mixture_resample_hits_target(spark):
+    from pyspark.sql import functions as F
+    from dbt_incremental_ci_spark.operators.sampling import mixture_resample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("rare").alias("lang"),
+    )
+    out = mixture_resample(
+        df, "doc_id", "lang", {"en": 0.5, "rare": 0.5}, salt="t"
+    )
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # rare (800 rows) binds at rate 1.0; en downsamples to ~800
+    assert got["rare"] == 800
+    assert abs(got["en"] - 800) < 120  # binomial tolerance ~4 sigma
+    # determinism: same call → identical survivor set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in mixture_resample(
+        df, "doc_id", "lang", {"en": 0.5, "rare": 0.5}, salt="t").collect()}
+    assert a == b
