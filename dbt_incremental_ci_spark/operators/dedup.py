@@ -136,6 +136,36 @@ def minhash_signatures_df(
     )
 
 
+def banded_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(__id, band, bh) LSH band keys from a (__id, __sig) signature
+    table: each band hashes its signature slice to one 64-bit key.
+    Shared by the self-join (within-corpus) and batch-vs-corpus
+    (incremental) candidate generators so both sides band
+    identically."""
+    return sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("__sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -165,26 +195,7 @@ def minhash_candidate_pairs(
             minhash_signatures_pandas if backend == "pandas" else minhash_signatures_df
         )
         sig = sig_fn(df, id_col, text_col, num_hashes, shingle_k)
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = banded_keys(sig, bands, rows_per_band)
     # Materialize before the self-join: both join sides reference this
     # subtree and Spark plans the signature stage TWICE otherwise (no
     # ReusedExchange across the <-condition asymmetry; measured 2× the
@@ -323,6 +334,141 @@ def minhash_dedup_pairs(
     # otherwise re-execute candidates + prefilter.
     prefiltered = prefiltered.localCheckpoint(eager=True)
     return jaccard_verify(df, prefiltered, id_col, text_col, threshold, shingle_k)
+
+
+def cross_corpus_dedup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_k: int = 5,
+    backend: str = "pandas",
+) -> DataFrame:
+    """Incremental near-dup: an incoming BATCH against an existing
+    CORPUS, never corpus × corpus. Output: (batch_id, corpus_id,
+    jaccard ≥ threshold).
+
+    The ingestion-time shape of web-corpus dedup: the corpus is
+    already deduplicated, so re-pairing it with itself (the O(corpus ×
+    bucket) work :func:`minhash_dedup_pairs` does) is wasted — only
+    batch-side collisions matter. Both sides band identically
+    (:func:`banded_keys`); candidates come from one (band, band-hash)
+    equi-join whose batch side is ingestion-batch-sized, so AQE
+    broadcasts it and the corpus never shuffles; then the usual
+    signature-estimate prefilter and candidate-only exact-Jaccard
+    verify. In production the corpus signature table is computed once
+    and reused across batches (store ``minhash_signatures_*`` output;
+    the function accepts the recompute cost here for self-containment).
+    """
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
+    rows_per_band = num_hashes // bands
+    sig_fn = (
+        minhash_signatures_pandas if backend == "pandas" else minhash_signatures_df
+    )
+    sig_c = sig_fn(corpus, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
+    sig_b = sig_fn(batch, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
+    bc = banded_keys(sig_c, bands, rows_per_band)
+    bb = banded_keys(sig_b, bands, rows_per_band)
+    cands = (
+        bb.select(F.col("__id").alias("batch_id"), "band", "bh")
+        .join(bc.select(F.col("__id").alias("corpus_id"), "band", "bh"), ["band", "bh"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    est_equal = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    prefiltered = (
+        cands.join(
+            sig_b.select(F.col("__id").alias("batch_id"), F.col("__sig").alias("__sa")),
+            "batch_id",
+        )
+        .join(
+            sig_c.select(
+                F.col("__id").alias("corpus_id"), F.col("__sig").alias("__sb")
+            ),
+            "corpus_id",
+        )
+        .filter(est_equal >= (threshold - 0.2) * num_hashes)
+        .select("batch_id", "corpus_id")
+        .localCheckpoint(eager=True)
+    )
+    grams_b = batch.select(
+        F.col(id_col).alias("__sid"), char_shingles(text_col, shingle_k).alias("__set")
+    )
+    grams_c = corpus.select(
+        F.col(id_col).alias("__sid"), char_shingles(text_col, shingle_k).alias("__set")
+    )
+    # candidate-only shingle computation on both sides (semi-join
+    # prune; no broadcast hint — AQE decides, same rationale as
+    # jaccard_verify)
+    gb = grams_b.join(
+        prefiltered.select(F.col("batch_id").alias("__sid")).distinct(),
+        "__sid",
+        "left_semi",
+    )
+    gc = grams_c.join(
+        prefiltered.select(F.col("corpus_id").alias("__sid")).distinct(),
+        "__sid",
+        "left_semi",
+    )
+    return (
+        prefiltered.join(
+            gb.select(F.col("__sid").alias("batch_id"), F.col("__set").alias("set_a")),
+            "batch_id",
+        )
+        .join(
+            gc.select(F.col("__sid").alias("corpus_id"), F.col("__set").alias("set_b")),
+            "corpus_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            (
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.size(F.array_union("set_a", "set_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_k: int = 5,
+    backend: str = "pandas",
+) -> DataFrame:
+    """Batch rows that survive ingestion: drop any batch doc that
+    near-duplicates (exact or Jaccard ≥ threshold) SOME corpus doc.
+    Within-batch duplicates are a separate concern — run
+    :func:`minhash_dedup_pairs` on the survivors when the batch itself
+    may contain dups."""
+    flagged = (
+        cross_corpus_dedup_pairs(
+            corpus, batch, id_col, text_col, threshold, num_hashes, bands,
+            shingle_k, backend,
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")
 
 
 # --------------------------------------------------------------- simhash

@@ -4192,3 +4192,55 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, key_col="doc_id", category_col="lang",
         target_shares=_Q100_SHARES, salt="mix",
     )
+
+
+# =====================================================================
+# Incremental corpus dedup: an incoming batch against the existing
+# corpus — the ingestion-time shape of web-corpus dedup. The batch is
+# every 17th doc re-entering with a suffix (ids +3000000); the
+# operator bands both sides identically and joins batch bands against
+# corpus bands (batch side AQE-broadcast, corpus never self-paired).
+# Oracle: brute-force exact Jaccard over batch × corpus (q32
+# convention) — recall-safe because every true pair in this corpus
+# sits at J ≥ 0.844, far above the 0.7 banding midpoint.
+# =====================================================================
+@q(
+    "q101_incremental_dedup",
+    r"""
+    WITH batch AS (
+      SELECT doc_id + 3000000 AS doc_id, text || ' zz9 batch copy' AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    shc AS (
+      SELECT doc_id, CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    shb AS (
+      SELECT doc_id, CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM batch
+    )
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+           CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(b.s, c.s))) AS jaccard
+    FROM shb b, shc c
+    WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(b.s, c.s))) >= 0.7
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 batch copy")).alias("text"),
+    )
+    return dedup.cross_corpus_dedup_pairs(
+        docs, batch, "doc_id", "text", threshold=0.7
+    )

@@ -478,3 +478,32 @@ def test_mixture_resample_hits_target(spark):
     b = {r["doc_id"] for r in mixture_resample(
         df, "doc_id", "lang", {"en": 0.5, "rare": 0.5}, salt="t").collect()}
     assert a == b
+
+
+def test_cross_corpus_dedup_and_survivors(spark):
+    from pyspark.sql import functions as F
+    from dbt_incremental_ci_spark.operators import dedup as D
+
+    corpus = docs_df(spark)  # ids 1-4; 1==4 exact, 2 near
+    batch = spark.createDataFrame(
+        [
+            # near-copy of corpus doc 1
+            (101, "the quick brown fox jumps over the lazy dog near the river bank today ok"),
+            # genuinely new
+            (102, "entirely novel content that matches nothing in the existing corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = D.cross_corpus_dedup_pairs(
+        corpus, batch, "doc_id", "text", threshold=0.7
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs}
+    # 101 matches 1 and its exact twin 4 (and near-dup 2); never 3
+    assert (101, 1) in got and (101, 4) in got
+    assert not any(b == 102 for b, _ in got)
+    assert all(r["jaccard"] >= 0.7 for r in pairs)
+
+    survivors = D.incremental_dedup(
+        corpus, batch, "doc_id", "text", threshold=0.7
+    )
+    assert [r["doc_id"] for r in survivors.select("doc_id").collect()] == [102]
