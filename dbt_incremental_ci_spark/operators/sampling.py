@@ -149,3 +149,69 @@ def mixture_resample(
     return stratified_hash_sample(
         df, key_col, category_col, rates, default_rate=0.0, salt=salt
     )
+
+
+def per_category_cap(
+    df: DataFrame,
+    key_col: str,
+    category_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per category, chosen deterministically
+    (C4-style per-domain frequency capping): rows rank within their
+    category by the md5 variate (key tiebreak) and ranks > cap drop.
+    One shuffle on the category; heavy-hitter categories are exactly
+    the rows AQE's skew-join/partial-agg machinery handles, and the
+    rank window needs no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(category_col).orderBy(
+        hash_uniform(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .drop("__r")
+    )
+
+
+def epoch_shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order for an epoch: rank by the
+    md5 variate seeded with the epoch number (key tiebreak). Orders
+    are reproducible run-over-run, independent of partitioning, and
+    DIFFERENT across epochs — the properties RNG shuffles lose on a
+    cluster. Adds ``shuffle_rank`` (1-based, dense over all rows).
+
+    A global ``row_number() over (order by …)`` is a single-task
+    window; instead this uses the packing operator's two-phase shape:
+    range-partition on (variate, key), local row_numbers per
+    partition, then broadcast O(partitions) offsets — a total order
+    with no data-sized single task."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.withColumn(
+        "__u", hash_uniform(key_col, f"{salt}:{epoch}")
+    ).repartitionByRange(n, "__u", key_col)
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("__u", key_col)
+    local = ranged.withColumn("__local", F.row_number().over(w))
+    # O(partitions) rows — the unpartitioned window here is deliberate
+    totals = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__total"))
+    tw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = totals.select(
+        "__pid", F.coalesce(F.sum("__total").over(tw), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn("shuffle_rank", (F.col("__local") + F.col("__off")).cast("bigint"))
+        .drop("__u", "__pid", "__local", "__off")
+    )

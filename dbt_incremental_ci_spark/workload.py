@@ -4244,3 +4244,52 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_corpus_dedup_pairs(
         docs, batch, "doc_id", "text", threshold=0.7
     )
+
+
+# =====================================================================
+# Per-domain frequency capping (C4-style): keep at most K docs per
+# source domain, chosen by the key-stable md5 variate so the kept set
+# is reproducible and independent of partitioning. One shuffle on the
+# domain; no global sort. Oracle: the same windowed rank in SQL over
+# the identical variate.
+# =====================================================================
+@q(
+    "q102_domain_cap",
+    f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {{u}} ASC, doc_id ASC) AS r
+      FROM documents
+    ) WHERE r <= 15
+    """.replace("{u}", "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8))::BIGINT / 4294967296.0)"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.per_category_cap(
+        docs, key_col="doc_id", category_col="source", cap=15, salt="cap"
+    )
+
+
+# =====================================================================
+# Deterministic epoch shuffle: a reproducible, partitioning-
+# independent global training order per epoch (rank by the epoch-
+# seeded md5 variate). Computed with the packing operator's two-phase
+# shape — range partition, local row_numbers, broadcast O(partitions)
+# offsets — never a single-task global window. Oracle: plain global
+# row_number over the same variate (DuckDB can afford it at sf0.01).
+# =====================================================================
+@q(
+    "q103_epoch_shuffle",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle:1'), 1, 8))::BIGINT
+              / 4294967296.0) ASC, doc_id ASC) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.epoch_shuffle_rank(docs, key_col="doc_id", epoch=1)

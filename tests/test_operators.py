@@ -507,3 +507,51 @@ def test_cross_corpus_dedup_and_survivors(spark):
         corpus, batch, "doc_id", "text", threshold=0.7
     )
     assert [r["doc_id"] for r in survivors.select("doc_id").collect()] == [102]
+
+
+def test_per_category_cap(spark):
+    from pyspark.sql import functions as F
+    from dbt_incremental_ci_spark.operators.sampling import per_category_cap
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("dom")
+    )
+    out = per_category_cap(df, "doc_id", "dom", cap=10, salt="x")
+    sizes = {r["dom"]: r["n"] for r in
+             out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"0": 10, "1": 10, "2": 10}
+    # deterministic: same kept set on re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in per_category_cap(df, "doc_id", "dom", 10, "x").collect()}
+    assert a == b
+    # under-cap categories keep everything
+    small = spark.createDataFrame([(1, "z"), (2, "z")], ["doc_id", "dom"])
+    assert per_category_cap(small, "doc_id", "dom", 10).count() == 2
+
+
+def test_epoch_shuffle_rank(spark):
+    from pyspark.sql import functions as F
+    from dbt_incremental_ci_spark.operators.sampling import (
+        epoch_shuffle_rank,
+        hash_uniform,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    e1 = epoch_shuffle_rank(df, "doc_id", epoch=1)
+    ranks = [r["shuffle_rank"] for r in e1.collect()]
+    assert sorted(ranks) == list(range(1, 501))  # dense total order
+    # rank order == variate order (two-phase == naive single-task)
+    naive = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            df.withColumn("u", hash_uniform("doc_id", "shuffle:1"))
+            .orderBy("u", "doc_id")
+            .collect()
+        )
+    }
+    got = {r["doc_id"]: r["shuffle_rank"] for r in e1.collect()}
+    assert got == naive
+    # different epochs give different orders
+    e2 = {r["doc_id"]: r["shuffle_rank"]
+          for r in epoch_shuffle_rank(df, "doc_id", epoch=2).collect()}
+    assert e2 != got
