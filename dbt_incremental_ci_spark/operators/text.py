@@ -266,3 +266,32 @@ def gopher_quality(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("symbol_to_word") <= max_symbol_to_word),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the KenLM/CCNet-style perplexity-proxy quality filter
+    (docs of improbable tokens score low; boilerplate of ultra-common
+    tokens scores high). Output: (id_col, n_tokens, avg_logprob).
+
+    Plan shape at 100 TB: one token explode feeding (a) a vocab count
+    (map-side combined shuffle, vocab-sized result), (b) the corpus
+    total derived from the vocab counts (no second pass), and (c) the
+    token→count join — vocab tables are several orders smaller than
+    the corpus, so AQE picks broadcast when it fits and a shuffle join
+    when it doesn't; the per-doc average is one more map-side-combined
+    aggregate. No Python anywhere."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tk"))
+    vocab = tok.groupBy("__tk").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    return (
+        tok.join(vocab, "__tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("__c") / F.col("__n"))).alias("avg_logprob"),
+        )
+    )

@@ -4293,3 +4293,47 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
     return sampling.epoch_shuffle_rank(docs, key_col="doc_id", epoch=1)
+
+
+# =====================================================================
+# Perplexity-proxy quality filtering: mean unigram log-probability of
+# each doc under the corpus's own unigram LM (the KenLM/CCNet-style
+# filter, self-trained). One explode feeds the vocab count, the
+# corpus total derives from the vocab (no second pass), and the
+# token→vocab join is AQE-broadcast when the vocab fits. The keep
+# flag compares the ROUNDED score on both sides so the boolean can
+# never disagree with the hashed value column.
+# =====================================================================
+@q(
+    "q104_unigram_ppl_filter",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> '')) AS tk
+      FROM documents
+    ),
+    vocab AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             ROUND(avg(ln(c / n)), 6) AS avg_logprob
+      FROM tok JOIN vocab USING (tk) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_logprob,
+           avg_logprob >= -3.41 AS ppl_keep
+    FROM scored
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text.unigram_logprob(docs).withColumn(
+        "avg_logprob", F.round("avg_logprob", 6)
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= -3.41).alias("ppl_keep"),
+    )

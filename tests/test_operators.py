@@ -555,3 +555,20 @@ def test_epoch_shuffle_rank(spark):
     e2 = {r["doc_id"]: r["shuffle_rank"]
           for r in epoch_shuffle_rank(df, "doc_id", epoch=2).collect()}
     assert e2 != got
+
+
+def test_unigram_logprob(spark):
+    import math
+    from dbt_incremental_ci_spark.operators import text as T
+
+    # corpus: 'a' x3, 'b' x1 → p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in T.unigram_logprob(df).collect()}
+    assert got[1]["n_tokens"] == 2 and got[2]["n_tokens"] == 2
+    assert abs(got[1]["avg_logprob"] - math.log(0.75)) < 1e-9
+    expected2 = (math.log(0.75) + math.log(0.25)) / 2
+    assert abs(got[2]["avg_logprob"] - expected2) < 1e-9
+    # rare-token doc scores strictly lower
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
