@@ -4337,3 +4337,62 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         (F.col("avg_logprob") >= -3.41).alias("ppl_keep"),
     )
+
+
+# =====================================================================
+# ROLLUP hierarchy totals with explicit grouping flags — the OLAP
+# subtotal surface (GROUP BY ROLLUP nation → year), exact decimal
+# money sums, NULL group labels coalesced to sentinels and
+# disambiguated by grouping() so real NULLs can never collide with
+# subtotal rows.
+# =====================================================================
+@q(
+    "q105_rollup_revenue",
+    """
+    WITH j AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT COALESCE(n_name, '(all)') AS nation,
+           COALESCE(yr, -1) AS order_year,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(yr) AS INT) AS g_year,
+           CAST(SUM(p) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM j
+    GROUP BY ROLLUP(n_name, yr)
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            dec("o_totalprice").alias("__p"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(
+            F.sum("__p").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("yr").cast("int").alias("g_year"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            F.coalesce("yr", F.lit(-1)).alias("order_year"),
+            "g_nation",
+            "g_year",
+            "revenue",
+            "n_orders",
+        )
+    )
