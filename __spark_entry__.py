@@ -27,15 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered back-half first: the driver's CORRECTNESS window records
-    the first 50 entries, and round 2 already driver-verified
-    q01–q50 — leading with q51+ gets the remaining queries the same
-    driver-grade record (the committed CORRECTNESS_LOCAL artifact
-    covers all of them regardless)."""
-    items = sorted(workload.QUERIES.items())
-    back = [(k, v) for k, v in items if k >= "q51"]
-    front = [(k, v) for k, v in items if k < "q51"]
-    return dict(back + front)
+    Ordered by driver-verification need: the driver's CORRECTNESS
+    window records the first 50 entries and round 2 already
+    driver-verified q01–q50, so this round leads with the queries no
+    driver run has seen — the round-3 additions (q96–q105), then
+    q51–q95 — and q01–q50 trail. Numeric sort (len, name): plain
+    string sort puts q100 before q51. The committed CORRECTNESS_LOCAL
+    artifact covers every query regardless of the window."""
+    import re
+
+    def num(name: str) -> int:
+        return int(re.match(r"q(\d+)", name).group(1))
+
+    items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
+    new_r3 = [(k, v) for k, v in items if num(k) >= 96]
+    mid = [(k, v) for k, v in items if 51 <= num(k) <= 95]
+    front = [(k, v) for k, v in items if num(k) <= 50]
+    return dict(new_r3 + mid + front)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -59,6 +59,15 @@ EXTRA_QUERIES = [
     "q71_bitmap_distinct",
     "q79_funnel",
     "q83_text_chunking",
+    "q97_decontamination",
+    "q98_gopher_quality",
+    "q99_pq_adc_topk",
+    "q100_mixture_resample",
+    "q101_incremental_dedup",
+    "q102_domain_cap",
+    "q103_epoch_shuffle",
+    "q104_unigram_ppl_filter",
+    "q105_rollup_revenue",
 ]
 
 
