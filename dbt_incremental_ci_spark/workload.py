@@ -4396,3 +4396,125 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# =====================================================================
+# End-to-end curation pipeline over the round-3 operator set: Gopher
+# quality gate → benchmark decontamination (held-out eval slice) →
+# self-trained unigram-LM perplexity filter (vocab from the survivors,
+# exactly as the operator chain computes it) → per-source frequency
+# cap. Every stage's exact semantics — rounded metric flags, distinct
+# 5-gram overlap ≥ 3, rounded score threshold, md5-variate capping —
+# replays in one chained DuckDB oracle, so the final kept set and its
+# per-doc metrics are value-exact end to end.
+# =====================================================================
+@q(
+    "q106_curation_v2",
+    r"""
+    WITH evals AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+    corpus AS (SELECT doc_id, text, lang, source FROM documents
+               WHERE doc_id % 41 <> 0),
+    tk AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM corpus
+    ),
+    m AS (
+      SELECT doc_id, lang, source, toks,
+        len(toks) AS n_tokens,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END, 6) AS dup_word_frac,
+        ROUND(CASE WHEN len(toks) >= 2 THEN (
+          SELECT list_max(list_transform(list_distinct(bgs),
+                          x -> len(list_filter(bgs, y -> y = x))))::DOUBLE
+                 / len(bgs)
+          FROM (SELECT list_transform(generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bgs)
+        ) ELSE 0.0 END, 6) AS top_bigram_frac,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                   / len(toks) ELSE 0.0 END, 6) AS mean_word_len,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks,
+                       t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                   / len(toks) ELSE 0.0 END, 6) AS alpha_word_frac,
+        ROUND(CASE WHEN len(toks) > 0
+              THEN len(regexp_replace(text, '[^#.]', '', 'g'))::DOUBLE
+                   / len(toks) ELSE 0.0 END, 6) AS symbol_to_word
+      FROM tk
+    ),
+    g AS (
+      SELECT doc_id, lang, source, toks, n_tokens FROM m
+      WHERE n_tokens >= 20 AND dup_word_frac <= 0.6
+        AND top_bigram_frac <= 0.08 AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_word_frac >= 0.8 AND symbol_to_word <= 0.1
+    ),
+    gng AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 4)),
+                 i -> array_to_string(toks[i:i+4], ' '))) AS ng
+        FROM g)
+    ),
+    eng AS (
+      SELECT DISTINCT ng FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(0, len(etoks) - 4)),
+                 i -> array_to_string(etoks[i:i+4], ' '))) AS ng
+        FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS etoks FROM evals))
+    ),
+    contaminated AS (
+      SELECT doc_id FROM gng JOIN eng USING (ng)
+      GROUP BY doc_id HAVING count(*) >= 3
+    ),
+    clean AS (
+      SELECT * FROM g
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tkn FROM clean),
+    vocab AS (SELECT tkn, count(*) AS c FROM tok GROUP BY tkn),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id, ROUND(avg(ln(c / n)), 6) AS avg_logprob
+      FROM tok JOIN vocab USING (tkn) CROSS JOIN tot GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.source, c.n_tokens, s.avg_logprob
+      FROM clean c JOIN scored s USING (doc_id)
+      WHERE s.avg_logprob >= -3.42
+    )
+    SELECT doc_id, lang, source, n_tokens, avg_logprob FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source
+        ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8))::BIGINT
+                  / 4294967296.0) ASC, doc_id ASC) AS r
+      FROM kept
+    ) WHERE r <= 10
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import decontam
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    evals = docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    g = text.gopher_quality(corpus).filter("gopher_keep")
+    flagged = decontam.contaminated(
+        g.select("doc_id", "text"), evals, n=5, min_overlap=3
+    )
+    clean = g.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    scored = (
+        text.unigram_logprob(clean.select("doc_id", "text"))
+        .withColumn("avg_logprob", F.round("avg_logprob", 6))
+        .filter(F.col("avg_logprob") >= -3.42)
+        .select("doc_id", "avg_logprob")
+    )
+    kept = clean.join(scored, "doc_id")
+    capped = sampling.per_category_cap(
+        kept, key_col="doc_id", category_col="source", cap=10, salt="cur"
+    )
+    return capped.select("doc_id", "lang", "source", "n_tokens", "avg_logprob")
