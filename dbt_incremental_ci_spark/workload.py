@@ -4518,3 +4518,63 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept, key_col="doc_id", category_col="source", cap=10, salt="cur"
     )
     return capped.select("doc_id", "lang", "source", "n_tokens", "avg_logprob")
+
+
+# =====================================================================
+# Corpus-wide repeated n-gram profile (RefinedWeb / Lee et al.
+# "Deduplicating Training Data" signal): for every document, the
+# fraction of its word trigram positions whose trigram occurs in >= 2
+# DISTINCT documents. Spark side explodes positional trigrams keyed by
+# xxhash64 (8-byte shuffle keys), counts distinct-document frequency
+# with map-side partial agg, and joins the duplicated-hash set back on
+# the same key — both shuffles hash-keyed and near-uniform, nothing
+# driver-sized. Oracle replays positions/doc-frequency/fraction on the
+# raw trigram strings (hash only changes the join key, not the
+# result). Full value oracle incl. the rounded fraction and keep flag.
+# =====================================================================
+@q(
+    "q107_repeated_ngrams",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(0, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS ng
+      FROM tk
+    ),
+    dfreq AS (
+      SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM pos)
+      GROUP BY ng HAVING count(*) >= 2
+    ),
+    per AS (
+      SELECT p.doc_id,
+             count(*) AS n_ngrams,
+             sum(CASE WHEN d.ng IS NOT NULL THEN 1 ELSE 0 END) AS dup_ngrams
+      FROM pos p LEFT JOIN dfreq d ON p.ng = d.ng
+      GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(per.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(per.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+           ROUND(CASE WHEN coalesce(per.n_ngrams, 0) > 0
+                 THEN per.dup_ngrams::DOUBLE / per.n_ngrams
+                 ELSE 0.0 END, 6) AS dup_ngram_frac,
+           ROUND(CASE WHEN coalesce(per.n_ngrams, 0) > 0
+                 THEN per.dup_ngrams::DOUBLE / per.n_ngrams
+                 ELSE 0.0 END, 6) <= 0.6 AS ngram_keep
+    FROM tk t LEFT JOIN per USING (doc_id)
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import ngrams
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngrams.flag_repetitive_docs(
+        docs, n=3, min_doc_freq=2, max_dup_frac=0.6
+    )

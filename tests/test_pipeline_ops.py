@@ -304,3 +304,53 @@ def test_trained_ivf_centroids_beat_hash_centroids_on_clustered_corpus(spark):
     # fixed hash centroids lose on skewed data
     assert r_hash < 0.7, r_hash
     assert r_trained >= 0.9, r_trained
+
+
+def test_repeated_ngram_stats_planted(spark):
+    from dbt_incremental_ci_spark.operators import ngrams
+
+    # d1/d2 share their entire text (every trigram duplicated); d3 is
+    # unique; d4 shares a 3-token span with d1/d2; d5 is too short.
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "one two three four five six"),
+        (4, "zz alpha beta gamma yy xx"),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in ngrams.flag_repetitive_docs(
+            df, n=3, min_doc_freq=2, max_dup_frac=0.5
+        ).collect()
+    }
+    assert len(out) == 5  # every doc present, including the short one
+    assert out[1]["n_ngrams"] == 3 and out[1]["dup_ngrams"] == 3
+    assert out[1]["dup_ngram_frac"] == 1.0 and not out[1]["ngram_keep"]
+    assert out[2]["dup_ngram_frac"] == 1.0 and not out[2]["ngram_keep"]
+    assert out[3]["dup_ngrams"] == 0 and out[3]["ngram_keep"]
+    # d4: trigrams = [zz alpha beta, alpha beta gamma, beta gamma yy,
+    # gamma yy xx] -> exactly one ("alpha beta gamma") duplicated
+    assert out[4]["n_ngrams"] == 4 and out[4]["dup_ngrams"] == 1
+    assert out[4]["dup_ngram_frac"] == 0.25 and out[4]["ngram_keep"]
+    assert out[5]["n_ngrams"] == 0 and out[5]["dup_ngram_frac"] == 0.0
+    assert out[5]["ngram_keep"]  # short docs are not flagged
+
+
+def test_repeated_ngram_within_doc_repeats_dont_count(spark):
+    from dbt_incremental_ci_spark.operators import ngrams
+
+    # the repeated trigram lives only inside doc 1 -> document
+    # frequency 1 -> NOT corpus-duplicated
+    rows = [
+        (1, "a b c a b c a b c"),
+        (2, "x y z w v u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in ngrams.duplicated_ngram_stats(df, n=3, min_doc_freq=2).collect()
+    }
+    assert out[1]["dup_ngrams"] == 0
+    assert out[2]["dup_ngrams"] == 0
