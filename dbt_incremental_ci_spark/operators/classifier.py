@@ -1,0 +1,205 @@
+"""Linear (fastText-style) document quality classifier over hashed
+bag-of-words features.
+
+The standard cheap quality gate for pre-training corpora (fastText
+linear classifiers as used for CCNet/LLaMA-style "looks like a wiki
+reference" filtering): hash each token into one of ``n_buckets``
+feature buckets, mean-pool the per-bucket weights, add a bias, squash
+with a sigmoid. Serving is a pure per-row Column expression — no
+shuffle, no UDF, fully inside whole-stage codegen, embarrassingly
+parallel at any corpus size.
+
+Determinism contract (how the DuckDB oracle hash-matches bit-for-bit):
+
+- the token→bucket hash is the house md5 variate
+  (``sampling.hash_uniform`` pattern) — first 32 bits of
+  ``md5(token || ':' || salt)`` mod ``n_buckets``, computable
+  identically in every engine;
+- weights and bias are quantized to the dyadic grid ``k / 2^20``.
+  A sum of a few thousand such values stays EXACT in IEEE double
+  (<= 20 fractional bits + small integer part << 53-bit mantissa), so
+  the mean-pooled score is bit-identical across engines regardless of
+  summation order — no float-order hazard at all. The final division
+  and rounding are single deterministic IEEE ops.
+
+Two weight sources, same serving path (the trained-IVF house pattern):
+
+- :func:`default_weights` — deterministic hash-derived weights, the
+  reproducible default the workload oracle replays;
+- :func:`train_quality_classifier` — driver-side logistic regression
+  (numpy, batch gradient descent) on a bounded hash-ordered sample of
+  labeled docs; returns weights on the same dyadic grid so serving
+  stays oracle-exact. The 100 TB story: training reads a <=100k-doc
+  sample, the model is O(n_buckets) literals broadcast into the plan.
+
+No counterpart in the reference repo; part of the training-data
+operator surface this engine adds on top.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRID = 1 << 20  # dyadic quantization denominator (2^20)
+
+
+def quantize(w: float) -> float:
+    """Snap a weight to the exact-summation dyadic grid k/2^20,
+    clamped to [-8, 8] (far beyond any useful logit weight)."""
+    k = round(max(-8.0, min(8.0, w)) * _GRID)
+    return k / _GRID
+
+
+def default_weights(n_buckets: int = 64, salt: str = "qc") -> list[float]:
+    """Deterministic hash-derived weights in [-1, 1] on the dyadic
+    grid — the reproducible no-training default."""
+    out = []
+    for b in range(n_buckets):
+        h = int(hashlib.md5(f"w{b}:{salt}".encode()).hexdigest()[:8], 16)
+        out.append(quantize((h / 4294967296.0) * 2.0 - 1.0))
+    return out
+
+
+def _tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def token_bucket(tok: Column, n_buckets: int, salt: str) -> Column:
+    """Feature bucket of one token: first 32 md5 bits mod n_buckets."""
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(tok, F.lit(":" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    return u32 % F.lit(n_buckets)
+
+
+def linear_score(
+    text: Column | str,
+    weights: list[float],
+    bias: float = 0.0,
+    salt: str = "qc",
+) -> Column:
+    """Mean-pooled hashed-bag-of-words logit: empty docs score exactly
+    ``bias``. Pure expression; exact given grid weights."""
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    per_tok = F.transform(
+        _tokens(text),
+        lambda t: F.element_at(
+            warr, (token_bucket(t, len(weights), salt) + 1).cast("int")
+        ),
+    )
+    n = F.size(per_tok)
+    pooled = F.when(
+        n > 0,
+        F.aggregate(per_tok, F.lit(0.0), lambda acc, x: acc + x) / n,
+    ).otherwise(F.lit(0.0))
+    return pooled + F.lit(float(bias))
+
+
+def sigmoid(logit: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    salt: str = "qc",
+) -> DataFrame:
+    """(id_col, n_tokens, quality_raw, quality_prob, quality_keep).
+
+    ``quality_raw`` is the logit rounded to 6 (bit-exact across
+    engines under the grid contract); ``quality_keep`` compares the
+    ROUNDED logit to ``threshold`` so the flag is as deterministic as
+    the score. ``quality_prob`` is the sigmoid for human consumption —
+    monotone in the logit, so thresholding the logit is equivalent."""
+    w = weights if weights is not None else default_weights(salt=salt)
+    raw = F.round(linear_score(text_col, w, bias, salt), 6)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+        raw.alias("quality_raw"),
+        F.round(sigmoid(raw), 6).alias("quality_prob"),
+        (raw >= F.lit(float(threshold))).alias("quality_keep"),
+    )
+
+
+def linear_score_sql(
+    text_expr: str,
+    weights: list[float],
+    bias: float = 0.0,
+    salt: str = "qc",
+) -> str:
+    """DuckDB twin of :func:`linear_score` with the weights inlined as
+    a list literal (the pq_codebooks oracle pattern)."""
+    wlit = "[" + ", ".join(repr(w) for w in weights) + "]"
+    n = len(weights)
+    bucket = (
+        f"(('0x' || substr(md5(t || ':{salt}'), 1, 8))::BIGINT % {n}) + 1"
+    )
+    toks = (
+        f"list_filter(string_split_regex(trim({text_expr}), '\\s+'),"
+        f" x -> x <> '')"
+    )
+    return (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"list_sum(list_transform({toks}, t -> ({wlit})[{bucket}]))"
+        f" / len({toks}) ELSE 0.0 END + {bias!r})"
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    salt: str = "qc",
+    max_sample: int = 100_000,
+    iterations: int = 200,
+    lr: float = 2.0,
+) -> tuple[list[float], float]:
+    """Fit (weights, bias) by logistic regression on mean-pooled
+    hashed-bucket count features, driver-side over a bounded sample.
+
+    Sample selection is hash-ordered (md5 of the id — deterministic,
+    not partition-order-dependent), capped at ``max_sample`` docs; the
+    returned weights/bias are snapped to the dyadic grid so serving
+    through :func:`classify` keeps the exactness contract. Labels are
+    0/1 in ``label_col``."""
+    import numpy as np
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("double").alias("__y"),
+        F.transform(
+            _tokens(text_col),
+            lambda t: token_bucket(t, n_buckets, salt).cast("int"),
+        ).alias("__b"),
+    ).orderBy(F.md5(F.col(id_col).cast("string"))).limit(max_sample)
+    rows = feats.collect()
+    if not rows:
+        raise ValueError("train_quality_classifier: empty training set")
+    X = np.zeros((len(rows), n_buckets))
+    y = np.zeros(len(rows))
+    for i, r in enumerate(rows):
+        y[i] = r["__y"]
+        bs = r["__b"] or []
+        if bs:
+            counts = np.bincount(np.asarray(bs), minlength=n_buckets)
+            X[i] = counts / len(bs)
+    w = np.zeros(n_buckets)
+    b = 0.0
+    for _ in range(iterations):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / len(rows)
+        b -= lr * float(g.mean())
+    return [quantize(float(v)) for v in w], quantize(float(b))

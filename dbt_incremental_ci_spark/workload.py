@@ -4578,3 +4578,42 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngrams.flag_repetitive_docs(
         docs, n=3, min_doc_freq=2, max_dup_frac=0.6
     )
+
+
+# =====================================================================
+# fastText-style linear quality classifier: hashed bag-of-words
+# buckets (house md5 variate), mean-pooled weights + bias, sigmoid.
+# Weights live on a dyadic 2^-20 grid so the pooled sum is EXACT in
+# IEEE double — bit-identical across engines regardless of summation
+# order; the oracle inlines the same weights as a DuckDB list literal
+# (the pq_codebooks pattern) and replays bucket/pool/threshold
+# value-exactly. Serving is a map-only expression pass — no shuffle,
+# no UDF, any scale; training (train_quality_classifier) is bounded-
+# sample driver-side logistic regression, unit-tested separately.
+# =====================================================================
+def _q108_oracle() -> str:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    w = classifier.default_weights(64, "qc")
+    score = classifier.linear_score_sql("text", w, 0.0, "qc")
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             ROUND({score}, 6) AS quality_raw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, quality_raw,
+           ROUND(1.0 / (1.0 + exp(-quality_raw)), 6) AS quality_prob,
+           quality_raw >= 0.0 AS quality_keep
+    FROM s
+    """
+
+
+@q("q108_quality_classifier", _q108_oracle())
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return classifier.classify(docs, threshold=0.0, salt="qc")

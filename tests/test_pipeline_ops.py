@@ -354,3 +354,42 @@ def test_repeated_ngram_within_doc_repeats_dont_count(spark):
     }
     assert out[1]["dup_ngrams"] == 0
     assert out[2]["dup_ngrams"] == 0
+
+
+def test_quality_classifier_trained_separates_planted_classes(spark):
+    from dbt_incremental_ci_spark.operators import classifier
+
+    # two disjoint vocabularies -> linearly separable in bucket space
+    good = [(i, "science journal method result analysis evidence", 1)
+            for i in range(60)]
+    bad = [(100 + i, "click buy cheap winner prize jackpot", 0)
+           for i in range(60)]
+    df = spark.createDataFrame(good + bad, ["doc_id", "text", "label"])
+    w, b = classifier.train_quality_classifier(
+        df, "label", n_buckets=64, iterations=300, lr=2.0
+    )
+    # grid contract: every weight is k/2^20
+    assert all(v * (1 << 20) == round(v * (1 << 20)) for v in w + [b])
+    out = classifier.classify(df, weights=w, bias=b, threshold=0.0)
+    joined = {r["doc_id"]: r["quality_keep"] for r in out.collect()}
+    acc = sum(
+        1 for i, _, lbl in good + bad if joined[i] == bool(lbl)
+    ) / len(joined)
+    assert acc >= 0.95
+    # default (untrained) weights must NOT separate the classes
+    base = classifier.classify(df, threshold=0.0)
+    bj = {r["doc_id"]: r["quality_keep"] for r in base.collect()}
+    bacc = sum(
+        1 for i, _, lbl in good + bad if bj[i] == bool(lbl)
+    ) / len(bj)
+    assert bacc < 0.8
+
+
+def test_quality_classifier_empty_doc_scores_bias(spark):
+    from dbt_incremental_ci_spark.operators import classifier
+
+    df = spark.createDataFrame([(1, "   "), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in classifier.classify(
+        df, weights=[0.5] * 8, bias=0.25, threshold=0.0).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["quality_raw"] == 0.25
+    assert out[2]["quality_raw"] == 0.25 and out[2]["quality_keep"]
