@@ -4617,3 +4617,139 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return classifier.classify(docs, threshold=0.0, salt="qc")
+
+
+# =====================================================================
+# C4-style line cleaning (Raffel et al. §2.2). The test corpus is a
+# flat token stream, so the query synthesizes a deterministic
+# multi-line page per document (token-slice lines + planted
+# boilerplate: a javascript ad line every 5th doc, a lorem-ipsum line
+# every 11th, a too-short line everywhere) identically in both
+# engines — the q97 planted-contamination pattern. The operator
+# itself (operators/c4.c4_filter) is a pure map-only Column
+# expression: terminal-punctuation / min-words / javascript line
+# rules, lorem-ipsum / brace / min-lines page rules. Full value
+# oracle including the reassembled kept_text string.
+# =====================================================================
+_C4_DOC2_SQL = r"""
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    doc2 AS (
+      SELECT doc_id,
+             coalesce(array_to_string(toks[1:12], ' '), '') || ' .' || chr(10) ||
+             (CASE WHEN doc_id % 5 = 0
+                   THEN 'click to buy javascript required now .'
+                   ELSE coalesce(array_to_string(toks[13:17], ' '), '') END) || chr(10) ||
+             (CASE WHEN doc_id % 11 = 0
+                   THEN 'lorem ipsum dolor sit amet .'
+                   ELSE coalesce(array_to_string(toks[18:28], ' '), '') || ' ?' END) || chr(10) ||
+             'tiny .' || chr(10) ||
+             coalesce(array_to_string(toks[29:40], ' '), '') || ' .' AS text
+      FROM tk
+    ),
+    lns AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS ls
+      FROM doc2
+    )
+"""
+
+
+def _c4_doc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _C4_DOC2_SQL's doc2 CTE."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    l1 = F.concat(F.concat_ws(" ", F.slice(toks, 1, 12)), F.lit(" ."))
+    l2 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("click to buy javascript required now ."),
+    ).otherwise(F.concat_ws(" ", F.slice(toks, 13, 5)))
+    l3 = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("lorem ipsum dolor sit amet .")
+    ).otherwise(F.concat(F.concat_ws(" ", F.slice(toks, 18, 11)), F.lit(" ?")))
+    l5 = F.concat(F.concat_ws(" ", F.slice(toks, 29, 12)), F.lit(" ."))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", l1, l2, l3, F.lit("tiny ."), l5).alias("text"),
+    )
+
+
+@q(
+    "q109_c4_line_filter",
+    "WITH "
+    + _C4_DOC2_SQL
+    + r"""
+    SELECT doc_id,
+           len(ls) AS n_lines,
+           len(kept) AS n_kept,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{')
+            AND len(kept) >= 3) AS c4_keep,
+           array_to_string(kept, chr(10)) AS kept_text
+    FROM (
+      SELECT doc_id, text, ls,
+             list_filter(ls, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                   x -> x <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lns
+    )
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import c4
+
+    return c4.c4_filter(_c4_doc2(spark, sf_dir), min_words=5, min_lines=3)
+
+
+# =====================================================================
+# Corpus-wide exact line dedup keeping first occurrences (C4's
+# repeated-span dedup at line granularity) over the same synthetic
+# multi-line corpus: the planted 'tiny .' line appears in every doc
+# and survives only at its minimum (doc, pos); boilerplate lines and
+# token-slice lines of exact-duplicate documents dedup the same way.
+# Spark plan: posexplode -> min-(doc,pos)-per-line-hash (map-side
+# combined, 8-byte xxhash64 keys) -> winners join back on the hash ->
+# bounded per-doc reassembly. Oracle replays with a row_number window
+# on the raw line strings and an ordered string_agg.
+# =====================================================================
+@q(
+    "q110_line_dedup",
+    "WITH "
+    + _C4_DOC2_SQL
+    + r""",
+    pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ls))) AS pos, ls
+      FROM lns
+    ),
+    pl AS (SELECT doc_id, pos, ls[pos] AS line FROM pos),
+    r AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM pl
+    ),
+    surv AS (
+      SELECT doc_id, count(*) AS n_lines_after,
+             string_agg(line, chr(10) ORDER BY pos) AS deduped_text
+      FROM r WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           len(l.ls) AS n_lines_before,
+           CAST(coalesce(s.n_lines_after, 0) AS BIGINT) AS n_lines_after,
+           coalesce(s.deduped_text, '') AS deduped_text
+    FROM lns l LEFT JOIN surv s USING (doc_id)
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import c4
+
+    return c4.dedup_lines(_c4_doc2(spark, sf_dir))

@@ -393,3 +393,49 @@ def test_quality_classifier_empty_doc_scores_bias(spark):
         df, weights=[0.5] * 8, bias=0.25, threshold=0.0).collect()}
     assert out[1]["n_tokens"] == 0 and out[1]["quality_raw"] == 0.25
     assert out[2]["quality_raw"] == 0.25 and out[2]["quality_keep"]
+
+
+def test_c4_filter_rules(spark):
+    from dbt_incremental_ci_spark.operators import c4
+
+    rows = [
+        # 3 good lines -> kept page
+        (1, "one two three four five .\nsix seven eight nine ten !\n"
+            "a b c d e f ?"),
+        # javascript line + no-punct line + short line -> only 1 kept
+        (2, "enable javascript to view this page .\nno terminal punct here\n"
+            "hi .\nalpha beta gamma delta eps ."),
+        # lorem ipsum -> page dropped even with enough good lines
+        (3, "one two three four five .\nsix seven eight nine ten .\n"
+            "lorem ipsum dolor sit amet .\nmore words in this line ."),
+        # curly brace -> page dropped
+        (4, "var x = { a } .\none two three four five .\n"
+            "six seven eight nine ten .\na b c d e ."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4.c4_filter(df).collect()}
+    assert out[1]["c4_keep"] and out[1]["n_kept"] == 3
+    assert out[1]["kept_text"] == rows[0][1]
+    assert out[2]["n_kept"] == 1 and not out[2]["c4_keep"]
+    assert out[2]["kept_text"] == "alpha beta gamma delta eps ."
+    assert out[3]["n_kept"] == 4 and not out[3]["c4_keep"]  # page rule
+    assert not out[4]["c4_keep"]
+
+
+def test_dedup_lines_first_occurrence_wins(spark):
+    from dbt_incremental_ci_spark.operators import c4
+
+    rows = [
+        (1, "shared line .\nunique to one ."),
+        (2, "shared line .\nunique to two .\nshared line ."),
+        (3, "shared line ."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4.dedup_lines(df).collect()}
+    assert out[1]["n_lines_after"] == 2  # first occurrence of the shared line
+    assert out[1]["deduped_text"] == "shared line .\nunique to one ."
+    # doc 2 loses both copies (cross-doc AND its within-doc repeat)
+    assert out[2]["n_lines_after"] == 1
+    assert out[2]["deduped_text"] == "unique to two ."
+    assert out[3]["n_lines_after"] == 0 and out[3]["deduped_text"] == ""
+    assert out[3]["n_lines_before"] == 1
