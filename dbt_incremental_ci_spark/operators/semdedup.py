@@ -1,0 +1,106 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+The published recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"): k-means the
+corpus embeddings, compare pairs only WITHIN a cluster (the clusters
+bound the quadratic), call a pair semantic duplicates above a cosine
+threshold, and keep the member with the LOWEST similarity to the
+cluster centroid (the most "extreme" exemplar generalizes best).
+
+Deterministic variant implemented here (and replayed value-exactly by
+the DuckDB oracle): a document is dropped iff some same-cluster
+neighbor above the threshold has strictly lower keeper priority
+``(round(centroid_cos, 6), id)`` — pairwise domination rather than the
+paper's iterative scan, so the kept set is order-free and
+engine-reproducible. Ties are impossible (ids are distinct).
+
+Scale shape: cluster assignment is a map-side expression against
+broadcast centroid literals (hash-derived defaults or
+``similarity.train_ivf_centroids`` output — SemDeDup's own k-means
+step); the only shuffle is the within-cluster self-join, whose cost is
+sum of squared cluster sizes — the knob is ``n_clusters`` (the paper
+uses ~100k clusters at web scale to keep clusters ~1k docs). Nothing
+driver-sized anywhere.
+
+No counterpart in the reference repo; part of the training-data
+operator surface this engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.similarity import (
+    cosine,
+    ivf_assign,
+    ivf_centroid,
+)
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id_col, cluster, centroid_cos, semdedup_keep) for every input
+    row. ``centroid_cos`` is the cosine to the assigned cluster's
+    centroid rounded to 6; ``semdedup_keep`` is false iff a same-
+    cluster neighbor with cosine >= ``threshold`` (rounded to 6) has a
+    strictly lower (centroid_cos, id) keeper priority."""
+    cvecs = [
+        centroids[c] if centroids is not None else ivf_centroid(dim, c, seed)
+        for c in range(n_clusters)
+    ]
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cvecs])
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "cluster", ivf_assign("__v", dim, n_clusters, seed, centroids)
+    ).withColumn(
+        "centroid_cos",
+        F.round(
+            cosine(F.col("__v"), F.element_at(carr, F.col("cluster") + 1)), 6
+        ),
+    )
+    a = base.select(
+        F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        "cluster",
+        F.col("centroid_cos").alias("__cca"),
+    )
+    b = base.select(
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        "cluster",
+        F.col("centroid_cos").alias("__ccb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+    )
+    losers = pairs.select(
+        F.when(
+            F.struct(F.col("__cca"), F.col("__ida"))
+            > F.struct(F.col("__ccb"), F.col("__idb")),
+            F.col("__ida"),
+        )
+        .otherwise(F.col("__idb"))
+        .alias("__id")
+    ).dropDuplicates(["__id"])
+    return (
+        base.join(losers.withColumn("__lost", F.lit(1)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            "centroid_cos",
+            F.col("__lost").isNull().alias("semdedup_keep"),
+        )
+    )

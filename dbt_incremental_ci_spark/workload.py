@@ -4753,3 +4753,84 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import c4
 
     return c4.dedup_lines(_c4_doc2(spark, sf_dir))
+
+
+# =====================================================================
+# SemDeDup-style semantic dedup (Abbas et al. 2023) over the q36
+# planted-twin corpus: k-means-style cluster assignment against
+# broadcast centroid literals (hash-derived defaults — the trained
+# path shares the contract via train_ivf_centroids), within-cluster
+# pairwise cosine at threshold 0.95, and pairwise-domination keep
+# semantics on the (centroid_cos, id) priority. The quadratic is
+# bounded by cluster size — n_clusters is the web-scale knob (the
+# paper runs ~100k clusters). Full value oracle: twins, centroid
+# assignment, cosines, domination flags all replayed in DuckDB with
+# inlined centroids.
+# =====================================================================
+def _q111_oracle(dim: int = 64, n_clusters: int = 8, thr: float = 0.95) -> str:
+    from dbt_incremental_ci_spark.operators.similarity import ivf_centroid
+
+    def arr(vec: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    dist_terms = ", ".join(
+        f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (v[i] - ({arr(ivf_centroid(dim, cid))})[i])"
+        f" * (v[i] - ({arr(ivf_centroid(dim, cid))})[i]))), 9)"
+        for cid in range(n_clusters)
+    )
+    cents = "[" + ", ".join(arr(ivf_centroid(dim, c)) for c in range(n_clusters)) + "]"
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    twins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> v[i] * (1.0 + ((vec_id + i - 1) % 7 - 3) / 100.0)) AS v
+      FROM base WHERE vec_id < 50
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    d AS (SELECT vec_id, v, [{dist_terms}] AS dists FROM u),
+    asg AS (
+      SELECT vec_id, v,
+             CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster
+      FROM d
+    ),
+    cc AS (
+      SELECT vec_id, v, cluster,
+             ROUND(CASE WHEN sqrt(list_dot_product(v, v))
+                             * sqrt(list_dot_product(({cents})[cluster + 1],
+                                                     ({cents})[cluster + 1])) > 0
+                   THEN list_dot_product(v, ({cents})[cluster + 1])
+                        / (sqrt(list_dot_product(v, v))
+                           * sqrt(list_dot_product(({cents})[cluster + 1],
+                                                   ({cents})[cluster + 1])))
+                   ELSE 0.0 END, 6) AS centroid_cos
+      FROM asg
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida, a.centroid_cos AS cca,
+             b.vec_id AS idb, b.centroid_cos AS ccb
+      FROM cc a JOIN cc b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)), 0), 6) >= {thr}
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN (cca, ida) > (ccb, idb) THEN ida ELSE idb END AS vec_id
+      FROM pairs
+    )
+    SELECT cc.vec_id, cluster, centroid_cos,
+           losers.vec_id IS NULL AS semdedup_keep
+    FROM cc LEFT JOIN losers USING (vec_id)
+    """
+
+
+@q("q111_semdedup", _q111_oracle())
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import semdedup as sd
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sd.semdedup(
+        _q36_perturbed_union(emb), dim=64, n_clusters=8, threshold=0.95
+    )

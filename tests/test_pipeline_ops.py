@@ -439,3 +439,29 @@ def test_dedup_lines_first_occurrence_wins(spark):
     assert out[2]["deduped_text"] == "unique to two ."
     assert out[3]["n_lines_after"] == 0 and out[3]["deduped_text"] == ""
     assert out[3]["n_lines_before"] == 1
+
+
+def test_semdedup_drops_planted_twin_keeps_outlier(spark):
+    from dbt_incremental_ci_spark.operators import semdedup as sd
+
+    # corpus: orthogonal-ish singletons + one near-identical pair
+    import math
+    rows = []
+    for i in range(6):
+        v = [0.0] * 16
+        v[i] = 1.0
+        rows.append((i, v))
+    # twin of vec 0, slightly perturbed -> cosine ~0.9997
+    twin = [1.0] + [0.005] * 15
+    rows.append((100, twin))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in sd.semdedup(
+        df, dim=16, n_clusters=2, threshold=0.95).collect()}
+    assert len(out) == 7
+    dropped = [i for i, r in out.items() if not r["semdedup_keep"]]
+    assert len(dropped) == 1 and dropped[0] in (0, 100)
+    kept_of_pair = 100 if dropped[0] == 0 else 0
+    # the survivor is the pair member FARTHER from the centroid
+    assert out[kept_of_pair]["centroid_cos"] <= out[dropped[0]]["centroid_cos"]
+    # singletons never dropped
+    assert all(out[i]["semdedup_keep"] for i in range(1, 6))
