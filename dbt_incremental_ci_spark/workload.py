@@ -4834,3 +4834,65 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd.semdedup(
         _q36_perturbed_union(emb), dim=64, n_clusters=8, threshold=0.95
     )
+
+
+# =====================================================================
+# Fixed-point PageRank over the customer->supplier trade graph —
+# link-graph centrality as a corpus-curation quality weight (the
+# Common-Crawl host-ranking step). Integer fixed-point ranks (units of
+# 1e-12) make every per-iteration sum associative and partitioning-
+# independent, so the rank vector has exactly one well-defined value;
+# the oracle recomputes the whole iteration INDEPENDENTLY in pure
+# Python (operators/pagerank.pagerank_replica) and inlines it as
+# VALUES — the q33 independent-replica pattern. Suppliers have no
+# out-edges, so the dangling-mass redistribution path is exercised on
+# every iteration.
+# =====================================================================
+def _q112_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators.pagerank import pagerank_replica
+
+    op = _os.path.join(sf_dir, "orders.parquet")
+    lp = _os.path.join(sf_dir, "lineitem.parquet")
+    if not (_os.path.exists(op) and _os.path.exists(lp)):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    pairs = con.execute(
+        f"""
+        SELECT DISTINCT o.o_custkey * 10 AS src, l.l_suppkey * 10 + 1 AS dst
+        FROM read_parquet('{op}') o
+        JOIN read_parquet('{lp}') l ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    con.close()
+    ranks = pagerank_replica([(int(s), int(d)) for s, d in pairs], iterations=6)
+    rows = ",\n      ".join(
+        f"({node}, {fp})" for node, fp in sorted(ranks.items())
+    )
+    return f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(rank_fp AS BIGINT) AS rank_fp,
+           rank_fp / 1000000000000.0 AS rank
+    FROM (VALUES
+      {rows}
+    ) t(node, rank_fp)
+    """
+
+
+_LAZY_ORACLES["q112_pagerank"] = _q112_oracle
+
+
+@q("q112_pagerank")
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.pagerank import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 10).alias("src"),
+        (F.col("l_suppkey") * 10 + 1).alias("dst"),
+    )
+    return pagerank(edges, iterations=6)

@@ -465,3 +465,29 @@ def test_semdedup_drops_planted_twin_keeps_outlier(spark):
     assert out[kept_of_pair]["centroid_cos"] <= out[dropped[0]]["centroid_cos"]
     # singletons never dropped
     assert all(out[i]["semdedup_keep"] for i in range(1, 6))
+
+
+def test_pagerank_matches_replica_and_ranks_hub_highest(spark):
+    from dbt_incremental_ci_spark.operators import pagerank as pr
+
+    # star + chain + dangling sink: 1..4 -> 0 (hub), 5 -> 6 -> 0
+    edges = [(1, 0), (2, 0), (3, 0), (4, 0), (5, 6), (6, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank_fp"] for r in pr.pagerank(df, iterations=5).collect()}
+    want = pr.pagerank_replica(edges, iterations=5)
+    assert got == want  # exact integer equality, node for node
+    hub = got[0]
+    assert hub == max(got.values())
+    assert got[6] > got[1]  # 6 receives from 5; leaves receive nothing
+    # fixed-point mass stays near SCALE (truncation leaks only ulps)
+    assert abs(sum(got.values()) - pr.SCALE) < len(got) * 200
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    from dbt_incremental_ci_spark.operators import pagerank as pr
+
+    df1 = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], ["src", "dst"])
+    df2 = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r1 = {r["node"]: r["rank_fp"] for r in pr.pagerank(df1, iterations=4).collect()}
+    r2 = {r["node"]: r["rank_fp"] for r in pr.pagerank(df2, iterations=4).collect()}
+    assert r1 == r2
