@@ -4896,3 +4896,66 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 10 + 1).alias("dst"),
     )
     return pagerank(edges, iterations=6)
+
+
+# =====================================================================
+# Column profiling — the ANALYZE-style source audit (row counts, null
+# fractions, distinct counts, canonicalized min/max) as one row per
+# column from a single aggregation pass (stack pivot of a 1-row agg;
+# the data never reaches the driver). NULLs are planted in c_phone so
+# the null-accounting path actually fires. Floats canonicalize
+# through decimal(18,2) before min/max so the rendered strings agree
+# across engines. Oracle: per-column UNION ALL replica.
+# =====================================================================
+def _q113_oracle() -> str:
+    cols = [
+        ("c_custkey", "bigint", "c_custkey"),
+        ("c_name", "string", "c_name"),
+        ("c_nationkey", "int", "c_nationkey"),
+        ("c_acctbal", "double", "c_acctbal"),
+        ("c_mktsegment", "string", "c_mktsegment"),
+    ]
+    parts = []
+    for name, dtype, expr in cols:
+        if dtype == "double":
+            mn = f"CAST(min(CAST({expr} AS DECIMAL(18,2))) AS VARCHAR)"
+            mx = f"CAST(max(CAST({expr} AS DECIMAL(18,2))) AS VARCHAR)"
+        else:
+            mn = f"CAST(min({expr}) AS VARCHAR)"
+            mx = f"CAST(max({expr}) AS VARCHAR)"
+        parts.append(
+            f"""
+      SELECT '{name}' AS "column", '{dtype}' AS dtype,
+             count(*) AS n_rows,
+             count(*) - count({expr}) AS n_nulls,
+             ROUND((count(*) - count({expr}))::DOUBLE / count(*), 6) AS null_frac,
+             count(DISTINCT {expr}) AS n_distinct,
+             {mn} AS min_val, {mx} AS max_val
+      FROM planted"""
+        )
+    body = "\n      UNION ALL".join(parts)
+    return f"""
+    WITH planted AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+             c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+    )
+    {body}
+    """
+
+
+@q("q113_column_profile", _q113_oracle())
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import profiling
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return profiling.profile(c, exact_distinct=True)

@@ -491,3 +491,25 @@ def test_pagerank_duplicate_edges_count_once(spark):
     r1 = {r["node"]: r["rank_fp"] for r in pr.pagerank(df1, iterations=4).collect()}
     r2 = {r["node"]: r["rank_fp"] for r in pr.pagerank(df2, iterations=4).collect()}
     assert r1 == r2
+
+
+def test_profile_stats_and_modes(spark):
+    from dbt_incremental_ci_spark.operators import profiling
+
+    rows = [(1, "a", 1.5), (2, None, -2.25), (3, "c", None), (4, "a", 4.0)]
+    df = spark.createDataFrame(rows, ["k", "s", "v"])
+    out = {r["column"]: r for r in profiling.profile(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["s"]["n_nulls"] == 1 and out["s"]["null_frac"] == 0.25
+    assert out["s"]["n_distinct"] == 2  # 'a', 'c' — NULL not counted
+    assert out["s"]["min_val"] == "a" and out["s"]["max_val"] == "c"
+    # doubles canonicalize through decimal(18,2)
+    assert out["v"]["min_val"] == "-2.25" and out["v"]["max_val"] == "4.00"
+    # approx mode: same shape, distinct within HLL tolerance
+    ap = {r["column"]: r for r in profiling.profile(
+        df, exact_distinct=False).collect()}
+    assert abs(ap["k"]["n_distinct"] - 4) <= 1
+    import pytest
+    with pytest.raises(ValueError):
+        profiling.profile(df, columns=["nope"])
