@@ -302,3 +302,34 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    lateness: str = "30 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``operators.dedup.exact_dedup``: emit only the first record seen
+    per key.
+
+    The 100 TB state story is the whole point: plain
+    ``dropDuplicates`` on a stream keeps EVERY key ever seen in state
+    forever — unbounded on an infinite stream. With an event-time
+    column, ``dropDuplicatesWithinWatermark`` bounds state to keys
+    seen inside the watermark horizon: a key's state is evicted once
+    the watermark passes its event time + ``lateness``, which is the
+    correct semantics when duplicates arrive close together (retries,
+    at-least-once sources) rather than arbitrarily far apart.
+
+    ``within_watermark=False`` (or no ``event_time_col``) falls back
+    to global ``dropDuplicates`` — exact forever-dedup, for bounded
+    backfills where state growth is acceptable.
+    """
+    if event_time_col is None or not within_watermark:
+        return stream_df.dropDuplicates(key_cols)
+    return stream_df.withWatermark(
+        event_time_col, lateness
+    ).dropDuplicatesWithinWatermark(key_cols)

@@ -355,3 +355,37 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_dedup_first_record_wins(spark, tmp_path):
+    from dbt_incremental_ci_spark.streaming.pipeline import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    rows = [
+        # key 1 retried three times within the horizon; keys 2/3 unique
+        (1, datetime(2024, 1, 1, 0, 0), "a"),
+        (1, datetime(2024, 1, 1, 0, 1), "a-retry"),
+        (1, datetime(2024, 1, 1, 0, 2), "a-retry2"),
+        (2, datetime(2024, 1, 1, 0, 3), "b"),
+        (3, datetime(2024, 1, 1, 0, 4), "c"),
+    ]
+    spark.createDataFrame(rows, "id long, ts timestamp, payload string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("id long, ts timestamp, payload string").parquet(src)
+    out = stream_dedup(stream, ["id"], "ts", lateness="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id, count(*) AS n FROM dedup_stream GROUP BY id").collect()
+    assert {r["id"]: r["n"] for r in got} == {1: 1, 2: 1, 3: 1}
+    # batch twin: distinct-by-key row count matches
+    batch = spark.read.parquet(src).dropDuplicates(["id"]).count()
+    assert batch == 3
