@@ -4959,3 +4959,69 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return profiling.profile(c, exact_distinct=True)
+
+
+# =====================================================================
+# Bloom-filter membership — the incremental-ingestion "seen before?"
+# primitive: build the filter over the accepted corpus (doc_id%3<>0),
+# probe EVERY doc, and audit false positives explicitly. m is set
+# deliberately small (1024 bits, ~73% fill) so the false-positive
+# path genuinely fires and its exact membership is part of the value
+# hash. Sparse relational representation: the filter is a table of
+# set bit positions (md5 house hash, k=4 salted draws), membership is
+# a broadcast join counting all-k hits — every step replays
+# value-exactly in DuckDB.
+# =====================================================================
+def _q114_oracle(m: int = 1024, k: int = 4, salt: str = "bloom") -> str:
+    from dbt_incremental_ci_spark.operators.bloom import position_sql
+
+    member_pos = "\n        UNION ALL ".join(
+        f"SELECT {position_sql('doc_id', m, salt, i)} AS bit_pos FROM members"
+        for i in range(k)
+    )
+    probe_pos = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {position_sql('doc_id', m, salt, i)} AS bit_pos FROM probes"
+        for i in range(k)
+    )
+    return f"""
+    WITH members AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    probes AS (SELECT doc_id FROM documents),
+    bits AS (
+      SELECT DISTINCT bit_pos FROM (
+        {member_pos}
+      )
+    ),
+    pp AS (
+        {probe_pos}
+    ),
+    hits AS (
+      SELECT doc_id,
+             count(*) = sum(CASE WHEN b.bit_pos IS NOT NULL THEN 1 ELSE 0 END)
+               AS mc
+      FROM pp LEFT JOIN bits b USING (bit_pos)
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           coalesce(h.mc, FALSE) AS might_contain,
+           p.doc_id % 3 <> 0 AS is_member,
+           (coalesce(h.mc, FALSE) AND NOT (p.doc_id % 3 <> 0)) AS false_positive
+    FROM probes p LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@q("q114_bloom_membership", _q114_oracle())
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import bloom
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 3 != 0)
+    bits = bloom.bloom_build(members, m=1024, k=4)
+    probed = bloom.bloom_might_contain(bits, docs, m=1024, k=4)
+    return probed.select(
+        "doc_id",
+        "might_contain",
+        (F.col("doc_id") % 3 != 0).alias("is_member"),
+        (F.col("might_contain") & ~(F.col("doc_id") % 3 != 0)).alias(
+            "false_positive"
+        ),
+    )

@@ -513,3 +513,27 @@ def test_profile_stats_and_modes(spark):
     import pytest
     with pytest.raises(ValueError):
         profiling.profile(df, columns=["nope"])
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from dbt_incremental_ci_spark.operators import bloom
+
+    a = spark.range(0, 200).withColumnRenamed("id", "k")
+    b = spark.range(500, 700).withColumnRenamed("id", "k")
+    fa = bloom.bloom_build(a, "k", m=4096, k=4)
+    fb = bloom.bloom_build(b, "k", m=4096, k=4)
+    merged = bloom.bloom_merge(fa, fb)
+    # no false negatives: every inserted key must probe positive
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = {r["k"]: r["might_contain"] for r in bloom.bloom_might_contain(
+        merged, probe, "k", m=4096, k=4).collect()}
+    assert all(out[i] for i in range(0, 200))
+    assert all(out[i] for i in range(500, 700))
+    # non-members mostly negative at this fill (~32% of m); allow FPs
+    non = [out[i] for i in range(200, 500)]
+    assert sum(non) < len(non) * 0.2
+    # merge == build over the union
+    fu = bloom.bloom_build(a.unionByName(b), "k", m=4096, k=4)
+    assert {r["bit_pos"] for r in merged.collect()} == {
+        r["bit_pos"] for r in fu.collect()
+    }
