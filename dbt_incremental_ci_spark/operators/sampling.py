@@ -215,3 +215,39 @@ def epoch_shuffle_rank(
         .withColumn("shuffle_rank", (F.col("__local") + F.col("__off")).cast("bigint"))
         .drop("__u", "__pid", "__local", "__off")
     )
+
+
+def temperature_shares(
+    counts: dict[str, int], alpha: float = 0.7
+) -> dict[str, float]:
+    """Temperature/alpha-sampling target shares (the multilingual
+    pre-training rebalance published with mBERT/XLM-R): share_c
+    proportional to count_c ** alpha. alpha=1 keeps the natural mix,
+    alpha=0 is uniform, in between up-weights the tail. Zero-count
+    categories get no share."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    powered = {c: float(n) ** alpha for c, n in counts.items() if n > 0}
+    total = sum(powered.values())
+    if total == 0:
+        raise ValueError("temperature_shares: no non-empty categories")
+    return {c: p / total for c, p in powered.items()}
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    category_col: str,
+    alpha: float = 0.7,
+    salt: str = "",
+) -> DataFrame:
+    """Resample to the temperature mixture: one tiny count aggregate
+    (O(categories) driver rows) derives the shares AND the acceptance
+    rates, then membership is the key-stable md5 filter — identical
+    scale shape to :func:`mixture_resample`."""
+    counts = {r[0]: r[1] for r in df.groupBy(category_col).count().collect()}
+    shares = temperature_shares(counts, alpha)
+    rates = mixture_rates(counts, shares)
+    return stratified_hash_sample(
+        df, key_col, category_col, rates, default_rate=0.0, salt=salt
+    )

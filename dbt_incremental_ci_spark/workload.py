@@ -5025,3 +5025,55 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive"
         ),
     )
+
+
+# =====================================================================
+# Temperature (alpha) mixture resampling — the mBERT/XLM-R rebalance:
+# shares proportional to count^0.5 over the (skewed) lang column, rates
+# derived by the q100 machinery, key-stable md5 membership. The
+# oracle is LAZY: it reads the same per-source counts from parquet
+# and runs the IDENTICAL Python share/rate computation, inlining the
+# resulting rate doubles as literals — so there is no cross-engine
+# pow()/summation drift at all; the only SQL is the md5 filter.
+# =====================================================================
+def _q115_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators.sampling import (
+        hash_uniform_sql,
+        mixture_rates,
+        temperature_shares,
+    )
+
+    dp = _os.path.join(sf_dir, "documents.parquet")
+    if not _os.path.exists(dp):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM read_parquet('{dp}') GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    rates = mixture_rates(counts, temperature_shares(counts, alpha=0.5))
+    rows = ", ".join(f"('{c}', {r!r})" for c, r in sorted(rates.items()))
+    u = hash_uniform_sql("d.doc_id", "temp")
+    return f"""
+    WITH rates(lang, rate) AS (VALUES {rows})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {u} < r.rate
+    """
+
+
+_LAZY_ORACLES["q115_temperature_mixture"] = _q115_oracle
+
+
+@q("q115_temperature_mixture")
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.temperature_resample(
+        docs, key_col="doc_id", category_col="lang", alpha=0.5, salt="temp"
+    )

@@ -537,3 +537,23 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert {r["bit_pos"] for r in merged.collect()} == {
         r["bit_pos"] for r in fu.collect()
     }
+
+
+def test_temperature_resample_flattens_skew(spark):
+    from dbt_incremental_ci_spark.operators import sampling
+
+    # 800 'big' vs 100 'small': alpha=0.5 should pull the ratio toward
+    # sqrt(8):1 ~ 2.8:1 from 8:1
+    rows = [(i, "big" if i < 800 else "small") for i in range(900)]
+    df = spark.createDataFrame(rows, ["k", "cat"])
+    out = sampling.temperature_resample(df, "k", "cat", alpha=0.5, salt="t")
+    counts = {r["cat"]: r["n"] for r in out.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 100  # binding category keeps everything
+    ratio = counts["big"] / counts["small"]
+    assert 2.2 < ratio < 3.4  # ~sqrt(8) in expectation
+    # alpha=1 keeps the natural mix (all rates 1.0)
+    nat = sampling.temperature_resample(df, "k", "cat", alpha=1.0, salt="t")
+    assert nat.count() == 900
+    sh = sampling.temperature_shares({"a": 100, "b": 100}, alpha=0.0)
+    assert sh == {"a": 0.5, "b": 0.5}
