@@ -295,3 +295,35 @@ def unigram_logprob(
             F.avg(F.log(F.col("__c") / F.col("__n"))).alias("avg_logprob"),
         )
     )
+
+
+# Latin-1/Latin-Extended accent folding map (the common subset every
+# engine's translate() handles identically; full NFKC needs ICU, which
+# is exactly the kind of per-row Python this engine keeps out of hot
+# paths — documented deviation, not an accident)
+ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def normalize_text(
+    text: Column | str,
+    lowercase: bool = True,
+    strip_accents: bool = True,
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text normalization before shingling/hashing: accent
+    folding (fixed translate map — see ACCENT_SRC note), control-char
+    removal, lowercasing, whitespace collapse + trim. Pure Column
+    expressions, map-only at any scale; every step replays verbatim in
+    SQL engines (translate/lower/regexp_replace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if strip_accents:
+        c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c

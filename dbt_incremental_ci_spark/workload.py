@@ -5077,3 +5077,66 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_resample(
         docs, key_col="doc_id", category_col="lang", alpha=0.5, salt="temp"
     )
+
+
+# =====================================================================
+# Text normalization — the canonical pre-shingle cleanup (accent
+# folding, control-char strip, lowercase, whitespace collapse). The
+# corpus is pure ASCII, so mess is PLANTED: every 4th doc gains an
+# accented prefix, every 6th a control char and tab runs — then both
+# engines normalize with the identical translate map and regexes.
+# Also emits the house 64-bit fingerprint of the normalized text via
+# md5 (so dedup keys downstream are normalization-aware).
+# =====================================================================
+@q(
+    "q116_normalize_text",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'Héllo WÖRLD Ünïcode ' || text
+                  ELSE text END ||
+             CASE WHEN doc_id % 6 = 0
+                  THEN chr(9) || ' spaced' || chr(7) || 'out  '
+                  ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+             lower(regexp_replace(
+               translate(text,
+                 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+                 'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY'),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+             '\s+', ' ', 'g')) AS norm_text,
+           substr(md5(trim(regexp_replace(
+             lower(regexp_replace(
+               translate(text,
+                 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+                 'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY'),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+             '\s+', ' ', 'g'))), 1, 16) AS norm_fp
+    FROM planted
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("Héllo WÖRLD Ünïcode "), F.col("text")),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("\t spaced\x07out  "),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    norm = text.normalize_text("text")
+    return planted.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.substring(F.md5(norm), 1, 16).alias("norm_fp"),
+    )

@@ -557,3 +557,19 @@ def test_temperature_resample_flattens_skew(spark):
     assert nat.count() == 900
     sh = sampling.temperature_shares({"a": 100, "b": 100}, alpha=0.0)
     assert sh == {"a": 0.5, "b": 0.5}
+
+
+def test_normalize_text_steps(spark):
+    df = spark.createDataFrame(
+        [(1, "  Héllo\t\tWÖRLD \x07 Ünïcode  "), (2, "already clean")],
+        ["doc_id", "t"],
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.normalize_text("t").alias("n")).collect()}
+    assert out[1] == "hello world unicode"
+    assert out[2] == "already clean"
+    # flags toggle independently
+    keep_case = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", text.normalize_text("t", lowercase=False).alias("n")
+    ).collect()}
+    assert keep_case[1] == "Hello WORLD Unicode"
