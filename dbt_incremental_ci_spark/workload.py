@@ -5140,3 +5140,77 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.substring(F.md5(norm), 1, 16).alias("norm_fp"),
     )
+
+
+# =====================================================================
+# BM25 lexical retrieval: a small literal query set scored against the
+# corpus through posting lists only (token-sharded inverted index —
+# never an all-pairs product). Per-term partials are rounded to
+# DECIMAL(18,10) before the per-(query,doc) sum so the grouped sum is
+# order-independent decimal arithmetic in both engines; the final
+# score rounds to 6 and ranks with a doc_id tiebreaker.
+# =====================================================================
+_BM25_QUERIES = [
+    ("q1", "spark merge table"),
+    ("q2", "hash join window"),
+    ("q3", "stream batch vector"),
+    ("q4", "slow query scan filter"),
+]
+
+
+@q(
+    "q117_bm25_topk",
+    r"""
+    WITH q(query_id, qtext) AS (
+      VALUES ('q1', 'spark merge table'),
+             ('q2', 'hash join window'),
+             ('q3', 'stream batch vector'),
+             ('q4', 'slow query scan filter')
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    post AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    dftbl AS (SELECT token, count(DISTINCT doc_id) AS df_t FROM post GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(string_split_regex(lower(qtext), '\s+'),
+                                x -> x <> '')) AS token
+      FROM q
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             AS DECIMAL(18,10))) AS DOUBLE), 6) AS score
+      FROM qt
+      JOIN post USING (token)
+      JOIN dl USING (doc_id)
+      JOIN dftbl USING (token)
+      CROSS JOIN stats
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import retrieval
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+    return retrieval.bm25_topk(docs, queries, k=5, k1=1.2, b=0.75)

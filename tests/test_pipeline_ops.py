@@ -573,3 +573,59 @@ def test_normalize_text_steps(spark):
         "doc_id", text.normalize_text("t", lowercase=False).alias("n")
     ).collect()}
     assert keep_case[1] == "Hello WORLD Unicode"
+
+
+def test_bm25_ranks_matching_docs_and_is_stable(spark):
+    from dbt_incremental_ci_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge table merge merge"),
+            (2, "spark table"),
+            (3, "unrelated words entirely different topic"),
+            (4, "merge"),
+            (5, "the the the the the the the the"),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = spark.createDataFrame([("qa", "merge table")], ["query_id", "qtext"])
+    out = retrieval.bm25_topk(docs, qs, k=5).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+    # only docs containing >=1 query term appear
+    assert set(ranked) <= {1, 2, 4}
+    # doc 1 has both terms (tf(merge)=3) -> best
+    assert ranked[0] == 1
+    # replica check: python BM25 on the same corpus, same formula
+    import math
+
+    corpus = {1: "spark merge table merge merge".split(),
+              2: "spark table".split(),
+              3: "unrelated words entirely different topic".split(),
+              4: ["merge"],
+              5: "the the the the the the the the".split()}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / N
+    dfreq = {}
+    for toks in corpus.values():
+        for tkn in set(toks):
+            dfreq[tkn] = dfreq.get(tkn, 0) + 1
+    k1, b = 1.2, 0.75
+    expect = {}
+    for d, toks in corpus.items():
+        s = 0.0
+        for term in ["merge", "table"]:
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (N - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            expect[d] = round(s, 6)
+    got = {r["doc_id"]: r["score"] for r in out}
+    for d, s in expect.items():
+        assert abs(got[d] - s) < 1e-5, (d, got[d], s)
+    # repartitioning must not change scores (decimal partial sums)
+    out2 = retrieval.bm25_topk(docs.repartition(7), qs, k=5).collect()
+    assert {(r["doc_id"], r["score"]) for r in out2} == {
+        (r["doc_id"], r["score"]) for r in out
+    }
