@@ -5214,3 +5214,64 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
     return retrieval.bm25_topk(docs, queries, k=5, k1=1.2, b=0.75)
+
+
+# =====================================================================
+# DSIR importance resampling (Xie et al. 2023): rank the raw corpus by
+# hashed-unigram target-likeness (target = the 'en' slice) and keep
+# the top 100. The feature space is a CONSTANT 64-bucket table, so the
+# scoring join broadcasts a 64-row log-ratio table — the corpus is
+# only ever touched by its own token explode. Per-token log-ratio
+# contributions round to DECIMAL(18,10) before the per-doc sum
+# (order-independent); the Spark side ranks through the two-phase
+# range-partition shape, never a single-task global window.
+# =====================================================================
+@q(
+    "q118_dsir_selection",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS tk
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(tk || ':dsir'), 1, 8))::BIGINT % 64 AS bucket
+      FROM tok
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+    spine AS (SELECT range AS bucket FROM range(64)),
+    j AS (
+      SELECT spine.bucket, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+      FROM spine LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+    ),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM j),
+    w AS (
+      SELECT bucket,
+             ln((ct + 0.5) / (tt + 32.0)) - ln((cr + 0.5) / (tr + 32.0))
+               AS logratio
+      FROM j CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             ROUND(CAST(SUM(CAST(logratio AS DECIMAL(18,10))) AS DOUBLE), 6)
+               AS logweight
+      FROM b JOIN w USING (bucket)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, logweight,
+           CAST(row_number() OVER (ORDER BY logweight DESC, doc_id ASC)
+                AS INT) AS rnk,
+           row_number() OVER (ORDER BY logweight DESC, doc_id ASC) <= 100
+             AS keep
+    FROM scored
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import dsir
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir.dsir_select(docs, target, k=100, n_buckets=64, alpha=0.5)

@@ -629,3 +629,29 @@ def test_bm25_ranks_matching_docs_and_is_stable(spark):
     assert {(r["doc_id"], r["score"]) for r in out2} == {
         (r["doc_id"], r["score"]) for r in out
     }
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from dbt_incremental_ci_spark.operators import dsir
+
+    # target vocabulary: science-ish; noise vocabulary: spam-ish
+    sci = "physics theory quantum energy experiment measure"
+    spam = "buy cheap click offer winner prize"
+    rows = []
+    for i in range(40):
+        rows.append((i, sci if i % 2 == 0 else sci + " extra terms"))
+    for i in range(40, 80):
+        rows.append((i, spam if i % 2 == 0 else spam + " junk words"))
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = raw.filter(F.col("doc_id") < 40)  # the science half
+    out = dsir.dsir_select(raw, target, k=40).collect()
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    # the science docs must dominate the kept slice
+    assert len(kept & set(range(40))) >= 36
+    # ranks are a dense permutation 1..N
+    assert sorted(r["rnk"] for r in out) == list(range(1, 81))
+    # partition-independence of scores and ranks
+    out2 = dsir.dsir_select(raw.repartition(11), target, k=40).collect()
+    assert {(r["doc_id"], r["logweight"], r["rnk"]) for r in out2} == {
+        (r["doc_id"], r["logweight"], r["rnk"]) for r in out
+    }
