@@ -5275,3 +5275,80 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en")
     return dsir.dsir_select(docs, target, k=100, n_buckets=64, alpha=0.5)
+
+
+# =====================================================================
+# K-means embedding clustering (q119): train on a bounded md5-ordered
+# sample (distributed TakeOrderedAndProject, Lloyd in shared numpy),
+# assign the corpus map-only against literal centroids, annotate with
+# k-row cluster sizes. The lazy oracle replays the IDENTICAL training
+# (same md5 sample selection via DuckDB, same numpy code) and inlines
+# the resulting centroids into SQL — the q43/q99 pattern extended to
+# trained state.
+# =====================================================================
+_KM_K, _KM_DIM, _KM_CAP, _KM_ITERS, _KM_SEED = 10, 64, 200, 10, 7
+
+
+def _q119_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators import clustering
+
+    ep = _os.path.join(sf_dir, "embeddings.parquet")
+    if not _os.path.exists(ep):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{ep}')
+        WHERE embedding IS NOT NULL
+        ORDER BY md5(vec_id::VARCHAR || ':km') LIMIT {_KM_CAP}
+        """
+    ).fetchall()
+    con.close()
+    rows = sorted(rows, key=lambda r: r[0])
+    centers = clustering.lloyd(
+        [r[1] for r in rows], _KM_K, _KM_ITERS, _KM_SEED
+    )
+
+    def arr(vec: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in vec) + "]"
+
+    dist_terms = ", ".join(
+        f"ROUND(list_sum(list_transform(generate_series(1, {_KM_DIM}), "
+        f"i -> (v[i] - ({arr(c)})[i]) * (v[i] - ({arr(c)})[i]))), 9)"
+        for c in centers
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, [{dist_terms}] AS dists FROM e),
+    a AS (
+      SELECT vec_id,
+             CAST(list_position(dists, list_min(dists)) - 1 AS INT) AS cluster,
+             ROUND(list_min(dists), 6) AS dist2
+      FROM d
+    )
+    SELECT vec_id, cluster, dist2,
+           count(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM a
+    """
+
+
+_LAZY_ORACLES["q119_kmeans_clusters"] = _q119_oracle
+
+
+@q("q119_kmeans_clusters")
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import clustering
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return clustering.kmeans_cluster(
+        emb,
+        k=_KM_K,
+        sample_cap=_KM_CAP,
+        iters=_KM_ITERS,
+        seed=_KM_SEED,
+        salt="km",
+    )

@@ -655,3 +655,31 @@ def test_dsir_selects_target_like_docs(spark):
     assert {(r["doc_id"], r["logweight"], r["rnk"]) for r in out2} == {
         (r["doc_id"], r["logweight"], r["rnk"]) for r in out
     }
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from dbt_incremental_ci_spark.operators import clustering
+
+    # three tight planted clusters in 8-d
+    base = {0: [5.0] * 8, 1: [-5.0] * 8, 2: [0.0] * 4 + [9.0] * 4}
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = [x + ((i * 31 + j * 7) % 10) * 0.01 for j, x in enumerate(base[c])]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = clustering.kmeans_cluster(emb, k=3, sample_cap=90).collect()
+    # same planted group -> same cluster, different -> different
+    by_true = {0: set(), 1: set(), 2: set()}
+    for r in out:
+        by_true[r["vec_id"] % 3].add(r["cluster"])
+    assert all(len(s) == 1 for s in by_true.values())
+    assert len(by_true[0] | by_true[1] | by_true[2]) == 3
+    assert all(r["cluster_size"] == 30 for r in out)
+    # partitioning must not change the fit or the assignment
+    out2 = clustering.kmeans_cluster(
+        emb.repartition(13), k=3, sample_cap=90
+    ).collect()
+    assert {(r["vec_id"], r["cluster"], r["dist2"]) for r in out} == {
+        (r["vec_id"], r["cluster"], r["dist2"]) for r in out2
+    }
