@@ -5352,3 +5352,43 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_KM_SEED,
         salt="km",
     )
+
+
+# =====================================================================
+# Length-bucketed batching (q120): power-of-two token-length buckets,
+# md5-variate deterministic order within bucket, fixed-size batch
+# cuts, per-row pad waste. Spark ranks through the two-phase
+# range-partition shape (a per-bucket window would be a single
+# data-sized task at 100 TB — bucket cardinality is only ~log(max
+# len)); the oracle can afford the plain per-bucket window at sf0.01.
+# =====================================================================
+@q(
+    "q120_length_batches",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(pow(2.0, ceil(log2(greatest(n_tokens, 1)))) AS INT)
+               AS bucket_len
+      FROM base
+    )
+    SELECT doc_id, n_tokens, bucket_len,
+           CAST(floor((row_number() OVER (
+             PARTITION BY bucket_len
+             ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':batch'), 1, 8))
+                       ::BIGINT / 4294967296.0) ASC, doc_id ASC) - 1) / 8)
+             AS BIGINT) AS batch_id,
+           bucket_len - n_tokens AS pad_waste
+    FROM b
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import batching
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return batching.length_bucketed_batches(docs, batch_size=8, salt="batch")

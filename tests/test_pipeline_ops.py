@@ -683,3 +683,36 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert {(r["vec_id"], r["cluster"], r["dist2"]) for r in out} == {
         (r["vec_id"], r["cluster"], r["dist2"]) for r in out2
     }
+
+
+def test_length_bucketed_batches_properties(spark):
+    from dbt_incremental_ci_spark.operators import batching
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 17) % 100))) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = batching.length_bucketed_batches(df, batch_size=8).collect()
+    assert len(out) == 300
+    for r in out:
+        # power-of-two bucket tight: len/2 < n_tokens <= len
+        assert r["n_tokens"] <= r["bucket_len"]
+        if r["n_tokens"] > 1:
+            assert r["n_tokens"] > r["bucket_len"] // 2
+        assert r["pad_waste"] == r["bucket_len"] - r["n_tokens"]
+    # batches are dense 0..m per bucket and only the last is partial
+    from collections import Counter
+
+    per_bucket = {}
+    for r in out:
+        per_bucket.setdefault(r["bucket_len"], []).append(r["batch_id"])
+    for blen, bids in per_bucket.items():
+        c = Counter(bids)
+        assert sorted(c) == list(range(max(c) + 1))
+        partial = [b for b, n in c.items() if n < 8]
+        assert all(b == max(c) for b in partial), (blen, c)
+    # partition independence
+    out2 = batching.length_bucketed_batches(
+        df.repartition(17), batch_size=8
+    ).collect()
+    assert {(r["doc_id"], r["batch_id"], r["bucket_len"]) for r in out} == {
+        (r["doc_id"], r["batch_id"], r["bucket_len"]) for r in out2
+    }
