@@ -5392,3 +5392,70 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return batching.length_bucketed_batches(docs, batch_size=8, salt="batch")
+
+
+# =====================================================================
+# Robust outlier audit (q121): exact per-group median/MAD over
+# lineitem prices, modified-z outlier counts (Iglewicz–Hoaglin), and
+# the winsorized mean at [p05, p95]. Exact percentiles are the
+# audit-grade complement to the q46/q49 sketch route; Spark
+# percentile() and DuckDB quantile_cont() interpolate identically.
+# The winsorized mean goes through DECIMAL(18,6) before summing so
+# the grouped sum is order-independent.
+# =====================================================================
+@q(
+    "q121_robust_outliers",
+    """
+    WITH stats AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag,
+             quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+      FROM lineitem JOIN stats USING (l_returnflag)
+      GROUP BY l_returnflag
+    ),
+    j AS (
+      SELECT l.l_returnflag, l.l_extendedprice, s.med, s.p05, s.p95, m.mad
+      FROM lineitem l
+      JOIN stats s USING (l_returnflag) JOIN mad m USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(first(med), 6) AS med, ROUND(first(mad), 6) AS mad,
+           ROUND(first(p05), 6) AS p05, ROUND(first(p95), 6) AS p95,
+           CAST(count(*) FILTER (WHERE mad > 0
+                 AND abs(l_extendedprice - med) > 3.5 * mad / 0.6745)
+                AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4)
+             AS winsor_mean
+    FROM j
+    GROUP BY l_returnflag
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import robust
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    flagged = robust.flag_outliers(li, ["l_returnflag"], "l_extendedprice")
+    wv = robust.winsorize(
+        F.col("l_extendedprice").cast("double"), F.col("p05"), F.col("p95")
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.round(F.first("p05"), 6).alias("p05"),
+        F.round(F.first("p95"), 6).alias("p95"),
+        F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+        F.round(
+            F.sum(wv.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("winsor_mean"),
+    )

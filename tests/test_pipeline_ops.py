@@ -716,3 +716,24 @@ def test_length_bucketed_batches_properties(spark):
     assert {(r["doc_id"], r["batch_id"], r["bucket_len"]) for r in out} == {
         (r["doc_id"], r["batch_id"], r["bucket_len"]) for r in out2
     }
+
+
+def test_robust_outliers_planted(spark):
+    from dbt_incremental_ci_spark.operators import robust
+
+    # tight cluster around 100 with two planted extremes
+    vals = [(i, "g", 100.0 + (i % 7) * 0.5) for i in range(50)]
+    vals += [(50, "g", 10_000.0), (51, "g", -5_000.0)]
+    # a second group with MAD = 0 (constant) and an extreme: flags nothing
+    vals += [(60 + i, "h", 42.0) for i in range(20)] + [(80, "h", 9_999.0)]
+    df = spark.createDataFrame(vals, ["id", "g", "v"])
+    out = robust.flag_outliers(df, ["g"], "v").collect()
+    flagged = {r["id"] for r in out if r["is_outlier"]}
+    assert flagged == {50, 51}  # h's extreme can't flag: mad==0 there
+    g_h = [r for r in out if r["g"] == "h"][0]
+    assert g_h["mad"] == 0.0
+    # winsorize clamps into [lo, hi]
+    row = spark.createDataFrame([(1.0,), (500.0,), (-3.0,)], ["v"]).select(
+        robust.winsorize(F.col("v"), F.lit(0.0), F.lit(100.0)).alias("w")
+    )
+    assert [r["w"] for r in row.collect()] == [1.0, 100.0, 0.0]
