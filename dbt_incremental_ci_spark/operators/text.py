@@ -327,3 +327,61 @@ def normalize_text(
     if collapse_whitespace:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
+
+
+def char_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution audit: unigram entropy (in
+    bits), distinct character count, and the dominant character with
+    its frequency share. Gibberish/binary-pasted docs sit far from
+    natural-language entropy (~4.1 bits for English); a run-length
+    spam doc collapses toward 0 — this is the screening signal.
+
+    Output: (id, n_chars, distinct_chars, char_entropy, top_char,
+    top_char_frac).
+
+    Plan shape at 100 TB: one character explode into a (doc, char)
+    count — map-side combined, keyed by the doc id so the explode's
+    shuffle is doc-sharded; per-doc entropy then folds ≤|alphabet|
+    rows/doc. H = log2(n) − (Σ c·log2 c)/n with each c·log2(c) term
+    rounded to DECIMAL(18,10) before the sum (order-independent); the
+    dominant char resolves by (count desc, char asc) row_number — a
+    doc-partitioned window, embarrassingly parallel. No Python."""
+    from pyspark.sql import Window
+
+    ch = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit("."), 0)).alias(
+            "__ch"
+        ),
+    )
+    counts = ch.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("__ch"))
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_chars"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.sum(
+            (F.col("__c") * F.log2("__c")).cast("decimal(18,10)")
+        ).alias("__clogc"),
+    )
+    top = ranked.filter(F.col("__rn") == 1).select(
+        id_col,
+        F.col("__ch").alias("top_char"),
+        F.col("__c").alias("__topc"),
+    )
+    return per_doc.join(top, id_col).select(
+        id_col,
+        "n_chars",
+        "distinct_chars",
+        F.round(
+            F.log2("n_chars")
+            - F.col("__clogc").cast("double") / F.col("n_chars"),
+            6,
+        ).alias("char_entropy"),
+        "top_char",
+        F.round(F.col("__topc").cast("double") / F.col("n_chars"), 6).alias(
+            "top_char_frac"
+        ),
+    )

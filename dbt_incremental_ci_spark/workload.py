@@ -5459,3 +5459,44 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("winsor_mean"),
     )
+
+
+# =====================================================================
+# Character-entropy screening (q122): per-doc char-unigram entropy,
+# distinct-char count, dominant char + share. One doc-sharded char
+# explode with map-side combine; H = log2(n) − (Σ c·log2 c)/n with
+# decimal-rounded terms so the fold is order-independent; dominant
+# char resolves (count desc, char asc) identically in both engines.
+# =====================================================================
+@q(
+    "q122_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             count(*) AS distinct_chars,
+             CAST(SUM(CAST(c * log2(c) AS DECIMAL(18,10))) AS DOUBLE)
+               AS clogc
+      FROM counts GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, ch AS top_char, c AS topc
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY c DESC, ch ASC) AS rn
+            FROM counts)
+      WHERE rn = 1
+    )
+    SELECT doc_id, n_chars, distinct_chars,
+           ROUND(log2(n_chars) - clogc / n_chars, 6) AS char_entropy,
+           top_char,
+           ROUND(CAST(topc AS DOUBLE) / n_chars, 6) AS top_char_frac
+    FROM per_doc JOIN top USING (doc_id)
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.char_stats(docs)

@@ -737,3 +737,24 @@ def test_robust_outliers_planted(spark):
         robust.winsorize(F.col("v"), F.lit(0.0), F.lit(100.0)).alias("w")
     )
     assert [r["w"] for r in row.collect()] == [1.0, 100.0, 0.0]
+
+
+def test_char_stats_entropy_extremes(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),            # zero entropy
+            (2, "abababab"),            # exactly 1 bit
+            (3, "abcdefgh"),            # exactly 3 bits (8 distinct)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.char_stats(df).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["top_char"] == "a"
+    assert out[1]["top_char_frac"] == 1.0
+    assert abs(out[2]["char_entropy"] - 1.0) < 1e-9
+    assert abs(out[3]["char_entropy"] - 3.0) < 1e-9
+    assert out[3]["distinct_chars"] == 8
+    # tie on counts resolves to the smallest char
+    assert out[2]["top_char"] == "a"
