@@ -5500,3 +5500,64 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.char_stats(docs)
+
+
+# =====================================================================
+# BPE tokenizer training (q123): one corpus pass builds the word-
+# frequency table; 10 merge rounds then run over the VOCAB only —
+# weighted pair-count aggregate, deterministic (count desc, pair asc)
+# argmax, map-only regexp merge — the reason BPE training is feasible
+# on a 100 TB corpus. The oracle replays training in pure Python from
+# DuckDB's word counts (integer arithmetic end to end).
+# =====================================================================
+def _q123_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators import bpe
+
+    dp = _os.path.join(sf_dir, "documents.parquet")
+    if not _os.path.exists(dp):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    wc = dict(
+        con.execute(
+            f"""
+            SELECT word, count(*) FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word
+              FROM read_parquet('{dp}')
+            ) GROUP BY word
+            """
+        ).fetchall()
+    )
+    con.close()
+    merges = bpe.bpe_train_replica(wc, n_merges=10)
+    rows = ", ".join(
+        f"({r}, '{l}', '{rt}', {c})" for r, l, rt, c in merges
+    )
+    return f"""
+    SELECT merge_rank, left_sym, right_sym, pair_count
+    FROM (VALUES {rows})
+      AS t(merge_rank, left_sym, right_sym, pair_count)
+    """
+
+
+_LAZY_ORACLES["q123_bpe_merges"] = _q123_oracle
+
+
+@q("q123_bpe_merges")
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import bpe
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    merges = bpe.bpe_train(docs, n_merges=10)
+    return spark.createDataFrame(
+        merges, ["merge_rank", "left_sym", "right_sym", "pair_count"]
+    ).select(
+        F.col("merge_rank").cast("int"),
+        "left_sym",
+        "right_sym",
+        F.col("pair_count").cast("bigint"),
+    )

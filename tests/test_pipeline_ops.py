@@ -758,3 +758,29 @@ def test_char_stats_entropy_extremes(spark):
     assert out[3]["distinct_chars"] == 8
     # tie on counts resolves to the smallest char
     assert out[2]["top_char"] == "a"
+
+
+def test_bpe_train_matches_replica_and_encode_roundtrip(spark):
+    from dbt_incremental_ci_spark.operators import bpe
+
+    corpus = [
+        ("low low low lower lowest newer newest wider wide",),
+        ("new newer newest low lower wide wider widest",),
+    ]
+    df = spark.createDataFrame(corpus, ["text"])
+    merges = bpe.bpe_train(df, n_merges=8)
+    # replica from plain python word counts must agree exactly
+    wc = {}
+    for (line,) in corpus:
+        for w in line.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert merges == bpe.bpe_train_replica(wc, n_merges=8)
+    # counts are non-increasing in rank
+    counts = [c for _, _, _, c in merges]
+    assert counts == sorted(counts, reverse=True)
+    # encoding: concatenated tokens reconstruct each word stream
+    enc = df.select(bpe.bpe_encode("text", merges).alias("toks")).collect()
+    for (line,), r in zip(corpus, enc):
+        assert "".join(r["toks"]) == line.replace(" ", "")
+        # merges actually compress: fewer symbols than characters
+        assert len(r["toks"]) < len(line.replace(" ", ""))
