@@ -68,6 +68,24 @@ EXTRA_QUERIES = [
     "q103_epoch_shuffle",
     "q104_unigram_ppl_filter",
     "q105_rollup_revenue",
+    "q106_curation_v2",
+    "q107_repeated_ngrams",
+    "q108_quality_classifier",
+    "q109_c4_line_filter",
+    "q110_line_dedup",
+    "q111_semdedup",
+    "q112_pagerank",
+    "q113_column_profile",
+    "q114_bloom_membership",
+    "q115_temperature_mixture",
+    "q116_normalize_text",
+    "q117_bm25_topk",
+    "q118_dsir_selection",
+    "q119_kmeans_clusters",
+    "q120_length_batches",
+    "q121_robust_outliers",
+    "q122_char_entropy",
+    "q123_bpe_merges",
 ]
 
 

@@ -123,3 +123,86 @@ def flag_repetitive_docs(
     return stats.withColumn(
         "ngram_keep", F.col("dup_ngram_frac") <= F.lit(max_dup_frac)
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_freq: int = 10,
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (the ExactSubstr-flavored
+    cleanup of Lee et al. 2022, span-granular rather than line-
+    granular like ``c4.dedup_lines``): any ``n``-gram occurring in at
+    least ``min_doc_freq`` DISTINCT documents is boilerplate, and every
+    token position it covers is dropped from every document; the
+    survivors re-join in order.
+
+    Output: (id, n_tokens, n_removed, cleaned_text) — all docs kept,
+    fully-boilerplate docs come back with an empty string.
+
+    Plan shape at 100 TB: one positional-n-gram explode keyed by the
+    gram hash (map-side combined doc-frequency count), the flagged-gram
+    set joined back gram-sharded (AQE broadcasts it when small — the
+    usual case: boilerplate vocabulary ≪ corpus), covered positions
+    exploded map-only, and the reassembly a doc-sharded
+    sort_array(collect_list) — per-document state only, embarrassingly
+    parallel. Everything integer/string arithmetic: bit-exact in any
+    engine.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    tok_pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__p0", "__tok")
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(positional_ngrams(text_col, n)).alias("__g0", "__ng"),
+    ).select(id_col, (F.col("__g0") + 1).alias("__gpos"), "__ng")
+    boiler = (
+        grams.dropDuplicates([id_col, "__ng"])
+        .groupBy("__ng")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("__ng")
+    )
+    covered = (
+        grams.join(boiler, "__ng")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__gpos"), F.col("__gpos") + F.lit(n - 1))
+            ).alias("__pos"),
+        )
+        .dropDuplicates([id_col, "__pos"])
+    )
+    kept = tok_pos.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = tok_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

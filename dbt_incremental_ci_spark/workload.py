@@ -5561,3 +5561,88 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_sym",
         F.col("pair_count").cast("bigint"),
     )
+
+
+# =====================================================================
+# Boilerplate span removal (q124): any trigram present in >= 10
+# distinct docs is boilerplate; every token position it covers is
+# dropped corpus-wide and survivors rejoin in order (Lee et al. 2022
+# ExactSubstr flavor, span-granular vs q110's line granularity).
+# Boilerplate is PLANTED — every 3rd doc gains a newsletter footer —
+# identically in both engines; organic repeated trigrams above the
+# threshold are removed by both sides too. Integer/string arithmetic
+# end to end.
+# =====================================================================
+@q(
+    "q124_boilerplate_removal",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' subscribe to our newsletter today'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM planted
+    ),
+    tok_pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM tk
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(0, len(toks) - 2))) AS gpos,
+             unnest(list_transform(
+               generate_series(1, greatest(0, len(toks) - 2)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS ng
+      FROM tk
+    ),
+    boiler AS (
+      SELECT ng FROM (SELECT DISTINCT doc_id, ng FROM grams)
+      GROUP BY ng HAVING count(*) >= 10
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(gpos, gpos + 2)) AS pos
+      FROM grams JOIN boiler USING (ng)
+    ),
+    kept AS (
+      SELECT tok_pos.* FROM tok_pos
+      ANTI JOIN covered USING (doc_id, pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, len(toks) AS n_tokens FROM tk)
+    SELECT p.doc_id,
+           CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(t.n_tokens, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM planted p
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import ngrams
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" subscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ngrams.remove_boilerplate_spans(planted, n=3, min_doc_freq=10)

@@ -784,3 +784,30 @@ def test_bpe_train_matches_replica_and_encode_roundtrip(spark):
         assert "".join(r["toks"]) == line.replace(" ", "")
         # merges actually compress: fewer symbols than characters
         assert len(r["toks"]) < len(line.replace(" ", ""))
+
+
+def test_boilerplate_span_removal_planted(spark):
+    from dbt_incremental_ci_spark.operators import ngrams
+
+    footer = "subscribe now today"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c {footer}") for i in range(12)]
+    rows.append((99, "only unique words here nothing shared"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in ngrams.remove_boilerplate_spans(
+            df, n=3, min_doc_freq=10
+        ).collect()
+    }
+    for i in range(12):
+        # the 3-token footer is removed; the unique prefix survives
+        assert out[i]["cleaned_text"] == f"unique{i}a unique{i}b unique{i}c"
+        assert out[i]["n_removed"] == 3 and out[i]["n_tokens"] == 6
+    assert out[99]["n_removed"] == 0
+    assert out[99]["cleaned_text"] == "only unique words here nothing shared"
+    # a doc that is ENTIRELY boilerplate returns empty, stays in output
+    df2 = spark.createDataFrame(
+        [(i, footer) for i in range(11)], ["doc_id", "text"]
+    )
+    out2 = ngrams.remove_boilerplate_spans(df2, n=3, min_doc_freq=10).collect()
+    assert all(r["cleaned_text"] == "" and r["n_removed"] == 3 for r in out2)
