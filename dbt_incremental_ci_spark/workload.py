@@ -5646,3 +5646,44 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return ngrams.remove_boilerplate_spans(planted, n=3, min_doc_freq=10)
+
+
+# =====================================================================
+# Time-series gap fill + forward fill (q125): per-user daily grid over
+# each user's own observed range (per-key sequence explode — spine is
+# output-sized, never |keys|×|global range|), decimal-exact daily
+# sums, NULL gaps materialized, last-observation-carried-forward via
+# an ignore-nulls running window. ts is the house BIGINT-nanos
+# contract; DuckDB buckets with integer epoch_ns division.
+# =====================================================================
+@q(
+    "q125_gap_fill_ffill",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_ns(ts) // 86400000000000 AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS observed
+      FROM events
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(min(bucket), max(bucket)))
+               AS bucket
+      FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.bucket, b.observed
+      FROM spine s LEFT JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket, observed,
+           observed IS NULL AS is_gap,
+           last_value(observed IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import timeseries
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "value")
+    return timeseries.gap_fill_ffill(ev, "user_id", "ts", "value")

@@ -811,3 +811,25 @@ def test_boilerplate_span_removal_planted(spark):
     )
     out2 = ngrams.remove_boilerplate_spans(df2, n=3, min_doc_freq=10).collect()
     assert all(r["cleaned_text"] == "" and r["n_removed"] == 3 for r in out2)
+
+
+def test_gap_fill_ffill_planted(spark):
+    from dbt_incremental_ci_spark.operators import timeseries
+
+    D = timeseries.NANOS_PER_DAY
+    rows = [
+        ("u1", 0 * D + 5, 10.0),
+        ("u1", 0 * D + 6, 2.5),   # same day aggregates
+        ("u1", 3 * D + 1, 7.0),   # days 1,2 are gaps
+        ("u2", 10 * D, 1.0),      # single point: no gaps
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = timeseries.gap_fill_ffill(df, "k", "ts", "v")
+    got = {(r["k"], r["bucket"]): r for r in out.collect()}
+    assert len(got) == 5  # u1 days 0-3, u2 day 10
+    assert got[("u1", 0)]["observed"] == 12.5 and not got[("u1", 0)]["is_gap"]
+    for d in (1, 2):
+        r = got[("u1", d)]
+        assert r["is_gap"] and r["observed"] is None and r["filled"] == 12.5
+    assert got[("u1", 3)]["filled"] == 7.0
+    assert got[("u2", 10)]["filled"] == 1.0 and not got[("u2", 10)]["is_gap"]
