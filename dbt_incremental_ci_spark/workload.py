@@ -5687,3 +5687,43 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_table(spark, sf_dir).select("user_id", "ts", "value")
     return timeseries.gap_fill_ffill(ev, "user_id", "ts", "value")
+
+
+# =====================================================================
+# Bloom-filtered join (q126): the semi-join-reduction runtime filter
+# as a first-class operator — a bits table over the selective
+# customer slice pre-drops non-matching orders map-only before the
+# exact join, so the fact shuffle carries a sliver, not the table.
+# No false negatives, so the result is EXACTLY the plain inner join —
+# which is precisely what the oracle runs.
+# =====================================================================
+@q(
+    "q126_bloom_join",
+    """
+    SELECT o_orderkey, c_custkey, c_name,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 9900.0
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import bloom
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900.0)
+        .select("c_custkey", "c_name")
+    )
+    joined = bloom.bloom_filtered_join(
+        orders, cust, "o_custkey", "c_custkey"
+    )
+    return joined.select(
+        "o_orderkey",
+        "c_custkey",
+        "c_name",
+        dec("o_totalprice").cast("double").alias("total_price"),
+    )

@@ -833,3 +833,24 @@ def test_gap_fill_ffill_planted(spark):
         assert r["is_gap"] and r["observed"] is None and r["filled"] == 12.5
     assert got[("u1", 3)]["filled"] == 7.0
     assert got[("u2", 10)]["filled"] == 1.0 and not got[("u2", 10)]["is_gap"]
+
+
+def test_bloom_filtered_join_equals_plain_join(spark):
+    from dbt_incremental_ci_spark.operators import bloom
+
+    fact = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(5000)], ["fid", "fk", "v"]
+    )
+    dim = spark.createDataFrame(
+        [(3, "a"), (7, "b"), (42, "c"), (999, "never-matches")],
+        ["dk", "name"],
+    )
+    got = {
+        (r["fid"], r["dk"])
+        for r in bloom.bloom_filtered_join(fact, dim, "fk", "dk").collect()
+    }
+    want = {
+        (r["fid"], r["dk"])
+        for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
+    }
+    assert got == want and len(got) == 150  # 50 each for keys 3,7,42
