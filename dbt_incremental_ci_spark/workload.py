@@ -5727,3 +5727,95 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         dec("o_totalprice").cast("double").alias("total_price"),
     )
+
+
+# =====================================================================
+# Exact set-similarity join (q127): PPJoin-style prefix filtering.
+# Unlike the MinHash/SimHash stack (q32/q33 — banded, probabilistic
+# recall), this is EXACT at the threshold: the rarest-first prefix
+# equi-join provably generates every pair with J >= t, then a
+# candidate-bounded intersection count verifies. The oracle is the
+# brute-force DuckDB list_intersect over all pairs — any false
+# negative (or extra pair) hash-mismatches.
+# =====================================================================
+@q(
+    "q127_setsim_join",
+    """
+    WITH ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ),
+    nz AS (SELECT * FROM ts WHERE len(tk) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(a.tk) AS sz_a, len(b.tk) AS sz_b,
+           len(list_intersect(a.tk, b.tk)) AS inter,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))),
+                 6) AS jaccard
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))),
+                6) >= 0.9
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import setsim
+
+    docs = t(spark, sf_dir, "documents")
+    out = setsim.jaccard_set_join(docs, "doc_id", "text", threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("sz_a").cast("long"),
+        F.col("sz_b").cast("long"),
+        F.col("inter").cast("long"),
+        "jaccard",
+    )
+
+
+# =====================================================================
+# Containment join (q128): asymmetric |a∩b|/|a| — the quote/subset
+# detector symmetric Jaccard under-scores. The contained side is a
+# deterministic 1-in-25 slice of the corpus (the "suspect quotes");
+# the containing side is the full corpus. Prefix filter on the
+# contained side only; the containing side probes all tokens, so big
+# containers are found regardless of their size.
+# =====================================================================
+@q(
+    "q128_containment_join",
+    """
+    WITH ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ),
+    nz AS (SELECT * FROM ts WHERE len(tk) > 0),
+    small AS (SELECT * FROM nz WHERE doc_id % 25 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(a.tk) AS sz_a,
+           len(list_intersect(a.tk, b.tk)) AS inter,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / len(a.tk), 6) AS containment
+    FROM small a JOIN nz b ON a.doc_id <> b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                / len(a.tk), 6) >= 0.9
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import setsim
+
+    docs = t(spark, sf_dir, "documents")
+    small = docs.filter(F.col("doc_id") % 25 == 0)
+    out = setsim.containment_join(small, docs, threshold=0.9)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("sz_a").cast("long"),
+        F.col("inter").cast("long"),
+        "containment",
+    )

@@ -1,0 +1,123 @@
+"""Exact set-similarity join (PPJoin-style prefix filter) and
+containment join: exactness vs brute force, asymmetry, edge cases."""
+
+import itertools
+import random
+
+import pytest
+
+from dbt_incremental_ci_spark.operators import setsim
+
+
+def _tokset(s):
+    return set(t for t in s.lower().split() if t)
+
+
+def _brute_jaccard(rows, t):
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = _tokset(ta), _tokset(tb)
+        if not a or not b:
+            continue
+        inter = len(a & b)
+        j = inter / (len(a) + len(b) - inter)
+        if round(j, 6) >= t:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def _brute_containment(small, big, t):
+    out = set()
+    for ia, ta in small:
+        a = _tokset(ta)
+        if not a:
+            continue
+        for ib, tb in big:
+            if ia == ib:
+                continue
+            b = _tokset(tb)
+            if not b:
+                continue
+            if round(len(a & b) / len(a), 6) >= t:
+                out.add((ia, ib))
+    return out
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+         "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi", "rho",
+         "sigma", "tau", "ups"]
+
+
+def _random_corpus(n=60, seed=7):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rnd.randint(1, 12)
+        rows.append((i, " ".join(rnd.sample(VOCAB, k))))
+    # clones and near-clones to guarantee matches at high thresholds
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1] + " extraword"))
+    rows.append((102, ""))  # empty doc must be ignored, not crash
+    return rows
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_jaccard_join_exact_vs_brute_force(spark, threshold):
+    rows = _random_corpus()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim.jaccard_set_join(df, threshold=threshold).collect()
+    }
+    assert got == _brute_jaccard(rows, threshold)
+
+
+def test_jaccard_join_values_and_clone(spark):
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b x y"), (4, "p q r s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in
+           setsim.jaccard_set_join(df, threshold=0.2).collect()}
+    assert out[(1, 2)]["jaccard"] == 1.0 and out[(1, 2)]["inter"] == 4
+    assert out[(1, 3)]["jaccard"] == pytest.approx(2 / 6)
+    assert (1, 4) not in out
+
+
+def test_containment_quote_in_page(spark):
+    # a 3-token "quote" fully inside a 12-token "page": Jaccard is low
+    # (3/12) but containment is 1.0 — the case the operator exists for.
+    quote = (1, "quick brown fox")
+    page = (2, "the quick brown fox jumps over a lazy dog near river bank")
+    df = spark.createDataFrame([quote, page], ["doc_id", "text"])
+    cont = setsim.containment_join(
+        df.filter("doc_id = 1"), df, threshold=0.9
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"], r["containment"]) == (1, 2, 1.0)
+    # symmetric jaccard at the same threshold finds nothing
+    assert setsim.jaccard_set_join(df, threshold=0.9).count() == 0
+    # and the reverse direction (page contained in quote) fails too
+    assert (
+        setsim.containment_join(df.filter("doc_id = 2"), df, threshold=0.9).count()
+        == 0
+    )
+
+
+def test_containment_vs_brute_force(spark):
+    rows = _random_corpus(n=40, seed=11)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    small = df.filter("doc_id % 5 = 0")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim.containment_join(small, df, threshold=0.7).collect()
+    }
+    small_rows = [r for r in rows if r[0] % 5 == 0]
+    assert got == _brute_containment(small_rows, rows, 0.7)
+
+
+def test_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        setsim.jaccard_set_join(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        setsim.containment_join(df, df, threshold=1.5)
