@@ -1,0 +1,143 @@
+"""Triangle counting and local clustering coefficients on an
+undirected graph (the near-dup pair graph, collaboration graphs, …).
+
+The reference has no graph surface (its "collaboration network" model
+is pairwise self-joins — SURVEY.md §1.1); this extends the engine's
+graph stack (connected components `operators/components.py`, PageRank
+`operators/pagerank.py`) with the standard corpus-audit metric: how
+clique-y is the duplicate graph? A near-dup cluster that is one dense
+clique is one template; a sparse star is a hub page quoted everywhere —
+triangle density tells them apart before you pick dedup survivors.
+
+Algorithm — degree-ordered edge orientation (public literature: Suri &
+Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer",
+WWW 2011; Schank & Wagner 2005):
+
+1. Canonicalize edges to undirected distinct pairs.
+2. Compute degrees; define the total order rank(v) = (deg(v), v).
+3. Orient every edge from the lower-rank to the higher-rank endpoint.
+   Each triangle {u, v, w} (ranks u < v < w) now appears EXACTLY once
+   as the wedge u→v, u→w closed by v→w.
+4. Wedges = oriented ⋈ oriented on the source; close each wedge with a
+   semi-probe into the oriented edge set.
+
+Scale design (the 100 TB story):
+
+- The orientation bounds every node's out-degree by O(sqrt(|E|))
+  (heavy hitters point only at heavier nodes), so the wedge join's
+  fan-out per node is sqrt-bounded — the "curse of the last reducer"
+  (a celebrity node with 10^7 neighbors generating 10^14 wedges) is
+  structurally impossible. That is the whole point of step 3.
+- Everything is equi-joins and hash aggregates on node ids — AQE
+  handles residual skew; no collect, no Python, no cartesian.
+- Per-node counts come from exploding each triangle's 3 corners — the
+  triangle set is output-sized, far smaller than the wedge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def canonical_edges(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Distinct undirected edges as (u < v), self-loops dropped."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from canonical edges."""
+    ends = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Edges oriented low-rank → high-rank, rank = (deg, node)."""
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    e = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("deg_u")).otherwise(F.col("deg_v")).alias("deg_lo"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_hi"),
+    )
+
+
+def triangles(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """All triangles, one row each: (a, b, c) with a < b < c by node id.
+
+    Input can be any (possibly duplicated / arbitrarily directed) edge
+    list; it is canonicalized first.
+    """
+    canon = canonical_edges(edges, src, dst)
+    deg = degrees(canon)
+    o = _oriented(canon, deg)
+    # wedge: x→y, x→z with rank(y) < rank(z); close with y→z
+    left = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
+                    F.col("deg_hi").alias("dy"))
+    right = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
+                     F.col("deg_hi").alias("dz"))
+    wedges = left.join(right, "x").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closed = wedges.join(
+        o.select(F.col("lo").alias("y"), F.col("hi").alias("z")), ["y", "z"]
+    )
+    corners = F.array_sort(F.array("x", "y", "z"))
+    return closed.select(
+        corners[0].alias("a"), corners[1].alias("b"), corners[2].alias("c")
+    )
+
+
+def node_triangle_stats(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node degree, triangle count, and local clustering
+    coefficient 2·tri / (deg·(deg−1)) (0 when deg < 2), over ALL nodes
+    in ``nodes`` (isolated nodes get deg 0, tri 0, lcc 0).
+
+    Output: ``node, deg, tri, lcc`` (lcc rounded to 6 dp).
+    """
+    canon = canonical_edges(edges, src, dst)
+    deg = degrees(canon)
+    tri = triangles(canon, "u", "v")
+    corner_counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    base = nodes.select(F.col(node_col).alias("node")).distinct()
+    out = (
+        base.join(deg, "node", "left")
+        .join(corner_counts, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+        )
+    )
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("tri")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("lcc", lcc)

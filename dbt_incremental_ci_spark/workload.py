@@ -5819,3 +5819,74 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter").cast("long"),
         "containment",
     )
+
+
+# =====================================================================
+# Triangle census of the near-dup graph (q129): degree-ordered
+# orientation (Suri & Vassilvitskii WWW'11) bounds wedge fan-out by
+# O(sqrt(|E|)) so the count survives celebrity nodes at 100 TB. The
+# edge set is the EXACT 0.9-Jaccard setsim graph (q127), so the
+# DuckDB oracle rebuilds the same graph brute-force and closes
+# triangles with a canonical (u<v) 3-way join. Local clustering
+# coefficient separates template cliques from quote-hub stars before
+# dedup survivor selection.
+# =====================================================================
+@q(
+    "q129_triangle_census",
+    """
+    WITH ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ),
+    nz AS (SELECT * FROM ts WHERE len(tk) > 0),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+      WHERE ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))),
+                  6) >= 0.9
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v AS node FROM pairs)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+      SELECT node, COUNT(*) AS tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(deg.deg, 0) AS BIGINT) AS deg,
+           CAST(COALESCE(tcnt.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN COALESCE(deg.deg, 0) >= 2
+                THEN ROUND(2.0 * COALESCE(tcnt.tri, 0)
+                           / (deg.deg * (deg.deg - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM documents d
+    LEFT JOIN deg ON deg.node = d.doc_id
+    LEFT JOIN tcnt ON tcnt.node = d.doc_id
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import setsim, triangles
+
+    docs = t(spark, sf_dir, "documents")
+    edges = setsim.jaccard_set_join(docs, "doc_id", "text", threshold=0.9)
+    stats = triangles.node_triangle_stats(
+        docs, edges.select("id_a", "id_b"), "doc_id"
+    )
+    return stats.select(
+        F.col("node").alias("doc_id"), "deg", "tri", "lcc"
+    )
