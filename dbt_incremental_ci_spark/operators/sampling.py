@@ -15,7 +15,7 @@ into whole-stage codegen, embarrassingly parallel at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -251,3 +251,69 @@ def temperature_resample(
     return stratified_hash_sample(
         df, key_col, category_col, rates, default_rate=0.0, salt=salt
     )
+
+
+def exp_race_key(key: Column | str, weight: Column | str, salt: str = "") -> Column:
+    """Exponential-race order key for weighted sampling WITHOUT
+    replacement (Efraimidis & Spirakis 2006, "Weighted random sampling
+    with a reservoir"): rank item i by ``u_i^(1/w_i)`` — equivalently
+    (monotone via ln) by ``ln(u_i) / w_i`` — and take the n LARGEST.
+    The selection distribution is exactly successive
+    weight-proportional draws without replacement.
+
+    ``u_i`` is the house md5 variate offset to the bin center
+    ``(u32 + 0.5) / 2^32`` so it is strictly inside (0, 1) — ln(0) can
+    never appear. Deterministic per (key, salt): same sample on every
+    run, engine, and partitioning; a new salt draws an independent
+    sample. Pure per-row expression, no shuffle.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    return F.log(u) / w.cast("double")
+
+
+def exp_race_key_sql(key_expr: str, weight_expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`exp_race_key` (for oracle builders)."""
+    return (
+        f"(ln((('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8))"
+        f"::BIGINT + 0.5) / 4294967296.0) / CAST({weight_expr} AS DOUBLE))"
+    )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    rank_col: str = "wsr_rank",
+) -> DataFrame:
+    """Top-n weighted sample without replacement: the n rows with the
+    largest :func:`exp_race_key`, ranked 1..n, non-positive weights
+    dropped (zero weight = never sampled; Exp(0) never fires).
+
+    Scale shape: the order-by-limit compiles to TakeOrderedAndProject
+    (per-partition top-n + a driver-side merge of n·partitions rows) —
+    no global sort, no full shuffle. The rank window runs AFTER the
+    limit, over n rows only; n is the requested sample size, so the
+    single-partition window is bounded by the caller's own ask, never
+    by the data. Ties in the key (distinct md5 inputs make them
+    measure-zero) break by key column for cross-engine determinism.
+    """
+    if n <= 0:
+        raise ValueError(f"sample size must be positive, got {n}")
+    k = exp_race_key(key_col, weight_col, salt)
+    top = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__esk", k)
+        .orderBy(F.desc("__esk"), F.asc(key_col))
+        .limit(n)
+    )
+    w = Window.orderBy(F.desc("__esk"), F.asc(key_col))
+    return top.withColumn(rank_col, F.row_number().over(w)).drop("__esk")

@@ -5890,3 +5890,44 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("node").alias("doc_id"), "deg", "tri", "lcc"
     )
+
+
+# =====================================================================
+# Weighted sampling without replacement (q130): Efraimidis–Spirakis
+# exponential-race keys over the deterministic md5 variate — rank by
+# ln(u)/w desc, take the top n. Selection is exactly successive
+# weight-proportional draws without replacement, reproducible across
+# engines/partitionings (the oracle computes the identical key in
+# DuckDB). Plan is TakeOrderedAndProject: per-partition top-n, no
+# global sort — the 100 TB shape for "give me 1M docs sampled by
+# quality weight".
+# =====================================================================
+@q(
+    "q130_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS weight,
+             ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':wsr'),
+                               1, 8))::BIGINT + 0.5) / 4294967296.0)
+               / CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS k
+      FROM orders
+      WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) > 0
+    )
+    SELECT o_orderkey, o_custkey, weight,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, o_orderkey) AS INT)
+             AS wsr_rank
+    FROM keyed
+    ORDER BY k DESC, o_orderkey
+    LIMIT 200
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").cast("double").alias("weight"),
+    )
+    return sampling.weighted_sample_wor(
+        orders, "o_orderkey", "weight", n=200, salt="wsr"
+    )

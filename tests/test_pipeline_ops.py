@@ -854,3 +854,60 @@ def test_bloom_filtered_join_equals_plain_join(spark):
         for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
     }
     assert got == want and len(got) == 150  # 50 each for keys 3,7,42
+
+
+# ---------------------------------------------------------------------
+# Weighted sampling without replacement (exponential-race keys)
+# ---------------------------------------------------------------------
+
+
+def _py_exp_race(key, weight, salt=""):
+    import hashlib
+    import math
+
+    u32 = int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:8], 16)
+    return math.log((u32 + 0.5) / 4294967296.0) / weight
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    from dbt_incremental_ci_spark.operators import sampling
+
+    rows = [(i, float(1 + (i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sampling.weighted_sample_wor(df, "id", "w", n=50, salt="t")
+    got_rows = [(r["id"], r["wsr_rank"]) for r in got.collect()]
+    want = sorted(rows, key=lambda r: (-_py_exp_race(r[0], r[1], "t"), r[0]))[:50]
+    assert got_rows == [(k, i + 1) for i, (k, _) in enumerate(want)]
+
+
+def test_weighted_sample_determinism_and_skew(spark):
+    from dbt_incremental_ci_spark.operators import sampling
+
+    # 100 heavy items (w=1000) among 900 light (w=1): the heavy class
+    # must dominate any reasonable sample, and reruns must be identical.
+    rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    s1 = {r["id"] for r in sampling.weighted_sample_wor(df, "id", "w", 80).collect()}
+    s2 = {r["id"] for r in sampling.weighted_sample_wor(df, "id", "w", 80).collect()}
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i < 100)
+    assert heavy >= 60  # ~all heavy items expected; 60 is a loose floor
+    # without replacement: no duplicates, exact size
+    assert len(s1) == 80
+    # independent salt draws a different sample
+    s3 = {r["id"] for r in sampling.weighted_sample_wor(df, "id", "w", 80, salt="x").collect()}
+    assert s3 != s1
+
+
+def test_weighted_sample_drops_nonpositive_and_validates(spark):
+    import pytest
+
+    from dbt_incremental_ci_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0)], ["id", "w"]
+    )
+    got = sampling.weighted_sample_wor(df, "id", "w", n=10).collect()
+    assert [r["id"] for r in got] == [3]
+    with pytest.raises(ValueError):
+        sampling.weighted_sample_wor(df, "id", "w", n=0)
