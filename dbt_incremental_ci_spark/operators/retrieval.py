@@ -139,3 +139,95 @@ def bm25_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def normalize_vec(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """L2-normalize an array column ONCE into a materialized column:
+    the norm is computed as its own attribute first, so the per-element
+    division inside the transform references a plain column (O(1)),
+    not a re-evaluated fold (O(dim) per element)."""
+    from dbt_incremental_ci_spark.operators.similarity import dot
+
+    out = out_col or vec_col
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.withColumn("__n", F.sqrt(dot(v, v)))
+        .withColumn(out, F.transform(v, lambda x: x / F.col("__n")))
+        .drop("__n")
+    )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_id: str = "doc_id",
+    query_id: str = "query_id",
+    qtok: str = "qtok",
+    vec: str = "vec",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = Σ_{i∈q} max_{j∈d} cos(q_i, d_j) over
+    TOKEN-level embeddings, top-k docs per query.
+
+    Inputs: ``doc_tokens`` (doc_id, vec) one row per document token
+    vector; ``query_tokens`` (query_id, qtok, vec) one row per query
+    token (``qtok`` any per-query-unique token id). Vectors are
+    L2-normalized here; callers pass raw embeddings.
+
+    Without ``candidates`` this is the EXACT brute baseline — every
+    query token against every document token; like
+    ``similarity.brute_force_topk`` it is quadratic by construction
+    and intended for small query sets or ground-truth building. The
+    scale path passes ``candidates`` (query_id, doc_id) from a cheap
+    first stage (ANN over pooled per-doc vectors — ``lsh_topk`` /
+    ``ivf_topk`` — exactly ColBERT's own two-stage deployment), which
+    bounds the token-level work to candidate pairs.
+
+    Determinism for the cross-engine oracle: each token-pair cosine is
+    rounded to 6 dp BEFORE the per-query-token max (max is order-free),
+    and the per-doc sum runs over DECIMAL(18,6) (order-independent);
+    ranking ties break by doc id.
+
+    Output: ``query_id, doc_id, score, rnk`` (rnk 1..k per query).
+    """
+    from dbt_incremental_ci_spark.operators.similarity import dot
+
+    d = normalize_vec(
+        doc_tokens.select(F.col(doc_id).alias("__d"), F.col(vec).alias("__dv")),
+        "__dv",
+    )
+    q = normalize_vec(
+        query_tokens.select(
+            F.col(query_id).alias("__q"), F.col(qtok).alias("__qt"),
+            F.col(vec).alias("__qv"),
+        ),
+        "__qv",
+    )
+    if candidates is not None:
+        pairs = candidates.select(
+            F.col(query_id).alias("__q"), F.col(doc_id).alias("__d")
+        )
+        joined = q.join(pairs, "__q").join(d, "__d")
+    else:
+        joined = q.crossJoin(d)
+    dp = F.round(dot(F.col("__qv"), F.col("__dv")), 6)
+    per_qtok = (
+        joined.select("__q", "__qt", "__d", dp.alias("__dp"))
+        .groupBy("__q", "__qt", "__d")
+        .agg(F.max("__dp").alias("__mx"))
+    )
+    scored = (
+        per_qtok.groupBy("__q", "__d")
+        .agg(F.sum(F.col("__mx").cast("decimal(18,6)")).alias("__s"))
+        .select(
+            F.col("__q").alias(query_id),
+            F.col("__d").alias(doc_id),
+            F.col("__s").cast("double").alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(doc_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -5931,3 +5931,99 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample_wor(
         orders, "o_orderkey", "weight", n=200, salt="wsr"
     )
+
+
+# =====================================================================
+# Join-delta IVM (q131): maintain orders ⋈ customer under insert-only
+# batches without re-joining history. Old state = orders before the
+# split date ⋈ customers outside the delta slice; the batch adds late
+# orders AND a slice of customers. The maintained view (old view ∪
+# delta-rule terms) must equal the full join — which is EXACTLY what
+# the oracle computes, so any dropped/duplicated delta term
+# hash-mismatches. Per-batch cost is O(batch ⋈ history-matches), not
+# O(history ⋈ history): the incremental-marts pattern at 100 TB.
+# =====================================================================
+@q(
+    "q131_join_ivm",
+    """
+    SELECT o_orderkey, c_custkey, c_name,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.incremental import ivm
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        dec("o_totalprice").cast("double").alias("total_price"),
+        "o_orderdate",
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    split = F.lit("1997-01-01").cast("date")
+    a_old = orders.filter(F.col("o_orderdate") < split).drop("o_orderdate")
+    delta_a = orders.filter(F.col("o_orderdate") >= split).drop("o_orderdate")
+    b_old = cust.filter(F.col("c_custkey") % 10 != 0)
+    delta_b = cust.filter(F.col("c_custkey") % 10 == 0)
+    view = a_old.join(b_old, "c_custkey")
+    out = ivm.maintain_join(view, a_old, delta_a, b_old, delta_b, "c_custkey")
+    return out.select("o_orderkey", "c_custkey", "c_name", "total_price")
+
+
+# =====================================================================
+# Late-interaction MaxSim retrieval (q132): ColBERT scoring over
+# token-level embeddings — docs are 8-vector groups of the embeddings
+# table, queries are 4-vector slices (which also live in their "home"
+# doc, so rank-1 self-retrieval is a built-in sanity signal). Each
+# token-pair cosine rounds to 6 dp before the order-free max; per-doc
+# sums run in DECIMAL(18,6), so the full pipeline replays value-exact
+# in DuckDB. The no-candidates form is the documented brute baseline;
+# the candidates path (ANN over pooled vectors) is the 100 TB route.
+# =====================================================================
+@q(
+    "q132_maxsim_topk",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    ),
+    d AS (SELECT vec_id // 8 AS doc_id, v FROM base),
+    qt AS (SELECT vec_id // 40 AS query_id, vec_id AS qtok, v
+           FROM base WHERE vec_id % 40 < 4),
+    mx AS (
+      SELECT q.query_id, q.qtok, d.doc_id,
+             MAX(ROUND(list_dot_product(q.v, d.v), 6)) AS mxdp
+      FROM qt q CROSS JOIN d
+      GROUP BY q.query_id, q.qtok, d.doc_id
+    ),
+    sc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(mxdp AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM mx GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
+      FROM sc
+    ) WHERE rnk <= 5
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import retrieval
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = emb.select(
+        (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    queries = emb.filter(F.col("vec_id") % 40 < 4).select(
+        (F.col("vec_id") / 40).cast("long").alias("query_id"),
+        F.col("vec_id").alias("qtok"),
+        F.col("embedding").alias("vec"),
+    )
+    return retrieval.maxsim_topk(docs, queries, k=5)

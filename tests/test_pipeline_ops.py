@@ -911,3 +911,89 @@ def test_weighted_sample_drops_nonpositive_and_validates(spark):
     assert [r["id"] for r in got] == [3]
     with pytest.raises(ValueError):
         sampling.weighted_sample_wor(df, "id", "w", n=0)
+
+
+# ---------------------------------------------------------------------
+# MaxSim late-interaction retrieval
+# ---------------------------------------------------------------------
+
+
+def test_maxsim_self_retrieval_and_python_replica(spark):
+    import itertools
+    import math
+    import random
+
+    from dbt_incremental_ci_spark.operators import retrieval
+
+    rnd = random.Random(5)
+    # 6 docs x 4 token vectors of dim 8
+    doc_rows = [
+        (d, [rnd.gauss(0, 1) for _ in range(8)])
+        for d in range(6)
+        for _ in range(4)
+    ]
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "vec"])
+    # queries = the token vectors of docs 1 and 3 -> must self-retrieve
+    by_doc = {}
+    for d, v in doc_rows:
+        by_doc.setdefault(d, []).append(v)
+    q_rows = [(d, i, v) for d in (1, 3) for i, v in enumerate(by_doc[d])]
+    queries = spark.createDataFrame(q_rows, ["query_id", "qtok", "vec"])
+
+    got = retrieval.maxsim_topk(docs, queries, k=3).collect()
+    top1 = {r["query_id"]: r["doc_id"] for r in got if r["rnk"] == 1}
+    assert top1 == {1: 1, 3: 3}  # perfect self-match scores ~n_qtoks
+
+    # python replica of the exact scoring contract
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def score(qvs, dvs):
+        tot = 0
+        for qv in qvs:
+            tot += round(
+                max(sum(a * b for a, b in zip(norm(qv), norm(dv))) for dv in dvs), 6
+            )
+        return round(tot, 6)
+
+    want = {}
+    for qid in (1, 3):
+        qvs = by_doc[qid]
+        ranked = sorted(
+            ((score(qvs, dvs), d) for d, dvs in by_doc.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        want[qid] = [(d, s) for s, d in ranked]
+    got_ranked = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rnk"])):
+        got_ranked.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    assert got_ranked == want
+
+
+def test_maxsim_candidates_path_matches_brute_on_pairs(spark):
+    import random
+
+    from dbt_incremental_ci_spark.operators import retrieval
+
+    rnd = random.Random(9)
+    doc_rows = [
+        (d, [rnd.gauss(0, 1) for _ in range(6)]) for d in range(8) for _ in range(3)
+    ]
+    q_rows = [(0, i, [rnd.gauss(0, 1) for _ in range(6)]) for i in range(2)]
+    docs = spark.createDataFrame(doc_rows, ["doc_id", "vec"])
+    queries = spark.createDataFrame(q_rows, ["query_id", "qtok", "vec"])
+    brute = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in retrieval.maxsim_topk(docs, queries, k=8).collect()
+    }
+    cand = spark.createDataFrame(
+        [(0, d) for d in range(8) if d % 2 == 0], ["query_id", "doc_id"]
+    )
+    with_cand = retrieval.maxsim_topk(docs, queries, k=8, candidates=cand).collect()
+    # candidate scores agree exactly with the brute scores on those pairs
+    for r in with_cand:
+        assert r["score"] == brute[(r["query_id"], r["doc_id"])]
+    assert {r["doc_id"] for r in with_cand} == {0, 2, 4, 6}
