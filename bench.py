@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "q130_weighted_sample",
     "q131_join_ivm",
     "q132_maxsim_topk",
+    "q133_range_buckets",
 ]
 
 

@@ -27,3 +27,61 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def balanced_range_buckets(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 8,
+    sample_rate: float = 0.1,
+    salt: str = "rb",
+    bucket_col: str = "bucket",
+) -> tuple[DataFrame, list[float]]:
+    """Skew-balanced range bucketing from sampled exact quantiles —
+    the deterministic, cross-engine-replayable core of what Spark's
+    ``repartitionByRange`` does with its private RangePartitioner
+    sampling (sortBy / range-clustered writes use the same idea).
+
+    Boundaries are the (i/n)-quantiles (R-7 interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition)
+    of a DETERMINISTIC md5-hash sample, so the same buckets come out
+    of every run, engine, and partitioning — unlike the RNG sample
+    inside ``repartitionByRange``, which reshuffles rows differently
+    per run. Bucket id = number of boundaries strictly below the
+    value (0..n_buckets-1); heavily-duplicated boundary values
+    degrade gracefully (duplicate boundaries produce empty buckets
+    rather than wrong assignments).
+
+    Scale shape: one aggregate over the sample (O(sample) with
+    map-side partials), n_buckets-1 scalars to the driver, then a
+    pure per-row CASE — no data-sized collect, no extra shuffle. The
+    caller chains ``.repartition(n_buckets, bucket_col)`` (or writes
+    partitioned by it) to get balanced layout under value skew.
+
+    Returns (bucketed df, boundary list).
+    """
+    from pyspark.sql import functions as F
+
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
+    v = F.col(value_col).cast("double")
+    sample = df.filter(hash_uniform(key_col, salt) < sample_rate)
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    row = sample.agg(
+        F.percentile(v, F.lit(ps)).alias("bounds")
+    ).first()
+    bounds = list(row["bounds"] or [])
+    if not bounds:
+        raise ValueError(
+            "balanced_range_buckets: the sample is empty — raise "
+            "sample_rate or check the key column"
+        )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (v > F.lit(float(b))).cast("int")
+    return df.withColumn(bucket_col, bucket), bounds

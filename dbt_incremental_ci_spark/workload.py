@@ -6027,3 +6027,67 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vec"),
     )
     return retrieval.maxsim_topk(docs, queries, k=5)
+
+
+# =====================================================================
+# Balanced range bucketing (q133): sampled-exact-quantile boundaries
+# (R-7 — Spark percentile == DuckDB quantile_cont) over the
+# deterministic md5 sample, then a pure per-row CASE assignment. The
+# audit shows per-bucket counts staying near-uniform under
+# l_extendedprice's skew — the deterministic twin of what
+# repartitionByRange's private RNG sampler does for balanced sorts /
+# range-clustered writes. Oracle recomputes sample, boundaries, and
+# assignment entirely in SQL.
+# =====================================================================
+@q(
+    "q133_range_buckets",
+    """
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM lineitem
+    ),
+    smp AS (
+      SELECT price FROM v
+      WHERE (('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                      AS VARCHAR) || ':rb'), 1, 8))::BIGINT
+             / 4294967296.0) < 0.1
+    ),
+    b AS (
+      SELECT quantile_cont(price,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+      FROM smp
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(price), 2) AS min_price,
+           ROUND(MAX(price), 2) AS max_price
+    FROM (
+      SELECT (CASE WHEN price > bounds[1] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[2] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[3] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[4] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[5] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[6] THEN 1 ELSE 0 END
+            + CASE WHEN price > bounds[7] THEN 1 ELSE 0 END) AS bucket,
+             price
+      FROM v CROSS JOIN b
+    )
+    GROUP BY bucket
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import scaling
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rk"),
+        dec("l_extendedprice").cast("double").alias("price"),
+    )
+    bucketed, _ = scaling.balanced_range_buckets(
+        li, "price", "rk", n_buckets=8, sample_rate=0.1, salt="rb"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("price"), 2).alias("min_price"),
+        F.round(F.max("price"), 2).alias("max_price"),
+    )
