@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "q131_join_ivm",
     "q132_maxsim_topk",
     "q133_range_buckets",
+    "q134_interval_union",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Interval union (gaps-and-islands): merge overlapping [start, end]
+spans per key into maximal disjoint islands.
+
+The classic warehouse op the reference's workload gestures at with
+sessionization (SURVEY.md §2 window family) but never closes:
+sessionize groups POINT events by inactivity timeout; this merges
+SPANS by actual overlap — coverage windows, on-call shifts, document
+span bookkeeping (`ngrams.remove_boilerplate_spans` flags spans;
+this unions them), GPU-reservation accounting.
+
+Algorithm — the cummax sweep (standard gaps-and-islands, e.g. Itzik
+Ben-Gan's interval-packing formulation): per key, order intervals by
+(start, end); an interval starts a NEW island iff its start exceeds
+the running max end of all earlier intervals; island id = running
+count of new-island flags; then one hash agg per island.
+
+Scale design (the 100 TB story):
+
+- One shuffle on the key; both window passes share the single sort
+  (same window spec), and the final groupBy is a hash agg on
+  (key, island). Window state is O(1) per row (running max / running
+  sum), never buffered-partition-sized.
+- Per-key window width is that key's interval count — the same skew
+  contract as every sessionize/window op here; a single global key
+  would need pre-splitting (q50's salting) first.
+- Integer/timestamp arithmetic only — no floats, exact in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximal disjoint islands of the union of ``[start, end]``
+    intervals per key (touching intervals — next start == current
+    end — merge, matching closed-interval semantics).
+
+    Output: ``<key>, island_start, island_end, n_spans`` one row per
+    island. Rows with end < start are rejected loudly rather than
+    silently producing negative spans.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    checked = df.withColumn(
+        "__e",
+        F.when(e >= s, e).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_intervals: end < start for key="),
+                    F.col(key_col).cast("string"),
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy(key_col).orderBy(start_col, "__e")
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = checked.withColumn(
+        "__island",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max("__e").alias("island_end"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .drop("__island")
+    )
+
+
+def covered_total(
+    df: DataFrame, key_col: str, start_col: str, end_col: str
+) -> DataFrame:
+    """Total covered span length per key (sum of island extents) plus
+    island count — overlap-free by construction."""
+    islands = merge_intervals(df, key_col, start_col, end_col)
+    return islands.groupBy(key_col).agg(
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )

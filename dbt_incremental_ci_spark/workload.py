@@ -6091,3 +6091,62 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 2).alias("min_price"),
         F.round(F.max("price"), 2).alias("max_price"),
     )
+
+
+# =====================================================================
+# Interval union / gaps-and-islands (q134): merge overlapping
+# [ts, ts+dur] activity spans per user into maximal disjoint islands
+# via the cummax sweep — one shuffle on the key, O(1) window state,
+# both window passes sharing a single sort. Complements q30 (point
+# sessionize by timeout) with true span-overlap semantics. Integer
+# nanosecond arithmetic end-to-end; the oracle replays the sweep with
+# the same window frames in DuckDB.
+# =====================================================================
+@q(
+    "q134_interval_union",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             epoch_ns(ts) AS s,
+             epoch_ns(ts) + (60 + event_id % 240) * 1000000000 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    )
+    SELECT user_id,
+           MIN(s) AS island_start,
+           MAX(e) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import intervals
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + (F.lit(60) + F.col("event_id") % 240) * F.lit(1000000000)).alias("e"),
+    )
+    return intervals.merge_intervals(ev, "user_id", "s", "e").select(
+        "user_id",
+        F.col("island_start"),
+        F.col("island_end"),
+        "n_spans",
+    )
