@@ -103,6 +103,8 @@ EXTRA_QUERIES = [
     "q132_maxsim_topk",
     "q133_range_buckets",
     "q134_interval_union",
+    "q135_psi_drift",
+    "q136_ks_drift",
 ]
 
 

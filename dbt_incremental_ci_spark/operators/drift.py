@@ -1,0 +1,131 @@
+"""Distribution-drift audits: PSI and the two-sample KS statistic.
+
+Training-data pipelines re-ingest sources continuously; before a new
+corpus snapshot replaces the old one you want to know whether its
+quality/length/score distributions MOVED. The two standard audit
+metrics:
+
+- **PSI** (population stability index, the banking/scorecard classic):
+  bucket the reference distribution by its own quantiles, compare
+  per-bucket mass, Σ (p_cur − p_ref) · ln(p_cur / p_ref). Rule of
+  thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken.
+- **KS statistic** (Kolmogorov–Smirnov): max |CDF_a − CDF_b| —
+  bucket-free, sensitive anywhere in the distribution.
+
+Scale design (the 100 TB story):
+
+- PSI: bucket boundaries come from
+  :func:`scaling.balanced_range_buckets` (O(sample) aggregate,
+  n−1 driver scalars), then everything is per-row CASE + one hash
+  agg per side. No sort, no window.
+- KS: per-value counts (hash agg with map-side combine), then the
+  CDF prefix sums run through :func:`packing.global_cumsum` —
+  partition-parallel windows + broadcast offsets, NEVER a
+  data-sized single-task window. The final max is a scalar agg.
+- Determinism: integer counts and exact rational fractions until the
+  final rounded division / ln — replayable in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.packing import global_cumsum
+from dbt_incremental_ci_spark.operators.scaling import balanced_range_buckets
+
+
+def psi_report(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 10,
+    sample_rate: float = 0.2,
+    salt: str = "psi",
+) -> DataFrame:
+    """Per-bucket PSI contributions (one row per bucket 0..n−1).
+
+    Buckets are the REFERENCE distribution's sampled quantiles, so a
+    stable distribution puts ~1/n of both sides in every bucket.
+    Rates are add-half smoothed — (count + 0.5) / (total + n/2) — so
+    empty buckets contribute a finite, deterministic penalty instead
+    of ±inf. Output: ``bucket, n_ref, n_cur, p_ref, p_cur, contrib``
+    (fractions and contrib rounded to 6 dp; Σ contrib = the PSI).
+    """
+    bucketed_ref, bounds = balanced_range_buckets(
+        reference, value_col, key_col, n_buckets, sample_rate, salt
+    )
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (v > F.lit(float(b))).cast("int")
+    bucketed_cur = current.withColumn("bucket", bucket)
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+    spark = reference.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    counts = (
+        grid.join(side(bucketed_ref, "n_ref"), "bucket", "left")
+        .join(side(bucketed_cur, "n_cur"), "bucket", "left")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    ).first()
+    smooth = F.lit(0.5)
+    denom_r = F.lit(float(tot["tr"])) + smooth * n_buckets
+    denom_c = F.lit(float(tot["tc"])) + smooth * n_buckets
+    p_ref = (F.col("n_ref") + smooth) / denom_r
+    p_cur = (F.col("n_cur") + smooth) / denom_c
+    return counts.select(
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("contrib"),
+    )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample KS statistic: one row ``(n_a, n_b, ks)`` with
+    ks = max over observed values of |CDF_a − CDF_b|, rounded 6 dp.
+
+    Evaluated at every DISTINCT observed value (sufficient: the CDF
+    difference is piecewise constant between observations). Prefix
+    sums run through the partition-parallel :func:`global_cumsum` —
+    the distinct-value relation can be data-sized for continuous
+    measures, so a single-task global window would be the classic
+    scale killer here.
+    """
+    ca = a.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    merged = (
+        ca.join(cb, "v", "full_outer").fillna(0, ["n_a", "n_b"])
+    )
+    cum = global_cumsum(
+        global_cumsum(merged, "v", "n_a", "cum_a"), "v", "n_b", "cum_b"
+    )
+    tot = merged.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")).first()
+    if not tot["ta"] or not tot["tb"]:
+        raise ValueError("ks_statistic: both samples must be non-empty")
+    diff = F.abs(
+        F.col("cum_a") / F.lit(float(tot["ta"]))
+        - F.col("cum_b") / F.lit(float(tot["tb"]))
+    )
+    return cum.agg(
+        F.lit(int(tot["ta"])).cast("long").alias("n_a"),
+        F.lit(int(tot["tb"])).cast("long").alias("n_b"),
+        F.round(F.max(diff), 6).alias("ks"),
+    )

@@ -35,29 +35,56 @@ def global_cumsum(
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_col`` order,
     computed with partition-parallel windows + broadcast offsets (no
-    single-task global window). ``order_col`` must be unique."""
+    single-task global window). ``order_col`` must be unique and
+    numeric (it is bucketed by its own quantiles).
+
+    The range buckets come from exact quantiles of a DETERMINISTIC
+    md5-hash sample of the order column — not ``repartitionByRange``,
+    whose RNG-seeded sampler draws different boundaries on every
+    evaluation of the plan. This operator's local-sums and
+    bucket-totals branches both re-derive the bucket id; with RNG
+    boundaries the two branches can disagree whenever Catalyst fails
+    to reuse the exchange between them (measured: the nested
+    two-column cumsum in ``drift.ks_statistic`` mis-offset every
+    bucket after the first), so determinism here is a correctness
+    requirement, not a reproducibility nicety.
+    """
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform
+
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, order_col).withColumn(
-        "__pid", F.spark_partition_id()
+    oc = F.col(order_col).cast("double")
+    ps = [i / n for i in range(1, n)]
+    sample = df.filter(
+        hash_uniform(F.col(order_col).cast("string"), "gcs") < 0.05
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    local = ranged.withColumn("__local", F.sum(value_col).over(w))
-    # exclusive prefix sum of the per-partition totals: one row per
-    # partition, so the unpartitioned window is a deliberate
-    # single-task step over O(num_partitions) rows — never data-sized.
-    # Staying in the plan (vs collect + createDataFrame) saves two
-    # driver round trips and keeps lineage in one job.
-    totals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__total"))
-    tw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = sample.agg(F.percentile(oc, F.lit(ps)).alias("b")).first()["b"]
+    if not bounds:
+        # tiny input: the 5% sample came up empty — exact quantiles of
+        # the full (small) input keep the parallel path; an empty df
+        # yields no bounds and a single bucket.
+        bounds = df.agg(F.percentile(oc, F.lit(ps)).alias("b")).first()["b"]
+    bucket = F.lit(0)
+    for b in sorted({float(x) for x in (bounds or [])}):
+        bucket = bucket + (oc > F.lit(b)).cast("int")
+    bucketed = df.withColumn("__b", bucket)
+    w = Window.partitionBy("__b").orderBy(order_col)
+    local = bucketed.withColumn("__local", F.sum(value_col).over(w))
+    # exclusive prefix sum of the per-bucket totals: one row per
+    # bucket, so the unpartitioned window is a deliberate single-task
+    # step over O(num_partitions) rows — never data-sized. Staying in
+    # the plan (vs collect + createDataFrame) saves driver round trips
+    # and keeps lineage in one job.
+    totals = bucketed.groupBy("__b").agg(F.sum(value_col).alias("__total"))
+    tw = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     off_df = totals.select(
-        "__pid",
+        "__b",
         F.coalesce(F.sum("__total").over(tw), F.lit(0)).alias("__offset"),
     )
     return (
-        local.join(F.broadcast(off_df), "__pid")
+        local.join(F.broadcast(off_df), "__b")
         .withColumn(out_col, (F.col("__local") + F.col("__offset")).cast("bigint"))
-        .drop("__pid", "__local", "__offset")
+        .drop("__b", "__local", "__offset")
     )
 
 

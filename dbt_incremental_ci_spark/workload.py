@@ -6150,3 +6150,124 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("island_end"),
         "n_spans",
     )
+
+
+# =====================================================================
+# Distribution drift (q135 PSI, q136 KS): did the order-value
+# distribution move between the pre-1998 corpus and the rest? PSI
+# buckets the REFERENCE side by its own sampled quantiles (reusing
+# the q133 machinery) and compares add-half-smoothed per-bucket mass;
+# KS takes max |CDF_a - CDF_b| over every observed value with the
+# prefix sums running through the partition-parallel global_cumsum —
+# no single-task data-sized window. Both replay value-exact in
+# DuckDB.
+# =====================================================================
+_PSI_BOUNDS_SQL = """
+      SELECT quantile_cont(price, [{ps}]) AS bounds
+      FROM (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders
+        WHERE year(o_orderdate) < 1998
+          AND (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':psi'),
+                               1, 8))::BIGINT / 4294967296.0) < 0.2
+      )
+""".format(ps=", ".join(str(i / 10) for i in range(1, 10)))
+
+_PSI_BUCKET_SQL = " + ".join(
+    f"CASE WHEN price > bounds[{i}] THEN 1 ELSE 0 END" for i in range(1, 10)
+)
+
+
+@q(
+    "q135_psi_drift",
+    f"""
+    WITH b AS ({_PSI_BOUNDS_SQL}),
+    ref AS (
+      SELECT ({_PSI_BUCKET_SQL}) AS bucket FROM (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders WHERE year(o_orderdate) < 1998) CROSS JOIN b
+    ),
+    cur AS (
+      SELECT ({_PSI_BUCKET_SQL}) AS bucket FROM (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders WHERE year(o_orderdate) >= 1998) CROSS JOIN b
+    ),
+    grid AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    cr AS (SELECT bucket, count(*) AS n_ref FROM ref GROUP BY bucket),
+    cc AS (SELECT bucket, count(*) AS n_cur FROM cur GROUP BY bucket),
+    m AS (
+      SELECT g.bucket,
+             COALESCE(cr.n_ref, 0) AS n_ref,
+             COALESCE(cc.n_cur, 0) AS n_cur
+      FROM grid g LEFT JOIN cr USING (bucket) LEFT JOIN cc USING (bucket)
+    ),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM m)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+           ROUND((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
+           ROUND(((n_cur + 0.5) / (tc + 5.0) - (n_ref + 0.5) / (tr + 5.0))
+                 * ln(((n_cur + 0.5) / (tc + 5.0))
+                      / ((n_ref + 0.5) / (tr + 5.0))), 6) AS contrib
+    FROM m CROSS JOIN t
+    """,
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import drift
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        dec("o_totalprice").cast("double").alias("price"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    ref = orders.filter(F.col("yr") < 1998)
+    cur = orders.filter(F.col("yr") >= 1998)
+    return drift.psi_report(
+        ref, cur, "price", "o_orderkey", n_buckets=10, sample_rate=0.2,
+        salt="psi",
+    )
+
+
+@q(
+    "q136_ks_drift",
+    """
+    WITH a AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM orders WHERE year(o_orderdate) < 1998
+    ),
+    b AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM orders WHERE year(o_orderdate) >= 1998
+    ),
+    ca AS (SELECT v, count(*) AS n_a FROM a GROUP BY v),
+    cb AS (SELECT v, count(*) AS n_b FROM b GROUP BY v),
+    m AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+    ),
+    c AS (
+      SELECT SUM(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(n_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM m
+    ),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM m)
+    SELECT CAST(ta AS BIGINT) AS n_a,
+           CAST(tb AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(cum_a / ta - cum_b / tb)), 6) AS ks
+    FROM c CROSS JOIN t GROUP BY ta, tb
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import drift
+
+    orders = t(spark, sf_dir, "orders").select(
+        dec("o_totalprice").cast("double").alias("v"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    return drift.ks_statistic(
+        orders.filter(F.col("yr") < 1998).select("v"),
+        orders.filter(F.col("yr") >= 1998).select("v"),
+        "v",
+    )
