@@ -80,9 +80,16 @@ def triangles(edges: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFra
     Input can be any (possibly duplicated / arbitrarily directed) edge
     list; it is canonicalized first.
     """
-    canon = canonical_edges(edges, src, dst)
+    # The oriented edge relation is referenced THREE times below (both
+    # wedge sides + the closing probe), and canon twice more via the
+    # degree join — without truncating lineage each reference would
+    # re-execute the caller's whole upstream plan (measured on the
+    # near-dup graph: the 43 s set-similarity join ran 3×, 137 s
+    # total). localCheckpoint materializes each once; edge tables are
+    # orders of magnitude smaller than the corpora that produce them.
+    canon = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = degrees(canon)
-    o = _oriented(canon, deg)
+    o = _oriented(canon, deg).localCheckpoint(eager=False)
     # wedge: x→y, x→z with rank(y) < rank(z); close with y→z
     left = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
                     F.col("deg_hi").alias("dy"))
@@ -114,7 +121,9 @@ def node_triangle_stats(
 
     Output: ``node, deg, tri, lcc`` (lcc rounded to 6 dp).
     """
-    canon = canonical_edges(edges, src, dst)
+    # checkpoint once here: degrees, the triangle pipeline, and the
+    # left joins below all branch from this relation (see triangles()).
+    canon = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = degrees(canon)
     tri = triangles(canon, "u", "v")
     corner_counts = (

@@ -5825,8 +5825,12 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle census of the near-dup graph (q129): degree-ordered
 # orientation (Suri & Vassilvitskii WWW'11) bounds wedge fan-out by
 # O(sqrt(|E|)) so the count survives celebrity nodes at 100 TB. The
-# edge set is the EXACT 0.9-Jaccard setsim graph (q127), so the
-# DuckDB oracle rebuilds the same graph brute-force and closes
+# edge set is the EXACT 0.9-Jaccard setsim graph over a
+# deterministic 1-in-5 corpus slice — the "census a sample to
+# calibrate dedup thresholds" pattern; the full-corpus 0.9 graph on
+# this synthetic near-identical corpus is clique soup (308M
+# triangles at sf0.1 — correct but uninformative and output-bound).
+# The DuckDB oracle rebuilds the same sliced graph brute-force and closes
 # triangles with a canonical (u<v) 3-way join. Local clustering
 # coefficient separates template cliques from quote-hub stars before
 # dedup survivor selection.
@@ -5839,7 +5843,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_filter(
                string_split_regex(lower(text), '\\s+'),
                x -> x <> '')) AS tk
-      FROM documents
+      FROM documents WHERE doc_id % 5 = 0
     ),
     nz AS (SELECT * FROM ts WHERE len(tk) > 0),
     pairs AS (
@@ -5874,7 +5878,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ROUND(2.0 * COALESCE(tcnt.tri, 0)
                            / (deg.deg * (deg.deg - 1)), 6)
                 ELSE 0.0 END AS lcc
-    FROM documents d
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
     LEFT JOIN deg ON deg.node = d.doc_id
     LEFT JOIN tcnt ON tcnt.node = d.doc_id
     """,
@@ -5882,7 +5886,7 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import setsim, triangles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     edges = setsim.jaccard_set_join(docs, "doc_id", "text", threshold=0.9)
     stats = triangles.node_triangle_stats(
         docs, edges.select("id_a", "id_b"), "doc_id"
