@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.operators.similarity import (
     cosine,
+    dot,
+    dot_arrow,
     ivf_assign,
     ivf_centroid,
 )
@@ -68,23 +70,42 @@ def semdedup(
         F.round(
             cosine(F.col("__v"), F.element_at(carr, F.col("cluster") + 1)), 6
         ),
-    )
+    ).withColumn(
+        "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
+    ).localCheckpoint(eager=False)
+    # ^ referenced by both self-join sides AND the final keep join:
+    # without truncating lineage the centroid-distance assignment
+    # (n_clusters × dim expression per row) executes three times.
     a = base.select(
         F.col("__id").alias("__ida"),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         "cluster",
         F.col("centroid_cos").alias("__cca"),
     )
     b = base.select(
         F.col("__id").alias("__idb"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         "cluster",
         F.col("centroid_cos").alias("__ccb"),
     )
+    # Pairwise cosine through the Arrow dot (norms precomputed per
+    # row): the interpreted zip_with fold costs ~26 µs/pair — 50 s for
+    # the 1.9M within-cluster pairs a skewed clustering produces at
+    # sf0.1 — where the einsum batch is milliseconds. Same
+    # numerator/denominator shape as the oracle's
+    # dp(a,b)/(sqrt(dp(a,a))·sqrt(dp(b,b))), round-6 absorbs the
+    # association difference (the dot_arrow contract, validated on the
+    # q36 family).
+    denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(
+        denom > 0, dot_arrow()(F.col("__va"), F.col("__vb")) / denom
+    ).otherwise(F.lit(0.0))
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .filter(F.round(pair_cos, 6) >= threshold)
     )
     losers = pairs.select(
         F.when(

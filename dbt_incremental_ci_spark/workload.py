@@ -4767,19 +4767,24 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment, cosines, domination flags all replayed in DuckDB with
 # inlined centroids.
 # =====================================================================
-def _q111_oracle(dim: int = 64, n_clusters: int = 8, thr: float = 0.95) -> str:
-    from dbt_incremental_ci_spark.operators.similarity import ivf_centroid
+_SD_K, _SD_CAP, _SD_ITERS, _SD_SEED, _SD_SALT = 8, 200, 10, 7, "sd"
 
+
+def _q111_oracle(
+    centroids: list[list[float]],
+    dim: int = 64,
+    thr: float = 0.95,
+) -> str:
     def arr(vec: list[float]) -> str:
         return "[" + ",".join(repr(x) for x in vec) + "]"
 
     dist_terms = ", ".join(
         f"ROUND(list_sum(list_transform(generate_series(1, {dim}), "
-        f"i -> (v[i] - ({arr(ivf_centroid(dim, cid))})[i])"
-        f" * (v[i] - ({arr(ivf_centroid(dim, cid))})[i]))), 9)"
-        for cid in range(n_clusters)
+        f"i -> (v[i] - ({arr(c)})[i])"
+        f" * (v[i] - ({arr(c)})[i]))), 9)"
+        for c in centroids
     )
-    cents = "[" + ", ".join(arr(ivf_centroid(dim, c)) for c in range(n_clusters)) + "]"
+    cents = "[" + ", ".join(arr(c) for c in centroids) + "]"
     return f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     twins AS (
@@ -4826,13 +4831,64 @@ def _q111_oracle(dim: int = 64, n_clusters: int = 8, thr: float = 0.95) -> str:
     """
 
 
-@q("q111_semdedup", _q111_oracle())
+def _q111_trained_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Replays the IDENTICAL k-means training (twin construction, md5
+    sample order, shared numpy lloyd) and inlines the trained centroids
+    into the assignment/domination SQL — the q119 trained-state
+    pattern, applied to SemDeDup's own clustering step."""
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators import clustering
+
+    ep = _os.path.join(sf_dir, "embeddings.parquet")
+    if not _os.path.exists(ep):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, embedding::DOUBLE[]
+            FROM read_parquet('{ep}') WHERE embedding IS NOT NULL"""
+    ).fetchall()
+    con.close()
+    pool: list[tuple[int, list[float]]] = []
+    for vid, v in rows:
+        v = list(v)
+        pool.append((vid, v))
+        if vid < 50:
+            pool.append(
+                (
+                    vid + 1000000,
+                    [x * (1.0 + ((vid + j) % 7 - 3) / 100.0)
+                     for j, x in enumerate(v)],
+                )
+            )
+    sampled = sorted(
+        pool, key=lambda r: clustering.sample_order_key(r[0], _SD_SALT)
+    )[:_SD_CAP]
+    sampled = sorted(sampled, key=lambda r: r[0])
+    cents = clustering.lloyd(
+        [v for _, v in sampled], _SD_K, _SD_ITERS, _SD_SEED
+    )
+    return _q111_oracle(cents)
+
+
+_LAZY_ORACLES["q111_semdedup"] = _q111_trained_oracle
+
+
+@q("q111_semdedup")
 def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import clustering
     from dbt_incremental_ci_spark.operators import semdedup as sd
 
     emb = t(spark, sf_dir, "embeddings")
+    u = _q36_perturbed_union(emb)
+    cents = clustering.kmeans_fit(
+        u, k=_SD_K, id_col="vec_id", vec_col="embedding",
+        sample_cap=_SD_CAP, iters=_SD_ITERS, seed=_SD_SEED, salt=_SD_SALT,
+    )
     return sd.semdedup(
-        _q36_perturbed_union(emb), dim=64, n_clusters=8, threshold=0.95
+        u, dim=64, n_clusters=_SD_K, threshold=0.95, centroids=cents
     )
 
 
