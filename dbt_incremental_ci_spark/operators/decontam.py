@@ -29,18 +29,15 @@ from pyspark.sql import functions as F
 def word_ngrams(text: Column | str, n: int) -> Column:
     """Array of space-joined word ``n``-grams (whitespace tokens,
     empties dropped). Documents with fewer than ``n`` tokens yield an
-    empty array."""
+    empty array. Built with the shifted-slice zip (tokens materialize
+    once per row, not once per output element — see
+    ``ngrams.shifted_ngram_arrays``)."""
+    from dbt_incremental_ci_spark.operators.ngrams import shifted_ngram_arrays
+
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) is DESCENDING in Spark ([1, 0] — start=0 then
-    # breaks slice), so short docs need an explicit empty-array branch
     return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        F.size(toks) >= n, shifted_ngram_arrays(toks, n)
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -70,15 +70,16 @@ def char_shingles(text_col: str, k: int = 5, distinct: bool = True) -> "F.Column
 
 
 def word_ngrams(text_col: str, n: int = 3) -> "F.Column":
-    """Distinct lowercase word n-grams as an array column."""
+    """Distinct lowercase word n-grams as an array column (shifted-
+    slice zip — tokens materialize once per row, see
+    ``ngrams.shifted_ngram_arrays``)."""
+    from dbt_incremental_ci_spark.operators.ngrams import shifted_ngram_arrays
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     cnt = F.size(toks)
-    return F.when(cnt >= n, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), cnt - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    return F.when(
+        cnt >= n, F.array_distinct(shifted_ngram_arrays(toks, n))
+    ).otherwise(F.array(F.array_join(toks, " ")))
 
 
 # -------------------------------------------------------------- minhash

@@ -35,6 +35,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def shifted_ngram_arrays(toks: Column, n: int) -> Column:
+    """Space-joined positional ``n``-grams from a token-array column,
+    built by zipping ``n`` shifted slices of the array.
+
+    Each slice materializes the token expression ONCE per row
+    (O(n·L)); the older ``transform(sequence(...), i -> slice(toks,
+    i, n))`` form embeds the token expression inside the lambda, where
+    codegen re-evaluates it per output element — O(L²) per row with a
+    string-split at every step (the same measured pathology fixed in
+    ``text.word_bigrams``). Callers guard the ``size < n`` case."""
+    count = F.size(toks) - F.lit(n - 1)
+    slices = [F.slice(toks, i + 1, count).alias(f"__t{i}") for i in range(n)]
+    return F.transform(
+        F.arrays_zip(*slices),
+        lambda s: F.concat_ws(" ", *[s[f"__t{i}"] for i in range(n)]),
+    )
+
+
 def positional_ngrams(text: Column | str, n: int) -> Column:
     """Array of space-joined word ``n``-grams in document order
     (whitespace tokens, empties dropped), one per starting position —
@@ -42,15 +60,8 @@ def positional_ngrams(text: Column | str, n: int) -> Column:
     an empty array."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
-    count = F.size(toks) - F.lit(n - 1)
-    # sequence(1, 0) is DESCENDING in Spark, so short docs need an
-    # explicit empty-array branch (same guard as decontam.word_ngrams)
     return F.when(
-        count >= 1,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        F.size(toks) >= n, shifted_ngram_arrays(toks, n)
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -72,7 +83,11 @@ def duplicated_ngram_stats(
     """
     pos = df.select(
         F.col(id_col), F.explode(positional_ngrams(text_col, n)).alias("__ng")
-    ).select(id_col, F.xxhash64("__ng").alias("__h"))
+    ).select(id_col, F.xxhash64("__ng").alias("__h")).localCheckpoint(
+        eager=False
+    )
+    # ^ feeds both the doc-frequency aggregate and the per-doc rejoin;
+    # without truncation the n-gram explode executes twice.
     # document frequency per n-gram hash: distinct (doc, hash) first so
     # a doc repeating its own n-gram doesn't count as corpus duplication
     dup_hashes = (
