@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "q134_interval_union",
     "q135_psi_drift",
     "q136_ks_drift",
+    "q137_snapshot_diff",
 ]
 
 

@@ -6331,3 +6331,92 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("yr") >= 1998).select("v"),
         "v",
     )
+
+
+# =====================================================================
+# Snapshot reconciliation (q137): keyed diff of two table versions —
+# the "what did the CI run change vs prod" relation the reference's
+# copier workflow implies but never materializes (ref SRC/copier.py
+# copies tables; this audits the result). One full-outer shuffle on
+# the key, all columns compared null-safely in one map-side pass,
+# tiny summary aggregate. The synthetic "new" snapshot drops 1-in-97
+# keys, bumps total_price for 1-in-13, and adds 1-in-101 under new
+# keys; the oracle replays the whole diff with IS NOT DISTINCT FROM.
+# =====================================================================
+@q(
+    "q137_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_price,
+             o_orderstatus
+      FROM orders
+    ),
+    newt AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN total_price + 1.0
+                  ELSE total_price END AS total_price,
+             o_orderstatus
+      FROM base WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, total_price, o_orderstatus
+      FROM base WHERE o_orderkey % 101 = 0
+    ),
+    j AS (
+      SELECT o.o_orderkey IS NOT NULL AS in_o,
+             n.o_orderkey IS NOT NULL AS in_n,
+             NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey) AS d_cust,
+             NOT (o.total_price IS NOT DISTINCT FROM n.total_price) AS d_price,
+             NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+               AS d_status
+      FROM base o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+    ),
+    s AS (
+      SELECT CASE WHEN in_o AND NOT in_n THEN 'removed'
+                  WHEN in_n AND NOT in_o THEN 'added'
+                  WHEN d_cust OR d_price OR d_status THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status,
+             in_o AND in_n AS both_sides, d_cust, d_price, d_status
+      FROM j
+    )
+    SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM s GROUP BY diff_status
+    UNION ALL
+    SELECT 'col:o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM s WHERE both_sides AND d_cust
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'col:total_price', CAST(COUNT(*) AS BIGINT)
+    FROM s WHERE both_sides AND d_price
+    HAVING COUNT(*) > 0
+    UNION ALL
+    SELECT 'col:o_orderstatus', CAST(COUNT(*) AS BIGINT)
+    FROM s WHERE both_sides AND d_status
+    HAVING COUNT(*) > 0
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import reconcile
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").cast("double").alias("total_price"),
+        "o_orderstatus",
+    )
+    changed = base.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "total_price",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("total_price") + 1.0
+        ).otherwise(F.col("total_price")),
+    )
+    added = base.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "total_price",
+        "o_orderstatus",
+    )
+    new = changed.unionByName(added)
+    diff = reconcile.snapshot_diff(base, new, "o_orderkey")
+    return reconcile.diff_summary(diff)
