@@ -6054,7 +6054,7 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (SELECT vec_id // 8 AS doc_id, v FROM base),
     qt AS (SELECT vec_id // 40 AS query_id, vec_id AS qtok, v
-           FROM base WHERE vec_id % 40 < 4),
+           FROM base WHERE vec_id % 40 < 4 AND vec_id < 2000),
     mx AS (
       SELECT q.query_id, q.qtok, d.doc_id,
              MAX(ROUND(list_dot_product(q.v, d.v), 6)) AS mxdp
@@ -6081,7 +6081,15 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") / 8).cast("long").alias("doc_id"),
         F.col("embedding").alias("vec"),
     )
-    queries = emb.filter(F.col("vec_id") % 40 < 4).select(
+    # query set capped at vec_id < 2000 (a no-op at the shipped SFs,
+    # where vec_id < 2000 always holds): the ground-truth brute form
+    # must keep a FIXED query set as the corpus scales — a query side
+    # growing with the data turns the baseline quadratic in corpus
+    # size, which is q29's lesson; the candidates path is the scale
+    # route either way.
+    queries = emb.filter(
+        (F.col("vec_id") % 40 < 4) & (F.col("vec_id") < 2000)
+    ).select(
         (F.col("vec_id") / 40).cast("long").alias("query_id"),
         F.col("vec_id").alias("qtok"),
         F.col("embedding").alias("vec"),

@@ -1,0 +1,102 @@
+"""The sf1 scaling gate, reproducibly: bench every bench.py query at
+sf0.1 AND at the 10× replica, record per-query step ratios.
+
+Round-2 judge item #1 made the gate mandatory; round 3 first ran it
+ad hoc (commit "sf1 scaling gate") — this script is the committed
+recipe. The replica comes from tools/make_scale_replica.py (10
+FK-consistent key-offset copies, near-dup-sensitive columns
+perturbed); on fixed local[32] resources a compute-bound plan may
+cost up to 10× wall for 10× data, so ratios ≤ 10 are linear-or-better
+and ratios ≫ 10 are super-linear plan bugs.
+
+Queries are executed through the noop sink (all columns materialize —
+same method as bench.py; count() hides projection cost).
+
+Usage: python tools/sf1_gate.py [out_json] [skip...]
+Writes {note, "sf0.1": {...}, sf1: {...}, step_ratio: {...}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import BENCH_QUERIES, EXTRA_QUERIES  # noqa: E402
+from dbt_incremental_ci_spark import workload  # noqa: E402
+from dbt_incremental_ci_spark.session import get_spark  # noqa: E402
+
+REPLICA = "/tmp/spark_graft_scale/sf1"
+REPS = 2
+
+
+def run_all(spark, sf_dir: str, sf_label) -> dict:
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup on the target dir so parquet footers/codegen are hot
+    run(workload.QUERIES["q06_global_kpis"](spark, sf_dir))
+
+    def best_of(name: str) -> float:
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            run(workload.QUERIES[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    timings = {n: best_of(n) for n in BENCH_QUERIES}
+    extra = {n: best_of(n) for n in EXTRA_QUERIES}
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_extra": extra,
+        "sf": sf_label,
+    }
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_SF1_r03.json"
+    if not os.path.exists(os.path.join(REPLICA, "lineitem.parquet")):
+        print("building sf1 replica...", flush=True)
+        subprocess.run(
+            [sys.executable, "/root/repo/tools/make_scale_replica.py"],
+            check=True,
+        )
+    spark = get_spark(app_name="sf1_gate")
+    base = run_all(spark, "/root/testdata/sf0.1", 0.1)
+    big = run_all(spark, REPLICA, 1.0)
+    qs = {**base["queries"], **base["queries_extra"]}
+    qb = {**big["queries"], **big["queries_extra"]}
+    ratios = {
+        n: round(qb[n] / qs[n], 2) if qs[n] > 0 else None
+        for n in qs
+        if n in qb
+    }
+    out = {
+        "note": (
+            "sf1 scaling gate (round-2 judge item 1): 10x replica of sf0.1 "
+            "built by tools/make_scale_replica.py; ratio = sf1_sec/sf0.1_sec "
+            "on local[32] via the noop sink (all columns materialized); "
+            "linear scaling on fixed resources bounds the healthy ratio at "
+            "~10, overhead-dominated queries sit near 1"
+        ),
+        "sf0.1": base,
+        "sf1": big,
+        "step_ratio": ratios,
+        "over_10x": sorted(n for n, r in ratios.items() if r and r > 10),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"out": out_path, "over_10x": out["over_10x"],
+                      "max_ratio": max(r for r in ratios.values() if r)}))
+
+
+if __name__ == "__main__":
+    main()
