@@ -106,6 +106,8 @@ EXTRA_QUERIES = [
     "q135_psi_drift",
     "q136_ks_drift",
     "q137_snapshot_diff",
+    "q138_pmi_collocations",
+    "q139_chi_square",
 ]
 
 

@@ -1,0 +1,159 @@
+"""Corpus collocation mining (PMI) and categorical association
+(chi-square / Cramér's V) audits.
+
+Collocations: pointwise mutual information over adjacent word pairs —
+PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) — the classic collocation
+extractor (Church & Hanks 1990). High-PMI pairs ("san francisco",
+"et al") are the multi-word expressions a tokenizer/dedup pipeline
+should treat as units; low/negative PMI flags boilerplate gluing.
+
+Association: the chi-square statistic and Cramér's V between two
+categorical columns (e.g. documents.lang × documents.source) — the
+standard "are these metadata fields independent" audit before using
+one to stratify a sample keyed on the other.
+
+Scale design (the 100 TB story):
+
+- PMI: one bigram explode (shifted-slice zip — tokens materialize
+  once per row), one hash agg per relation (pair counts, unigram
+  counts), the unigram table joined twice (vocabulary-sized — AQE
+  broadcasts while it fits), totals broadcast as literals. No sort,
+  no window, no Python.
+- chi-square: one (a, b) hash agg, the two marginal tables derived
+  FROM it (category-sized), expected counts by join — the
+  contingency table never exceeds |A|×|B| rows. Single scalar out.
+- Determinism: integer counts all the way; PMI/chi2 round at 6 dp
+  after exact rational arithmetic in doubles (same ln parity contract
+  as the BM25/DSIR scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.ngrams import shifted_ngram_arrays
+
+
+def _toks(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda x: x != "")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(w1, w2, n_pair, n_w1, n_w2, pmi) for adjacent word pairs with
+    ``n_pair >= min_pair_count``, PMI in nats rounded to 6 dp,
+    optionally top-k by (pmi desc, w1, w2).
+
+    Probabilities use the bigram-position total for p(a,b) and the
+    token total for p(a), p(b) — the standard estimator; both totals
+    are corpus constants broadcast into the expression.
+    """
+    toks = _toks(text_col)
+    bigrams = df.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, shifted_ngram_arrays(toks, 2))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("__bg")
+    )
+    pair_counts = (
+        bigrams.select(
+            F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("__bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    unigrams = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = df.select(
+        F.sum(F.size(toks)).alias("n_tok"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n_bg"),
+    ).first()
+    n_tok, n_bg = float(totals["n_tok"]), float(totals["n_bg"])
+    joined = (
+        pair_counts.join(
+            unigrams.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            "w1",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            "w2",
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.lit(n_bg))
+            / ((F.col("n_w1") / F.lit(n_tok)) * (F.col("n_w2") / F.lit(n_tok)))
+        ),
+        6,
+    )
+    out = joined.select(
+        "w1", "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n_w1").cast("long").alias("n_w1"),
+        F.col("n_w2").cast("long").alias("n_w2"),
+        pmi.alias("pmi"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+    return out
+
+
+def chi_square_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One row: (n, df_degrees, chi2, cramers_v) for the contingency
+    table of two categorical columns. NULL categories count as their
+    own level (audits care about missingness structure too) via a
+    sentinel; chi2/cramers_v rounded to 6 dp.
+    """
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<null>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<null>"))
+    obs = (
+        df.select(a.alias("__a"), b.alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    ra = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    n = obs.agg(F.sum("__o")).first()[0]
+    if not n:
+        raise ValueError("chi_square_association: empty input")
+    cells = obs.join(ra, "__a").join(cb, "__b")
+    exp = F.col("__ra") * F.col("__cb") / F.lit(float(n))
+    # Per-cell terms round to DECIMAL(28,10) BEFORE the sum (decimal
+    # sums are order-independent — the house determinism rule), so the
+    # scalar replays exactly in the oracle regardless of partitioning.
+    dec10 = "decimal(28,10)"
+    chi2_cells = cells.select(
+        F.round((F.col("__o") - exp) * (F.col("__o") - exp) / exp, 10)
+        .cast(dec10)
+        .alias("__c"),
+        F.round(exp, 10).cast(dec10).alias("__e"),
+    )
+    # zero-observed cells contribute expected mass: chi2 = sum over
+    # OBSERVED cells of (o-e)^2/e  +  sum over missing cells of e.
+    # Σ_missing e = n − Σ_observed e, so no |A|×|B| grid is ever built.
+    sums = chi2_cells.agg(
+        F.sum("__c").alias("__sc"), F.sum("__e").alias("__se")
+    ).first()
+    chi2 = float(sums["__sc"]) + (float(n) - float(sums["__se"]))
+    n_a = ra.count()
+    n_b = cb.count()
+    dof = (n_a - 1) * (n_b - 1)
+    v = (chi2 / (n * min(n_a - 1, n_b - 1))) ** 0.5 if dof > 0 else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(n), int(dof), round(chi2, 6), round(v, 6))],
+        "n long, df_degrees long, chi2 double, cramers_v double",
+    )

@@ -6428,3 +6428,106 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = changed.unionByName(added)
     diff = reconcile.snapshot_diff(base, new, "o_orderkey")
     return reconcile.diff_summary(diff)
+
+
+# =====================================================================
+# PMI collocations (q138): Church & Hanks pointwise mutual information
+# over adjacent word pairs — one bigram explode (shifted-slice zip),
+# two hash aggs, the vocabulary-sized unigram table joined twice
+# (AQE-broadcastable), totals inlined as literals. Integer counts all
+# the way to one rounded ln. Top-50 by (pmi desc, w1, w2).
+# =====================================================================
+@q(
+    "q138_pmi_collocations",
+    r"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(0, len(toks) - 1)),
+               i -> [toks[i], toks[i+1]])) AS p
+      FROM tk
+    ),
+    pc AS (
+      SELECT p[1] AS w1, p[2] AS w2, count(*) AS n_pair
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    uc AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT sum(len(toks)) FROM tk) AS n_tok,
+             (SELECT sum(greatest(len(toks) - 1, 0)) FROM tk) AS n_bg
+    )
+    SELECT w1, w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(u1.n_w AS BIGINT) AS n_w1,
+           CAST(u2.n_w AS BIGINT) AS n_w2,
+           ROUND(ln((n_pair / n_bg)
+                    / ((u1.n_w / n_tok) * (u2.n_w / n_tok))), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON u1.w = pc.w1
+    JOIN uc u2 ON u2.w = pc.w2
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import collocations
+
+    docs = t(spark, sf_dir, "documents")
+    return collocations.pmi_collocations(
+        docs, "text", min_pair_count=5, top_k=50
+    )
+
+
+# =====================================================================
+# Chi-square association audit (q139): is documents.lang independent
+# of documents.source? Contingency counts + derived marginals,
+# decimal-summed cell terms (order-independent), zero-observed cells
+# folded in as n - sum(expected-over-observed) so no dense |A|x|B|
+# grid is ever built. One scalar row: chi2 + Cramér's V.
+# =====================================================================
+@q(
+    "q139_chi_square",
+    """
+    WITH obs AS (
+      SELECT COALESCE(lang, '<null>') AS a,
+             COALESCE(source, '<null>') AS b,
+             count(*) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+    cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+    nn AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs),
+    cells AS (
+      SELECT o, ra.ra * cb.cb / nn.n AS e
+      FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
+    ),
+    s AS (
+      SELECT SUM(CAST(ROUND((o - e) * (o - e) / e, 10)
+                      AS DECIMAL(28,10))) AS sc,
+             SUM(CAST(ROUND(e, 10) AS DECIMAL(28,10))) AS se
+      FROM cells
+    ),
+    k AS (SELECT (SELECT count(*) FROM ra) AS n_a,
+                 (SELECT count(*) FROM cb) AS n_b)
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           CAST((k.n_a - 1) * (k.n_b - 1) AS BIGINT) AS df_degrees,
+           ROUND(CAST(s.sc AS DOUBLE) + (nn.n - CAST(s.se AS DOUBLE)), 6)
+             AS chi2,
+           ROUND(sqrt((CAST(s.sc AS DOUBLE) + (nn.n - CAST(s.se AS DOUBLE)))
+                      / (nn.n * least(k.n_a - 1, k.n_b - 1))), 6)
+             AS cramers_v
+    FROM s CROSS JOIN nn CROSS JOIN k
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import collocations
+
+    docs = t(spark, sf_dir, "documents")
+    return collocations.chi_square_association(docs, "lang", "source")

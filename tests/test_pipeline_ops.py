@@ -997,3 +997,64 @@ def test_maxsim_candidates_path_matches_brute_on_pairs(spark):
     for r in with_cand:
         assert r["score"] == brute[(r["query_id"], r["doc_id"])]
     assert {r["doc_id"] for r in with_cand} == {0, 2, 4, 6}
+
+
+# ---------------------------------------------------------------------
+# PMI collocations + chi-square association
+# ---------------------------------------------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    import math
+
+    from dbt_incremental_ci_spark.operators import collocations
+
+    # "a b" appears 4 times; tokens: a=4, b=4, c=4 over 16 tokens,
+    # 12 bigram positions.
+    docs = [("a b c a",), ("b c a b",), ("c a b c",), ("a b c b",)]
+    df = spark.createDataFrame(docs, ["text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           collocations.pmi_collocations(df, "text", min_pair_count=2).collect()}
+    r = out[("a", "b")]
+    assert (r["n_pair"], r["n_w1"], r["n_w2"]) == (4, 5, 6)
+    want = round(math.log((4 / 12) / ((5 / 16) * (6 / 16))), 6)
+    assert r["pmi"] == want
+
+
+def test_pmi_min_count_and_topk(spark):
+    from dbt_incremental_ci_spark.operators import collocations
+
+    df = spark.createDataFrame(
+        [("x y x y x y",), ("p q",)], ["text"]
+    )
+    all_pairs = collocations.pmi_collocations(df, "text", min_pair_count=1)
+    assert {(r["w1"], r["w2"]) for r in all_pairs.collect()} >= {("x", "y"), ("p", "q")}
+    frequent = collocations.pmi_collocations(df, "text", min_pair_count=3)
+    assert {(r["w1"], r["w2"]) for r in frequent.collect()} == {("x", "y")}
+    top1 = collocations.pmi_collocations(df, "text", 1, top_k=1).collect()
+    assert len(top1) == 1
+
+
+def test_chi_square_independent_vs_dependent(spark):
+    from dbt_incremental_ci_spark.operators import collocations
+
+    # perfectly dependent: b == a -> Cramér's V = 1
+    dep = spark.createDataFrame(
+        [(c, c) for c in "xxyyzz"], ["a", "b"]
+    )
+    r = collocations.chi_square_association(dep, "a", "b").collect()[0]
+    assert r["cramers_v"] == 1.0 and r["df_degrees"] == 4
+
+    # independent uniform grid -> chi2 = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(3)], ["a", "b"]
+    )
+    r2 = collocations.chi_square_association(ind, "a", "b").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+    # nulls form their own category
+    withnull = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", "p"), ("y", "p")], "a string, b string"
+    )
+    r3 = collocations.chi_square_association(withnull, "a", "b").collect()[0]
+    assert r3["cramers_v"] == 1.0
