@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "q137_snapshot_diff",
     "q138_pmi_collocations",
     "q139_chi_square",
+    "q140_entity_resolution",
 ]
 
 

@@ -6531,3 +6531,56 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return collocations.chi_square_association(docs, "lang", "source")
+
+
+# =====================================================================
+# End-to-end entity resolution (q140): fuzzy-match customers by name
+# (FastSS deletion-neighborhood blocking, exact for edit distance 1 —
+# the q58 pair relation), close the match graph with connected
+# components, and keep the min-id survivor per entity cluster — the
+# full record-linkage pipeline as ONE composed declarative plan. The
+# oracle rebuilds the pairs brute-force and resolves components with
+# WITH RECURSIVE min-label reachability (the q52 pattern).
+# =====================================================================
+@q(
+    "q140_entity_resolution",
+    """
+    WITH RECURSIVE
+    n AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM n
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM n
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT c.c_custkey,
+           COALESCE(comp.component, c.c_custkey) AS component,
+           (COALESCE(comp.component, c.c_custkey) = c.c_custkey)
+             AS is_survivor
+    FROM customer c LEFT JOIN comp ON comp.node = c.c_custkey
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import components as cc
+    from dbt_incremental_ci_spark.operators.fuzzy import edit_distance_pairs
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    cust = ensure_min_parallelism(
+        t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    )
+    pairs = edit_distance_pairs(
+        cust, "c_custkey", "c_name", block_cols=["c_nationkey"]
+    )
+    return cc.dedup_components(
+        cust.select("c_custkey"), pairs.select("id_a", "id_b"), "c_custkey"
+    )
