@@ -53,10 +53,13 @@ def length_bucketed_batches(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
     ).withColumn("bucket_len", pow2_bucket(F.col("n_tokens")))
+    # localCheckpoint: same RNG-boundary double-evaluation hazard as
+    # sampling.epoch_shuffle_rank — see the comment there.
     ranged = (
         base.withColumn("__u", hash_uniform(id_col, salt))
         .repartitionByRange(n, "bucket_len", F.col("__u"), F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     lw = Window.partitionBy("__pid", "bucket_len").orderBy("__u", id_col)
     local = ranged.withColumn("__local", F.row_number().over(lw))

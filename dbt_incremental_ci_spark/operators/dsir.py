@@ -135,9 +135,13 @@ def dsir_select(
     # key, local row_numbers, broadcast O(partitions) offsets.
     spark = raw.sparkSession
     n = spark.sparkContext.defaultParallelism
+    # localCheckpoint: same RNG-boundary double-evaluation hazard as
+    # sampling.epoch_shuffle_rank — see the comment there.
     ranged = scored.repartitionByRange(
         n, F.col("logweight").desc(), F.col(id_col).asc()
-    ).withColumn("__pid", F.spark_partition_id())
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     lw = Window.partitionBy("__pid").orderBy(
         F.desc("logweight"), F.asc(id_col)
     )

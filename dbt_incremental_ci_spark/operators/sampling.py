@@ -201,7 +201,16 @@ def epoch_shuffle_rank(
     ranged = df.withColumn(
         "__u", hash_uniform(key_col, f"{salt}:{epoch}")
     ).repartitionByRange(n, "__u", key_col)
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    # Pin the ranged relation: repartitionByRange's boundary sampler is
+    # RNG-seeded per evaluation, and BOTH the local-ranks and the
+    # partition-totals branches below re-derive __pid from it — if
+    # Catalyst fails to reuse the exchange between them the two
+    # branches disagree on partition ids and every offset after the
+    # first is wrong (the failure mode the q136 oracle caught in
+    # global_cumsum). localCheckpoint materializes the shuffle once.
+    ranged = ranged.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("__pid").orderBy("__u", key_col)
     local = ranged.withColumn("__local", F.row_number().over(w))
     # O(partitions) rows — the unpartitioned window here is deliberate
