@@ -91,3 +91,73 @@ def profile(
         "min_val",
         "max_val",
     )
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: ``(bin, lo, hi, n)``
+    with ``bins`` equal-width buckets spanning the column's observed
+    [min, max] — the equi-WIDTH complement of
+    ``scaling.balanced_range_buckets`` (equi-depth). NULLs are dropped;
+    the max value lands in the last bin (right edge inclusive there,
+    exclusive elsewhere — NumPy's histogram convention).
+
+    Scale shape: one min/max aggregate whose 1-row result is
+    broadcast back (AQE), then a map-side bin expression and one hash
+    aggregate of at most ``bins`` groups. Empty bins are materialized
+    from a generated spine so the output is always exactly ``bins``
+    rows (or one row when min == max).
+
+    Determinism across engines: values are quantized to
+    ``decimal(18,2)`` (the house canonicalization) and carried as
+    BIGINT hundredths, so the bin assignment is pure integer
+    arithmetic — ``(v - lo) * bins div span`` — identical in every
+    engine; no decimal-division or float-edge ambiguity can shift a
+    boundary value between bins. The reported ``lo``/``hi`` edges are
+    then derived as doubles of those exact integers.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    cents = (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+    bounds = df.where(cents.isNotNull()).agg(
+        F.min(cents).alias("__lo"), F.max(cents).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    binned = (
+        df.where(cents.isNotNull())
+        .select(cents.alias("__v"))
+        .crossJoin(bounds)
+        .select(
+            F.when(span == 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.expr(f"((__v - __lo) * {bins}) div (__hi - __lo)"),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        "__lo",
+        "__hi",
+    )
+    lo_d = F.col("__lo").cast("double") / 100.0
+    w_d = span.cast("double") / 100.0 / bins
+    return spine.join(binned, "bin", "left").select(
+        "bin",
+        F.round(lo_d + w_d * F.col("bin"), 6).alias("lo"),
+        F.round(
+            F.when(F.col("bin") == bins - 1, F.col("__hi").cast("double") / 100.0)
+            .otherwise(lo_d + w_d * (F.col("bin") + 1)),
+            6,
+        ).alias("hi"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )

@@ -27,6 +27,75 @@ def day_bucket(ts_nanos: Column | str) -> Column:
     return F.floor(c / F.lit(NANOS_PER_DAY)).cast("bigint")
 
 
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, final value per
+    key: ``y_1 = x_1; y_t = alpha·x_t + (1-alpha)·y_{t-1}`` over the
+    key's rows ordered by ``order_cols`` (which must be a unique total
+    order within each key, or the fold order — and hence the float
+    result — is nondeterministic).
+
+    Output: ``(key, n_obs, last_value, ewma)`` with ``ewma`` the final
+    smoothed value. EWMA is the one ubiquitous sequential statistic a
+    plain window cannot express (each step multiplies the accumulator —
+    it is not a sum), so it is computed as an ordered in-group fold:
+    ``sort_array(collect_list(struct(order…, x)))`` then ``aggregate``
+    over the tail with the head as the seed.
+
+    Numeric contract: the recurrence runs in EXACT decimal arithmetic —
+    values quantized to decimal(18,2), ``alpha`` to 6 places, and the
+    accumulator re-quantized to decimal(28,10) after every step — so
+    the result is engine-portable to the last digit (a raw IEEE-double
+    fold differs across engines by an ulp whenever one of them fuses
+    the multiply-add, and an ulp can straddle any later rounding
+    boundary). The 10-place re-quantization perturbs the true EWMA by
+    < 1e-9 relative per step — far below the 6-place reporting
+    precision.
+
+    Scale design: ONE hash shuffle by key, then a map-side fold whose
+    state is a single decimal. The collected list is per-key-group-
+    sized (bounded by the entity's history, never by |table|) — same
+    bound a per-key window function needs for its in-memory frame. The
+    fold is a codegen'd higher-order function; zero Python.
+    """
+    a = float(alpha)
+    if not (0.0 < a <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a_dec = F.lit(f"{a:.6f}").cast("decimal(7,6)")
+    b_dec = F.lit(f"{1.0 - a:.6f}").cast("decimal(7,6)")
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col)
+                .cast("decimal(18,2)")
+                .cast("decimal(28,10)")
+                .alias("__x"),
+            )
+        )
+    )
+    grouped = df.groupBy(key_col).agg(ordered.alias("__seq"))
+    seq = F.transform(F.col("__seq"), lambda s: s["__x"])
+    fold = F.aggregate(
+        F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
+        F.element_at(seq, 1),
+        lambda acc, x: F.round(a_dec * x + b_dec * acc, 10).cast(
+            "decimal(28,10)"
+        ),
+    )
+    return grouped.select(
+        F.col(key_col),
+        F.size("__seq").cast("bigint").alias("n_obs"),
+        F.element_at(seq, -1).cast("double").alias("last_value"),
+        fold.cast("double").alias("ewma"),
+    )
+
+
 def gap_fill_ffill(
     df: DataFrame,
     key_col: str,

@@ -6584,3 +6584,283 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.dedup_components(
         cust.select("c_custkey"), pairs.select("id_a", "id_b"), "c_custkey"
     )
+
+
+# =====================================================================
+# Window-function completion (q141): ntile / cume_dist / nth_value —
+# the last three ANSI window functions the §2.6 family hadn't
+# exercised (row_number/lag/first_value/percent_rank/partition-aggs
+# are q10-q15). Ordering is the per-customer unique total order
+# (o_orderdate, o_orderkey), so every ranked value is deterministic.
+# nth_value needs the full-partition frame in BOTH engines (the
+# default frame stops at CURRENT ROW and would return NULL for rows
+# before the 2nd).
+# =====================================================================
+@q(
+    "q141_window_completion",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
+    )
+
+
+# =====================================================================
+# Referential-integrity audit (q142): the dbt `relationships` /
+# `not_null` schema tests (the reference project declares 17 of them)
+# as ONE audit relation over the whole star schema — orphan FKs,
+# NULL FKs, and never-referenced parents per relationship, via
+# anti-joins AQE can broadcast. operators/quality.py.
+# =====================================================================
+@q(
+    "q142_fk_audit",
+    """
+    SELECT 'orders_customer' AS relationship,
+      (SELECT count(*) FROM orders) AS child_rows,
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS null_fk,
+      (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)) AS orphans,
+      (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))
+        AS childless_parents
+    UNION ALL
+    SELECT 'lineitem_orders',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+      (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)),
+      (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+    UNION ALL
+    SELECT 'lineitem_part',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+      (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM part p
+                         WHERE p.p_partkey = l.l_partkey)),
+      (SELECT count(*) FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_partkey = p.p_partkey))
+    UNION ALL
+    SELECT 'lineitem_supplier',
+      (SELECT count(*) FROM lineitem),
+      (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+      (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM supplier s
+                         WHERE s.s_suppkey = l.l_suppkey)),
+      (SELECT count(*) FROM supplier s
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_suppkey = s.s_suppkey))
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.quality import fk_audit_many
+
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    return fk_audit_many(
+        [
+            (orders, "o_custkey", t(spark, sf_dir, "customer"), "c_custkey",
+             "orders_customer"),
+            (lineitem, "l_orderkey", orders, "o_orderkey",
+             "lineitem_orders"),
+            (lineitem, "l_partkey", t(spark, sf_dir, "part"), "p_partkey",
+             "lineitem_part"),
+            (lineitem, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey",
+             "lineitem_supplier"),
+        ]
+    )
+
+
+# =====================================================================
+# Per-key EWMA (q143): the one ubiquitous sequential statistic a
+# window function cannot express (each step MULTIPLIES the
+# accumulator) — an ordered in-group fold: sort_array(collect_list)
+# + aggregate() in Spark, list(… ORDER BY …) + list_reduce in the
+# DuckDB oracle. The fold runs in EXACT decimal arithmetic (values
+# quantized to cents, accumulator re-quantized to 10 places each
+# step) — a raw double fold differs across engines by an ulp when one
+# fuses the multiply-add, and an ulp straddles rounding boundaries.
+# operators/timeseries.py:ewma.
+# =====================================================================
+@q(
+    "q143_ewma",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             list(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       AS DECIMAL(28,10))
+                  ORDER BY o_orderdate, o_orderkey) AS xs
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(len(xs) AS BIGINT) AS n_obs,
+           CAST(xs[-1] AS DOUBLE) AS last_value,
+           ROUND(CAST(list_reduce(xs, (acc, x) ->
+                   CAST(ROUND(0.300000 * x + 0.700000 * acc, 10)
+                        AS DECIMAL(28,10))) AS DOUBLE), 6) AS ewma
+    FROM seq
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import timeseries
+
+    orders = t(spark, sf_dir, "orders")
+    out = timeseries.ewma(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+        "o_totalprice", alpha=0.3,
+    )
+    return out.select(
+        "o_custkey", "n_obs", "last_value",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+# =====================================================================
+# Markov transition matrix (q144): P(next event | event) from
+# consecutive per-user event pairs — the sequential complement of
+# q79's funnel and q30's sessionization. One window shuffle to form
+# pairs; the (state, state) aggregate is |states|²-sized regardless
+# of data volume. operators/sequences.py.
+# =====================================================================
+@q(
+    "q144_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ),
+    c AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM pairs WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_state), 6) AS p
+    FROM c
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.sequences import transition_matrix
+
+    ev = events_table(spark, sf_dir)
+    return transition_matrix(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+# =====================================================================
+# Equi-width histogram (q145): fixed-width bins over the observed
+# [min, max] — the equi-WIDTH complement of q133's equi-depth
+# buckets. Bin assignment is exact integer arithmetic on decimal(18,2)
+# hundredths ((v-lo)*bins div span), so no engine can disagree about
+# a boundary value. operators/profiling.py:equi_width_histogram.
+# =====================================================================
+@q(
+    "q145_equi_width_histogram",
+    """
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM v),
+    binned AS (
+      SELECT CAST(CASE WHEN b.hi = b.lo THEN 0
+                       ELSE least((v.c - b.lo) * 20 // (b.hi - b.lo), 19)
+                  END AS INT) AS bin,
+             count(*) AS n
+      FROM v CROSS JOIN b GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series(0, 19)) AS bin, b.lo, b.hi FROM b
+    )
+    SELECT s.bin,
+           ROUND(s.lo / 100.0
+                 + (s.hi - s.lo) / 100.0 / 20 * s.bin, 6) AS lo,
+           ROUND(CASE WHEN s.bin = 19 THEN s.hi / 100.0
+                      ELSE s.lo / 100.0
+                           + (s.hi - s.lo) / 100.0 / 20 * (s.bin + 1)
+                 END, 6) AS hi,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN binned USING (bin)
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.profiling import (
+        equi_width_histogram,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_extendedprice", bins=20)
+
+
+# =====================================================================
+# Multi-source BFS (q146): minimum hop distance from a scattered
+# source set through the q24 implicit binary-tree part graph, treated
+# UNDIRECTED — distance-to-nearest-source, the graph primitive behind
+# dependency depth and k-hop neighborhoods. Frontier expansion with
+# an anti-join visited set: rounds = eccentricity, total work O(|E|).
+# Oracle: WITH RECURSIVE level exploration + MIN per node.
+# operators/bfs.py.
+# =====================================================================
+@q(
+    "q146_bfs_levels",
+    """
+    WITH RECURSIVE
+    e AS (
+      SELECT p_partkey AS u, p_partkey // 2 AS v FROM part
+      WHERE p_partkey > 1
+      UNION ALL
+      SELECT p_partkey // 2, p_partkey FROM part WHERE p_partkey > 1
+    ),
+    walk(node, level) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+      UNION
+      SELECT e.v, w.level + 1 FROM walk w JOIN e ON e.u = w.node
+      WHERE w.level < 50
+    )
+    SELECT node, CAST(MIN(level) AS INT) AS level
+    FROM walk GROUP BY node
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.bfs import bfs_levels
+    from dbt_incremental_ci_spark.operators.scaling import (
+        ensure_min_parallelism,
+    )
+
+    part = ensure_min_parallelism(t(spark, sf_dir, "part"))
+    edges = part.where(F.col("p_partkey") > 1).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    sources = part.where(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+    out = bfs_levels(edges, sources, directed=False)
+    return out.select("node", F.col("level").cast("int").alias("level"))

@@ -1,0 +1,177 @@
+"""Unit tests for the round-3 audit/sequence operators: fk_audit,
+ewma, transition_matrix, equi_width_histogram, bfs_levels."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.bfs import bfs_levels
+from dbt_incremental_ci_spark.operators.profiling import equi_width_histogram
+from dbt_incremental_ci_spark.operators.quality import fk_audit, fk_audit_many
+from dbt_incremental_ci_spark.operators.sequences import transition_matrix
+from dbt_incremental_ci_spark.operators.timeseries import ewma
+
+
+# ---------------------------------------------------------------- fk_audit
+def test_fk_audit_counts_orphans_nulls_and_childless(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    row = fk_audit(child, "fk", parent, "pk", "c_p").collect()[0]
+    assert row.relationship == "c_p"
+    assert row.child_rows == 4
+    assert row.null_fk == 1  # NULL FK is not an orphan
+    assert row.orphans == 1  # fk=99
+    assert row.childless_parents == 1  # pk=20
+
+
+def test_fk_audit_many_unions_one_row_per_relationship(spark):
+    child = spark.createDataFrame([(1, 10)], "id int, fk int")
+    parent = spark.createDataFrame([(10,)], "pk int")
+    out = fk_audit_many(
+        [(child, "fk", parent, "pk", "a"), (child, "fk", parent, "pk", "b")]
+    )
+    assert sorted(r.relationship for r in out.collect()) == ["a", "b"]
+    with pytest.raises(ValueError):
+        fk_audit_many([])
+
+
+# ------------------------------------------------------------------- ewma
+def test_ewma_matches_python_recurrence(spark):
+    rows = [(1, i, float(x)) for i, x in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    got = ewma(df, "k", ["t"], "x", alpha=0.5).collect()[0]
+    y = 10.0
+    for x in [20.0, 30.0, 40.0]:
+        y = 0.5 * x + 0.5 * y
+    assert got.n_obs == 4
+    assert got.last_value == 40.0
+    assert math.isclose(got.ewma, y, rel_tol=1e-9)
+
+
+def test_ewma_single_observation_is_identity(spark):
+    df = spark.createDataFrame([(1, 0, 7.25)], "k int, t int, x double")
+    got = ewma(df, "k", ["t"], "x", alpha=0.3).collect()[0]
+    assert got.ewma == 7.25 and got.n_obs == 1
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, t int, x double")
+    with pytest.raises(ValueError):
+        ewma(df, "k", ["t"], "x", alpha=0.0)
+
+
+def test_ewma_order_cols_define_the_fold_order(spark):
+    # same rows, shuffled input order -> identical result
+    rows = [(1, 2, 30.0), (1, 0, 10.0), (1, 1, 20.0)]
+    df = spark.createDataFrame(rows, "k int, t int, x double")
+    got = ewma(df, "k", ["t"], "x", alpha=0.5).collect()[0]
+    assert math.isclose(got.ewma, 0.5 * 30 + 0.5 * (0.5 * 20 + 0.5 * 10))
+
+
+# ------------------------------------------------------- transition_matrix
+def test_transition_matrix_counts_and_probabilities(spark):
+    seq = ["a", "b", "a", "b", "c"]  # pairs: ab, ba, ab, bc
+    rows = [(1, i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    out = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_matrix(df, "u", ["t"], "s").collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert ("c", None) not in out  # last element contributes no pair
+
+
+def test_transition_matrix_keys_are_independent(spark):
+    rows = [(1, 0, "a"), (2, 0, "b")]  # two length-1 sequences: no pairs
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    assert transition_matrix(df, "u", ["t"], "s").count() == 0
+
+
+# --------------------------------------------------- equi_width_histogram
+def test_histogram_bins_cover_range_and_sum_to_n(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = equi_width_histogram(df, "v", bins=10).orderBy("bin").collect()
+    assert len(out) == 10
+    assert sum(r.n for r in out) == 100
+    assert out[0].lo == 0.0 and out[-1].hi == 99.0
+    # max value is in the last bin (right-inclusive there)
+    assert out[-1].n > 0
+    # edges tile: each bin's hi is the next bin's lo
+    for a, b in zip(out, out[1:]):
+        assert math.isclose(a.hi, b.lo)
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    out = equi_width_histogram(df, "v", bins=4).orderBy("bin").collect()
+    assert sum(r.n for r in out) == 2
+    assert out[0].n == 2  # all mass in bin 0 when min == max
+
+
+def test_histogram_nulls_dropped_and_bad_bins_raise(spark):
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+    out = equi_width_histogram(df, "v", bins=2).collect()
+    assert sum(r.n for r in out) == 2
+    with pytest.raises(ValueError):
+        equi_width_histogram(df, "v", bins=0)
+
+
+# ------------------------------------------------------------- bfs_levels
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def _sources(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node int")
+
+
+def test_bfs_chain_levels(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1])).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_min_distance(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1, 5])).collect()
+    }
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    e = _edges(spark, [(2, 1), (2, 3)])
+    undirected = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1])).collect()
+    }
+    assert undirected == {1: 0, 2: 1, 3: 2}
+    directed = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1]), directed=True).collect()
+    }
+    assert directed == {1: 0}  # no outgoing edge from 1
+
+
+def test_bfs_unreachable_nodes_absent(spark):
+    e = _edges(spark, [(1, 2), (8, 9)])
+    out = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1])).collect()
+    }
+    assert 8 not in out and 9 not in out
+
+
+def test_bfs_raises_on_iteration_cap(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(1, 6)])
+    with pytest.raises(RuntimeError):
+        bfs_levels(e, _sources(spark, [1]), max_iter=2)
