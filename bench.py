@@ -109,6 +109,12 @@ EXTRA_QUERIES = [
     "q138_pmi_collocations",
     "q139_chi_square",
     "q140_entity_resolution",
+    "q141_window_completion",
+    "q142_fk_audit",
+    "q143_ewma",
+    "q144_markov_transitions",
+    "q145_equi_width_histogram",
+    "q146_bfs_levels",
 ]
 
 
@@ -135,16 +141,26 @@ def main() -> None:
     # per-run count() still executes the full distributed plan)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
-    def best_of(name: str) -> float:
+    # Per-query error isolation (round-3 lesson: one operator crash at
+    # sf0.1 zeroed the whole round's artifact). A failing query records
+    # an entry in "errors" and is excluded from totals/deltas — the
+    # artifact always parses.
+    errors: dict[str, str] = {}
+
+    def best_of(name: str) -> float | None:
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            run(workload.QUERIES[name](spark, sf_dir))
+            try:
+                run(workload.QUERIES[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — isolate, record, move on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                return None
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    timings = {name: best_of(name) for name in BENCH_QUERIES}
-    extra = {name: best_of(name) for name in EXTRA_QUERIES}
+    timings = {n: t for n in BENCH_QUERIES if (t := best_of(n)) is not None}
+    extra = {n: t for n in EXTRA_QUERIES if (t := best_of(n)) is not None}
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -152,6 +168,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_extra": extra,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "exec_method": "noop-sink write (materializes all columns; "
         "r01/r02 used count(), which pruned projection-only columns — "

@@ -187,8 +187,17 @@ def dedup_components(
     """Attach (component, is_survivor) to every row of ``df`` given
     near-dup ``pairs``: rows in no pair form singleton components of
     themselves; the survivor is the smallest id in each component (a
-    deterministic, engine-independent tiebreak)."""
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    deterministic, engine-independent tiebreak).
+
+    Uses the O(log n)-round large-star/small-star components, NOT
+    min-label propagation: real dedup pair graphs are usually dense
+    low-diameter clusters, but adversarial inputs (sequential IDs whose
+    lev<=1 neighborhoods chain, e.g. TPC-H customer names) produce
+    components whose diameter grows with the data, and an O(diameter)
+    loop then scales with corpus size instead of log(corpus size).
+    The star algorithm's round count is diameter-independent, so one
+    code path is safe for both graph families."""
+    comp = connected_components_logn(pairs, src=pair_a, dst=pair_b)
     return (
         df.join(comp, on=df[id_col] == comp.node, how="left")
         .drop("node")

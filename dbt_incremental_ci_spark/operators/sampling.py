@@ -45,6 +45,43 @@ def hash_sample(
     return df.filter(hash_uniform(key_col, salt) < rate)
 
 
+def bounded_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    salt: str = "",
+    oversample: float = 1.5,
+) -> DataFrame:
+    """Exactly-``n`` deterministic sample whose driver-side merge cost
+    is independent of corpus size: the ``n`` rows with the smallest
+    ``hash_uniform(key)`` values.
+
+    A naive ``orderBy(hash).limit(n)`` is a global TakeOrderedAndProject
+    — every partition ships its local top-n, so the driver merge grows
+    with partition count (at 100 TB / 10^5 partitions that is 10^10
+    rows of merge input for n=10^5). Instead, phase 1 pre-filters with
+    the hash *threshold* ``oversample*n/count`` (map-only, pushed into
+    codegen), shrinking the frame to ~oversample*n rows regardless of
+    corpus size; phase 2's top-n then merges a corpus-size-independent
+    frame. The result is identical to the naive form whenever the
+    oversample band contains >= n rows — guaranteed w.h.p. by Chernoff
+    for oversample >= 1.5 and n >= a few hundred; for tiny n the
+    threshold is widened to keep the guarantee. Falls back to the
+    whole frame when count <= n.
+    """
+    total = df.count()  # scalar distributed count, not a collect
+    if total <= n:
+        return df
+    # widen the band for small n where binomial relative deviation is
+    # large: p = min(1, (oversample*n + 6*sqrt(n)) / total)
+    import math
+
+    rate = min(1.0, (oversample * n + 6.0 * math.sqrt(n)) / total)
+    u = hash_uniform(key_col, salt)
+    band = df.filter(u < F.lit(rate))
+    return band.orderBy(hash_uniform(key_col, salt)).limit(n)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -100,3 +100,27 @@ def test_logn_random_graph_equivalence(spark):
         for r in connected_components_logn(edges).collect()
     }
     assert lbl == star
+
+
+def test_dedup_components_survives_sequential_id_chains(spark):
+    """Round-3 regression gate: q140's real pair graph. TPC-H customer
+    names are near-sequential strings, so lev<=1 pairs chain into ONE
+    component whose diameter grows with the data — the O(diameter)
+    min-label loop blew its 20-round cap at sf0.1 and killed the
+    round-3 driver bench. dedup_components now routes through the
+    large-star/small-star variant, whose rounds are O(log n)
+    regardless of diameter."""
+    n = 5_000  # diameter ~5000 ≫ any sane label-prop cap
+    df = spark.range(0, n).select(F.col("id").alias("doc"))
+    chain_pairs = spark.range(0, n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup_components(df, chain_pairs, "doc")
+    agg = out.agg(
+        F.countDistinct("component").alias("n_comp"),
+        F.sum(F.col("is_survivor").cast("int")).alias("n_surv"),
+        F.min(F.when(F.col("is_survivor"), F.col("doc"))).alias("surv_id"),
+    ).first()
+    assert agg["n_comp"] == 1
+    assert agg["n_surv"] == 1
+    assert agg["surv_id"] == 0

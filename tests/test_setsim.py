@@ -121,3 +121,33 @@ def test_threshold_validation(spark):
         setsim.jaccard_set_join(df, threshold=0.0)
     with pytest.raises(ValueError):
         setsim.containment_join(df, df, threshold=1.5)
+
+
+def test_ceil_mul_exact_on_float_hostile_thresholds(spark):
+    """ADVICE r3 (medium): float F.ceil(t*sz) overshoots when the
+    double product lands above the exact rational (0.07*100 →
+    7.000000000000001 → ceil 8), silently dropping boundary pairs.
+    _ceil_mul must equal the exact Fraction ceiling for every (t, sz)
+    in a hostile sweep, including a huge-denominator fallback t where
+    conservative undershoot is allowed but overshoot never is."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from dbt_incremental_ci_spark.operators.setsim import _ceil_mul
+
+    base = spark.range(1, 501).select(F.col("id").alias("sz"))
+    for t in (0.07, 0.28, 0.9, 0.85, 0.1, 0.3, 0.55, 0.99, 1.0):
+        got = base.select("sz", _ceil_mul(t, "sz").alias("c")).collect()
+        frac = Fraction(str(t))
+        for r in got:
+            want = math.ceil(frac * r["sz"])
+            assert r["c"] == want, (t, r["sz"], r["c"], want)
+    # pathological denominator → epsilon fallback: never overshoot
+    t = 1.0 / 3.0
+    got = base.select("sz", _ceil_mul(t, "sz").alias("c")).collect()
+    for r in got:
+        exact = math.ceil(Fraction(t) * r["sz"])
+        assert r["c"] <= exact, (r["sz"], r["c"], exact)
+        assert r["c"] >= exact - 1
