@@ -49,8 +49,22 @@ def global_cumsum(
     bucket after the first), so determinism here is a correctness
     requirement, not a reproducibility nicety.
     """
+    from pyspark.sql.types import BooleanType, NumericType
+
     from dbt_incremental_ci_spark.operators.sampling import hash_uniform
 
+    # Fail loudly on a non-numeric order column (ADVICE r3): a string
+    # order_col that casts to NULL for some rows would silently put
+    # those rows in bucket NULL and give them wrong offsets. A
+    # plan-time dtype check is deterministic and can't be pruned away
+    # the way a runtime assert_true column can.
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, (NumericType, BooleanType)):
+        raise TypeError(
+            f"global_cumsum: order_col '{order_col}' must be numeric, "
+            f"got {dt.simpleString()} (a non-numeric order would bucket "
+            "NULL-casting rows silently)"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     oc = F.col(order_col).cast("double")

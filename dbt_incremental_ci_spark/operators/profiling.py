@@ -109,7 +109,8 @@ def equi_width_histogram(
     broadcast back (AQE), then a map-side bin expression and one hash
     aggregate of at most ``bins`` groups. Empty bins are materialized
     from a generated spine so the output is always exactly ``bins``
-    rows (or one row when min == max).
+    rows — including the degenerate min == max case, where all mass
+    lands in bin 0 and bins 1..bins-1 are emitted empty.
 
     Determinism across engines: values are quantized to
     ``decimal(18,2)`` (the house canonicalization) and carried as

@@ -145,14 +145,25 @@ def normalize_vec(df: DataFrame, vec_col: str, out_col: str | None = None) -> Da
     """L2-normalize an array column ONCE into a materialized column:
     the norm is computed as its own attribute first, so the per-element
     division inside the transform references a plain column (O(1)),
-    not a re-evaluated fold (O(dim) per element)."""
+    not a re-evaluated fold (O(dim) per element).
+
+    Zero vectors map to zero vectors (ADVICE r3): Spark's x/0 yields
+    NULL while DuckDB's yields Inf/NaN — a silent cross-engine
+    divergence if left to the division. The explicit norm>0 branch
+    (the semdedup denom>0 pattern) makes both engines agree: a zero
+    vector has cosine 0 against everything."""
     from dbt_incremental_ci_spark.operators.similarity import dot
 
     out = out_col or vec_col
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     return (
         df.withColumn("__n", F.sqrt(dot(v, v)))
-        .withColumn(out, F.transform(v, lambda x: x / F.col("__n")))
+        .withColumn(
+            out,
+            F.when(
+                F.col("__n") > 0, F.transform(v, lambda x: x / F.col("__n"))
+            ).otherwise(F.transform(v, lambda x: x * F.lit(0.0))),
+        )
         .drop("__n")
     )
 

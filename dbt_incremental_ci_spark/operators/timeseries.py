@@ -33,6 +33,7 @@ def ewma(
     order_cols: list[str],
     value_col: str,
     alpha: float = 0.3,
+    max_len: int = 1_000_000,
 ) -> DataFrame:
     """Per-key exponentially-weighted moving average, final value per
     key: ``y_1 = x_1; y_t = alpha·x_t + (1-alpha)·y_{t-1}`` over the
@@ -62,6 +63,14 @@ def ewma(
     sized (bounded by the entity's history, never by |table|) — same
     bound a per-key window function needs for its in-memory frame. The
     fold is a codegen'd higher-order function; zero Python.
+
+    Per-key length bound: each key's FULL history materializes as one
+    in-memory array on a single executor, so a key with more than
+    ``max_len`` rows (default 10^6 ≈ 30 MB of decimals — comfortably
+    inside an executor task) fails loudly with "ewma: key history
+    exceeds max_len" instead of silently OOM-ing the task. Raise
+    ``max_len`` only with executor memory to match; histories beyond
+    that want a pre-aggregation (coarser time buckets) before EWMA.
     """
     a = float(alpha)
     if not (0.0 < a <= 1.0):
@@ -88,9 +97,25 @@ def ewma(
             "decimal(28,10)"
         ),
     )
+    # fail-loudly length guard, threaded through n_obs so Catalyst
+    # cannot prune it (an unused assert column would be optimized away)
+    n_obs = F.when(
+        F.size("__seq") <= F.lit(int(max_len)), F.size("__seq")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ewma: key history exceeds max_len={int(max_len)} "
+                    "rows for key "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(" (pre-aggregate to coarser buckets or raise max_len)"),
+            )
+        ).cast("int")
+    )
     return grouped.select(
         F.col(key_col),
-        F.size("__seq").cast("bigint").alias("n_obs"),
+        n_obs.cast("bigint").alias("n_obs"),
         F.element_at(seq, -1).cast("double").alias("last_value"),
         fold.cast("double").alias("ewma"),
     )

@@ -6046,10 +6046,17 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q132_maxsim_topk",
     """
     WITH base AS (
+      -- zero vectors normalize to zero vectors (matches
+      -- retrieval.normalize_vec's norm>0 branch; plain division would
+      -- give Inf/NaN here vs NULL in Spark)
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[]))) AS v
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) > 0
+                  THEN list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])))
+                  ELSE list_transform(embedding::DOUBLE[], x -> 0.0)
+             END AS v
       FROM embeddings
     ),
     d AS (SELECT vec_id // 8 AS doc_id, v FROM base),
