@@ -115,6 +115,10 @@ EXTRA_QUERIES = [
     "q144_markov_transitions",
     "q145_equi_width_histogram",
     "q146_bfs_levels",
+    "q147_winnowing_overlap",
+    "q148_bigram_lm_score",
+    "q149_event_pattern",
+    "q150_kcore",
 ]
 
 

@@ -40,6 +40,7 @@ def read_watermark(
     can partition-prune (SURVEY §4 'scalar subquery' row)."""
     if not spark.catalog.tableExists(qualified_table):
         return default
+    # driver-bound: 1 scalar row — incremental watermark read
     row = spark.table(qualified_table).agg(F.max(col).alias("wm")).collect()[0]
     return row["wm"] if row["wm"] is not None else default
 
@@ -147,6 +148,7 @@ def incremental_upsert(
             # fine; a table with 10^5+ emptied partitions in one batch
             # should batch the DROPs through the metastore API instead).
             emptied = (
+                # driver-bound: O(#partitions) keys — moved-partition eviction list
                 all_parts.exceptAll(staged.select(*partition_by).distinct()).collect()
             )
             # One ALTER TABLE drops many partitions — batches of 500

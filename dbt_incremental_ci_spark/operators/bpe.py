@@ -87,6 +87,7 @@ def bpe_train(
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
             .limit(1)
+            # driver-bound: limit(1) argmax row per merge round
             .collect()
         )
         if not top:

@@ -191,6 +191,7 @@ def train_quality_classifier(
             lambda t: token_bucket(t, n_buckets, salt).cast("int"),
         ).alias("__b"),
     )
+    # driver-bound: <= max_sample rows via bounded_hash_sample — training sample
     rows = feats.collect()
     if not rows:
         raise ValueError("train_quality_classifier: empty training set")

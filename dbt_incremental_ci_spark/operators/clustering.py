@@ -89,6 +89,7 @@ def kmeans_fit(
             F.md5(F.concat(F.col("__id").cast("string"), F.lit(":" + salt)))
         )
         .limit(sample_cap)
+        # driver-bound: <= sample_cap (default 200) vectors — k-means training sample
         .collect()
     )
     rows = sorted(rows, key=lambda r: r["__id"])

@@ -78,6 +78,7 @@ def pmi_collocations(
     totals = df.select(
         F.sum(F.size(toks)).alias("n_tok"),
         F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n_bg"),
+    # driver-bound: 1 scalar row — corpus totals
     ).first()
     n_tok, n_bg = float(totals["n_tok"]), float(totals["n_bg"])
     joined = (
@@ -126,6 +127,7 @@ def chi_square_association(
     )
     ra = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
     cb = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    # driver-bound: 1 scalar row — grand total
     n = obs.agg(F.sum("__o")).first()[0]
     if not n:
         raise ValueError("chi_square_association: empty input")
@@ -146,6 +148,7 @@ def chi_square_association(
     # Σ_missing e = n − Σ_observed e, so no |A|×|B| grid is ever built.
     sums = chi2_cells.agg(
         F.sum("__c").alias("__sc"), F.sum("__e").alias("__se")
+    # driver-bound: 1 scalar row — marginals total
     ).first()
     chi2 = float(sums["__sc"]) + (float(n) - float(sums["__se"]))
     n_a = ra.count()

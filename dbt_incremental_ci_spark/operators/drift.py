@@ -74,6 +74,7 @@ def psi_report(
     )
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    # driver-bound: 1 scalar row — per-side totals
     ).first()
     smooth = F.lit(0.5)
     denom_r = F.lit(float(tot["tr"])) + smooth * n_buckets
@@ -117,6 +118,7 @@ def ks_statistic(
     cum = global_cumsum(
         global_cumsum(merged, "v", "n_a", "cum_a"), "v", "n_b", "cum_b"
     )
+    # driver-bound: 1 scalar row — per-side totals
     tot = merged.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")).first()
     if not tot["ta"] or not tot["tb"]:
         raise ValueError("ks_statistic: both samples must be non-empty")

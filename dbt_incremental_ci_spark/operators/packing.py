@@ -72,11 +72,13 @@ def global_cumsum(
     sample = df.filter(
         hash_uniform(F.col(order_col).cast("string"), "gcs") < 0.05
     )
+    # driver-bound: O(num_partitions) quantile bounds, one row
     bounds = sample.agg(F.percentile(oc, F.lit(ps)).alias("b")).first()["b"]
     if not bounds:
         # tiny input: the 5% sample came up empty — exact quantiles of
         # the full (small) input keep the parallel path; an empty df
         # yields no bounds and a single bucket.
+        # driver-bound: O(num_partitions) quantile bounds, one row (tiny-input fallback)
         bounds = df.agg(F.percentile(oc, F.lit(ps)).alias("b")).first()["b"]
     bucket = F.lit(0)
     for b in sorted({float(x) for x in (bounds or [])}):

@@ -90,6 +90,7 @@ def pagerank(
         dangling = (
             ranked.filter(F.col("outdeg").isNull())
             .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("m"))
+            # driver-bound: 1 scalar row — dangling mass per iteration
             .collect()[0]["m"]
         )
         g = dangling // n

@@ -106,6 +106,7 @@ def paginate(
     cursor = None
     fetched = 0
     while max_pages is None or fetched < max_pages:
+        # driver-bound: page_size rows per page — the page itself (cursor iteration)
         rows = keyset_page(df, sort_keys, page_size, cursor, ascending).collect()
         if not rows:
             return

@@ -180,6 +180,7 @@ def mixture_resample(
     ``target_shares`` (exact in expectation; per-category realized
     counts are binomial around it)."""
     counts = {
+        # driver-bound: O(#categories) rows — per-category counts for rate planning
         r[0]: r[1] for r in df.groupBy(category_col).count().collect()
     }
     rates = mixture_rates(counts, target_shares)
@@ -291,6 +292,7 @@ def temperature_resample(
     (O(categories) driver rows) derives the shares AND the acceptance
     rates, then membership is the key-stable md5 filter — identical
     scale shape to :func:`mixture_resample`."""
+    # driver-bound: O(#categories) rows — per-category counts for WOR quotas
     counts = {r[0]: r[1] for r in df.groupBy(category_col).count().collect()}
     shares = temperature_shares(counts, alpha)
     rates = mixture_rates(counts, shares)

@@ -74,6 +74,7 @@ def balanced_range_buckets(
     ps = [i / n_buckets for i in range(1, n_buckets)]
     row = sample.agg(
         F.percentile(v, F.lit(ps)).alias("bounds")
+    # driver-bound: 1 row of n_buckets quantile bounds
     ).first()
     bounds = list(row["bounds"] or [])
     if not bounds:

@@ -229,6 +229,7 @@ def train_ivf_centroids(
         .orderBy("__h")
         .limit(sample_cap)
         .select("__v")
+        # driver-bound: <= sample_cap vectors — IVF centroid training sample
         .collect()
     )
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)
@@ -592,6 +593,7 @@ def train_pq_codebooks(
         .orderBy("__h")
         .limit(sample_cap)
         .select("__v")
+        # driver-bound: <= sample_cap vectors — PQ codebook training sample
         .collect()
     )
     X = np.asarray([r["__v"] for r in rows], dtype=np.float64)

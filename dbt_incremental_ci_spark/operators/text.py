@@ -320,6 +320,90 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability under the
+    corpus's own LM — the next step up from :func:`unigram_logprob`
+    (Jelinek-Mercer smoothing, the classic KenLM-lite form):
+    ``P(w | prev) = lam·c2(prev,w)/c1(prev) + (1-lam)·c1(w)/N``.
+    Bigram models punish improbable token SEQUENCES (shuffled or
+    machine-garbled text scores low even when every individual token
+    is common) — exactly what the unigram filter cannot see.
+
+    Output: (id_col, n_bigrams, avg_logprob) — one row per input doc;
+    docs with < 2 tokens carry n_bigrams = 0 and NULL avg_logprob.
+
+    Plan shape at 100 TB: bigram pairs come from a per-row array zip
+    (map-only; no positional self-join), feeding (a) the bigram count
+    table and (b) three vocabulary-sized joins (c2, c1(prev), c1(w)) —
+    all AQE-broadcastable, orders of magnitude under the corpus; the
+    corpus total is a 1-row broadcast. Per-term logs round to 8 dp and
+    sum in DECIMAL(18,8), so the per-doc mean is order-independent —
+    engine-portable without trusting float summation order.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    big = base.where(F.size("__t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("prev"),
+                    F.element_at(F.col("__t"), (i + 1).cast("int")).alias(
+                        "w"
+                    ),
+                ),
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.prev").alias("prev"), F.col("__bg.w").alias("w"))
+    uni = (
+        base.select(F.explode("__t").alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("__n"))
+    c2 = big.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    terms = (
+        big.join(c2, ["prev", "w"])
+        .join(uni.select(F.col("tk").alias("prev"), F.col("c1").alias("c1p")), "prev")
+        .join(uni.select(F.col("tk").alias("w"), F.col("c1").alias("c1w")), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("c2") / F.col("c1p")
+                    + F.lit(1.0 - lam) * F.col("c1w") / F.col("__n")
+                ),
+                8,
+            ).alias("__lp"),
+        )
+    )
+    scored = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("__lp").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 # Latin-1/Latin-Extended accent folding map (the common subset every
 # engine's translate() handles identically; full NFKC needs ICU, which
 # is exactly the kind of per-row Python this engine keeps out of hot

@@ -39,6 +39,7 @@ def supports_recursive_cte(spark: SparkSession) -> bool:
                 "WITH RECURSIVE __probe(n) AS ("
                 "SELECT 1 UNION ALL SELECT n + 1 FROM __probe WHERE n < 2"
                 ") SELECT count(*) FROM __probe"
+            # driver-bound: 1 scalar row — WITH RECURSIVE capability probe, data-free
             ).collect()
             _NATIVE_RECURSION = True
         except Exception:

@@ -115,6 +115,7 @@ def zorder_key(
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        # driver-bound: 1 row of 2*len(cols) scalars — min/max bounds aggregate
         row = df.agg(*aggs).collect()[0]
         bounds = {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
     top = (1 << bits) - 1

@@ -493,7 +493,12 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
-# §2.5 W5: percent_rank over global ordering
+# §2.5 W5: percent_rank over global ordering — served by the
+# distributed two-phase rank (operators/ranks.py), NOT the naive
+# global window: Window.orderBy with no partition funnels the whole
+# table through Exchange SinglePartition (the round-3 plan audit
+# flagged exactly that here; supplier grows linearly with SF).
+# Semantics are identical to SQL percent_rank incl. tie collapse.
 # =====================================================================
 @q(
     "q13_percent_rank",
@@ -504,12 +509,11 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = t(spark, sf_dir, "supplier")
-    return s.select(
-        "s_suppkey",
-        F.round(F.percent_rank().over(Window.orderBy("s_acctbal")), 6).alias(
-            "balance_pct_rank"
-        ),
+    from dbt_incremental_ci_spark.operators.ranks import global_percent_rank
+
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return global_percent_rank(s, "s_acctbal", "s_suppkey").select(
+        "s_suppkey", F.round(F.col("pct_rank"), 6).alias("balance_pct_rank")
     )
 
 
@@ -902,7 +906,9 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
+    # driver-bound: 1 scalar row — simulated watermark split point
     half = ev.agg((F.max("event_id") / 2).alias("h")).collect()[0]["h"]
+    # driver-bound: 1 scalar row — simulated watermark value
     wm = ev.filter(F.col("event_id") < half).agg(F.max("ts").alias("wm")).collect()[0]["wm"]
     return (
         ev.filter(F.col("ts") > F.lit(wm))
@@ -3955,6 +3961,7 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             pages.append(page.withColumn("page_idx", F.lit(page_idx)))
         # cursor advance: last key of the page — an O(page) scalar read,
         # same class as the incremental watermark, not a data collect
+        # driver-bound: page_size rows — keyset cursor demo page
         rows = page.select("o_orderkey").collect()
         cursor = [rows[-1]["o_orderkey"]]
     out = pages[0]
@@ -6871,3 +6878,249 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_levels(edges, sources, directed=False)
     return out.select("node", F.col("level").cast("int").alias("level"))
+
+
+# =====================================================================
+# Winnowing fingerprint overlap (q147): rolling-hash document
+# fingerprinting (Schleimer et al., SIGMOD'03) — k-gram md5 variates,
+# sliding-window minima, distinct fingerprints; pairs sharing >= 2
+# rare fingerprints are long-verbatim-overlap candidates. The whole
+# derivation is per-row array math (zero shuffle before the postings
+# explode); the pair join drops fingerprints with df > 50 (the same
+# hot-key cap as the MinHash band join). operators/winnow.py.
+# =====================================================================
+@q(
+    "q147_winnowing_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 4 THEN
+               list_transform(range(1, len(t) - 2),
+                 i -> ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')
+                                          || ':wn'), 1, 8))::BIGINT)
+             ELSE []::BIGINT[] END AS g
+      FROM toks
+    ),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(g) >= 4 THEN
+                    list_transform(range(1, len(g) - 2),
+                                   i -> list_min(g[i:i+3]))
+                  WHEN len(g) >= 1 THEN [list_min(g)]
+                  ELSE []::BIGINT[] END AS m
+      FROM gh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM mins, LATERAL unnest(list_distinct(m)) AS u(fp)
+    ),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(shared_fps AS BIGINT) AS shared_fps
+    FROM pairs WHERE shared_fps >= 2
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.winnow import (
+        fingerprint_overlap_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint_overlap_pairs(
+        docs, k=4, w=4, min_shared=2, max_df=50
+    )
+
+
+# =====================================================================
+# Interpolated bigram LM scoring (q148): Jelinek-Mercer-smoothed
+# bigram log-probability under the corpus's own LM — the sequence-
+# aware upgrade of q104's unigram filter (garbled token ORDER scores
+# low even when every token is common). Bigrams from a per-row array
+# zip (no positional self-join); three vocabulary-sized joins + a
+# 1-row total broadcast; per-term lns round to 8dp and sum in
+# DECIMAL(18,8) so the mean is order-independent. operators/text.py.
+# =====================================================================
+@q(
+    "q148_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS prev, t[i+1] AS w
+      FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    uni AS (
+      SELECT tk, count(*) AS c1
+      FROM (SELECT unnest(t) AS tk FROM toks) GROUP BY tk
+    ),
+    tot AS (SELECT sum(c1) AS n FROM uni),
+    c2 AS (SELECT prev, w, count(*) AS c2 FROM big GROUP BY prev, w),
+    terms AS (
+      SELECT b.doc_id,
+             ROUND(ln(0.8 * c2.c2 / u1.c1 + 0.2 * u2.c1 / tot.n), 8) AS lp
+      FROM big b
+      JOIN c2 USING (prev, w)
+      JOIN uni u1 ON u1.tk = b.prev
+      JOIN uni u2 ON u2.tk = b.w
+      CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             ROUND(CAST(sum(CAST(lp AS DECIMAL(18,8))) AS DOUBLE)
+                   / count(*), 6) AS avg_logprob
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.avg_logprob,
+           sc.avg_logprob >= -3.42 AS lm_keep
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.bigram_logprob(docs, lam=0.8)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        (F.col("avg_logprob") >= -3.42).alias("lm_keep"),
+    )
+
+
+# =====================================================================
+# Sequence-pattern matching (q149): MATCH_RECOGNIZE-lite `A (NOT C)* B`
+# over per-user event streams — every 'view' paired with its FIRST
+# 'purchase' within 6h, vetoed if an 'error' falls strictly between.
+# Emits the matched EVENT PAIRS (q79's funnel only counts users).
+# Keyed joins + per-A min-struct + left-anti veto; window bound caps
+# fan-out per key. operators/patterns.py.
+# =====================================================================
+@q(
+    "q149_event_pattern",
+    """
+    WITH a AS (
+      SELECT user_id, event_id AS a_id, epoch_ns(ts) AS a_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT user_id, event_id AS b_id, epoch_ns(ts) AS b_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT a.user_id, a.a_id, a.a_ts, b.b_id, b.b_ts
+      FROM a JOIN b USING (user_id)
+      WHERE b.b_ts > a.a_ts AND b.b_ts <= a.a_ts + 21600000000000
+    ),
+    fst AS (
+      SELECT user_id, a_id, a_ts, b_id, b_ts
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY b_ts, b_id) = 1
+    )
+    SELECT f.user_id, f.a_id, f.a_ts, f.b_id, f.b_ts,
+           f.b_ts - f.a_ts AS gap
+    FROM fst f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.event_type = 'error' AND c.user_id = f.user_id
+        AND epoch_ns(c.ts) > f.a_ts AND epoch_ns(c.ts) < f.b_ts
+    )
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.patterns import (
+        first_match_pattern,
+    )
+
+    ev = events_table(spark, sf_dir)
+    return first_match_pattern(
+        ev, "view", "purchase", within=21_600_000_000_000, veto="error"
+    )
+
+
+# =====================================================================
+# k-core decomposition (q150): synchronous parallel peeling (delete
+# all degree<k nodes each round) over a mixed hierarchy graph — the
+# q146 part tree + grandparent chords + a dense small-key clique, so
+# the peel cascades through the hierarchy (8 rounds at sf0.01) and
+# leaves a genuine nonempty core. Oracle: the peeling recurrence
+# unrolled to a fixed depth (idempotent past the fixpoint, so a
+# margin of extra rounds is harmless). operators/kcore.py.
+# =====================================================================
+def _q150_oracle(k: int = 4, rounds: int = 14) -> str:
+    base = """
+    WITH base AS (
+      SELECT u, v FROM (
+        SELECT p_partkey AS u, p_partkey // 2 AS v FROM part WHERE p_partkey > 1
+        UNION ALL
+        SELECT p_partkey, p_partkey // 4 FROM part WHERE p_partkey > 3
+        UNION ALL
+        SELECT a.p_partkey, b.p_partkey
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE a.p_partkey <= 12 AND b.p_partkey <= 12
+      ) WHERE u <> v
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+      )
+    )"""
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        rounds_sql.append(
+            f""",
+    k{r} AS MATERIALIZED (SELECT u FROM e{p} GROUP BY u HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN k{r} ku ON e.u = ku.u
+      JOIN k{r} kv ON e.v = kv.u
+    )"""
+        )
+    return (
+        base
+        + "".join(rounds_sql)
+        + f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY u
+    """
+    )
+
+
+@q("q150_kcore", _q150_oracle())
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.kcore import kcore
+
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    tree = p.where(F.col("p_partkey") > 1).select(
+        F.col("p_partkey").alias("src"), F.expr("p_partkey div 2").alias("dst")
+    )
+    grand = p.where(F.col("p_partkey") > 3).select(
+        F.col("p_partkey").alias("src"), F.expr("p_partkey div 4").alias("dst")
+    )
+    small = p.where(F.col("p_partkey") <= 12)
+    clique = (
+        small.select(F.col("p_partkey").alias("src"))
+        .crossJoin(small.select(F.col("p_partkey").alias("dst")))
+        .where(F.col("src") < F.col("dst"))
+    )
+    edges = tree.unionByName(grand).unionByName(clique)
+    return kcore(edges, k=4)

@@ -129,3 +129,29 @@ def test_load_jsonl_with_quarantine(spark, tmp_path):
     bad_rows = bad.collect()
     assert "this is not json" in [r["_corrupt_record"] for r in bad_rows]
     assert len(bad_rows) == 2  # type-mismatch line quarantined too
+
+
+def test_driver_bound_contract():
+    """docs/SCALE.md §7: every .collect()/.first()/.toPandas() in the
+    package must carry a '# driver-bound:' tag within the 3 preceding
+    lines (or on the same line) stating its bound. A new driver-side
+    materialization without a stated bound fails here."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "dbt_incremental_ci_spark"
+    pat = re.compile(r"\.(collect|toPandas)\(\)|\.first\(\)")
+    missing = []
+    for py in pkg.rglob("*.py"):
+        lines = py.read_text().split("\n")
+        for i, ln in enumerate(lines):
+            code = ln.split("#")[0]
+            if not pat.search(code):
+                continue
+            window = "\n".join(lines[max(0, i - 3) : i + 1])
+            if "# driver-bound:" not in window:
+                missing.append(f"{py.name}:{i + 1}: {ln.strip()}")
+    assert not missing, (
+        "driver-side materialization without a '# driver-bound:' tag "
+        "(see docs/SCALE.md §7):\n" + "\n".join(missing)
+    )

@@ -41,17 +41,24 @@ def run_all(spark, sf_dir: str, sf_label) -> dict:
     # warmup on the target dir so parquet footers/codegen are hot
     run(workload.QUERIES["q06_global_kpis"](spark, sf_dir))
 
-    def best_of(name: str) -> float:
+    errors: dict[str, str] = {}
+
+    def best_of(name: str) -> float | None:
         best = float("inf")
         for _ in range(REPS):
             t0 = time.time()
-            run(workload.QUERIES[name](spark, sf_dir))
+            try:
+                run(workload.QUERIES[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                return None
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    timings = {n: best_of(n) for n in BENCH_QUERIES}
-    extra = {n: best_of(n) for n in EXTRA_QUERIES}
+    timings = {n: t for n in BENCH_QUERIES if (t := best_of(n)) is not None}
+    extra = {n: t for n in EXTRA_QUERIES if (t := best_of(n)) is not None}
     return {
+        "errors": errors,
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -62,7 +69,7 @@ def run_all(spark, sf_dir: str, sf_label) -> dict:
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_SF1_r03.json"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/BENCH_SF1_r04.json"
     if not os.path.exists(os.path.join(REPLICA, "lineitem.parquet")):
         print("building sf1 replica...", flush=True)
         subprocess.run(
