@@ -28,22 +28,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered by driver-verification need: the driver's CORRECTNESS
-    window records the first 50 entries and round 2 already
-    driver-verified q01–q50, so this round leads with the queries no
-    driver run has seen — the round-3 additions (q96–q105), then
-    q51–q95 — and q01–q50 trail. Numeric sort (len, name): plain
-    string sort puts q100 before q51. The committed CORRECTNESS_LOCAL
-    artifact covers every query regardless of the window."""
+    window records the first 50 entries. Rounds 2 and 3 drove
+    q01–q50 and q96–q145 green respectively, so round 4 leads with
+    what no driver window has recorded — the round-4 additions
+    (q146–q153), then q51–q95 — and the already-driver-green bands
+    trail. The committed CORRECTNESS_LOCAL_r04 artifact covers every
+    query regardless of the window."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    new_r3 = [(k, v) for k, v in items if num(k) >= 96]
+    new_r4 = [(k, v) for k, v in items if num(k) >= 146]
     mid = [(k, v) for k, v in items if 51 <= num(k) <= 95]
+    r3band = [(k, v) for k, v in items if 96 <= num(k) <= 145]
     front = [(k, v) for k, v in items if num(k) <= 50]
-    return dict(new_r3 + mid + front)
+    return dict(new_r4 + mid + r3band + front)
 
 
 def oracle_sql() -> dict[str, str]:

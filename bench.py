@@ -119,6 +119,9 @@ EXTRA_QUERIES = [
     "q148_bigram_lm_score",
     "q149_event_pattern",
     "q150_kcore",
+    "q151_pr_curve",
+    "q152_cohens_kappa",
+    "q153_token_budget_mix",
 ]
 
 

@@ -1,0 +1,157 @@
+"""Model/filter evaluation metrics over distributed predictions —
+the measurement side of the curation stack: once a quality classifier
+(`classifier.py`), rule suite (`quality.py`), or LM filter (`text.py`)
+scores the corpus, these operators grade the scores against labels
+WITHOUT collecting predictions to the driver.
+
+- :func:`binned_pr_curve` — precision/recall/F1 at ``bins`` score
+  thresholds. The classic exact PR curve sorts ALL predictions by
+  score (a global sort + data-sized cumulative scan); the binned form
+  quantizes scores to ``bins`` buckets first, so the cumulative pass
+  runs over a ``bins``-sized frame — the same
+  aggregate-then-tiny-window shape as the equi-width histogram. Bin
+  assignment runs in exact DECIMAL micro-units (no float boundary
+  ambiguity between engines).
+- :func:`cohens_kappa` — chance-corrected agreement between two
+  boolean raters (two filter variants, a rule suite vs a classifier):
+  one map-side-combined aggregate to a 2x2 contingency, kappa computed
+  from the four cells. Output is a single row.
+
+Scale: both are one hash aggregate over the corpus followed by
+O(bins) / O(1) arithmetic — no data-sized window, sort, or collect
+anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """PR curve at thresholds ``b/bins`` for b = 0..bins-1: row ``b``
+    reports the confusion counts of the rule ``score >= b/bins``.
+
+    ``score_col`` must lie in [0, 1] (a probability); scores are
+    rounded to 6 dp and binned by exact integer arithmetic
+    (``micro * bins div 10^6``, capped at the last bin) so a boundary
+    score can never straddle engines. Output: ``(bin, threshold, tp,
+    fp, fn, tn, precision, recall, f1)`` — exactly ``bins`` rows;
+    precision is NULL where the rule predicts nothing.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    micro = (
+        F.round(F.col(score_col), 6).cast("decimal(9,6)") * 1_000_000
+    ).cast("bigint")
+    # exact integer floor-div: micro*bins <= 2e7, well under 2^53, so
+    # the subtract-mod-then-divide double is exact in both engines
+    scaled = micro * F.lit(bins)
+    b = F.least(
+        ((scaled - scaled % 1_000_000) / 1_000_000).cast("int"),
+        F.lit(bins - 1),
+    ).cast("int")
+    per = (
+        df.select(
+            b.alias("bin"), F.col(label_col).cast("int").alias("__y")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    spark = df.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    full = spine.join(per, "bin", "left").select(
+        "bin",
+        F.coalesce("__n", F.lit(0)).alias("__n"),
+        F.coalesce("__pos", F.lit(0)).alias("__pos"),
+    )
+    # cumulative from the top bin down: O(bins) rows, deliberate tiny
+    # single-task window (the equi-width-histogram spine class)
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = full.agg(
+        F.sum("__n").alias("__tn_all"), F.sum("__pos").alias("__pos_all")
+    )
+    cum = (
+        full.withColumn("tp", F.sum("__pos").over(w).cast("bigint"))
+        .withColumn(
+            "fp", (F.sum("__n").over(w) - F.sum("__pos").over(w)).cast("bigint")
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    prec = F.when(
+        (F.col("tp") + F.col("fp")) > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+    )
+    rec = F.when(
+        F.col("__pos_all") > 0, F.round(F.col("tp") / F.col("__pos_all"), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    f1 = F.when(
+        (F.col("tp") * 2 + F.col("fp") + F.col("fn")) > 0,
+        F.round(
+            (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ),
+    )
+    return (
+        cum.withColumn("fn", (F.col("__pos_all") - F.col("tp")).cast("bigint"))
+        .withColumn(
+            "tn",
+            (F.col("__tn_all") - F.col("tp") - F.col("fp") - F.col("fn")).cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") / F.lit(float(bins)), 6).alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            f1.alias("f1"),
+        )
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chance-corrected agreement between two boolean raters: one row
+    ``(n, n11, n10, n01, n00, po, pe, kappa)``, all ratios rounded to
+    6 dp. Degenerate pe == 1 (both raters constant, necessarily in
+    agreement) reports kappa = 1.0 by convention."""
+    a = F.col(a_col).cast("int")
+    bb = F.col(b_col).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * bb).alias("n11"),
+        F.sum(a * (1 - bb)).alias("n10"),
+        F.sum((1 - a) * bb).alias("n01"),
+        F.sum((1 - a) * (1 - bb)).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    kappa = F.when(pe >= 1.0, F.lit(1.0)).otherwise((po - pe) / (1 - pe))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -365,3 +365,65 @@ def weighted_sample_wor(
     )
     w = Window.orderBy(F.desc("__esk"), F.asc(key_col))
     return top.withColumn(rank_col, F.row_number().over(w)).drop("__esk")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    salt: str = "tb",
+) -> DataFrame:
+    """Per-category TOKEN-budget selection — the data-mix primitive
+    when the recipe says "at most B tokens per source/language", not
+    "at most N documents": within each category, documents are taken
+    in deterministic hash order until the category's cumulative token
+    count exceeds ``budget`` (a document is kept iff its inclusive
+    cumulative count is still <= budget).
+
+    Scale shape — the naive form is a window
+    ``sum(tokens) over (partition by key order by hash)``, whose
+    per-partition frame is DATA-sized when one category dominates the
+    corpus (the usual case: one language is half the data). Instead:
+
+    1. global unique order (key asc, hash asc, id asc) via the
+       two-phase row_number (`ranks.py` — O(partitions) offsets);
+    2. ONE partition-parallel global token cumsum over that order
+       (`packing.global_cumsum` — range buckets + broadcast offsets);
+    3. per-category start offsets = exclusive prefix over the
+       O(#categories) per-category totals (tiny window, the
+       mixture-rates class), broadcast back;
+    4. in-category cumulative = global cumulative − category offset;
+       keep = <= budget. Map-only from there.
+
+    No data-sized single-partition frame anywhere, whatever the
+    category skew. Output: df columns + ``cum_tokens``, ``keep``.
+    """
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+    from dbt_incremental_ci_spark.operators.ranks import two_phase_row_number
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    u = hash_uniform(id_col, salt)
+    base = df.withColumn("__u", u)
+    rn = two_phase_row_number(
+        base,
+        [F.asc(key_col), F.asc("__u"), F.asc(id_col)],
+        out_col="__rn",
+    )
+    c = global_cumsum(rn, "__rn", token_col, out_col="__gcum")
+    totals = c.groupBy(key_col).agg(F.sum(token_col).alias("__kt"))
+    # driver-free exclusive prefix over O(#categories) rows
+    tw = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        key_col, F.coalesce(F.sum("__kt").over(tw), F.lit(0)).alias("__off")
+    )
+    return (
+        c.join(F.broadcast(offs), key_col)
+        .withColumn(
+            "cum_tokens", (F.col("__gcum") - F.col("__off")).cast("bigint")
+        )
+        .withColumn("keep", F.col("cum_tokens") <= F.lit(int(budget)))
+        .drop("__u", "__rn", "__gcum", "__off")
+    )

@@ -7124,3 +7124,180 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = tree.unionByName(grand).unionByName(clique)
     return kcore(edges, k=4)
+
+
+# =====================================================================
+# Binned PR curve (q151): precision/recall/F1 of the hashed-bag
+# quality classifier against the lang='en' label at 20 probability
+# thresholds — the measurement side of the curation stack. Exact PR
+# curves need a data-sized global sort; the binned form is one hash
+# agg + an O(bins) spine window (the equi-width-histogram class).
+# Bin assignment runs in exact decimal micro-units. evalmetrics.py.
+# =====================================================================
+def _q151_oracle() -> str:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    w = classifier.default_weights(64, "qc")
+    score = classifier.linear_score_sql("text", w, 0.0, "qc")
+    return f"""
+    WITH s AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(ROUND({score}, 6)))), 6) AS prob,
+             (lang = 'en') AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT LEAST(CAST((CAST(CAST(prob AS DECIMAL(9,6)) * 1000000 AS BIGINT) * 20
+                    - (CAST(CAST(prob AS DECIMAL(9,6)) * 1000000 AS BIGINT) * 20)
+                      % 1000000) / 1000000 AS INT), 19) AS bin,
+             CAST(y AS INT) AS y
+      FROM s
+    ),
+    per AS (SELECT bin, count(*) AS n, sum(y) AS pos FROM binned GROUP BY bin),
+    spine AS (SELECT CAST(i AS INT) AS bin FROM range(20) r(i)),
+    fl AS (
+      SELECT spine.bin, coalesce(n, 0) AS n, coalesce(pos, 0) AS pos
+      FROM spine LEFT JOIN per USING (bin)
+    ),
+    tot AS (SELECT sum(n) AS n_all, sum(pos) AS pos_all FROM fl),
+    cum AS (
+      SELECT bin,
+             sum(pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - sum(pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM fl
+    )
+    SELECT c.bin, ROUND(c.bin / 20.0, 6) AS threshold,
+           CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+           CAST(t.pos_all - c.tp AS BIGINT) AS fn,
+           CAST(t.n_all - c.tp - c.fp - (t.pos_all - c.tp) AS BIGINT) AS tn,
+           CASE WHEN c.tp + c.fp > 0
+                THEN ROUND(c.tp / (c.tp + c.fp), 6) END AS precision,
+           CASE WHEN t.pos_all > 0
+                THEN ROUND(c.tp / t.pos_all, 6) END AS recall,
+           CASE WHEN 2*c.tp + c.fp + (t.pos_all - c.tp) > 0
+                THEN ROUND(2*c.tp / (2*c.tp + c.fp + (t.pos_all - c.tp)), 6)
+           END AS f1
+    FROM cum c CROSS JOIN tot t
+    """
+
+
+@q("q151_pr_curve", _q151_oracle())
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+    from dbt_incremental_ci_spark.operators.evalmetrics import binned_pr_curve
+
+    docs = t(spark, sf_dir, "documents").select("text", "lang")
+    raw = F.round(classifier.linear_score("text", classifier.default_weights(64, "qc"), 0.0, "qc"), 6)
+    scored = docs.select(
+        F.round(classifier.sigmoid(raw), 6).alias("prob"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return binned_pr_curve(scored, "prob", "y", bins=20)
+
+
+# =====================================================================
+# Cohen's kappa (q152): chance-corrected agreement between two
+# curation filters — the classifier's keep flag vs a length rule —
+# one map-side-combined 2x2 contingency aggregate, single-row output.
+# evalmetrics.py.
+# =====================================================================
+def _q152_oracle() -> str:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    w = classifier.default_weights(64, "qc")
+    score = classifier.linear_score_sql("text", w, 0.0, "qc")
+    return f"""
+    WITH s AS (
+      SELECT CAST(ROUND({score}, 6) >= 0.0 AS INT) AS a,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) >= 50 AS INT) AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(a * b) AS n11, sum(a * (1 - b)) AS n10,
+             sum((1 - a) * b) AS n01, sum((1 - a) * (1 - b)) AS n00
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           ROUND((n11 + n00) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           CASE WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                     / (CAST(n AS DOUBLE) * n) >= 1.0 THEN 1.0
+                ELSE ROUND((((n11 + n00) / CAST(n AS DOUBLE))
+                      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                        / (CAST(n AS DOUBLE) * n))
+                     / (1 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                        / (CAST(n AS DOUBLE) * n)), 6)
+           END AS kappa
+    FROM agg
+    """
+
+
+@q("q152_cohens_kappa", _q152_oracle())
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+    from dbt_incremental_ci_spark.operators.evalmetrics import cohens_kappa
+    from dbt_incremental_ci_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    raw = F.round(classifier.linear_score("text", classifier.default_weights(64, "qc"), 0.0, "qc"), 6)
+    rated = docs.select(
+        (raw >= 0.0).alias("a"), (token_count("text") >= 50).alias("b")
+    )
+    return cohens_kappa(rated, "a", "b")
+
+
+# =====================================================================
+# Token-budget data mix (q153): "at most 300 tokens per source" —
+# per-category selection in deterministic hash order until the token
+# budget is exhausted. The scalable shape is a GLOBAL two-phase
+# cumsum over (source, hash) order + O(#sources) broadcast offsets —
+# never a per-source window whose frame is data-sized when one
+# source dominates. Oracle: the plain per-source window (DuckDB can
+# afford it at sf0.01). operators/sampling.py token_budget_mix.
+# =====================================================================
+@q(
+    "q153_token_budget_mix",
+    """
+    WITH tk AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':tb'), 1, 8))::BIGINT
+              / 4294967296.0) AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id)
+               AS cum_tokens
+      FROM tk
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 300 AS keep
+    FROM c
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.sampling import token_budget_mix
+    from dbt_incremental_ci_spark.operators.text import token_count
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    out = token_budget_mix(docs, "source", "n_tokens", 300, "doc_id")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "cum_tokens",
+        "keep",
+    )

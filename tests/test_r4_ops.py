@@ -213,3 +213,86 @@ def test_kcore_validates_k_and_nonconvergence(spark):
         kcore(edges, 0)
     with _pytest.raises(RuntimeError, match="converge"):
         kcore(edges, 2, max_iter=1)
+
+
+# ----------------------------------------------------------- evalmetrics
+def test_binned_pr_curve_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import binned_pr_curve
+
+    # scores/labels chosen so bins 0,1 (of 2) split cleanly
+    df = spark.createDataFrame(
+        [(0.1, True), (0.2, False), (0.7, True), (0.9, True), (0.8, False)],
+        ["prob", "y"],
+    )
+    rows = {r["bin"]: r for r in binned_pr_curve(df, "prob", "y", bins=2).collect()}
+    # threshold 0.0: everything predicted positive
+    assert rows[0]["tp"] == 3 and rows[0]["fp"] == 2 and rows[0]["fn"] == 0
+    assert rows[0]["recall"] == 1.0 and rows[0]["precision"] == 0.6
+    # threshold 0.5: the three high scores predicted positive (2 tp)
+    assert rows[1]["tp"] == 2 and rows[1]["fp"] == 1
+    assert rows[1]["fn"] == 1 and rows[1]["tn"] == 1
+    assert abs(rows[1]["f1"] - round(4 / (4 + 1 + 1), 6)) < 1e-9
+
+
+def test_binned_pr_curve_empty_bins_and_validation(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import binned_pr_curve
+
+    df = spark.createDataFrame([(0.95, True)], ["prob", "y"])
+    out = binned_pr_curve(df, "prob", "y", bins=10)
+    assert out.count() == 10  # full spine even with one input row
+    top = out.filter(F.col("bin") == 9).collect()[0]
+    assert top["tp"] == 1 and top["precision"] == 1.0
+    with pytest.raises(ValueError, match="bins"):
+        binned_pr_curve(df, "prob", "y", bins=1)
+
+
+def test_cohens_kappa_extremes(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import cohens_kappa
+
+    # perfect agreement, mixed marginals -> kappa 1
+    perfect = spark.createDataFrame(
+        [(True, True), (False, False), (True, True), (False, False)],
+        ["a", "b"],
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    # independence-shaped 2x2 (25/25/25/25) -> kappa 0
+    indep = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)],
+        ["a", "b"],
+    )
+    assert cohens_kappa(indep, "a", "b").collect()[0]["kappa"] == 0.0
+    # constant raters in agreement -> degenerate pe=1 -> kappa 1
+    const = spark.createDataFrame([(True, True), (True, True)], ["a", "b"])
+    row = cohens_kappa(const, "a", "b").collect()[0]
+    assert row["pe"] == 1.0 and row["kappa"] == 1.0
+
+
+# ----------------------------------------------------- token budget mix
+def test_token_budget_mix_matches_per_key_window(spark):
+    from dbt_incremental_ci_spark.operators.sampling import (
+        hash_uniform,
+        token_budget_mix,
+    )
+    from pyspark.sql import Window as W
+
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("doc"),
+        (F.col("id") % 7).cast("string").alias("src"),
+        (F.col("id") % 40 + 5).alias("toks"),
+    )
+    out = token_budget_mix(df, "src", "toks", 200, "doc")
+    # reference: the naive per-key window
+    naive = df.withColumn(
+        "cum2",
+        F.sum("toks").over(
+            W.partitionBy("src").orderBy(hash_uniform("doc", "tb"), "doc")
+        ),
+    )
+    j = out.join(naive, ["doc", "src", "toks"])
+    assert j.filter(F.col("cum_tokens") != F.col("cum2")).count() == 0
+    assert j.filter(F.col("keep") != (F.col("cum2") <= 200)).count() == 0
+    # every source keeps at least one doc (budget > max single doc)
+    kept = out.filter("keep").groupBy("src").count()
+    assert kept.count() == 7
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_mix(df, "src", "toks", -1, "doc")
