@@ -122,6 +122,8 @@ EXTRA_QUERIES = [
     "q151_pr_curve",
     "q152_cohens_kappa",
     "q153_token_budget_mix",
+    "q154_sq8_quantization",
+    "q155_semantic_decontam",
 ]
 
 

@@ -614,3 +614,89 @@ def train_pq_codebooks(
                     centers[cidx] = S[mask].mean(axis=0)
         out.append([[float(x) for x in row] for row in centers])
     return out
+
+
+def scalar_quantize_8bit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension 8-bit scalar quantization (the SQ8 storage format
+    every vector store ships before PQ): each dimension d maps
+    linearly from its global [min_d, max_d] onto {0..255}; the
+    dequantized reconstruction and its per-vector MSE come back in the
+    same pass. 4x smaller vectors, ~1-2% recall cost — the standard
+    first compression step for 100 TB embedding corpora (PQ-ADC,
+    `pq_adc_topk`, is the aggressive second step).
+
+    Output: ``(id, codes array<int>, mse double)`` with mse the mean
+    squared reconstruction error (per-term squares rounded to 12 dp
+    and summed in DECIMAL(28,12), so the mean is order-independent).
+
+    Scale shape: one posexplode → per-dimension min/max hash aggregate
+    (DIM rows — vocabulary-class, broadcast back), then a map-only
+    quantize/dequantize/error pass; constant dims (max == min)
+    quantize to 0 and reconstruct exactly. No driver-side
+    materialization anywhere — the per-dim bounds stay in the plan as
+    a broadcast join.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    dims = (
+        base.select(F.posexplode("__v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("__dims")
+        )
+        .select(
+            F.transform("__dims", lambda s: s["mn"]).alias("__mns"),
+            F.transform("__dims", lambda s: s["mx"]).alias("__mxs"),
+        )
+    )
+    with_bounds = base.crossJoin(F.broadcast(dims))
+    idx = F.sequence(F.lit(1), F.size("__v"))
+    codes = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at("__mxs", i) > F.element_at("__mns", i),
+            F.round(
+                (F.element_at("__v", i) - F.element_at("__mns", i))
+                * 255.0
+                / (F.element_at("__mxs", i) - F.element_at("__mns", i)),
+                0,
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    coded = with_bounds.withColumn("codes", codes)
+    deq = F.transform(
+        F.sequence(F.lit(1), F.size("codes")),
+        lambda i: F.when(
+            F.element_at("__mxs", i) > F.element_at("__mns", i),
+            F.element_at("__mns", i)
+            + F.element_at("codes", i)
+            * (F.element_at("__mxs", i) - F.element_at("__mns", i))
+            / 255.0,
+        ).otherwise(F.element_at("__mns", i)),
+    )
+    sq_terms = F.zip_with(
+        F.col("__v"),
+        deq,
+        lambda x, y: F.round((x - y) * (x - y), 12).cast("decimal(28,12)"),
+    )
+    mse = (
+        F.aggregate(
+            sq_terms,
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, x: (acc + x).cast("decimal(28,12)"),
+        ).cast("double")
+        / F.size("__v")
+    )
+    return coded.select(
+        F.col("__id").alias(id_col),
+        "codes",
+        F.round(mse, 9).alias("mse"),
+    )

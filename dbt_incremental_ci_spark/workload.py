@@ -7301,3 +7301,113 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         "keep",
     )
+
+
+# =====================================================================
+# Scalar 8-bit quantization (q154): per-dimension SQ8 — global
+# [min,max] per dim (DIM-row aggregate, broadcast back), linear map
+# onto {0..255}, dequantized reconstruction + order-independent
+# decimal MSE in one pass. Codes serialize to a CSV string for the
+# cross-engine hash (array stringification differs between pandas and
+# DuckDB). operators/similarity.py scalar_quantize_8bit.
+# =====================================================================
+@q(
+    "q154_sq8_quantization",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    vals AS (
+      SELECT vec_id, i AS pos, v[i] AS val
+      FROM base, LATERAL unnest(range(1, len(v) + 1)) AS r(i)
+    ),
+    dims AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM vals GROUP BY pos
+    ),
+    coded AS (
+      SELECT vec_id, pos, val, mn, mx,
+             CASE WHEN mx > mn
+                  THEN CAST(ROUND((val - mn) * 255.0 / (mx - mn), 0) AS INT)
+                  ELSE 0 END AS code
+      FROM vals JOIN dims USING (pos)
+    ),
+    deq AS (
+      SELECT vec_id, pos, code,
+             val - (CASE WHEN mx > mn
+                         THEN mn + code * (mx - mn) / 255.0
+                         ELSE mn END) AS err
+      FROM coded
+    )
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY pos), ',') AS codes_str,
+           ROUND(CAST(sum(CAST(ROUND(err * err, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) / count(*), 9) AS mse
+    FROM deq GROUP BY vec_id
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.similarity import (
+        scalar_quantize_8bit,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = scalar_quantize_8bit(emb)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_str"),
+        "mse",
+    )
+
+
+# =====================================================================
+# Semantic decontamination (q155): flag training vectors whose max
+# cosine against the EVAL embedding set exceeds a threshold — the
+# embedding-space complement of q97's n-gram decontamination (catches
+# paraphrased eval leakage that exact n-grams miss). Eval side is
+# broadcast (eval sets are bounded by construction); the |train|x|eval|
+# compute reduces map-side to one max per train vector before any
+# shuffle. Zero-norm guard matches retrieval.normalize_vec.
+# =====================================================================
+@q(
+    "q155_semantic_decontam",
+    """
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) > 0
+                  THEN list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])))
+                  ELSE list_transform(embedding::DOUBLE[], x -> 0.0)
+             END AS v
+      FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eid, v AS evec FROM base WHERE vec_id % 50 = 0),
+    tr AS (SELECT vec_id, v FROM base WHERE vec_id % 50 <> 0)
+    SELECT t.vec_id,
+           MAX(ROUND(list_dot_product(t.v, e.evec), 6)) AS max_eval_cos,
+           MAX(ROUND(list_dot_product(t.v, e.evec), 6)) >= 0.35
+             AS contaminated
+    FROM tr t CROSS JOIN ev e
+    GROUP BY t.vec_id
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.retrieval import normalize_vec
+    from dbt_incremental_ci_spark.operators.similarity import dot
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    n = normalize_vec(emb, "v")
+    ev = n.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("v").alias("evec")
+    )
+    tr = n.filter(F.col("vec_id") % 50 != 0)
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .withColumn("__c", F.round(dot(F.col("v"), F.col("evec")), 6))
+        .groupBy("vec_id")
+        .agg(F.max("__c").alias("max_eval_cos"))
+        .withColumn("contaminated", F.col("max_eval_cos") >= 0.35)
+    )

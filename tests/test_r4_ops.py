@@ -296,3 +296,29 @@ def test_token_budget_mix_matches_per_key_window(spark):
     assert kept.count() == 7
     with pytest.raises(ValueError, match="budget"):
         token_budget_mix(df, "src", "toks", -1, "doc")
+
+
+# ------------------------------------------------------------------ sq8
+def test_scalar_quantize_8bit_roundtrip(spark):
+    from dbt_incremental_ci_spark.operators.similarity import (
+        scalar_quantize_8bit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 5.0]),
+            (2, [1.0, 10.0, 5.0]),
+            (3, [0.5, 10.0, 5.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in scalar_quantize_8bit(df).collect()}
+    # dim 1 spans [0,1]: codes 0, 255, round(0.5*255)=128
+    assert [out[i]["codes"][0] for i in (1, 2, 3)] == [0, 255, 128]
+    # dims 2 and 3 are constant -> code 0, exact reconstruction
+    for i in (1, 2, 3):
+        assert out[i]["codes"][1] == 0 and out[i]["codes"][2] == 0
+    # endpoints reconstruct exactly; only the midpoint carries error
+    assert out[1]["mse"] == 0.0 and out[2]["mse"] == 0.0
+    err = 0.5 - 128 * (1.0 / 255.0)
+    assert abs(out[3]["mse"] - round(err * err / 3, 9)) < 1e-12
