@@ -185,23 +185,30 @@ def main() -> None:
     }
 
     # Round-over-round tracking: report per-query deltas vs the most
-    # recent driver-recorded BENCH_r{N}.json (negative = faster).
+    # recent USABLE driver-recorded BENCH_r{N}.json — walk backwards
+    # past crashed/unparsed artifacts (round 3's had rc=1, parsed=null)
+    # and past rounds run at a different SF (not comparable).
     here = os.path.dirname(os.path.abspath(__file__))
     prior = sorted(
         f for f in os.listdir(here)
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
-    if prior:
+    prev, prev_name = None, None
+    for cand in reversed(prior):
         try:
-            with open(os.path.join(here, prior[-1])) as fh:
-                prev = json.load(fh)
+            with open(os.path.join(here, cand)) as fh:
+                p = json.load(fh)
             # the driver wraps the bench line in {"parsed": {...}, ...}
-            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-                prev = prev["parsed"]
-            if prev.get("sf") != out["sf"]:
-                # a prior round at a different SF is not comparable —
-                # skip deltas rather than report nonsense regressions
-                raise ValueError("prior bench at different sf")
+            if "queries" not in p and isinstance(p.get("parsed"), dict):
+                p = p["parsed"]
+            if p.get("queries") and p.get("sf") == out["sf"]:
+                prev, prev_name = p, cand
+                break
+        except (OSError, ValueError):
+            continue
+    if prev is not None:
+        try:
+            prior = [prev_name]  # keep downstream naming
             prev_q = prev.get("queries", {})
             prev_x = prev.get("queries_extra", {})
             out["prev_round"] = prior[-1]
