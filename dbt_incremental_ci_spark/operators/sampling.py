@@ -199,18 +199,35 @@ def per_category_cap(
     """Keep at most ``cap`` rows per category, chosen deterministically
     (C4-style per-domain frequency capping): rows rank within their
     category by the md5 variate (key tiebreak) and ranks > cap drop.
-    One shuffle on the category; heavy-hitter categories are exactly
-    the rows AQE's skew-join/partial-agg machinery handles, and the
-    rank window needs no global sort."""
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(category_col).orderBy(
-        hash_uniform(key_col, salt).asc(), F.col(key_col).asc()
+    Scale shape (upgraded round 4): the obvious
+    ``row_number() over (partition by category order by hash)`` sorts
+    each category partition in ONE task — data-sized when a category
+    dominates the corpus (one domain is half the crawl: the exact case
+    this operator exists for). Instead the in-category rank comes from
+    the two-phase GLOBAL row_number over (category, hash, key) order
+    (`ranks.py` — range partition, local windows, O(partitions)
+    offsets) minus each category's start offset (exclusive prefix over
+    O(#categories) count rows, broadcast back). Same selected set,
+    bit-for-bit, with no data-sized sort task under any skew."""
+    from dbt_incremental_ci_spark.operators.ranks import two_phase_row_number
+
+    base = df.withColumn("__u", hash_uniform(key_col, salt))
+    rn = two_phase_row_number(
+        base,
+        [F.asc(category_col), F.asc("__u"), F.asc(key_col)],
+        out_col="__rn",
+    )
+    counts = rn.groupBy(category_col).agg(F.count(F.lit(1)).alias("__c"))
+    tw = Window.orderBy(category_col).rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        category_col,
+        F.coalesce(F.sum("__c").over(tw), F.lit(0)).alias("__off"),
     )
     return (
-        df.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= cap)
-        .drop("__r")
+        rn.join(F.broadcast(offs), category_col)
+        .filter((F.col("__rn") - F.col("__off")) <= cap)
+        .drop("__u", "__rn", "__off")
     )
 
 
