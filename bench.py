@@ -65,6 +65,7 @@ EXTRA_QUERIES = [
     "q71_bitmap_distinct",
     "q79_funnel",
     "q83_text_chunking",
+    "q96_keyset_pagination",
     "q97_decontamination",
     "q98_gopher_quality",
     "q99_pq_adc_topk",

@@ -31,7 +31,24 @@ from dbt_incremental_ci_spark import workload  # noqa: E402
 from dbt_incremental_ci_spark.session import get_spark  # noqa: E402
 
 REPLICA = "/tmp/spark_graft_scale/sf1"
-REPS = 2
+# Both knobs exist because the full gate (94 queries x 2 scales x 2
+# reps) runs ~2h on the shared box: SPARK_GRAFT_GATE_REPS=1 halves it,
+# SPARK_GRAFT_GATE_MIN=96 restricts to queries numbered >= N (the
+# round-3/4 extras) when the older band already has a committed gate
+# artifact (BENCH_SF1_r03.json covers the round-2 set at reps=2).
+REPS = int(os.environ.get("SPARK_GRAFT_GATE_REPS", "2"))
+GATE_MIN = int(os.environ.get("SPARK_GRAFT_GATE_MIN", "0"))
+
+
+def _selected() -> list[str]:
+    import re
+
+    names = list(dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES))
+    return [
+        n
+        for n in names
+        if int(re.match(r"q(\d+)", n).group(1)) >= GATE_MIN
+    ]
 
 
 def run_all(spark, sf_dir: str, sf_label) -> dict:
@@ -55,8 +72,17 @@ def run_all(spark, sf_dir: str, sf_label) -> dict:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    timings = {n: t for n in BENCH_QUERIES if (t := best_of(n)) is not None}
-    extra = {n: t for n in EXTRA_QUERIES if (t := best_of(n)) is not None}
+    sel = set(_selected())
+    timings = {
+        n: t
+        for n in BENCH_QUERIES
+        if n in sel and (t := best_of(n)) is not None
+    }
+    extra = {
+        n: t
+        for n in EXTRA_QUERIES
+        if n in sel and (t := best_of(n)) is not None
+    }
     return {
         "errors": errors,
         "metric": "headline_queries_total_runtime",
