@@ -125,6 +125,13 @@ EXTRA_QUERIES = [
     "q153_token_budget_mix",
     "q154_sq8_quantization",
     "q155_semantic_decontam",
+    "q156_scd2_build",
+    "q157_k_anonymity",
+    "q158_json_extract",
+    "q159_countmin",
+    "q160_fs_linkage",
+    "q161_dp_counts",
+    "q162_zorder_key",
 ]
 
 

@@ -7411,3 +7411,322 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("__c").alias("max_eval_cos"))
         .withColumn("contaminated", F.col("max_eval_cos") >= 0.35)
     )
+
+
+# =====================================================================
+# SCD Type-2 history build (q156): compact the event log into validity
+# intervals per user — the dbt snapshot materialization's output shape
+# (ref: SRC/core.py classifies snapshot models for CI copying), built
+# as a timestamp-strategy replay. One shuffle on the key; per-key
+# window frames, never data-sized. operators/scd.py.
+# =====================================================================
+@q(
+    "q156_scd2_build",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events
+    ),
+    d AS (
+      SELECT user_id, event_type, tsn, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsn, event_id) AS prev
+      FROM e
+    ),
+    o AS (
+      SELECT user_id, event_type, tsn, event_id FROM d
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, tsn AS valid_from,
+           lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+             AS valid_to,
+           lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+             IS NULL AS is_current
+    FROM o
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.scd import scd2_from_events
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_from_events(
+        ev, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+
+
+# =====================================================================
+# k-anonymity / l-diversity audit (q157): per quasi-identifier group
+# size and sensitive-value diversity — the pre-release privacy gate.
+# Single hash aggregate; count_distinct is the two-phase partial
+# distinct, so no group materializes members. operators/privacy.py.
+# =====================================================================
+@q(
+    "q157_k_anonymity",
+    """
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS grp_n,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           count(*) >= 5 AS k_ok,
+           count(DISTINCT c_mktsegment) >= 2 AS l_ok
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.privacy import k_anonymity_audit
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "bal_bucket"], "c_mktsegment", k=5, l=2
+    )
+
+
+# =====================================================================
+# Typed JSON extraction (q158): from_json with an explicit schema —
+# parse once inside codegen, then the struct field behaves like a real
+# column (pruned, pushed, aggregated JVM-side). Malformed payloads
+# count as parse failures, never silently dropped.
+# operators/semistructured.py.
+# =====================================================================
+@q(
+    "q158_json_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parsed,
+           CAST(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_k,
+           max(CAST(props->>'k' AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.semistructured import json_typed
+
+    ev = t(spark, sf_dir, "events").select("event_type", "props")
+    typed = json_typed(ev, "props", "k INT")
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("parse_ok"), 1).otherwise(0)).alias("n_parsed"),
+        d(F.sum(dec(F.col("parsed.k")))).alias("sum_k"),
+        F.max(F.col("parsed.k")).alias("max_k"),
+    )
+
+
+def _q159_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.countmin import (
+        _bucket_sql,
+        countmin_sketch_sql,
+    )
+
+    depth, width = 4, 256
+    sketch = countmin_sketch_sql("events", "user_id", depth, width)
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, "
+        f"{_bucket_sql('user_id', r, width, '')} AS b FROM keys"
+        for r in range(depth)
+    )
+    return f"""
+    WITH sketch AS ({sketch}),
+    keys AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+    probes AS ({probes}),
+    est AS (
+      SELECT p.user_id, min(coalesce(s.cnt, 0)) AS cm_est
+      FROM probes p LEFT JOIN sketch s ON s.r = p.r AND s.b = p.b
+      GROUP BY p.user_id
+    )
+    SELECT k.user_id, CAST(k.exact_n AS BIGINT) AS exact_n,
+           CAST(e.cm_est AS BIGINT) AS cm_est,
+           CAST(e.cm_est - k.exact_n AS BIGINT) AS overcount
+    FROM keys k JOIN est e USING (user_id)
+    """
+
+
+# =====================================================================
+# Count-min sketch (q159): mergeable d×w frequency sketch, one-sided
+# error (est >= exact, checked per key in the output). Build shuffles
+# at most d·w cells per partition (map-side combine); estimates are a
+# broadcast join of the tiny sketch. operators/countmin.py.
+# =====================================================================
+@q("q159_countmin", _q159_oracle())
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import countmin
+
+    depth, width = 4, 256
+    ev = t(spark, sf_dir, "events").select("user_id")
+    sk = countmin.countmin_build(ev, "user_id", depth=depth, width=width)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin.countmin_estimate(
+        sk, exact.select("user_id"), "user_id", depth=depth, width=width
+    )
+    return exact.join(est, on="user_id").select(
+        "user_id",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+def _q160_oracle() -> str:
+    import math
+
+    wa1, wd1 = math.log2(0.9 / 0.001), math.log2(0.1 / 0.999)
+    wa2, wd2 = math.log2(0.8 / 0.1), math.log2(0.2 / 0.9)
+    w = (
+        f"(CASE WHEN agree_suffix THEN {wa1!r} ELSE {wd1!r} END) + "
+        f"(CASE WHEN agree_bal THEN {wa2!r} ELSE {wd2!r} END)"
+    )
+    return f"""
+    WITH p AS (
+      SELECT c_custkey, s_suppkey,
+             substr(c_name, length(c_name) - 2, 3)
+               = substr(s_name, length(s_name) - 2, 3) AS agree_suffix,
+             floor(c_acctbal / 1000) = floor(s_acctbal / 1000) AS agree_bal
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    ),
+    s AS (
+      SELECT c_custkey, s_suppkey, agree_suffix, agree_bal,
+             ROUND({w}, 6) AS fs_weight
+      FROM p
+    )
+    SELECT *,
+           CASE WHEN fs_weight >= 5.0 THEN 'link'
+                WHEN fs_weight <= -2.0 THEN 'non_link'
+                ELSE 'possible' END AS decision
+    FROM s
+    WHERE fs_weight > -2.0
+    """
+
+
+# =====================================================================
+# Fellegi-Sunter record linkage (q160): blocked candidate pairs
+# (nationkey equi-join — the only shuffle), per-field agreement flags,
+# summed log2(m/u) match weights, three-way link decision. The m/u
+# weights fold to compile-time literals, so scoring is one codegen'd
+# expression over the pair frame. operators/linkage.py.
+# =====================================================================
+@q("q160_fs_linkage", _q160_oracle())
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import linkage
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").alias("nationkey"),
+        "c_acctbal",
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").alias("nationkey"),
+        "s_acctbal",
+    )
+    pairs = linkage.block_pairs(c, s, ["nationkey"])
+    suffix = F.col("c_name").substr(
+        F.length("c_name") - 2, F.lit(3)
+    ) == F.col("s_name").substr(F.length("s_name") - 2, F.lit(3))
+    bal = F.floor(F.col("c_acctbal") / 1000) == F.floor(
+        F.col("s_acctbal") / 1000
+    )
+    scored = linkage.fs_score(
+        pairs,
+        {"suffix": (suffix, 0.9, 0.001), "bal": (bal, 0.8, 0.1)},
+    )
+    out = linkage.classify(scored, upper=5.0, lower=-2.0)
+    return out.filter(F.col("fs_weight") > -2.0).select(
+        "c_custkey",
+        "s_suppkey",
+        "agree_suffix",
+        "agree_bal",
+        "fs_weight",
+        "decision",
+    )
+
+
+def _q161_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.privacy import dp_group_counts_sql
+
+    return dp_group_counts_sql("customer", ["c_mktsegment"], epsilon=1.0)
+
+
+# =====================================================================
+# Differentially-private release (q161): Laplace-noised group counts,
+# seed = md5(group key) so the release is reproducible (and exactly
+# twinned in the oracle). The exact count never leaves the aggregate —
+# only the noised value is emitted, as a DP release requires.
+# operators/privacy.py.
+# =====================================================================
+@q("q161_dp_counts", _q161_oracle())
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.privacy import dp_group_counts
+
+    c = t(spark, sf_dir, "customer")
+    return dp_group_counts(c, ["c_mktsegment"], epsilon=1.0)
+
+
+def _q162_oracle() -> str:
+    bits, top = 8, 255
+    sx = "CAST(least(greatest(floor((CAST(x AS DOUBLE) - 0.0) / 255.0 * 255), 0), 255) AS BIGINT)"
+    sy = "CAST(least(greatest(floor((CAST(y AS DOUBLE) - 0.0) / 255.0 * 255), 0), 255) AS BIGINT)"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((sx >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(((sy >> {i}) & 1) * {1 << (2 * i + 1)})")
+    z = " + ".join(terms)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               % 256 AS y
+      FROM orders
+    ),
+    scaled AS (
+      SELECT o_orderkey, x, y, {sx} AS sx, {sy} AS sy FROM base
+    )
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST({z} AS BIGINT) AS zkey,
+           CAST(({z}) >> 10 AS BIGINT) AS zbucket
+    FROM scaled
+    """
+
+
+# =====================================================================
+# Z-order clustering key (q162): Morton-interleave two predicate
+# columns so range-partitioned files cover tight hyper-boxes on BOTH —
+# parquet min/max stats then prune scans for predicates on either
+# column (the write-side data-skipping story, sinks/layout.py
+# write_zordered). The key is a pure codegen expression; the oracle
+# reproduces the interleave arithmetically. sinks/layout.py:97.
+# =====================================================================
+@q("q162_zorder_key", _q162_oracle())
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.sinks.layout import zorder_key
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            )
+            % 256
+        ).cast("bigint").alias("y"),
+    )
+    zk = zorder_key(o, ["x", "y"], bounds={"x": (0, 255), "y": (0, 255)}, bits=8)
+    return o.select(
+        "o_orderkey",
+        F.col("x").cast("bigint").alias("x"),
+        "y",
+        zk.alias("zkey"),
+        F.shiftright(zk, 10).cast("bigint").alias("zbucket"),
+    )

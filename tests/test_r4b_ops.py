@@ -1,0 +1,211 @@
+"""Round-4 batch-2 operators: SCD2, privacy (k-anon / DP), count-min,
+Fellegi-Sunter linkage, semi-structured JSON."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.operators.countmin import (
+    countmin_build,
+    countmin_estimate,
+)
+from dbt_incremental_ci_spark.operators.linkage import (
+    block_pairs,
+    classify,
+    fs_score,
+)
+from dbt_incremental_ci_spark.operators.privacy import (
+    dp_group_counts,
+    k_anonymity_audit,
+    laplace_noise,
+    suppression_summary,
+)
+from dbt_incremental_ci_spark.operators.scd import (
+    scd2_from_events,
+    scd2_merge_snapshot,
+)
+from dbt_incremental_ci_spark.operators.semistructured import (
+    json_kv,
+    json_typed,
+    key_census,
+)
+
+
+# ----------------------------------------------------------------- scd2
+def test_scd2_from_events_compacts_runs(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),
+            (1, "a", 20, 101),  # no change -> same interval
+            (1, "b", 30, 102),  # change -> new interval
+            (1, "a", 40, 103),  # back to a -> third interval
+            (2, "x", 15, 104),
+        ],
+        ["k", "v", "ts", "eid"],
+    )
+    out = scd2_from_events(ev, "k", ["v"], "ts", "eid").orderBy(
+        "k", "valid_from"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (1, "a", 10, 30, False),
+        (1, "b", 30, 40, False),
+        (1, "a", 40, None, True),
+        (2, "x", 15, None, True),
+    ]
+
+
+def test_scd2_null_transitions_are_changes(spark):
+    ev = spark.createDataFrame(
+        [(1, None, 10, 1), (1, "a", 20, 2), (1, None, 30, 3)],
+        "k int, v string, ts int, eid int",
+    )
+    out = scd2_from_events(ev, "k", ["v"], "ts", "eid")
+    assert out.count() == 3  # null->a and a->null both open intervals
+
+
+def test_scd2_merge_snapshot_is_one_dbt_snapshot_run(spark):
+    scd = spark.createDataFrame(
+        [
+            (1, "a", 10, 20, False),
+            (1, "b", 20, None, True),  # will change to c
+            (2, "x", 10, None, True),  # unchanged
+            (3, "y", 10, None, True),  # vanishes
+        ],
+        "k int, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [(1, "c"), (2, "x"), (4, "new")], "k int, v string"
+    )
+    out = scd2_merge_snapshot(scd, snap, "k", ["v"], 50)
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 10, 20, False),  # history untouched
+        (1, "b", 20, 50, False),  # closed
+        (1, "c", 50, None, True),  # new version
+        (2, "x", 10, None, True),  # unchanged current
+        (3, "y", 10, 50, False),  # key vanished -> closed
+        (4, "new", 50, None, True),  # brand-new key
+    }
+    # re-running the same snapshot is a fixpoint (idempotent)
+    again = scd2_merge_snapshot(out, snap, "k", ["v"], 60)
+    assert {tuple(r) for r in again.collect()} == got
+
+
+# -------------------------------------------------------------- privacy
+def test_k_anonymity_and_suppression(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "s1")] * 5 + [("a", 2, "s1")] * 2 + [("b", 1, "s2")] * 6,
+        "qi1 string, qi2 int, sens string",
+    )
+    audit = k_anonymity_audit(df, ["qi1", "qi2"], "sens", k=5, l=2)
+    got = {(r["qi1"], r["qi2"]): (r["grp_n"], r["k_ok"], r["l_ok"]) for r in audit.collect()}
+    assert got[("a", 1)] == (5, True, False)  # big enough, no diversity
+    assert got[("a", 2)] == (2, False, False)
+    assert got[("b", 1)] == (6, True, False)
+    summ = suppression_summary(audit, ["qi1", "qi2"]).collect()[0]
+    assert summ["total_rows"] == 13
+    assert summ["suppressed_rows"] == 13  # every group fails l=2
+    assert summ["k_violations"] == 1
+
+
+def test_laplace_noise_deterministic_and_symmetric(spark):
+    df = spark.createDataFrame([(u,) for u in (0.1, 0.5, 0.9)], "u double")
+    out = df.select(
+        F.round(laplace_noise(F.col("u"), 2.0), 9).alias("x")
+    ).collect()
+    xs = [r["x"] for r in out]
+    assert xs[1] == 0.0  # u=0.5 -> zero noise
+    # u and 1-u give mirrored noise: -2*sign*ln(1-2|u-.5|)
+    assert xs[0] == -xs[2]
+    assert xs[0] == round(2.0 * math.log(1 - 2 * abs(0.1 - 0.5)), 9)
+
+
+def test_dp_counts_never_exposes_exact(spark):
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "g string")
+    out = dp_group_counts(df, ["g"], epsilon=1.0)
+    assert set(out.columns) == {"g", "noised_n"}
+    vals = {r["g"]: r["noised_n"] for r in out.collect()}
+    # deterministic: same seed -> same release
+    vals2 = {r["g"]: r["noised_n"] for r in dp_group_counts(df, ["g"]).collect()}
+    assert vals == vals2
+    # noise is bounded for eps=1 with u in (0,1): |noise| = |ln(...)|
+    assert all(abs(vals[g] - n) < 25 for g, n in (("a", 7), ("b", 3)))
+
+
+# ------------------------------------------------------------- countmin
+def test_countmin_one_sided_error(spark):
+    rows = [(f"k{i % 17}",) for i in range(500)] + [("hot",)] * 200
+    df = spark.createDataFrame(rows, "key string")
+    sk = countmin_build(df, "key", depth=4, width=16)  # force collisions
+    exact = df.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin_estimate(sk, exact.select("key"), "key", depth=4, width=16)
+    j = exact.join(est, "key").collect()
+    assert len(j) == 18
+    for r in j:
+        assert r["cm_est"] >= r["exact_n"], "count-min never undercounts"
+    # sketch is bounded by depth*width cells
+    assert sk.count() <= 4 * 16
+
+
+def test_countmin_merge_is_cellwise_add(spark):
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "key string")
+    b = spark.createDataFrame([("x",)] * 4, "key string")
+    both = a.unionAll(b)
+    merged = (
+        countmin_build(a, "key", 2, 8)
+        .unionByName(countmin_build(b, "key", 2, 8))
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = countmin_build(both, "key", 2, 8)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+# -------------------------------------------------------------- linkage
+def test_fs_linkage_weights_and_decision(spark):
+    left = spark.createDataFrame(
+        [(1, "jon", 1), (2, "ann", 1)], "lid int, lname string, blk int"
+    )
+    right = spark.createDataFrame(
+        [(10, "jon", 1), (11, "zzz", 1), (12, "jon", 2)],
+        "rid int, rname string, blk int",
+    )
+    pairs = block_pairs(left, right, ["blk"])
+    assert pairs.count() == 4  # rid=12 in another block: never generated
+    scored = fs_score(
+        pairs, {"name": (F.col("lname") == F.col("rname"), 0.9, 0.01)}
+    )
+    out = {(r["lid"], r["rid"]): r["fs_weight"] for r in scored.collect()}
+    assert out[(1, 10)] == round(math.log2(0.9 / 0.01), 6)
+    assert out[(2, 11)] == round(math.log2(0.1 / 0.99), 6)
+    dec = classify(scored, upper=3.0, lower=-1.0)
+    d = {(r["lid"], r["rid"]): r["decision"] for r in dec.collect()}
+    assert d[(1, 10)] == "link" and d[(2, 11)] == "non_link"
+
+
+# ------------------------------------------------------- semistructured
+def test_json_typed_and_kv(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "s": "x"}'), (2, '{"k": 7}'), (3, None)],
+        "id int, props string",
+    )
+    typed = json_typed(df, "props", "k INT, s STRING")
+    got = {r["id"]: (r["parsed"], r["parse_ok"]) for r in typed.collect()}
+    assert got[1][0]["k"] == 5 and got[1][0]["s"] == "x"
+    assert got[3][1] is False  # NULL payload -> not parsed
+    kv = json_kv(df, "props")
+    pairs = {
+        (r["id"], r["json_key"], r["json_value"]) for r in kv.collect()
+    }
+    assert (1, "k", "5") in pairs and (1, "s", "x") in pairs
+    assert (3, None, None) in pairs  # explode_outer keeps the row
+    census = {r["json_key"]: (r["n"], r["n_integral"]) for r in key_census(df, "props").collect()}
+    assert census["k"] == (2, 2)
+    assert census["s"] == (1, 0)
