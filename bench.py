@@ -132,6 +132,8 @@ EXTRA_QUERIES = [
     "q160_fs_linkage",
     "q161_dp_counts",
     "q162_zorder_key",
+    "q163_cdc_apply",
+    "q164_neyman_sample",
 ]
 
 

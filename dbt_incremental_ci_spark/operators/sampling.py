@@ -444,3 +444,116 @@ def token_budget_mix(
         .withColumn("keep", F.col("cum_tokens") <= F.lit(int(budget)))
         .drop("__u", "__rn", "__gcum", "__off")
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    measure_col: str,
+    n_target: int,
+    salt: str = "ney",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling: allocate ``n_target`` rows
+    across strata proportionally to N_h·S_h (stratum size × stratum
+    std-dev of ``measure_col``), the allocation minimizing the variance
+    of the stratified mean estimator (Neyman 1934) — the principled
+    upgrade over proportional allocation when strata differ in spread.
+
+    Fully in-plan (no driver collect): a strata-sized aggregate
+    computes (N_h, Σx, Σx²) with EXACT decimal sums — so the derived
+    S_h and acceptance rates are identical double expressions in any
+    engine, keeping the md5-filter membership bit-reproducible for the
+    DuckDB twin. The rates frame is broadcast back; the sample itself
+    is the usual per-row ``hash_uniform < rate`` filter.
+
+    Scale: one map-side-combined aggregate over the strata (strata
+    cardinality rows), one broadcast join, one map-only filter — the
+    input is never shuffled.
+    """
+    x = F.col(measure_col).cast("decimal(18,2)")
+    stats = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__n_h"),
+        F.sum(x).alias("__s1"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("__s2"),
+    )
+    n_h = F.col("__n_h").cast("double")
+    v1 = F.col("__s1").cast("double")
+    v2 = F.col("__s2").cast("double")
+    s_h = F.when(
+        F.col("__n_h") > 1,
+        F.sqrt(F.greatest((v2 - v1 * v1 / n_h) / (n_h - F.lit(1.0)), F.lit(0.0))),
+    ).otherwise(F.lit(0.0))
+    alloc = stats.select(
+        strata_col, "__n_h", (n_h * s_h).alias("__a_h")
+    )
+    total = alloc.agg(F.sum("__a_h").alias("__a_tot"))
+    rates = alloc.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        F.when(
+            F.col("__a_tot") > 0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(n_target))
+                * F.col("__a_h")
+                / F.col("__a_tot")
+                / F.col("__n_h").cast("double"),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), on=strata_col)
+        .filter(hash_uniform(key_col, salt) < F.col("__rate"))
+        .withColumn("sample_rate", F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def neyman_stratified_sample_sql(
+    table: str,
+    key_expr: str,
+    strata_col: str,
+    measure_col: str,
+    n_target: int,
+    select_cols: str,
+    salt: str = "ney",
+) -> str:
+    """DuckDB twin of :func:`neyman_stratified_sample` — identical
+    decimal sums and double expression order, so rates (and therefore
+    membership) match bit-for-bit."""
+    u = hash_uniform_sql(key_expr, salt)
+    return f"""
+    WITH stats AS (
+      SELECT {strata_col},
+             count(*) AS n_h,
+             sum(CAST({measure_col} AS DECIMAL(18,2))) AS s1,
+             sum(CAST(CAST({measure_col} AS DECIMAL(18,2))
+                      * CAST({measure_col} AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS s2
+      FROM {table} GROUP BY {strata_col}
+    ),
+    alloc AS (
+      SELECT {strata_col}, n_h,
+             CAST(n_h AS DOUBLE) * (CASE WHEN n_h > 1
+               THEN sqrt(greatest((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(n_h AS DOUBLE))
+                      / (CAST(n_h AS DOUBLE) - 1.0), 0.0))
+               ELSE 0.0 END) AS a_h
+      FROM stats
+    ),
+    tot AS (SELECT sum(a_h) AS a_tot FROM alloc),
+    rates AS (
+      SELECT {strata_col},
+             CASE WHEN a_tot > 0
+                  THEN least(1.0, CAST({n_target} AS DOUBLE) * a_h / a_tot
+                             / CAST(n_h AS DOUBLE))
+                  ELSE 0.0 END AS sample_rate
+      FROM alloc CROSS JOIN tot
+    )
+    SELECT {select_cols}, r.sample_rate
+    FROM {table} t JOIN rates r USING ({strata_col})
+    WHERE {u} < r.sample_rate
+    """

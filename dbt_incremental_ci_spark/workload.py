@@ -7730,3 +7730,81 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         zk.alias("zkey"),
         F.shiftright(zk, 10).cast("bigint").alias("zbucket"),
     )
+
+
+# =====================================================================
+# CDC changelog apply (q163): reduce an ordered upsert/delete stream
+# to its latest surviving state — one max(struct) hash aggregate
+# (argmax by sequence with deterministic tiebreak), shuffled bytes
+# O(|keys|) not O(|changelog|), no window sort. Deletes (here: a key
+# whose last event is an 'error') drop the key. operators/cdc.py.
+# =====================================================================
+@q(
+    "q163_cdc_apply",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e
+    )
+    SELECT user_id, ts, event_id, event_type, value, op
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.cdc import cdc_latest_state
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return cdc_latest_state(
+        ev, ["user_id"], "ts", "op", delete_op="D", tiebreak_col="event_id"
+    )
+
+
+def _q164_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import (
+        neyman_stratified_sample_sql,
+    )
+
+    return neyman_stratified_sample_sql(
+        "events",
+        "t.event_id",
+        "event_type",
+        "value",
+        2000,
+        "t.event_id, t.event_type, t.value",
+    )
+
+
+# =====================================================================
+# Neyman stratified sampling (q164): allocate a fixed sample budget
+# across strata ∝ N_h·S_h (variance-optimal for the stratified mean).
+# Strata stats come from one exact-decimal aggregate so the derived
+# rates are bit-identical across engines; membership is the usual
+# md5-hash filter — input never shuffles. operators/sampling.py
+# neyman_stratified_sample.
+# =====================================================================
+@q("q164_neyman_sample", _q164_oracle())
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    ev = events_table(spark, sf_dir).select("event_id", "event_type", "value")
+    out = neyman_stratified_sample(
+        ev, "event_id", "event_type", "value", n_target=2000
+    )
+    return out.select("event_id", "event_type", "value", "sample_rate")

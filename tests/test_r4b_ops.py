@@ -209,3 +209,76 @@ def test_json_typed_and_kv(spark):
     census = {r["json_key"]: (r["n"], r["n_integral"]) for r in key_census(df, "props").collect()}
     assert census["k"] == (2, 2)
     assert census["s"] == (1, 0)
+
+
+# ------------------------------------------------------------------ cdc
+def test_cdc_latest_state_last_op_wins_and_deletes_drop(spark):
+    from dbt_incremental_ci_spark.operators.cdc import (
+        cdc_latest_state,
+        cdc_op_census,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, 1, "U", "a"),
+            (1, 20, 2, "U", "b"),   # winner for key 1
+            (2, 10, 3, "U", "x"),
+            (2, 30, 4, "D", None),  # key 2 deleted
+            (3, 5, 5, "D", None),
+            (3, 6, 6, "U", "y"),    # re-created after delete
+        ],
+        "k int, seq int, eid int, op string, payload string",
+    )
+    out = cdc_latest_state(log, ["k"], "seq", "op", tiebreak_col="eid")
+    got = {(r["k"], r["payload"]) for r in out.collect()}
+    assert got == {(1, "b"), (3, "y")}
+    census = {r["k"]: (r["n_versions"], r["last_op"]) for r in cdc_op_census(log, ["k"], "seq", "op").collect()}
+    assert census[2] == (2, "D") and census[1] == (2, "U")
+
+
+def test_cdc_tiebreak_on_equal_seq(spark):
+    from dbt_incremental_ci_spark.operators.cdc import cdc_latest_state
+
+    log = spark.createDataFrame(
+        [(1, 10, 1, "U", "first"), (1, 10, 2, "U", "second")],
+        "k int, seq int, eid int, op string, payload string",
+    )
+    out = cdc_latest_state(log, ["k"], "seq", "op", tiebreak_col="eid")
+    assert out.collect()[0]["payload"] == "second"
+
+
+# --------------------------------------------------------------- neyman
+def test_neyman_allocates_more_to_high_variance_strata(spark):
+    import random
+
+    from dbt_incremental_ci_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, "low", 50.0 + rng.uniform(-0.5, 0.5)) for i in range(1000)]
+    rows += [
+        (10_000 + i, "high", 50.0 + rng.uniform(-40, 40)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    out = neyman_stratified_sample(df, "id", "s", "v", n_target=400)
+    by = {r["s"]: r["cnt"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # equal sizes, ~80x the std-dev -> 'high' gets nearly the whole budget
+    assert by.get("high", 0) > 5 * by.get("low", 1)
+    # budget respected in expectation (hash sampling: allow slack)
+    assert sum(by.values()) < 400 * 1.3
+
+
+def test_neyman_single_stratum_degenerates_to_uniform_rate(spark):
+    from dbt_incremental_ci_spark.operators.sampling import (
+        neyman_stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "only", float(i % 13)) for i in range(500)],
+        "id long, s string, v double",
+    )
+    out = neyman_stratified_sample(df, "id", "s", "v", n_target=100)
+    rates = {r["sample_rate"] for r in out.select("sample_rate").distinct().collect()}
+    assert len(rates) == 1
+    assert next(iter(rates)) == pytest.approx(100 / 500)
