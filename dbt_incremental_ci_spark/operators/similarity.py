@@ -514,6 +514,97 @@ def pq_lut(
     )
 
 
+def pq_encode_pandas(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ks: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 11,
+    out_id: str = "neighbor_id",
+) -> DataFrame:
+    """(out_id, __code) via a vectorized Arrow-batch backend.
+
+    The expression backend builds m·ks interpreted ``aggregate``/
+    ``zip_with`` folds (64 HOF nodes for the default 8×8) — janino
+    compiles and then *interprets* them per row, the same pathology
+    measured on the minhash shingler (SCALE.md §4). Here each Arrow
+    batch computes all subspace distances with numpy.
+
+    Determinism: the per-(row,codeword) accumulation loops over the
+    sub-dimensions IN ORDER (acc += d_i²), reproducing the fold's
+    left-to-right double summation bit-for-bit, then rounds to 9dp and
+    takes the first argmin — identical codes to :func:`pq_encode` and
+    to the DuckDB oracle's ``list_sum``/``list_position``.
+    """
+    import numpy as np
+
+    cbs = np.asarray(
+        codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed),
+        dtype=np.float64,
+    )  # (m, ks, sub)
+    sub = dim // m
+
+    @F.pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()).astype(np.float64)  # (n, dim)
+        n = x.shape[0]
+        out = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            dj = x[:, j * sub : (j + 1) * sub][:, None, :] - cbs[j][None, :, :]
+            acc = np.zeros((n, ks))
+            for i in range(sub):  # in-order: matches the fold exactly
+                acc = acc + dj[:, :, i] * dj[:, :, i]
+            out[:, j] = np.argmin(np.round(acc, 9), axis=1)
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col).alias(out_id), _enc(F.col(vec_col)).alias("__code"))
+
+
+def pq_lut_pandas(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ks: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """(query_id, __lut) Arrow twin of :func:`pq_lut` — same in-order
+    accumulation + 9dp round as :func:`pq_encode_pandas`."""
+    import numpy as np
+
+    cbs = np.asarray(
+        codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed),
+        dtype=np.float64,
+    )
+    sub = dim // m
+
+    @F.pandas_udf("array<array<double>>")
+    def _lut(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(col.to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        luts = np.empty((n, m, ks))
+        for j in range(m):
+            dj = x[:, j * sub : (j + 1) * sub][:, None, :] - cbs[j][None, :, :]
+            acc = np.zeros((n, ks))
+            for i in range(sub):
+                acc = acc + dj[:, :, i] * dj[:, :, i]
+            luts[:, j, :] = np.round(acc, 9)
+        return pd.Series([row for row in luts])
+
+    return queries.select(
+        F.col(id_col).alias("query_id"), _lut(F.col(vec_col)).alias("__lut")
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -525,6 +616,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
     seed: int = 11,
+    backend: str = "pandas",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: encode the corpus
     map-side, broadcast the (small) query set with per-query LUTs, and
@@ -539,14 +631,23 @@ def pq_adc_topk(
     from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
 
     cbs = codebooks if codebooks is not None else pq_codebooks(dim, m, ks, seed)
-    c = ensure_min_parallelism(emb.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_encode(vec_col, dim, m, ks, cbs).alias("__code"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        pq_lut(vec_col, dim, m, ks, cbs).alias("__lut"),
-    )
+    base = ensure_min_parallelism(emb.select(id_col, vec_col))
+    if backend == "pandas":
+        # default: Arrow-batch encode/LUT (the 8×8 expression form is
+        # 64 interpreted HOF folds per row — measured ~6 s at sf0.001
+        # from compile+interpret overhead alone; the Arrow path is the
+        # same determinism contract at numpy speed)
+        c = pq_encode_pandas(base, id_col, vec_col, dim, m, ks, cbs, seed)
+        q = pq_lut_pandas(queries, id_col, vec_col, dim, m, ks, cbs, seed)
+    else:
+        c = base.select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_encode(vec_col, dim, m, ks, cbs).alias("__code"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            pq_lut(vec_col, dim, m, ks, cbs).alias("__lut"),
+        )
     approx = F.element_at(F.element_at("__lut", 1), F.element_at("__code", 1) + 1)
     for j in range(1, m):
         approx = approx + F.element_at(

@@ -282,3 +282,25 @@ def test_neyman_single_stratum_degenerates_to_uniform_rate(spark):
     rates = {r["sample_rate"] for r in out.select("sample_rate").distinct().collect()}
     assert len(rates) == 1
     assert next(iter(rates)) == pytest.approx(100 / 500)
+
+
+# ------------------------------------------------------------ pq arrow
+def test_pq_arrow_backend_matches_expression_backend(spark):
+    """The Arrow encode/LUT must produce byte-identical codes and
+    distances to the Catalyst HOF fold (in-order accumulation + 9dp
+    round + first-argmin)."""
+    import random
+
+    from dbt_incremental_ci_spark.operators.similarity import pq_adc_topk
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 4)
+    a = pq_adc_topk(emb, q, k=5, dim=16, m=4, ks=4, backend="pandas")
+    b = pq_adc_topk(emb, q, k=5, dim=16, m=4, ks=4, backend="expr")
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
