@@ -134,6 +134,8 @@ EXTRA_QUERIES = [
     "q162_zorder_key",
     "q163_cdc_apply",
     "q164_neyman_sample",
+    "q165_roc_auc",
+    "q166_count_anomaly",
 ]
 
 

@@ -155,3 +155,51 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank-sum, distributed.
+
+    AUC = (R⁺ − n₊(n₊+1)/2) / (n₊·n₋) where R⁺ is the sum of the
+    positives' *average* ranks (ties share the mean of their rank
+    range — the standard tie-corrected estimator).
+
+    Shape: ONE hash aggregate to (score → cnt, pos) — cardinality =
+    distinct scores, not rows — then :func:`~.packing.global_cumsum`
+    for the rank offsets (partition-parallel, no single-task global
+    window), then a scalar aggregate. All rank arithmetic stays in
+    INTEGERS (2·avg_rank = 2·cum_before + cnt + 1), summed as
+    decimal(38,0), with exactly one float division at the end — so the
+    value is bit-identical in any engine regardless of summation
+    order. ``label_col`` must be boolean; scores should be pre-rounded
+    by the caller if they come from float pipelines.
+    """
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+
+    g = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("__pos"),
+    )
+    c = global_cumsum(g, score_col, "__cnt", out_col="__cum")
+    # 2*avg_rank of a tie group = 2*(cum-cnt) + cnt + 1  (integer)
+    two_rank = 2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1
+    tot = c.agg(
+        F.sum("__cnt").alias("n"),
+        F.sum("__pos").alias("n_pos"),
+        F.sum((F.col("__pos") * two_rank).cast("decimal(38,0)")).alias("__s2"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = (
+        F.col("__s2").cast("double")
+        - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+    ) / (2.0 * F.col("n_pos").cast("double") * n_neg.cast("double"))
+    return tot.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(auc, 9).alias("auc"),
+    )

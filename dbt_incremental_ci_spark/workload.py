@@ -7808,3 +7808,119 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_id", "event_type", "value", n_target=2000
     )
     return out.select("event_id", "event_type", "value", "sample_rate")
+
+
+def _q165_oracle() -> str:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    w = classifier.default_weights(64, "qc")
+    score = classifier.linear_score_sql("text", w, 0.0, "qc")
+    return f"""
+    WITH s AS (
+      SELECT ROUND({score}, 6) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    g AS (SELECT score, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY score),
+    c AS (SELECT *, sum(cnt) OVER (ORDER BY score) AS cum FROM g),
+    t AS (
+      SELECT sum(cnt) AS n, sum(pos) AS n_pos,
+             CAST(sum(CAST(pos * (2 * (cum - cnt) + cnt + 1)
+                           AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n - n_pos AS BIGINT) AS n_neg,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(n_pos * (n_pos + 1) AS DOUBLE))
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)),
+                 9) AS auc
+    FROM t
+    """
+
+
+# =====================================================================
+# Exact ROC-AUC (q165): Mann-Whitney rank-sum with tie-averaged ranks
+# over the quality-classifier score, label = lang='en'. Rank
+# arithmetic stays integer (2·avg_rank), summed as decimal — one float
+# division total, so the metric is engine-exact; cumulative ranks come
+# from the two-phase global_cumsum, never a single-task window.
+# operators/evalmetrics.py roc_auc.
+# =====================================================================
+@q("q165_roc_auc", _q165_oracle())
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+    from dbt_incremental_ci_spark.operators.evalmetrics import roc_auc
+
+    docs = t(spark, sf_dir, "documents").select("text", "lang")
+    scored = docs.select(
+        F.round(
+            classifier.linear_score(
+                "text", classifier.default_weights(64, "qc"), 0.0, "qc"
+            ),
+            6,
+        ).alias("score"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return roc_auc(scored, "score", "y")
+
+
+# =====================================================================
+# Volume anomaly monitor (q166): per event-type hourly counts
+# z-scored against that type's own mean/std across observed hours —
+# integer count sums are exact, so mean/std/z reproduce bit-for-bit.
+# Two hash aggregates + one keys-sized join (AQE-broadcastable).
+# operators/timeseries.py count_anomaly_zscore.
+# =====================================================================
+@q(
+    "q166_count_anomaly",
+    """
+    WITH e AS (
+      SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS bucket
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, bucket, count(*) AS cnt
+      FROM e GROUP BY event_type, bucket
+    ),
+    st AS (
+      SELECT event_type, count(*) AS nb, sum(cnt) AS s1,
+             sum(cnt * cnt) AS s2
+      FROM per GROUP BY event_type
+    ),
+    j AS (
+      SELECT p.event_type, p.bucket, p.cnt,
+             CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_c,
+             CASE WHEN nb > 1
+                  THEN sqrt(greatest((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(nb AS DOUBLE))
+                         / (CAST(nb AS DOUBLE) - 1.0), 0.0))
+                  ELSE 0.0 END AS std_c
+      FROM per p JOIN st USING (event_type)
+    )
+    SELECT event_type, bucket, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(mean_c, 6) AS mean_cnt,
+           ROUND(std_c, 6) AS std_cnt,
+           ROUND(CASE WHEN std_c > 0
+                      THEN (CAST(cnt AS DOUBLE) - mean_c) / std_c
+                      ELSE 0.0 END, 6) AS z,
+           abs(CASE WHEN std_c > 0
+                    THEN (CAST(cnt AS DOUBLE) - mean_c) / std_c
+                    ELSE 0.0 END) >= 2.0 AS is_anomaly
+    FROM j
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.timeseries import (
+        count_anomaly_zscore,
+    )
+
+    ev = events_table(spark, sf_dir).select(
+        "event_type",
+        # integer div: ns timestamps exceed 2^53, double division here
+        # would be lossy at bucket boundaries
+        F.expr("ts div 3600000000000").alias("bucket"),
+    )
+    out = count_anomaly_zscore(ev, ["event_type"], "bucket", z_thresh=2.0)
+    return out

@@ -304,3 +304,49 @@ def test_pq_arrow_backend_matches_expression_backend(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+# -------------------------------------------------------------- roc auc
+def test_roc_auc_hand_computed_with_ties(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import roc_auc
+
+    # scores: pos {0.9, 0.5}, neg {0.5, 0.1} -> pairs: (0.9 beats both)
+    # 2 wins; (0.5 vs 0.5) tie = 0.5; (0.5 vs 0.1) win -> AUC = 3.5/4
+    df = spark.createDataFrame(
+        [(0.9, True), (0.5, True), (0.5, False), (0.1, False)],
+        "score double, y boolean",
+    )
+    r = roc_auc(df, "score", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+    assert r["auc"] == 3.5 / 4
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "score double, y boolean"
+    )
+    assert roc_auc(perfect, "score", "y").collect()[0]["auc"] == 1.0
+    # all scores identical -> every pair is a tie -> AUC 0.5
+    flat = spark.createDataFrame(
+        [(1.0, i % 2 == 0) for i in range(40)], "score double, y boolean"
+    )
+    assert roc_auc(flat, "score", "y").collect()[0]["auc"] == 0.5
+
+
+# ------------------------------------------------------- count anomaly
+def test_count_anomaly_flags_spike(spark):
+    from dbt_incremental_ci_spark.operators.timeseries import (
+        count_anomaly_zscore,
+    )
+
+    rows = []
+    for h in range(10):
+        rows += [("a", h)] * 5          # steady 5/hour
+    rows += [("a", 10)] * 50            # spike hour
+    df = spark.createDataFrame(rows, "k string, h int")
+    out = {r["bucket"]: r for r in count_anomaly_zscore(df, ["k"], "h", 2.0).collect()}
+    assert out[10]["is_anomaly"]
+    assert not any(out[h]["is_anomaly"] for h in range(10))
+    assert out[10]["z"] > 3.0
