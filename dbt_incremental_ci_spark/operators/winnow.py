@@ -12,10 +12,11 @@ fingerprint — so fingerprint-postings overlap is a sound detector for
 long verbatim overlaps (quotes, mirrored passages, template reuse),
 which MinHash (whole-document set similarity) cannot localize.
 
-Spark-first shape — the entire fingerprint derivation is ARRAY math on
-the document row (tokens → gram-hash array → sliding-window minima →
-distinct), pure codegen'd higher-order functions with ZERO shuffles
-until the postings explode:
+Spark-first shape — gram rows, not array lambdas: tokens shingle via
+shifted-slice zips, ``posexplode`` to (doc, pos, gram) rows, the md5
+gram hash and the sliding minimum (per-doc rows window) run inside
+whole-stage codegen (see the measured dead ends in
+``winnow_fingerprints``):
 
 - per-doc work is O(grams × w) with w small (the classic time/guarantee
   trade); gram hashes are the house md5 32-bit variate so the DuckDB
@@ -49,32 +50,6 @@ def _tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
 
 
-def _gram_hashes(toks: Column, k: int, salt: str) -> Column:
-    """32-bit md5 variate of every k-token shingle, as an array aligned
-    with gram start positions (empty when the doc has < k tokens)."""
-    n_grams = F.size(toks) - F.lit(k - 1)
-    return F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.array_join(F.slice(toks, i, k), " "),
-                            F.lit(":" + salt),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-
-
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -88,28 +63,72 @@ def winnow_fingerprints(
     documents with >= k tokens but fewer than ``w`` full windows emit
     their single minimum gram hash (boundary convention).
 
-    Map-only until the final explode — no shuffle in this function.
+    One shuffle (doc-id window + aggregate share the exchange); the
+    dedup of fingerprints shuffles the (doc, fp) postings once more.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    from pyspark.sql import Window
+
+    from dbt_incremental_ci_spark.operators.ngrams import (
+        shifted_ngram_arrays,
+    )
+
+    # ROW-LEVEL plan, not array-lambda math. Two dead ends, both
+    # measured at sf0.1 (5k docs, ~50 grams each):
+    # 1. transform(sequence(1, n), i -> md5(slice(toks, i, k))) inlines
+    #    the token split into the lambda -> re-evaluated PER ELEMENT,
+    #    O(L²)/row; the long-doc tail pinned one task >15 min (thread
+    #    dump: StringSplit under ArrayFilter under the lambda).
+    # 2. Staying in arrays with shifted-slice zips fixes the asymptotic
+    #    but every element still pays interpreted HigherOrderFunction
+    #    eval (~20 µs): 8.9 s for 450k grams.
+    # posexplode to rows instead: the md5 gram hash and the sliding
+    # minimum (rows-window per doc) run inside whole-stage codegen.
+    # Costs one shuffle on the doc id — at 100 TB that is the ordinary
+    # keyed-window shape, per-doc frames, never data-sized.
     toks = _tokens(text_col)
-    gh = _gram_hashes(toks, k, salt)
-    n_windows = F.size(gh) - F.lit(w - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(gh, i, w)),
-        ),
-    ).otherwise(
-        F.when(F.size(gh) >= 1, F.array(F.array_min(gh))).otherwise(
-            F.array().cast("array<bigint>")
+    grams_arr = F.when(
+        F.size(toks) >= k, shifted_ngram_arrays(toks, k)
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("__pos", "__g")
+    )
+    hashed = grams.select(
+        F.col(id_col),
+        "__pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("__g"), F.lit(":" + salt))), 1, 8
+            ),
+            16,
+            10,
         )
+        .cast("bigint")
+        .alias("__h"),
     )
-    return (
-        df.select(F.col(id_col), F.array_distinct(mins).alias("__fps"))
-        .select(F.col(id_col), F.explode("__fps").alias("fp"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(-(w - 1), 0)
     )
+    full = (
+        hashed.select(
+            F.col(id_col),
+            "__pos",
+            F.min("__h").over(win).alias("fp"),
+        )
+        .filter(F.col("__pos") >= w - 1)  # full windows only
+        .select(id_col, "fp")
+    )
+    # boundary convention: >=1 gram but < w grams -> single global min
+    shorts = (
+        hashed.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__h").alias("fp"))
+        .filter(F.col("__n") <= w - 1)
+        .select(id_col, "fp")
+    )
+    return full.unionByName(shorts).dropDuplicates([id_col, "fp"])
 
 
 def fingerprint_overlap_pairs(
@@ -129,7 +148,11 @@ def fingerprint_overlap_pairs(
     dropped before pairing (boilerplate spans; O(df^2) fan-out with no
     discriminative value). Output: ``id_a, id_b, shared_fps``.
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w, salt=salt)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, w=w, salt=salt
+    ).localCheckpoint(eager=False)
+    # ^ feeds both the df-cap aggregate and the pair join; truncation
+    # stops the fingerprint plan executing twice
     dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     rare = fps.join(dfreq.filter(F.col("__df") <= max_df), "fp")
     a = rare.select(F.col(id_col).alias("id_a"), "fp")
