@@ -136,6 +136,7 @@ EXTRA_QUERIES = [
     "q164_neyman_sample",
     "q165_roc_auc",
     "q166_count_anomaly",
+    "q167_agg_ivm",
 ]
 
 
@@ -149,12 +150,41 @@ def main() -> None:
     # long-lived cluster amortizes; run them on the smoke-scale data)
     warm_dir = "/root/testdata/sf0.001"
 
-    def run(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
+    # Hang watchdog (round-4 lesson: per-query try/except catches
+    # crashes but not wedges — a single O(L²) expression pinned one
+    # task >15 min at sf0.1 and would have timed out the whole
+    # artifact). Each run executes under a job group; a timer cancels
+    # the group after SPARK_GRAFT_BENCH_QUERY_TIMEOUT seconds, which
+    # surfaces as an exception -> recorded in "errors", run continues.
+    per_query_timeout = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT", "300")
+    )
 
-    run(workload.QUERIES["q06_global_kpis"](spark, sf_dir))
-    run(workload.QUERIES["q32_minhash_near_dups"](spark, warm_dir))
-    run(workload.QUERIES["q24_recursive_hierarchy"](spark, warm_dir))
+    def run(df) -> None:
+        import threading
+        import uuid
+
+        sc = spark.sparkContext
+        gid = uuid.uuid4().hex
+        sc.setJobGroup(gid, "bench-query", interruptOnCancel=True)
+        timer = threading.Timer(
+            per_query_timeout, lambda: sc.cancelJobGroup(gid)
+        )
+        timer.start()
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            timer.cancel()
+
+    for _warm_name, _warm_dir in (
+        ("q06_global_kpis", sf_dir),
+        ("q32_minhash_near_dups", warm_dir),
+        ("q24_recursive_hierarchy", warm_dir),
+    ):
+        try:
+            run(workload.QUERIES[_warm_name](spark, _warm_dir))
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
 
     # best-of-N per query: ambient load on a shared box swings single
     # samples ±40%; the minimum of a few warm runs is the stable

@@ -70,3 +70,73 @@ def maintain_join(
     to the delta's by name)."""
     delta = join_delta(a_old, delta_a, b_old, delta_b, on)
     return view.select(*delta.columns).unionAll(delta)
+
+
+def agg_delta_apply(
+    view: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "cnt",
+    sum_cols: list[str] | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Maintain a grouped COUNT/SUM view under a delta batch — the
+    aggregate half of the IVM story (joins above; classic
+    count-algebra: inserts +1, deletes -1, groups whose maintained
+    count reaches 0 vanish).
+
+    ``view`` holds (keys…, count_col, sum_{c} for c in sum_cols) —
+    the shape :func:`~.operators.aggstate.partial_agg` produces.
+    ``delta`` holds raw rows (keys…, measure cols…), optionally with
+    ``op_col`` marking deletions (retractions); without ``op_col`` the
+    batch is insert-only.
+
+    Plan: ONE aggregate over the delta (batch-sized, map-side
+    combined) + ONE full-outer key join against the view + coalesced
+    addition — cost O(|delta| + |touched groups|), never a rescan of
+    the base table. AVG and friends derive from (count, sum) at read
+    time, exactly as in ``aggstate.merge_partials``.
+    """
+    from pyspark.sql import functions as F
+
+    sum_cols = sum_cols or []
+    sign = (
+        F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+        if op_col
+        else F.lit(1)
+    )
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign).alias("__dc"),
+        *[
+            F.sum(sign * F.col(c).cast("decimal(18,2)")).alias(f"__ds_{c}")
+            for c in sum_cols
+        ],
+    )
+    snap = view.select(
+        *keys,
+        F.col(count_col).alias("__vc"),
+        *[F.col(f"sum_{c}").alias(f"__vs_{c}") for c in sum_cols],
+    )
+    j = snap.join(d, on=keys, how="full_outer")
+    new_cnt = F.coalesce(F.col("__vc"), F.lit(0)) + F.coalesce(
+        F.col("__dc"), F.lit(0)
+    )
+    out = j.select(
+        *keys,
+        new_cnt.alias(count_col),
+        *[
+            (
+                F.coalesce(
+                    F.col(f"__vs_{c}"),
+                    F.lit(0).cast("decimal(18,2)"),
+                )
+                + F.coalesce(
+                    F.col(f"__ds_{c}"), F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    # count-algebra: a group retracted to zero support leaves the view
+    return out.filter(F.col(count_col) > 0)

@@ -7924,3 +7924,61 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = count_anomaly_zscore(ev, ["event_type"], "bucket", z_thresh=2.0)
     return out
+
+
+# =====================================================================
+# Aggregate-delta IVM (q167): maintain a grouped count/sum view under
+# a mixed insert/retract batch without rescanning the base — one
+# batch-sized delta aggregate + one full-outer key join (classic
+# count-algebra; groups retracted to zero support vanish). Oracle
+# recomputes the effective relation directly. incremental/ivm.py
+# agg_delta_apply.
+# =====================================================================
+@q(
+    "q167_agg_ivm",
+    """
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    eff AS (
+      SELECT * FROM base WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+    FROM eff GROUP BY o_orderstatus
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.incremental.ivm import agg_delta_apply
+
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    view = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("o_totalprice")).alias("sum_o_totalprice"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "op", F.lit("D")
+    )
+    ins = o.filter(F.col("o_orderdate") >= cutoff).withColumn(
+        "op", F.lit("I")
+    )
+    delta = dels.unionByName(ins)
+    out = agg_delta_apply(
+        view,
+        delta,
+        ["o_orderstatus"],
+        count_col="cnt",
+        sum_cols=["o_totalprice"],
+        op_col="op",
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        d(F.col("sum_o_totalprice")).alias("sum_total"),
+    )

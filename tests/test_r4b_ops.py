@@ -350,3 +350,37 @@ def test_count_anomaly_flags_spike(spark):
     assert out[10]["is_anomaly"]
     assert not any(out[h]["is_anomaly"] for h in range(10))
     assert out[10]["z"] > 3.0
+
+
+# -------------------------------------------------------------- agg ivm
+def test_agg_delta_apply_matches_recompute_and_drops_empty_groups(spark):
+    from dbt_incremental_ci_spark.incremental.ivm import agg_delta_apply
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 1.0)],
+        "g string, v double",
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+    )
+    # delete both 'a' rows? no — delete one 'a', both 'c' (group dies),
+    # insert new 'd' and another 'b'
+    delta = spark.createDataFrame(
+        [
+            ("a", 10.0, "D"),
+            ("c", 1.0, "D"),
+            ("d", 7.0, "I"),
+            ("b", 3.0, "I"),
+        ],
+        "g string, v double, op string",
+    )
+    out = agg_delta_apply(
+        view, delta, ["g"], count_col="cnt", sum_cols=["v"], op_col="op"
+    )
+    got = {r["g"]: (r["cnt"], float(r["sum_v"])) for r in out.collect()}
+    assert got == {
+        "a": (1, 20.0),
+        "b": (2, 8.0),
+        "d": (1, 7.0),
+    }  # 'c' retracted to zero support -> gone
