@@ -31,11 +31,27 @@ def group_robust_stats(
 ) -> DataFrame:
     """(group…, med, mad, p05, p95) exact robust location/scale."""
     v = F.col(value_col).cast("double")
-    first = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
-        F.expr(f"percentile({value_col}, 0.05)").alias("p05"),
-        F.expr(f"percentile({value_col}, 0.95)").alias("p95"),
-    )
+    first = (
+        df.groupBy(*group_cols)
+        .agg(
+            # ONE percentile buffer for all three points — three
+            # separate percentile() aggs each collect their own copy
+            # of every group value
+            F.expr(
+                f"percentile({value_col}, array(0.05, 0.5, 0.95))"
+            ).alias("__p")
+        )
+        .select(
+            *group_cols,
+            F.col("__p")[1].alias("med"),
+            F.col("__p")[0].alias("p05"),
+            F.col("__p")[2].alias("p95"),
+        )
+    ).localCheckpoint(eager=False)
+    # ^ group-cardinality rows, but its parent is an exact-percentile
+    # object aggregate over every row; the deviations pass AND the
+    # final stats join both reference it — truncate so the percentile
+    # pass runs once (part of q121 7.0 s -> 2.3 s at sf0.1)
     devs = df.join(first, group_cols).select(
         *group_cols, F.abs(v - F.col("med")).alias("__dev")
     )
@@ -54,7 +70,9 @@ def flag_outliers(
     """Rows + ``is_outlier`` via the modified z-score: |x − med| >
     z_cut · MAD / 0.6745. Groups with MAD = 0 flag nothing (the
     conventional degenerate-scale behavior)."""
-    stats = group_robust_stats(df, group_cols, value_col)
+    stats = group_robust_stats(df, group_cols, value_col).localCheckpoint(
+        eager=False
+    )
     v = F.col(value_col).cast("double")
     thresh = F.lit(z_cut) * F.col("mad") / F.lit(0.6745)
     return df.join(stats, group_cols).withColumn(
