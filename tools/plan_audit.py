@@ -73,6 +73,9 @@ ONE_PART_NOTES = {
     "q153_token_budget_mix": "two-phase cumsum offsets: O(partitions) + O(#sources) rows",
     "q154_sq8_quantization": "per-dim bounds: DIM-row reduce broadcast back",
     "q155_semantic_decontam": "eval-side broadcast build: bounded eval set",
+    "q102_domain_cap": "two-phase rank offsets: O(partitions) + O(#domains) rows (sampling.per_category_cap; rendered count varies with lazy-checkpoint materialization state)",
+    "q164_neyman_sample": "1-row allocation total cross-joined back (sampling.neyman_stratified_sample)",
+    "q165_roc_auc": "cumsum offsets O(partitions) + 1-row AUC scalar (evalmetrics.roc_auc)",
 }
 
 
