@@ -137,6 +137,8 @@ EXTRA_QUERIES = [
     "q165_roc_auc",
     "q166_count_anomaly",
     "q167_agg_ivm",
+    "q168_ab_test",
+    "q169_eval_coverage",
 ]
 
 

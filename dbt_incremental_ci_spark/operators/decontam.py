@@ -101,3 +101,54 @@ def decontaminate(
     the corpus, so AQE broadcasts it)."""
     flagged = contaminated(corpus, eval_df, id_col, text_col, n, min_overlap)
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def eval_coverage(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    eval_id: str = "doc_id",
+    eval_text: str = "text",
+) -> DataFrame:
+    """Per-eval-document n-gram coverage: what fraction of each eval
+    document's DISTINCT word n-grams occur anywhere in the corpus —
+    the recall-side complement of :func:`contaminated` (which flags
+    high overlap as leakage; low coverage instead signals an eval set
+    the corpus never discusses, i.e. an out-of-domain benchmark).
+
+    Shape: eval n-grams explode per (eval doc, gram-hash); the corpus
+    side reduces to a DISTINCT gram-hash set (corpus-sized shuffle
+    with map-side partial distinct, 8-byte keys); one left join +
+    per-doc aggregate. Nothing driver-sized; the join keys are
+    near-uniform hashes.
+    """
+    ev = (
+        eval_df.select(
+            F.col(eval_id).alias("__eid"),
+            F.explode(word_ngrams(eval_text, n)).alias("__ng"),
+        )
+        .select("__eid", F.xxhash64("__ng").alias("__h"))
+        .dropDuplicates(["__eid", "__h"])
+    )
+    corpus_hashes = (
+        corpus.select(F.explode(word_ngrams(corpus_text, n)).alias("__ng"))
+        .select(F.xxhash64("__ng").alias("__h"))
+        .dropDuplicates(["__h"])
+        .withColumn("__present", F.lit(1))
+    )
+    return (
+        ev.join(corpus_hashes, "__h", "left")
+        .groupBy(F.col("__eid").alias(eval_id))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_ngrams"),
+            F.coalesce(F.sum("__present"), F.lit(0)).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_eval_ngrams"), 6
+            ),
+        )
+    )

@@ -208,3 +208,50 @@ def roc_auc(
         n_neg.cast("bigint").alias("n_neg"),
         F.round(auc, 9).alias("auc"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    converted_col: str,
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion z-test over an A/B assignment — the experiment
+    readout every event pipeline ships: per-variant units and
+    conversions, lift, pooled-variance z statistic, and a
+    significance flag at ``z_crit`` (default two-sided 95%).
+
+    Input is UNIT-level (one row per experimental unit with its
+    variant and a boolean outcome) — aggregate exposures to units
+    first so the independence assumption isn't silently violated.
+    One 2-row hash aggregate + a 1-row pivot; all arithmetic is a
+    fixed double expression over exact integer counts, so the
+    statistic reproduces bit-for-bit cross-engine.
+    """
+    per = df.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(converted_col), 1).otherwise(0)).alias("conv"),
+    )
+    wide = per.agg(
+        F.sum(F.when(F.col(variant_col) == "A", F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col(variant_col) == "A", F.col("conv"))).alias("c_a"),
+        F.sum(F.when(F.col(variant_col) == "B", F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col(variant_col) == "B", F.col("conv"))).alias("c_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(se > 0, (pa - pb) / se).otherwise(F.lit(0.0))
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(pa - pb, 6).alias("lift"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= z_crit).alias("significant"),
+    )

@@ -7982,3 +7982,137 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         d(F.col("sum_o_totalprice")).alias("sum_total"),
     )
+
+
+def _q168_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("user_id", "ab")
+    return f"""
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN {u} < 0.5 THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    wide AS (
+      SELECT sum(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+             sum(CASE WHEN variant = 'A' AND converted THEN 1 ELSE 0 END)
+               AS c_a,
+             sum(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+             sum(CASE WHEN variant = 'B' AND converted THEN 1 ELSE 0 END)
+               AS c_b
+      FROM units
+    ),
+    calc AS (
+      SELECT *,
+             CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+             CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+             (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+      FROM wide
+    ),
+    zc AS (
+      SELECT *,
+             sqrt(pool * (1.0 - pool)
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+               AS se
+      FROM calc
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+           ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+           ROUND(pa - pb, 6) AS lift,
+           ROUND(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END, 6) AS z,
+           abs(CASE WHEN se > 0 THEN (pa - pb) / se ELSE 0.0 END)
+             >= 1.959963984540054 AS significant
+    FROM zc
+    """
+
+
+# =====================================================================
+# A/B experiment readout (q168): deterministic hash assignment of
+# users to variants, unit-level conversion (any purchase), pooled
+# two-proportion z-test. Unit aggregate + 1-row pivot; the statistic
+# is a fixed double expression over exact integer counts.
+# operators/evalmetrics.py two_proportion_ztest.
+# =====================================================================
+@q("q168_ab_test", _q168_oracle())
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        two_proportion_ztest,
+    )
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform
+
+    units = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                == 1
+            ).alias("converted")
+        )
+        .select(
+            F.when(hash_uniform("user_id", "ab") < 0.5, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    return two_proportion_ztest(units, "variant", "converted")
+
+
+# =====================================================================
+# Eval-set n-gram coverage (q169): fraction of each eval doc's
+# distinct trigrams present anywhere in the training corpus — the
+# recall-side complement of q97's leakage check (low coverage = the
+# corpus never discusses the benchmark's domain). Hash-keyed explode +
+# distinct corpus set + one left join; 8-byte join keys.
+# operators/decontam.py eval_coverage.
+# =====================================================================
+@q(
+    "q169_eval_coverage",
+    """
+    WITH evals AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    eng AS (
+      SELECT DISTINCT doc_id, ng FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 2)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ng
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM evals))
+    ),
+    cng AS (
+      SELECT DISTINCT ng FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - 2)),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS ng
+        FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM corp))
+    )
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_eval_ngrams,
+           CAST(sum(CASE WHEN c.ng IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           ROUND(sum(CASE WHEN c.ng IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM eng e LEFT JOIN cng c USING (ng)
+    GROUP BY e.doc_id
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.decontam import eval_coverage
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return eval_coverage(corpus, evals, n=3)

@@ -384,3 +384,42 @@ def test_agg_delta_apply_matches_recompute_and_drops_empty_groups(spark):
         "b": (2, 8.0),
         "d": (1, 7.0),
     }  # 'c' retracted to zero support -> gone
+
+
+# -------------------------------------------------------------- ab test
+def test_two_proportion_ztest_hand_computed(spark):
+    import math
+
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        two_proportion_ztest,
+    )
+
+    rows = [("A", True)] * 30 + [("A", False)] * 70
+    rows += [("B", True)] * 50 + [("B", False)] * 50
+    df = spark.createDataFrame(rows, "variant string, converted boolean")
+    r = two_proportion_ztest(df, "variant", "converted").collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (100, 30, 100, 50)
+    pool = 80 / 200
+    se = math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert r["z"] == round((0.3 - 0.5) / se, 6)
+    assert r["significant"]  # |z| ~ 2.89 > 1.96
+    assert r["lift"] == round(-0.2, 6)
+
+
+# ------------------------------------------------------- eval coverage
+def test_eval_coverage_fraction(spark):
+    from dbt_incremental_ci_spark.operators.decontam import eval_coverage
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),     # both trigrams covered
+            (11, "totally novel words here"),  # none covered
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in eval_coverage(corpus, evals, n=3).collect()}
+    assert out[10]["n_eval_ngrams"] == 2 and out[10]["coverage"] == 1.0
+    assert out[11]["coverage"] == 0.0
