@@ -139,6 +139,10 @@ EXTRA_QUERIES = [
     "q167_agg_ivm",
     "q168_ab_test",
     "q169_eval_coverage",
+    "q170_rrf_fusion",
+    "q171_hll_vocab",
+    "q172_calibration",
+    "q173_funnel",
 ]
 
 

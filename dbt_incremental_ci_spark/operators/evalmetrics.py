@@ -255,3 +255,78 @@ def two_proportion_ztest(
         F.round(z, 6).alias("z"),
         (F.abs(z) >= z_crit).alias("significant"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + per-bin ECE contributions: equal-width
+    probability bins, per-bin count, mean predicted probability,
+    observed positive rate, |confidence - accuracy| gap, and the
+    bin's weighted Expected Calibration Error term (Naeini et al.
+    2015). Summing ``ece_term`` over the ``bins`` output rows gives
+    ECE.
+
+    Scale: one hash aggregate over the predictions (map-side partial)
+    to ``bins`` rows + an O(bins) spine join — no data-sized window or
+    sort. Mean probability is an EXACT integer micro-unit sum
+    (round-6 scores, decimal cast) divided once, so the value
+    reproduces bit-for-bit cross-engine regardless of partitioning;
+    bin assignment reuses :func:`binned_pr_curve`'s exact integer
+    floor-div.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    micro = (
+        F.round(F.col(score_col), 6).cast("decimal(9,6)") * 1_000_000
+    ).cast("bigint")
+    scaled = micro * F.lit(bins)
+    b = F.least(
+        ((scaled - scaled % 1_000_000) / 1_000_000).cast("int"),
+        F.lit(bins - 1),
+    ).cast("int")
+    per = (
+        df.select(
+            b.alias("bin"),
+            micro.alias("__mi"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__mi").alias("__smi"),
+            F.sum("__y").alias("__pos"),
+        )
+    )
+    spark = df.sparkSession
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    tot = per.agg(F.sum("__n").alias("__n_all"))
+    full = (
+        spine.join(per, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("__n", F.lit(0)).alias("__n"),
+            "__smi",
+            F.coalesce("__pos", F.lit(0)).alias("__pos"),
+            "__n_all",
+        )
+    )
+    conf = F.round(F.col("__smi") / (F.col("__n") * 1_000_000.0), 6)
+    acc = F.round(F.col("__pos") / F.col("__n").cast("double"), 6)
+    gap = F.round(F.abs(conf - acc), 6)
+    return full.select(
+        "bin",
+        F.round(F.col("bin") / F.lit(float(bins)), 6).alias("bin_lo"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(F.col("__n") > 0, conf).alias("mean_prob"),
+        F.when(F.col("__n") > 0, acc).alias("pos_rate"),
+        F.when(F.col("__n") > 0, gap).alias("gap"),
+        F.when(
+            F.col("__n") > 0,
+            F.round(gap * F.col("__n") / F.col("__n_all"), 9),
+        ).otherwise(F.lit(0.0)).alias("ece_term"),
+    )

@@ -34,7 +34,7 @@ event-analytics surface this engine adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,4 +102,72 @@ def first_match_pattern(
         "b_id",
         "b_ts",
         (F.col("b_ts") - F.col("a_ts")).alias("gap"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Sequential funnel: how many users reach step i, where reaching
+    step i means an event of type ``steps[i]`` STRICTLY AFTER the
+    user's step-(i-1) time (first qualifying occurrence counts). The
+    product-analytics staple (view -> click -> purchase).
+
+    Shape: one filtered min-aggregate per step plus a user-keyed
+    equi-join per subsequent step — each join's right side is the
+    (shrinking) set of users still in the funnel, so total cost is
+    O(len(steps)) linear passes with key-hash shuffles only; the
+    conversion-rate pass runs on a len(steps)-row frame. Output:
+    ``(step_idx, step, users, conv_from_prev, conv_from_first)`` —
+    rates rounded to 6, NULL on the first step.
+    """
+    if len(steps) < 2:
+        raise ValueError("need >= 2 steps")
+    u, ts, et = F.col(user_col), F.col(ts_col), F.col(type_col)
+    spark = df.sparkSession
+    per_step = []
+    cur = None
+    for i, s in enumerate(steps):
+        ev = df.filter(et == s).select(u.alias("__u"), ts.alias("__ts"))
+        if cur is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(cur.select("__u", F.col("__t").alias("__pt")), "__u")
+                .filter(F.col("__ts") > F.col("__pt"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col("users").cast("bigint").alias("users"),
+            )
+        )
+    allsteps = per_step[0]
+    for frame in per_step[1:]:
+        allsteps = allsteps.unionByName(frame)
+    w = Window.orderBy("step_idx").rowsBetween(-1, -1)
+    # len(steps)-row frame — the deliberate tiny single-task window
+    first = Window.orderBy("step_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.sum("users").over(w)
+    fst = F.first("users").over(first)
+    return allsteps.select(
+        "step_idx",
+        "step",
+        "users",
+        F.when(prev > 0, F.round(F.col("users") / prev, 6)).alias(
+            "conv_from_prev"
+        ),
+        F.when(
+            (F.col("step_idx") > 0) & (fst > 0),
+            F.round(F.col("users") / fst, 6),
+        ).alias("conv_from_first"),
     )

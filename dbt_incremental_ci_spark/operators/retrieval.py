@@ -242,3 +242,37 @@ def maxsim_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    key_cols: list[str],
+    rank_cols: list[str],
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fused(d) = sum over runs of 1/(k + rank_r(d)), items absent from a
+    run contributing nothing — the standard hybrid-retrieval combiner
+    (BM25 + dense ranks, or any mix of quality orderings).
+
+    ``runs[i]`` must carry ``key_cols`` + its own rank column
+    ``rank_cols[i]`` (1-based; ties broken upstream so ranks are
+    unique). Runs are FULL-OUTER joined on ``key_cols`` — shuffles on
+    the key only, each run already reduced to one row per item, so the
+    fuse costs O(sum of run sizes) at any scale. Output: key_cols,
+    every rank column (NULL where absent), ``rrf_score`` rounded to 9
+    (a sum of len(runs) exact-input divisions — deterministic
+    cross-engine for the fixed fold order used here).
+    """
+    if len(runs) != len(rank_cols) or len(runs) < 2:
+        raise ValueError("need >= 2 runs with one rank column each")
+    fused = runs[0].select(*key_cols, rank_cols[0])
+    for r, rc in zip(runs[1:], rank_cols[1:]):
+        fused = fused.join(r.select(*key_cols, rc), key_cols, "full_outer")
+    score = None
+    for rc in rank_cols:
+        term = F.when(
+            F.col(rc).isNotNull(), F.lit(1.0) / (F.lit(k) + F.col(rc))
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.withColumn("rrf_score", F.round(score, 9))

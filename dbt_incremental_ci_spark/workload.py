@@ -8154,3 +8154,264 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return eval_coverage(corpus, evals, n=3)
+
+
+# =====================================================================
+# Reciprocal Rank Fusion (q170): fuse two per-nation supplier
+# rankings — balance-sheet rank and exact-decimal revenue rank — with
+# RRF 1/(60+r) scoring (Cormack et al. SIGIR'09), the hybrid-retrieval
+# combiner (BM25 + dense) applied to the warehouse. Each run reduces
+# to one row per supplier before the key-only full-outer fuse;
+# suppliers absent from a run contribute nothing.
+# operators/retrieval.py rrf_fuse.
+# =====================================================================
+@q(
+    "q170_rrf_fusion",
+    """
+    WITH a AS (
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal DESC, s_suppkey)
+               AS rank_bal
+      FROM supplier
+    ),
+    rv AS (
+      SELECT s.s_nationkey, l.l_suppkey AS s_suppkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    b AS (
+      SELECT s_nationkey, s_suppkey,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY rev DESC, s_suppkey) AS rank_rev
+      FROM rv
+    )
+    SELECT s_nationkey, s_suppkey, a.rank_bal, b.rank_rev,
+           ROUND(coalesce(1.0 / (60 + a.rank_bal), 0)
+                 + coalesce(1.0 / (60 + b.rank_rev), 0), 9) AS rrf_score
+    FROM a FULL OUTER JOIN b USING (s_nationkey, s_suppkey)
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_incremental_ci_spark.operators.retrieval import rrf_fuse
+
+    s = t(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_suppkey", "s_acctbal"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    wa = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    run_a = s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.row_number().over(wa).alias("rank_bal"),
+    )
+    rv = (
+        li.join(s.select("s_suppkey", "s_nationkey"),
+                li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+            ).alias("__rev")
+        )
+        .select(
+            "s_nationkey", F.col("l_suppkey").alias("s_suppkey"), "__rev"
+        )
+    )
+    wb = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("__rev"), F.asc("s_suppkey")
+    )
+    run_b = rv.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.row_number().over(wb).alias("rank_rev"),
+    )
+    return rrf_fuse(
+        [run_a, run_b],
+        ["s_nationkey", "s_suppkey"],
+        ["rank_bal", "rank_rev"],
+        k=60,
+    )
+
+
+def _q171_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.hll import hll_cardinality_sql
+
+    return hll_cardinality_sql(
+        "FROM (SELECT unnest(list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok"
+        " FROM documents) u",
+        "tok",
+        m=128,
+        salt="vocab",
+    )
+
+
+# =====================================================================
+# HLL vocabulary cardinality (q171): HyperLogLog distinct-token
+# estimate over the corpus vocabulary, self-graded against the exact
+# distinct — the mergeable-sketch answer to "how big is the vocab"
+# that reduces map-side to 128 registers per partition at any scale
+# (the built-in approx_count_distinct is HLL++ but JVM-private, hence
+# un-oracle-able; this sketch replays bit-for-bit in DuckDB).
+# operators/hll.py.
+# =====================================================================
+@q("q171_hll_vocab", _q171_oracle())
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.hll import hll_cardinality
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+    return hll_cardinality(toks, "token", m=128, salt="vocab")
+
+
+def _q172_oracle() -> str:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    w = classifier.default_weights(64, "qc")
+    score = classifier.linear_score_sql("text", w, 0.0, "qc")
+    return f"""
+    WITH s AS (
+      SELECT ROUND(1.0 / (1.0 + exp(-(ROUND({score}, 6)))), 6) AS prob,
+             (lang = 'en') AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(CAST(prob AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS mi,
+             CAST(y AS INT) AS y
+      FROM s
+    ),
+    binned AS (
+      SELECT LEAST(CAST((mi * 10 - (mi * 10) % 1000000) / 1000000 AS INT),
+                   9) AS bin,
+             mi, y
+      FROM m
+    ),
+    per AS (
+      SELECT bin, count(*) AS n, sum(mi) AS smi, sum(y) AS pos
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n) AS n_all FROM per),
+    spine AS (SELECT CAST(i AS INT) AS bin FROM range(10) r(i)),
+    fl AS (
+      SELECT spine.bin, coalesce(n, 0) AS n, smi, coalesce(pos, 0) AS pos
+      FROM spine LEFT JOIN per USING (bin)
+    )
+    SELECT fl.bin, ROUND(fl.bin / 10.0, 6) AS bin_lo,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN n > 0
+                THEN ROUND(smi / (n * 1000000.0), 6) END AS mean_prob,
+           CASE WHEN n > 0
+                THEN ROUND(pos / CAST(n AS DOUBLE), 6) END AS pos_rate,
+           CASE WHEN n > 0
+                THEN ROUND(abs(ROUND(smi / (n * 1000000.0), 6)
+                               - ROUND(pos / CAST(n AS DOUBLE), 6)), 6)
+           END AS gap,
+           CASE WHEN n > 0
+                THEN ROUND(ROUND(abs(ROUND(smi / (n * 1000000.0), 6)
+                                     - ROUND(pos / CAST(n AS DOUBLE), 6)), 6)
+                           * n / t.n_all, 9)
+                ELSE 0.0 END AS ece_term
+    FROM fl CROSS JOIN tot t
+    """
+
+
+# =====================================================================
+# Calibration / reliability bins (q172): is the quality classifier's
+# probability honest? Equal-width probability bins over the q151
+# scored frame; per-bin mean predicted probability (EXACT micro-unit
+# integer sum, one division), observed positive rate, and weighted
+# ECE terms (Naeini et al. 2015). One hash aggregate + O(bins) spine.
+# operators/evalmetrics.py calibration_bins.
+# =====================================================================
+@q("q172_calibration", _q172_oracle())
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("text", "lang")
+    raw = F.round(
+        classifier.linear_score(
+            "text", classifier.default_weights(64, "qc"), 0.0, "qc"
+        ),
+        6,
+    )
+    scored = docs.select(
+        F.round(classifier.sigmoid(raw), 6).alias("prob"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return calibration_bins(scored, "prob", "y", bins=10)
+
+
+# =====================================================================
+# Sequential funnel (q173): users reaching view -> click -> purchase,
+# each step strictly after the previous step's first qualifying time —
+# the product-analytics staple, as len(steps) linear min-aggregates
+# + user-keyed joins (the frame shrinks every step); rate pass runs
+# on a 3-row frame. Complements q149 (single A->B pattern with a veto
+# event). operators/patterns.py funnel_counts.
+# =====================================================================
+@q(
+    "q173_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events
+    ),
+    s0 AS (
+      SELECT user_id, min(tsn) AS t FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, min(e.tsn) AS t
+      FROM e JOIN s0 ON e.user_id = s0.user_id AND e.tsn > s0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.tsn) AS t
+      FROM e JOIN s1 ON e.user_id = s1.user_id AND e.tsn > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 0 AS step_idx, 'view' AS step, count(*) AS users FROM s0
+      UNION ALL SELECT 1, 'click', count(*) FROM s1
+      UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+    )
+    SELECT CAST(step_idx AS INT) AS step_idx, step,
+           CAST(users AS BIGINT) AS users,
+           CASE WHEN lag(users) OVER (ORDER BY step_idx) > 0
+                THEN ROUND(users / CAST(lag(users) OVER (ORDER BY step_idx)
+                                        AS DOUBLE), 6)
+           END AS conv_from_prev,
+           CASE WHEN step_idx > 0
+                     AND first_value(users) OVER (ORDER BY step_idx) > 0
+                THEN ROUND(users
+                           / CAST(first_value(users) OVER (ORDER BY step_idx)
+                                  AS DOUBLE), 6)
+           END AS conv_from_first
+    FROM c
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.patterns import funnel_counts
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )

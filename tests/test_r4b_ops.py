@@ -423,3 +423,113 @@ def test_eval_coverage_fraction(spark):
     out = {r["doc_id"]: r for r in eval_coverage(corpus, evals, n=3).collect()}
     assert out[10]["n_eval_ngrams"] == 2 and out[10]["coverage"] == 1.0
     assert out[11]["coverage"] == 0.0
+
+
+# ------------------------------------------------------------- rrf
+def test_rrf_fuse_missing_item_contributes_nothing(spark):
+    from dbt_incremental_ci_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "g int, item int, rank_a int"
+    )
+    b = spark.createDataFrame([(1, 11, 1)], "g int, item int, rank_b int")
+    out = {
+        r["item"]: r
+        for r in rrf_fuse(
+            [a, b], ["g", "item"], ["rank_a", "rank_b"], k=60
+        ).collect()
+    }
+    assert out[10]["rrf_score"] == round(1 / 61, 9)
+    assert out[10]["rank_b"] is None
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 9)
+
+
+# ------------------------------------------------------------- hll
+def test_hll_estimate_within_tolerance_and_validates_m(spark):
+    import pytest
+
+    from dbt_incremental_ci_spark.operators.hll import hll_cardinality
+
+    df = spark.range(2000).select((F.col("id") * 7).alias("k"))
+    r = hll_cardinality(df, "k", m=128).collect()[0]
+    assert r["exact_distinct"] == 2000
+    # HLL with m=128 has ~9% std error; 3 sigma bound
+    assert abs(r["rel_error"]) < 0.3
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "k", m=100)
+
+
+def test_hll_registers_merge_as_max(spark):
+    """Sketching two shards then merging registers (max per bucket)
+    must equal sketching the union — the mergeability contract."""
+    from dbt_incremental_ci_spark.operators.hll import _u32
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a, b = df.filter("k < 500"), df.filter("k >= 500")
+
+    def regs(frame):
+        bucket = _u32(F.col("k"), "hll:b") % 128
+        ur = _u32(F.col("k"), "hll:r")
+        rank = F.when(ur == 0, F.lit(33)).otherwise(
+            F.lit(32) - F.floor(F.log2(ur)).cast("int")
+        )
+        return {
+            r["__b"]: r["__m"]
+            for r in frame.select(bucket.alias("__b"), rank.alias("__r"))
+            .groupBy("__b")
+            .agg(F.max("__r").alias("__m"))
+            .collect()
+        }
+
+    ra, rb, ru = regs(a), regs(b), regs(df)
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+
+# ----------------------------------------------------- calibration
+def test_calibration_bins_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+
+    rows = [(0.05, False), (0.15, False), (0.15, True), (0.95, True)]
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    out = {r["bin"]: r for r in calibration_bins(df, "prob", "y", 10).collect()}
+    assert out[0]["n"] == 1 and out[0]["pos_rate"] == 0.0
+    assert out[1]["n"] == 2 and out[1]["mean_prob"] == 0.15
+    assert out[1]["pos_rate"] == 0.5 and out[1]["gap"] == 0.35
+    assert out[1]["ece_term"] == round(0.35 * 2 / 4, 9)
+    assert out[9]["n"] == 1 and out[9]["mean_prob"] == 0.95
+    assert out[5]["n"] == 0 and out[5]["ece_term"] == 0.0
+    assert out[5]["mean_prob"] is None
+
+
+# ----------------------------------------------------------- funnel
+def test_funnel_counts_strict_order(spark):
+    from dbt_incremental_ci_spark.operators.patterns import funnel_counts
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, 100, "click"), (2, 200, "view"),
+        # u3 views only
+        (3, 100, "view"),
+        # u4 never views (click+purchase don't count without a view)
+        (4, 100, "click"), (4, 200, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {
+        r["step"]: r
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"]["users"] == 3
+    assert out["click"]["users"] == 1
+    assert out["purchase"]["users"] == 1
+    assert out["view"]["conv_from_prev"] is None
+    assert out["click"]["conv_from_prev"] == round(1 / 3, 6)
+    assert out["purchase"]["conv_from_first"] == round(1 / 3, 6)
