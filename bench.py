@@ -143,6 +143,11 @@ EXTRA_QUERIES = [
     "q171_hll_vocab",
     "q172_calibration",
     "q173_funnel",
+    "q174_hll_merge",
+    "q175_hard_negatives",
+    "q176_negative_sampling",
+    "q177_srm_check",
+    "q178_attribution",
 ]
 
 

@@ -283,22 +283,38 @@ def calibration_bins(
     micro = (
         F.round(F.col(score_col), 6).cast("decimal(9,6)") * 1_000_000
     ).cast("bigint")
-    scaled = micro * F.lit(bins)
+    # Two-stage aggregate: group by the micro VALUE first, so the
+    # (potentially expensive) score expression is evaluated exactly
+    # once per row — deriving both the bin key and the summed micro
+    # from one projected column would inline the score expression
+    # twice (measured 2x wall on the q172 classifier frame, sf1 gate
+    # 15.7x vs q151's 3.2x for the same scored corpus). The
+    # intermediate is bounded by score RESOLUTION (<= 1e6+1 distinct
+    # round-6 micro values), independent of corpus size.
+    per0 = (
+        df.select(
+            micro.alias("__mi"), F.col(label_col).cast("int").alias("__y")
+        )
+        .groupBy("__mi")
+        .agg(F.count(F.lit(1)).alias("__n0"), F.sum("__y").alias("__pos0"))
+    )
+    scaled = F.col("__mi") * F.lit(bins)
     b = F.least(
         ((scaled - scaled % 1_000_000) / 1_000_000).cast("int"),
         F.lit(bins - 1),
     ).cast("int")
     per = (
-        df.select(
+        per0.select(
             b.alias("bin"),
-            micro.alias("__mi"),
-            F.col(label_col).cast("int").alias("__y"),
+            "__n0",
+            (F.col("__mi") * F.col("__n0")).alias("__smi0"),
+            "__pos0",
         )
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum("__mi").alias("__smi"),
-            F.sum("__y").alias("__pos"),
+            F.sum("__n0").alias("__n"),
+            F.sum("__smi0").alias("__smi"),
+            F.sum("__pos0").alias("__pos"),
         )
     )
     spark = df.sparkSession
@@ -330,3 +346,63 @@ def calibration_bins(
             F.round(gap * F.col("__n") / F.col("__n_all"), 9),
         ).otherwise(F.lit(0.0)).alias("ece_term"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected_shares: dict[str, float],
+    chi2_crit: float = 3.841458820694124,
+) -> DataFrame:
+    """Sample Ratio Mismatch check — the experiment-health gate run
+    before reading any A/B result: a chi-square goodness-of-fit of
+    observed assignment counts against the design shares (default
+    critical value = 95th percentile of chi2 with 1 df; pass the
+    right critical value for len(expected)-1 df otherwise).
+
+    One small aggregate (|variants| rows) joined to a literal
+    expected-share frame; the statistic is a fixed double expression
+    over exact integer counts. Output: one row per variant
+    ``(variant, n, expected_share, expected_n, chi2_term)`` plus the
+    total chi-square and flag on every row (the frame is
+    |variants|-sized, so the grand-total window is O(1)).
+    """
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(expected_shares.items())],
+        f"{variant_col} string, expected_share double",
+    )
+    per = df.groupBy(variant_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("__n_all"))
+    j = (
+        exp.join(per, variant_col, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            variant_col,
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            "expected_share",
+            "__n_all",
+        )
+    )
+    exp_n = F.col("expected_share") * F.col("__n_all")
+    term = F.when(
+        exp_n > 0,
+        F.pow(F.col("n") - exp_n, F.lit(2.0)) / exp_n,
+    ).otherwise(F.lit(0.0))
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # chi2 = sum of ROUND-9 terms, summed as DECIMAL so the
+    # |variants|-row fold is exact in any order (a raw double sum of
+    # the terms could differ by an ulp between engines and flip the
+    # round)
+    tdec = F.round(term, 9).cast("decimal(28,9)")
+    out = j.select(
+        variant_col,
+        "n",
+        "expected_share",
+        F.round(exp_n, 6).alias("expected_n"),
+        F.round(term, 9).alias("chi2_term"),
+        F.sum(tdec).over(w).cast("double").alias("chi2"),
+    )
+    return out.withColumn("srm", F.col("chi2") >= chi2_crit)

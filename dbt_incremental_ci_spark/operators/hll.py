@@ -58,6 +58,64 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    m: int = 128,
+    salt: str = "hll",
+) -> DataFrame:
+    """The sketch STATE: ``(__b, __m)`` — max rank per register bucket,
+    <= m rows. Register frames from disjoint (or overlapping) shards
+    merge by ``union → groupBy(__b).max(__m)`` into exactly the sketch
+    of the union — the mergeability that makes HLL a streaming/
+    incremental state (store m numbers per source, never rescan)."""
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    key = F.col(key_col)
+    bucket = _u32(key, salt + ":b") % m
+    ur = _u32(key, salt + ":r")
+    rank = F.when(ur == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(ur)).cast("int")
+    )
+    return (
+        df.select(bucket.alias("__b"), rank.alias("__r"))
+        .groupBy("__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches (same m/salt): max rank per bucket across all
+    frames. Cost: O(m × len(frames)) rows."""
+    u = register_frames[0]
+    for r in register_frames[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("__b").agg(F.max("__m").alias("__m"))
+
+
+def hll_estimate(regs: DataFrame, m: int) -> DataFrame:
+    """One-row ``(m, n_active, estimate)`` from a register frame —
+    the HLL estimator with the linear-counting small-range branch."""
+    alpha = _alpha(m)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.pow(F.lit(2.0), -F.col("__m"))).alias("__inv"),
+    )
+    raw = (F.lit(alpha * m * m)) / (
+        F.col("__inv") + (F.lit(m) - F.col("n_active"))
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_active") < m),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_active"))),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(est, 3).alias("estimate"),
+    )
+
+
 def hll_cardinality(
     df: DataFrame,
     key_col: str,
@@ -72,19 +130,8 @@ def hll_cardinality(
     sketch grades itself; callers at scale drop it and keep the
     sketch-only plan.
     """
-    if m < 16 or m & (m - 1):
-        raise ValueError(f"m must be a power of two >= 16, got {m}")
     key = F.col(key_col)
-    bucket = _u32(key, salt + ":b") % m
-    ur = _u32(key, salt + ":r")
-    rank = F.when(ur == 0, F.lit(33)).otherwise(
-        F.lit(32) - F.floor(F.log2(ur)).cast("int")
-    )
-    regs = (
-        df.select(bucket.alias("__b"), rank.alias("__r"))
-        .groupBy("__b")
-        .agg(F.max("__r").alias("__m"))
-    )
+    regs = hll_registers(df, key_col, m, salt)
     alpha = _alpha(m)
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_active"),

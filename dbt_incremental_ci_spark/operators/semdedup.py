@@ -28,7 +28,8 @@ operator surface this engine adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.operators.similarity import (
@@ -38,6 +39,53 @@ from dbt_incremental_ci_spark.operators.similarity import (
     ivf_assign,
     ivf_centroid,
 )
+
+
+def _assign_arrow(centroids: list[list[float]]) -> "Column":
+    """Arrow-batch (cluster, centroid_cos, norm) for trained centroids.
+
+    The expression path unrolls k `aggregate(zip_with(...))` folds —
+    k x dim interpreted element-ops per row (~5k nodes at k=79, past
+    the janino codegen budget, so it runs interpreted: measured as the
+    dominant cost of the q111 sf1 gate run). One numpy batch computes
+    the full distance matrix via the norm expansion instead; round-9
+    before argmin gives the same cell as the fold (centroid-distance
+    gaps are O(1), the oracle's own immunity argument), round-6 on the
+    cosine is the dot_arrow contract."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn2 = (C * C).sum(1)
+    cn = np.sqrt(cn2)
+
+    @F.pandas_udf(
+        "struct<cluster:int, centroid_cos:double, norm:double>"
+    )
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"cluster": [], "centroid_cos": [], "norm": []}
+            )
+        V = np.vstack(v.to_numpy()).astype(np.float64)
+        G = V @ C.T
+        d = np.round(
+            (V * V).sum(1)[:, None] - 2.0 * G + cn2[None, :], 9
+        )
+        cell = np.argmin(d, axis=1)
+        vn = np.sqrt((V * V).sum(1))
+        denom = vn * cn[cell]
+        cos = np.where(
+            denom > 0, G[np.arange(len(cell)), cell] / denom, 0.0
+        )
+        return pd.DataFrame(
+            {
+                "cluster": cell.astype("int32"),
+                "centroid_cos": np.round(cos, 6),
+                "norm": vn,
+            }
+        )
+
+    return _assign
 
 
 def semdedup(
@@ -55,24 +103,37 @@ def semdedup(
     centroid rounded to 6; ``semdedup_keep`` is false iff a same-
     cluster neighbor with cosine >= ``threshold`` (rounded to 6) has a
     strictly lower (centroid_cos, id) keeper priority."""
-    cvecs = [
-        centroids[c] if centroids is not None else ivf_centroid(dim, c, seed)
-        for c in range(n_clusters)
-    ]
-    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cvecs])
-    base = emb.select(
+    proj = emb.select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
-    ).withColumn(
-        "cluster", ivf_assign("__v", dim, n_clusters, seed, centroids)
-    ).withColumn(
-        "centroid_cos",
-        F.round(
-            cosine(F.col("__v"), F.element_at(carr, F.col("cluster") + 1)), 6
-        ),
-    ).withColumn(
-        "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
-    ).localCheckpoint(eager=False)
+    )
+    if centroids is not None:
+        # trained path: one Arrow batch per partition replaces the
+        # k x dim interpreted fold per row (see _assign_arrow)
+        asg = proj.withColumn("__a", _assign_arrow(centroids)(F.col("__v")))
+        base = asg.select(
+            "__id",
+            "__v",
+            F.col("__a.cluster").alias("cluster"),
+            F.col("__a.centroid_cos").alias("centroid_cos"),
+            F.col("__a.norm").alias("__n"),
+        ).localCheckpoint(eager=False)
+    else:
+        cvecs = [ivf_centroid(dim, c, seed) for c in range(n_clusters)]
+        carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cvecs])
+        base = proj.withColumn(
+            "cluster", ivf_assign("__v", dim, n_clusters, seed, None)
+        ).withColumn(
+            "centroid_cos",
+            F.round(
+                cosine(
+                    F.col("__v"), F.element_at(carr, F.col("cluster") + 1)
+                ),
+                6,
+            ),
+        ).withColumn(
+            "__n", F.sqrt(dot(F.col("__v"), F.col("__v")))
+        ).localCheckpoint(eager=False)
     # ^ referenced by both self-join sides AND the final keep join:
     # without truncating lineage the centroid-distance assignment
     # (n_clusters × dim expression per row) executes three times.

@@ -8415,3 +8415,362 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+def _q174_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.hll import hll_cardinality_sql
+
+    inner = hll_cardinality_sql(
+        "FROM (SELECT unnest(list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok"
+        " FROM documents) u",
+        "tok",
+        m=64,
+        salt="vocab2",
+    )
+    return f"SELECT m, n_active, estimate FROM ({inner}) full_sketch"
+
+
+# =====================================================================
+# Incremental HLL state maintenance (q174): the corpus is sketched in
+# two shards (stored state + new batch), the register frames merged by
+# max-per-bucket, and the estimator applied to the MERGED state — the
+# streaming/incremental path that never rescans history. The oracle
+# sketches the FULL corpus directly: mergeability says the two answers
+# are IDENTICAL (not approximately — register-exact), so the value
+# match is itself the proof of the merge contract. operators/hll.py
+# hll_registers / hll_merge / hll_estimate.
+# =====================================================================
+@q("q174_hll_merge", _q174_oracle())
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    state = hll_registers(
+        toks.filter(F.col("doc_id") % 5 != 0), "token", m=64, salt="vocab2"
+    )
+    batch = hll_registers(
+        toks.filter(F.col("doc_id") % 5 == 0), "token", m=64, salt="vocab2"
+    )
+    return hll_estimate(hll_merge(state, batch), m=64)
+
+
+def _q175_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) > 0
+                  THEN list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                   embedding::DOUBLE[])))
+                  ELSE list_transform(embedding::DOUBLE[], x -> 0.0)
+             END AS v
+      FROM embeddings
+    ),
+    anch AS (
+      SELECT vec_id AS anchor_id, v AS av, vec_id % 7 AS adom
+      FROM base WHERE vec_id % 100 = 0 AND vec_id < 10000
+    ),
+    cand AS (SELECT vec_id AS neg_id, v AS cv, vec_id % 7 AS cdom FROM base),
+    scored AS (
+      SELECT a.anchor_id, c.neg_id,
+             ROUND(list_dot_product(a.av, c.cv), 6) AS cos
+      FROM anch a JOIN cand c
+        ON c.cdom <> a.adom AND c.neg_id <> a.anchor_id
+    )
+    SELECT anchor_id, neg_id, cos, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos DESC, neg_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """
+
+
+# =====================================================================
+# Hard-negative mining (q175): for each anchor in a FIXED probe set
+# (bounded like q155's eval set — probes don't grow with the corpus),
+# the top-3 most-similar vectors from a DIFFERENT domain (vec_id % 7
+# as the synthetic domain label) — the contrastive-training negative
+# selector: nearest non-matches make the hardest negatives. Work is
+# |corpus| × O(1) Arrow dots map-side; the per-anchor top-3 window
+# partitions on anchor (bounded frames). operators/retrieval.py
+# normalize_vec + similarity.dot_arrow.
+# =====================================================================
+@q("q175_hard_negatives", _q175_oracle())
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_incremental_ci_spark.operators.retrieval import normalize_vec
+    from dbt_incremental_ci_spark.operators.similarity import dot_arrow
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    nv = normalize_vec(emb, "v")
+    anch = nv.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 10000)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("v").alias("av"),
+        (F.col("vec_id") % 7).alias("adom"),
+    )
+    cand = nv.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("v").alias("cv"),
+        (F.col("vec_id") % 7).alias("cdom"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(anch))
+        .filter(
+            (F.col("cdom") != F.col("adom"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(dot_arrow()(F.col("av"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# =====================================================================
+# Negative sampling (q176): k deterministic candidate items per
+# customer (md5-slot hashing onto the item key space) minus the items
+# the customer actually bought (anti-join on the interaction set) —
+# the recommender-training staple. Candidate generation is a map-side
+# explode of a k-literal sequence; the interaction set is one
+# distinct projection of orders✕lineitem; the anti-join shuffles on
+# (customer, item) only. All hashing replays exactly in the oracle.
+# =====================================================================
+@q(
+    "q176_negative_sampling",
+    """
+    WITH maxp AS (SELECT max(p_partkey) AS mp FROM part),
+    inter AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cust AS (SELECT DISTINCT o_custkey FROM orders),
+    cand AS (
+      SELECT c.o_custkey, s.i AS slot,
+             1 + (('0x' || substr(md5(CAST(c.o_custkey AS VARCHAR) || ':'
+                                      || CAST(s.i AS VARCHAR) || ':neg'),
+                                  1, 8))::BIGINT % m.mp) AS cand_item
+      FROM cust c CROSS JOIN (SELECT unnest(range(5)) AS i) s
+      CROSS JOIN maxp m
+    )
+    SELECT cd.o_custkey, CAST(cd.slot AS INT) AS slot, cd.cand_item
+    FROM cand cd
+    ANTI JOIN inter i
+      ON i.o_custkey = cd.o_custkey AND i.l_partkey = cd.cand_item
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    maxp = t(spark, sf_dir, "part").agg(F.max("p_partkey").alias("__mp"))
+    inter = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    cust = o.select("o_custkey").distinct()
+    cand = (
+        cust.withColumn("slot", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .crossJoin(F.broadcast(maxp))
+        .select(
+            "o_custkey",
+            F.col("slot").cast("int").alias("slot"),
+            (
+                F.lit(1)
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("o_custkey").cast("string"),
+                                F.lit(":"),
+                                F.col("slot").cast("string"),
+                                F.lit(":neg"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("__mp")
+            ).alias("cand_item"),
+        )
+    )
+    return cand.join(
+        inter,
+        (cand["o_custkey"] == inter["o_custkey"])
+        & (cand["cand_item"] == inter["l_partkey"]),
+        "left_anti",
+    )
+
+
+def _q177_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform_sql
+
+    u = hash_uniform_sql("user_id", "srm")
+    return f"""
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN {u} < 0.4 THEN 'A'
+                  WHEN {u} < 0.8 THEN 'B' ELSE 'H' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per AS (SELECT variant, count(*) AS n FROM units GROUP BY variant),
+    exp AS (
+      SELECT * FROM (VALUES ('A', CAST(0.4 AS DOUBLE)),
+                            ('B', CAST(0.4 AS DOUBLE)),
+                            ('H', CAST(0.2 AS DOUBLE)))
+        e(variant, expected_share)
+    ),
+    tot AS (SELECT sum(n) AS n_all FROM per),
+    j AS (
+      SELECT e.variant, coalesce(p.n, 0) AS n, e.expected_share, t.n_all
+      FROM exp e LEFT JOIN per p USING (variant) CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT variant, n, expected_share,
+             expected_share * n_all AS en,
+             CASE WHEN expected_share * n_all > 0
+                  THEN pow(n - expected_share * n_all, 2)
+                       / (expected_share * n_all)
+                  ELSE 0.0 END AS term
+      FROM j
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n, expected_share,
+           ROUND(en, 6) AS expected_n,
+           ROUND(term, 9) AS chi2_term,
+           CAST(sum(CAST(ROUND(term, 9) AS DECIMAL(28,9))) OVER ()
+                AS DOUBLE) AS chi2,
+           CAST(sum(CAST(ROUND(term, 9) AS DECIMAL(28,9))) OVER ()
+                AS DOUBLE) >= 5.991464547107979 AS srm
+    FROM terms
+    """
+
+
+# =====================================================================
+# Sample Ratio Mismatch check (q177): chi-square goodness-of-fit of
+# observed variant assignment counts vs the 40/40/20 design — the
+# experiment-health gate read before any A/B metric (complements
+# q168's effect readout). |variants|-row frame; the chi-square is a
+# decimal-exact fold of round-9 terms so the 3-row window sum cannot
+# drift an ulp between engines. operators/evalmetrics.py srm_check.
+# =====================================================================
+@q("q177_srm_check", _q177_oracle())
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.evalmetrics import srm_check
+    from dbt_incremental_ci_spark.operators.sampling import hash_uniform
+
+    u = hash_uniform("user_id", "srm")
+    units = (
+        events_table(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(u < 0.4, F.lit("A"))
+            .when(u < 0.8, F.lit("B"))
+            .otherwise(F.lit("H"))
+            .alias("variant")
+        )
+    )
+    return srm_check(
+        units,
+        "variant",
+        {"A": 0.4, "B": 0.4, "H": 0.2},
+        chi2_crit=5.991464547107979,
+    )
+
+
+# =====================================================================
+# Linear multi-touch attribution (q178): split each purchase's value
+# equally across the user's view/click/signup touches in the 6h
+# window before it. Pair volume is the per-user activity bound (the
+# q149 event-join class), never a corpus product; attributed value is
+# integer micro-unit floor shares (value_micro div n) so bigint sums
+# reproduce bit-for-bit on any partitioning — the sub-micro remainder
+# is deliberately dropped, not order-dependently assigned.
+# operators/attribution.py linear_attribution.
+# =====================================================================
+@q(
+    "q178_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id, epoch_ns(ts) AS cts, event_id,
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS vm,
+             CAST(user_id AS VARCHAR) || ':' || CAST(epoch_ns(ts) AS VARCHAR)
+               || ':' || CAST(event_id AS VARCHAR) AS cid
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    tch AS (
+      SELECT user_id, epoch_ns(ts) AS tts, event_type AS ch
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    pairs AS (
+      SELECT c.cid, c.vm, t.ch
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+      WHERE t.tts < c.cts AND t.tts >= c.cts - 21600000000000
+    ),
+    per_conv AS (SELECT cid, count(*) AS n FROM pairs GROUP BY cid),
+    shared AS (
+      SELECT p.ch, p.cid, p.vm // pc.n AS share
+      FROM pairs p JOIN per_conv pc USING (cid)
+    )
+    SELECT ch AS channel,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
+           CAST(sum(share) AS BIGINT) AS attributed_micro,
+           ROUND(sum(share) / 1000000.0, 6) AS attributed
+    FROM shared
+    GROUP BY ch
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    ev = events_table(spark, sf_dir)
+    conv = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select("user_id", "ts", "event_id", "value")
+    tch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    return linear_attribution(
+        conv,
+        tch,
+        user_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        channel_col="channel",
+        lookback=21_600_000_000_000,
+        id_col="event_id",
+    )

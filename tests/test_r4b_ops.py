@@ -533,3 +533,118 @@ def test_funnel_counts_strict_order(spark):
     assert out["view"]["conv_from_prev"] is None
     assert out["click"]["conv_from_prev"] == round(1 / 3, 6)
     assert out["purchase"]["conv_from_first"] == round(1 / 3, 6)
+
+
+def test_hll_merge_equals_full_sketch(spark):
+    from dbt_incremental_ci_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    full = hll_estimate(hll_registers(df, "k", m=64), 64).collect()[0]
+    merged = hll_estimate(
+        hll_merge(
+            hll_registers(df.filter("k % 3 = 0"), "k", m=64),
+            hll_registers(df.filter("k % 3 = 1"), "k", m=64),
+            hll_registers(df.filter("k % 3 = 2"), "k", m=64),
+        ),
+        64,
+    ).collect()[0]
+    assert merged == full  # register-exact, not approximate
+
+
+# ---------------------------------------------------- hard negatives
+def test_hard_negatives_excludes_same_domain(spark):
+    from dbt_incremental_ci_spark import workload
+
+    out = workload.QUERIES["q175_hard_negatives"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "expected some negatives"
+    for r in out:
+        assert r["neg_id"] % 7 != r["anchor_id"] % 7
+        assert 1 <= r["rnk"] <= 3
+
+
+# ------------------------------------------------- negative sampling
+def test_negative_sampling_excludes_interactions(spark):
+    from dbt_incremental_ci_spark import workload
+
+    sf = "/root/testdata/sf0.001"
+    out = workload.QUERIES["q176_negative_sampling"](spark, sf)
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    inter = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert (r["o_custkey"], r["cand_item"]) not in inter
+
+
+# -------------------------------------------------------------- srm
+def test_srm_check_flags_mismatch(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import srm_check
+
+    rows = [("A",)] * 70 + [("B",)] * 30  # designed 50/50, observed 70/30
+    df = spark.createDataFrame(rows, "variant string")
+    out = {
+        r["variant"]: r
+        for r in srm_check(df, "variant", {"A": 0.5, "B": 0.5}).collect()
+    }
+    # chi2 = (70-50)^2/50 + (30-50)^2/50 = 16 > 3.84
+    assert out["A"]["chi2"] == 16.0 and out["A"]["srm"]
+    assert out["A"]["expected_n"] == 50.0
+    balanced = srm_check(
+        spark.createDataFrame([("A",)] * 50 + [("B",)] * 50,
+                              "variant string"),
+        "variant",
+        {"A": 0.5, "B": 0.5},
+    ).collect()[0]
+    assert balanced["chi2"] == 0.0 and not balanced["srm"]
+
+
+# ------------------------------------------------------ attribution
+def test_linear_attribution_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    conv = spark.createDataFrame(
+        [(1, 1000, 99, 10.0)],
+        "user_id int, ts long, event_id int, value double",
+    )
+    tch = spark.createDataFrame(
+        [
+            (1, 500, "view"),    # in window
+            (1, 800, "click"),   # in window
+            (1, 900, "view"),    # in window -> 3 touches, floor shares
+            (1, 1000, "click"),  # AT conv ts -> excluded (strict <)
+            (1, 100, "view"),    # outside lookback
+            (2, 900, "view"),    # other user
+        ],
+        "user_id int, ts long, channel string",
+    )
+    out = {
+        r["channel"]: r
+        for r in linear_attribution(
+            conv, tch, "user_id", "ts", "value", "channel",
+            lookback=500, id_col="event_id",
+        ).collect()
+    }
+    share = 10_000_000 // 3  # 3333333 micro
+    assert out["view"]["attributed_micro"] == 2 * share
+    assert out["click"]["attributed_micro"] == share
+    assert out["view"]["touches"] == 2 and out["view"]["conversions"] == 1
+    assert out["click"]["attributed"] == round(share / 1e6, 6)

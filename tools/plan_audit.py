@@ -76,6 +76,15 @@ ONE_PART_NOTES = {
     "q102_domain_cap": "two-phase rank offsets: O(partitions) + O(#domains) rows (sampling.per_category_cap; rendered count varies with lazy-checkpoint materialization state)",
     "q164_neyman_sample": "1-row allocation total cross-joined back (sampling.neyman_stratified_sample)",
     "q165_roc_auc": "cumsum offsets O(partitions) + 1-row AUC scalar (evalmetrics.roc_auc)",
+    "q166_count_anomaly": "per-key stats join: keys-sized frame (timeseries.count_anomaly_zscore)",
+    "q167_agg_ivm": "batch-sized delta aggregate: O(touched groups) rows (incremental/ivm.py)",
+    "q168_ab_test": "1-row pivot + z statistic: single scalar reduce (evalmetrics.two_proportion_ztest)",
+    "q171_hll_vocab": "register reduce: <= m (128) rows + 1-row estimator (hll.py)",
+    "q172_calibration": "O(bins) spine + 1-row total (evalmetrics.calibration_bins)",
+    "q173_funnel": "len(steps)-row rate frame (patterns.funnel_counts)",
+    "q174_hll_merge": "register reduce: <= m (64) rows + 1-row estimator (hll.py)",
+    "q176_negative_sampling": "1-row max-partkey scalar broadcast back",
+    "q177_srm_check": "|variants|-row frame + 1-row total (evalmetrics.srm_check)",
 }
 
 
