@@ -148,6 +148,8 @@ EXTRA_QUERIES = [
     "q176_negative_sampling",
     "q177_srm_check",
     "q178_attribution",
+    "q179_expectation_suite",
+    "q180_golden_record",
 ]
 
 

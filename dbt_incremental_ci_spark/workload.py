@@ -8774,3 +8774,148 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback=21_600_000_000_000,
         id_col="event_id",
     )
+
+
+# =====================================================================
+# Data-quality expectation suite (q179): the dbt generic tests
+# (not_null / unique / accepted_values / relationships — the reference
+# project's schema.yml surface) as count-only aggregates unioned into
+# one report; one check is deliberately violated so the fail path is
+# exercised. Each check is a single hash aggregate or anti-join
+# emitting ONE row — output bounded by suite size at any scale.
+# operators/expectations.py.
+# =====================================================================
+@q(
+    "q179_expectation_suite",
+    """
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+           coalesce(sum(c - 1), 0) = 0
+    FROM (SELECT count(*) AS c FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'relationships:o_custkey',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+    ANTI JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'accepted_values:o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderpriority IS NOT NULL
+                     AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import expectations as ex
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return ex.suite(
+        [
+            ex.not_null(o, "o_custkey"),
+            ex.unique(o, "o_orderkey"),
+            ex.accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            ex.relationships(o, "o_custkey", c, "c_custkey"),
+            ex.accepted_values(
+                o, "o_orderpriority", ["1-URGENT", "2-HIGH"]
+            ),
+        ]
+    )
+
+
+# =====================================================================
+# Golden-record compaction (q180): one survivor row per user from the
+# event stream — latest event type by (ts, event_id), latest NON-NULL
+# value (survivorship takes the freshest observed field, not the
+# freshest row — the MDM "coalesce latest non-null" rule), first/last
+# seen, event count. Two user-partitioned rn=1 windows (per-user
+# frames) + one aggregate; user-keyed shuffles only.
+# =====================================================================
+@q(
+    "q180_golden_record",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_ns(ts) AS tsn, event_id
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, event_type AS last_type
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tsn DESC, event_id DESC) = 1
+    ),
+    lastval AS (
+      SELECT user_id, ROUND(value, 6) AS last_value
+      FROM e WHERE value IS NOT NULL
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY tsn DESC, event_id DESC) = 1
+    ),
+    base AS (
+      SELECT user_id, min(tsn) AS first_seen, max(tsn) AS last_seen,
+             count(*) AS n_events
+      FROM e GROUP BY user_id
+    )
+    SELECT b.user_id, l.last_type, v.last_value,
+           b.first_seen, b.last_seen, CAST(b.n_events AS BIGINT) AS n_events
+    FROM base b
+    JOIN latest l USING (user_id)
+    LEFT JOIN lastval v USING (user_id)
+    """,
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_type"))
+    )
+    lastval = (
+        e.filter(F.col("value").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.round("value", 6).alias("last_value"))
+    )
+    base = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return (
+        base.join(latest, "user_id")
+        .join(lastval, "user_id", "left")
+        .select(
+            "user_id",
+            "last_type",
+            "last_value",
+            "first_seen",
+            "last_seen",
+            "n_events",
+        )
+    )

@@ -648,3 +648,66 @@ def test_linear_attribution_hand_computed(spark):
     assert out["click"]["attributed_micro"] == share
     assert out["view"]["touches"] == 2 and out["view"]["conversions"] == 1
     assert out["click"]["attributed"] == round(share / 1e6, 6)
+
+
+# ------------------------------------------------------ expectations
+def test_expectation_suite_counts_violations(spark):
+    from dbt_incremental_ci_spark.operators import expectations as ex
+
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, None), (3, "zz"), (None, "a")],
+        "k int, v string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    out = {
+        r["check_name"]: r
+        for r in ex.suite(
+            [
+                ex.not_null(child, "k"),
+                ex.unique(child, "k"),
+                ex.accepted_values(child, "v", ["a", "b"]),
+                ex.relationships(child, "k", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert out["not_null:k"]["violations"] == 1
+    assert out["unique:k"]["violations"] == 1  # k=1 twice -> 1 excess
+    assert out["accepted_values:v"]["violations"] == 1  # 'zz'; NULL passes
+    assert out["relationships:k"]["violations"] == 1  # k=3 orphan
+    assert not out["unique:k"]["passed"]
+
+
+def test_expectation_unique_all_distinct_passes(spark):
+    from dbt_incremental_ci_spark.operators import expectations as ex
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    r = ex.unique(df, "k").collect()[0]
+    assert r["violations"] == 0 and r["passed"]
+
+
+# ------------------------------------------------------ golden record
+def test_golden_record_latest_nonnull_value(spark):
+    from dbt_incremental_ci_spark import workload
+
+    out = {
+        r["user_id"]: r
+        for r in workload.QUERIES["q180_golden_record"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert out  # nonempty
+    # re-derive one user's expectation directly
+    import pyspark.sql.functions as FF
+
+    e = workload.events_table(spark, "/root/testdata/sf0.001")
+    uid = next(iter(out))
+    rows = (
+        e.filter(FF.col("user_id") == uid)
+        .orderBy(FF.desc("ts"), FF.desc("event_id"))
+        .collect()
+    )
+    assert out[uid]["last_type"] == rows[0]["event_type"]
+    assert out[uid]["n_events"] == len(rows)
+    nn = [r for r in rows if r["value"] is not None]
+    if nn:
+        assert out[uid]["last_value"] == round(nn[0]["value"], 6)

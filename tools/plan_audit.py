@@ -85,6 +85,7 @@ ONE_PART_NOTES = {
     "q174_hll_merge": "register reduce: <= m (64) rows + 1-row estimator (hll.py)",
     "q176_negative_sampling": "1-row max-partkey scalar broadcast back",
     "q177_srm_check": "|variants|-row frame + 1-row total (evalmetrics.srm_check)",
+    "q179_expectation_suite": "five 1-row check aggregates unioned (expectations.py)",
 }
 
 
