@@ -31,7 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window records the first 50 entries. Rounds 2 and 3 drove
     q01–q50 and q96–q145 green respectively, so round 4 leads with
     what no driver window has recorded — the round-4 additions
-    (q146–q173), then q51–q95 — and the already-driver-green bands
+    (q146 and up), then q51–q95 — and the already-driver-green bands
     trail. The committed CORRECTNESS_LOCAL_r04 artifact covers every
     query regardless of the window."""
     import re

@@ -150,6 +150,9 @@ EXTRA_QUERIES = [
     "q178_attribution",
     "q179_expectation_suite",
     "q180_golden_record",
+    "q181_seasonal_decompose",
+    "q182_session_metrics",
+    "q183_cohort_retention",
 ]
 
 

@@ -711,3 +711,59 @@ def test_golden_record_latest_nonnull_value(spark):
     nn = [r for r in rows if r["value"] is not None]
     if nn:
         assert out[uid]["last_value"] == round(nn[0]["value"], 6)
+
+
+# --------------------------------------------------------- seasonal
+def test_seasonal_decompose_gap_yields_null_trend(spark):
+    from dbt_incremental_ci_spark import workload
+
+    out = workload.QUERIES["q181_seasonal_decompose"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    by_key = {(r["nationkey"], r["midx"]): r for r in out}
+    months = {}
+    for nk, mi in by_key:
+        months.setdefault(nk, set()).add(mi)
+    for (nk, mi), r in by_key.items():
+        has_neighbors = (mi - 1 in months[nk]) and (mi + 1 in months[nk])
+        assert (r["trend"] is not None) == has_neighbors
+
+
+# ---------------------------------------------------- session metrics
+def test_session_metrics_hand_case(spark):
+    from dbt_incremental_ci_spark.operators import patterns  # noqa: F401
+    from dbt_incremental_ci_spark import workload
+    import pyspark.sql.functions as FF
+
+    # verify internal consistency against q30's session counts
+    sf = "/root/testdata/sf0.001"
+    m = {
+        r["user_id"]: r
+        for r in workload.QUERIES["q182_session_metrics"](spark, sf).collect()
+    }
+    s30 = {
+        r["user_id"]: r["n_sessions"]
+        for r in workload.QUERIES["q30_sessionize"](spark, sf).collect()
+    }
+    assert m and set(m) == set(s30)
+    for uid, r in m.items():
+        assert r["n_sessions"] == s30[uid]
+        assert 0 <= r["bounces"] <= r["n_sessions"]
+        assert r["max_session_sec"] >= 0
+
+
+# ------------------------------------------------------------ cohort
+def test_cohort_retention_offset_zero_is_full(spark):
+    from dbt_incremental_ci_spark import workload
+
+    out = workload.QUERIES["q183_cohort_retention"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        if r["offset_weeks"] == 0:
+            # every cohort member is active in their first week
+            assert r["active_users"] == r["cohort_size"]
+            assert r["retention"] == 1.0
+        assert r["offset_weeks"] >= 0

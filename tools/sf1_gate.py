@@ -38,12 +38,20 @@ REPLICA = "/tmp/spark_graft_scale/sf1"
 # artifact (BENCH_SF1_r03.json covers the round-2 set at reps=2).
 REPS = int(os.environ.get("SPARK_GRAFT_GATE_REPS", "2"))
 GATE_MIN = int(os.environ.get("SPARK_GRAFT_GATE_MIN", "0"))
+# comma-separated explicit query list (overrides GATE_MIN) — for
+# re-measuring a fixed query or gating late additions, merged into the
+# committed artifact by tools/merge_gate.py with identical methodology
+GATE_ONLY = {
+    n for n in os.environ.get("SPARK_GRAFT_GATE_ONLY", "").split(",") if n
+}
 
 
 def _selected() -> list[str]:
     import re
 
     names = list(dict.fromkeys(BENCH_QUERIES + EXTRA_QUERIES))
+    if GATE_ONLY:
+        return [n for n in names if n in GATE_ONLY]
     return [
         n
         for n in names
