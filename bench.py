@@ -153,6 +153,7 @@ EXTRA_QUERIES = [
     "q181_seasonal_decompose",
     "q182_session_metrics",
     "q183_cohort_retention",
+    "q184_association_rules",
 ]
 
 

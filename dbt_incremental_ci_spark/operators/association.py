@@ -1,0 +1,91 @@
+"""Market-basket association rules — support / confidence / lift over
+co-occurrence pairs (Agrawal & Srikant, VLDB'94 Apriori's first two
+levels, which is what production "also bought" pipelines actually
+ship).
+
+Scale shape: the basket-item relation is deduplicated once (hash
+aggregate), pair generation is a SELF-JOIN ON THE BASKET KEY — pair
+volume is sum over baskets of C(|basket|, 2), the per-basket bound
+(TPC-H orders hold ~4-7 items; carts and sessions are similarly
+bounded), never |items|². Item supports and pair counts are hash
+aggregates on item / pair keys; the rule metrics join pair counts to
+the two item supports (item-keyed broadcasts at dimension scale, AQE
+otherwise). A ``min_pair_count`` threshold prunes the pair table
+before the metric joins — the Apriori support-pruning step.
+
+Determinism: all metrics are single divisions of exact integer
+counts, rounded to 6 — reproducible on any partitioning/engine.
+
+No counterpart in the reference repo; part of the analytics surface
+this engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Canonical item pairs (item_a < item_b) with
+    ``(pair_count, support, conf_a_to_b, conf_b_to_a, lift)``.
+
+    support = pair baskets / total baskets; confidence a→b =
+    pair baskets / baskets(a); lift = support / (supp(a)·supp(b)) —
+    equivalently n·pair/(cnt_a·cnt_b). Rounded to 6.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = items.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            supp.select(
+                F.col("__i").alias("item_a"), F.col("__cnt").alias("__ca")
+            ),
+            "item_a",
+        )
+        .join(
+            supp.select(
+                F.col("__i").alias("item_b"), F.col("__cnt").alias("__cb")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("pair_count").cast("bigint").alias("pair_count"),
+        F.round(F.col("pair_count") / F.col("__n").cast("double"), 6).alias(
+            "support"
+        ),
+        F.round(
+            F.col("pair_count") / F.col("__ca").cast("double"), 6
+        ).alias("conf_a_to_b"),
+        F.round(
+            F.col("pair_count") / F.col("__cb").cast("double"), 6
+        ).alias("conf_b_to_a"),
+        F.round(
+            (F.col("pair_count") * F.col("__n")).cast("double")
+            / (F.col("__ca") * F.col("__cb")).cast("double"),
+            6,
+        ).alias("lift"),
+    )

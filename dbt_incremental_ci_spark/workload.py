@@ -9163,3 +9163,48 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users") / F.col("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+# =====================================================================
+# Market-basket association rules (q184): support / confidence / lift
+# over order-basket item pairs (Apriori levels 1-2 — the "also
+# bought" pipeline). Pair volume is the per-basket bound
+# sum C(|basket|,2), never |items|^2; metrics are single divisions of
+# exact integer counts. operators/association.py.
+# =====================================================================
+@q(
+    "q184_association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n FROM items),
+    supp AS (SELECT i, count(*) AS cnt FROM items GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, count(*) AS pair_count
+      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      GROUP BY a.i, b.i
+      HAVING count(*) >= 2
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.pair_count AS BIGINT) AS pair_count,
+           ROUND(p.pair_count / CAST(nb.n AS DOUBLE), 6) AS support,
+           ROUND(p.pair_count / CAST(sa.cnt AS DOUBLE), 6) AS conf_a_to_b,
+           ROUND(p.pair_count / CAST(sb.cnt AS DOUBLE), 6) AS conf_b_to_a,
+           ROUND(CAST(p.pair_count * nb.n AS DOUBLE)
+                 / CAST(sa.cnt * sb.cnt AS DOUBLE), 6) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.i = p.item_a
+    JOIN supp sb ON sb.i = p.item_b
+    CROSS JOIN nb
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.association import (
+        association_rules,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )

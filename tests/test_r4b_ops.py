@@ -767,3 +767,30 @@ def test_cohort_retention_offset_zero_is_full(spark):
             assert r["active_users"] == r["cohort_size"]
             assert r["retention"] == 1.0
         assert r["offset_weeks"] >= 0
+
+
+# -------------------------------------------------------- association
+def test_association_rules_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.association import (
+        association_rules,
+    )
+
+    rows = [  # 4 baskets; (x,y) together in 2; x in 3, y in 2
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+        (4, "z"),  # duplicate line -> dedup
+    ]
+    df = spark.createDataFrame(rows, "b int, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "b", "i", min_pair_count=2).collect()
+    }
+    r = out[("x", "y")]
+    assert r["pair_count"] == 2
+    assert r["support"] == 0.5            # 2 of 4 baskets
+    assert r["conf_a_to_b"] == round(2 / 3, 6)
+    assert r["conf_b_to_a"] == 1.0
+    assert r["lift"] == round(2 * 4 / (3 * 2), 6)
+    assert ("x", "z") not in out          # pair_count 1 < min

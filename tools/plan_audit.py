@@ -86,6 +86,7 @@ ONE_PART_NOTES = {
     "q176_negative_sampling": "1-row max-partkey scalar broadcast back",
     "q177_srm_check": "|variants|-row frame + 1-row total (evalmetrics.srm_check)",
     "q179_expectation_suite": "five 1-row check aggregates unioned (expectations.py)",
+    "q184_association_rules": "1-row basket-count scalar broadcast back (association.py)",
 }
 
 
