@@ -62,11 +62,19 @@ def _assign_arrow(centroids: list[list[float]]) -> "Column":
         "struct<cluster:int, centroid_cos:double, norm:double>"
     )
     def _assign(v: pd.Series) -> pd.DataFrame:
-        if len(v) == 0:
-            return pd.DataFrame(
-                {"cluster": [], "centroid_cos": [], "norm": []}
-            )
-        V = np.vstack(v.to_numpy()).astype(np.float64)
+        out = pd.DataFrame(
+            {
+                "cluster": pd.array([None] * len(v), dtype="Int32"),
+                "centroid_cos": pd.array([None] * len(v), dtype="Float64"),
+                "norm": pd.array([None] * len(v), dtype="Float64"),
+            }
+        )
+        # NULL vectors yield NULL struct fields, matching the
+        # expression path's null-propagation semantics
+        mask = v.notna().to_numpy()
+        if not mask.any():
+            return out
+        V = np.vstack(v.to_numpy()[mask]).astype(np.float64)
         G = V @ C.T
         d = np.round(
             (V * V).sum(1)[:, None] - 2.0 * G + cn2[None, :], 9
@@ -77,13 +85,10 @@ def _assign_arrow(centroids: list[list[float]]) -> "Column":
         cos = np.where(
             denom > 0, G[np.arange(len(cell)), cell] / denom, 0.0
         )
-        return pd.DataFrame(
-            {
-                "cluster": cell.astype("int32"),
-                "centroid_cos": np.round(cos, 6),
-                "norm": vn,
-            }
-        )
+        out.loc[mask, "cluster"] = cell.astype("int32")
+        out.loc[mask, "centroid_cos"] = np.round(cos, 6)
+        out.loc[mask, "norm"] = vn
+        return out
 
     return _assign
 

@@ -794,3 +794,25 @@ def test_association_rules_hand_computed(spark):
     assert r["conf_b_to_a"] == 1.0
     assert r["lift"] == round(2 * 4 / (3 * 2), 6)
     assert ("x", "z") not in out          # pair_count 1 < min
+
+
+def test_semdedup_arrow_assign_null_vector_propagates(spark):
+    from dbt_incremental_ci_spark.operators import semdedup as sd
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sd.semdedup(
+            df,
+            dim=2,
+            n_clusters=2,
+            threshold=0.99,
+            centroids=[[1.0, 0.0], [0.0, 1.0]],
+        ).collect()
+    }
+    assert out[2]["cluster"] is None and out[2]["centroid_cos"] is None
+    assert out[1]["cluster"] == 0 and out[1]["centroid_cos"] == 1.0
+    assert out[3]["cluster"] == 1
