@@ -248,9 +248,21 @@ def main() -> None:
     # past crashed/unparsed artifacts (round 3's had rc=1, parsed=null)
     # and past rounds run at a different SF (not comparable).
     here = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_FULL_r{N} (complete, written by this script since r05) is
+    # preferred over the driver-captured BENCH_r{N} for the same round,
+    # so sort by (round, is_full) and walk backwards.
+    def _round_key(f: str) -> tuple[int, int]:
+        is_full = f.startswith("BENCH_FULL_r")
+        digits = f[len("BENCH_FULL_r") if is_full else len("BENCH_r"):-len(".json")]
+        return (int(digits) if digits.isdigit() else -1, int(is_full))
+
     prior = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        (
+            f for f in os.listdir(here)
+            if (f.startswith("BENCH_r") or f.startswith("BENCH_FULL_r"))
+            and f.endswith(".json")
+        ),
+        key=_round_key,
     )
     prev, prev_name = None, None
     for cand in reversed(prior):
@@ -297,7 +309,47 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
-    print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of stdout; rounds 3-4
+    # lost their official bench numbers because this line outgrew that
+    # window (r04: ~5 kB for 118 queries + deltas -> parsed: null).
+    # Fix (round-4 verdict item 1): write the FULL per-query JSON to a
+    # committed artifact file, and print a compact final line that is
+    # provably < 1500 chars at any query count — headline value, the
+    # 13-query headline dict (bounded), error/regression counts, and a
+    # pointer to the full artifact.
+    round_n = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_n is None:
+        nums = [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        round_n = str(max(nums) + 1 if nums else 1)
+    full_path = os.path.join(here, f"BENCH_FULL_r{int(round_n):02d}.json")
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": timings,  # headline band only: 13 names, bounded size
+        "n_extra": len(extra),
+        "extra_total": round(sum(extra.values()), 3),
+        "n_errors": len(errors),
+        "error_names": sorted(errors)[:5],
+        "regressions": out.get("regressions", [])[:8],
+        "prev_round": out.get("prev_round"),
+        "prev_value": out.get("prev_value"),
+        "full_artifact": os.path.basename(full_path),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never overflow the window
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

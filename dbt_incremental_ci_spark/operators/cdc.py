@@ -48,7 +48,10 @@ def cdc_latest_state(
         F.struct(*ordering, *[F.col(c).alias(f"__p_{c}") for c in payload])
     ).alias("__w")
     out = df.groupBy(*key_cols).agg(winner)
-    keep = out.filter(F.col(f"__w.__p_{op_col}") != delete_op)
+    # eqNullSafe negation: a winning row with a NULL op is a malformed
+    # changelog entry, not a delete — `!= delete_op` would silently drop
+    # it (NULL comparison is never true). Keep it so the caller sees it.
+    keep = out.filter(~F.col(f"__w.__p_{op_col}").eqNullSafe(delete_op))
     return keep.select(
         *key_cols,
         *[F.col(f"__w.__p_{c}").alias(c) for c in payload],

@@ -215,6 +215,8 @@ def two_proportion_ztest(
     variant_col: str,
     converted_col: str,
     z_crit: float = 1.959963984540054,
+    label_a: str = "A",
+    label_b: str = "B",
 ) -> DataFrame:
     """Two-proportion z-test over an A/B assignment — the experiment
     readout every event pipeline ships: per-variant units and
@@ -232,11 +234,23 @@ def two_proportion_ztest(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col(converted_col), 1).otherwise(0)).alias("conv"),
     )
+    # The two variant labels are parameters (round-4 ADVICE: hardcoded
+    # 'A'/'B' silently produced NULL counts for any other labels), and
+    # an execution-time assert fails loudly if either arm is absent
+    # instead of emitting a NULL/garbage statistic.
     wide = per.agg(
-        F.sum(F.when(F.col(variant_col) == "A", F.col("n"))).alias("n_a"),
-        F.sum(F.when(F.col(variant_col) == "A", F.col("conv"))).alias("c_a"),
-        F.sum(F.when(F.col(variant_col) == "B", F.col("n"))).alias("n_b"),
-        F.sum(F.when(F.col(variant_col) == "B", F.col("conv"))).alias("c_b"),
+        F.sum(F.when(F.col(variant_col) == label_a, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col(variant_col) == label_a, F.col("conv"))).alias("c_a"),
+        F.sum(F.when(F.col(variant_col) == label_b, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col(variant_col) == label_b, F.col("conv"))).alias("c_b"),
+    ).where(
+        F.assert_true(
+            F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+            F.lit(
+                f"two_proportion_ztest: no rows for variant "
+                f"'{label_a}' and/or '{label_b}' in column '{variant_col}'"
+            ),
+        ).isNull()
     )
     na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
     nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")

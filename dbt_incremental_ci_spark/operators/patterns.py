@@ -142,6 +142,12 @@ def funnel_counts(
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )
+        # Each `cur` feeds TWO plan branches (its own count aggregate
+        # below and the next step's join); without lineage truncation
+        # the chained plan rescans the events input O(steps^2) times
+        # (round-4 ADVICE; same pathology fixed in robust.py/packing.py
+        # — docs/SCALE.md 6l).
+        cur = cur.localCheckpoint(eager=False)
         per_step.append(
             cur.agg(F.count(F.lit(1)).alias("users")).select(
                 F.lit(i).cast("int").alias("step_idx"),

@@ -95,7 +95,15 @@ def dp_group_counts(
     count query → scale = 1/epsilon). The noise seed is the md5 of the
     group key + salt, so the release is reproducible. Rounded to 6dp
     so the cross-engine hash is stable."""
-    key = F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+    # Seed-key encoding (byte-identical to the DuckDB twin): cast to
+    # string, NULL -> \x02 sentinel, joined with \x01 — concat_ws
+    # SKIPS nulls (vs SQL || which nullifies the key), so without the
+    # coalesce the two engines hash different bytes for NULL group
+    # values (round-4 ADVICE fix).
+    key = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in group_cols],
+    )
     noise = laplace_noise(hash_uniform(key, salt), 1.0 / epsilon)
     return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("exact_n")).select(
         *group_cols,
@@ -107,7 +115,9 @@ def dp_group_counts_sql(
     table: str, group_cols: list[str], epsilon: float = 1.0, salt: str = "dp"
 ) -> str:
     """Oracle SQL for :func:`dp_group_counts` over ``table``."""
-    key = " || chr(1) || ".join(f"CAST({c} AS VARCHAR)" for c in group_cols)
+    key = " || chr(1) || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(2))" for c in group_cols
+    )
     u = hash_uniform_sql(f"({key})", salt)
     # hash_uniform_sql wraps key in CAST(.. AS VARCHAR) itself; feed the
     # raw concatenation so both engines hash identical bytes

@@ -137,6 +137,43 @@ def test_dp_counts_never_exposes_exact(spark):
     assert all(abs(vals[g] - n) < 25 for g, n in (("a", 7), ("b", 3)))
 
 
+def test_dp_counts_multicol_null_matches_duckdb_twin(spark):
+    """Round-4 ADVICE: the Spark seed key and the DuckDB twin must hash
+    identical bytes for multi-column groups and NULL group values, and
+    ('ab','c') vs ('a','bc') must get DIFFERENT noise (separator)."""
+    import duckdb
+    import pandas as pd
+
+    from dbt_incremental_ci_spark.operators.privacy import dp_group_counts_sql
+
+    rows = [
+        ("ab", "c"),
+        ("ab", "c"),
+        ("a", "bc"),
+        ("a", None),
+        (None, "bc"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    got = {
+        (r["g1"], r["g2"]): r["noised_n"]
+        for r in dp_group_counts(df, ["g1", "g2"], epsilon=1.0).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g1", "g2"]))
+    want = {
+        (g1, g2): n
+        for g1, g2, n in con.execute(
+            dp_group_counts_sql("t", ["g1", "g2"], epsilon=1.0)
+        ).fetchall()
+    }
+    assert got == want
+    # separator prevents ('ab','c') / ('a','bc') seed collision: their
+    # noised deltas from the exact counts must differ
+    assert got[("ab", "c")] - 2 != got[("a", "bc")] - 1
+
+
 # ------------------------------------------------------------- countmin
 def test_countmin_one_sided_error(spark):
     rows = [(f"k{i % 17}",) for i in range(500)] + [("hot",)] * 200
@@ -234,6 +271,20 @@ def test_cdc_latest_state_last_op_wins_and_deletes_drop(spark):
     assert got == {(1, "b"), (3, "y")}
     census = {r["k"]: (r["n_versions"], r["last_op"]) for r in cdc_op_census(log, ["k"], "seq", "op").collect()}
     assert census[2] == (2, "D") and census[1] == (2, "U")
+
+
+def test_cdc_null_op_is_kept_not_conflated_with_delete(spark):
+    """Round-4 ADVICE: a winning row with a NULL op is malformed input,
+    not a delete — `!= delete_op` would silently drop it."""
+    from dbt_incremental_ci_spark.operators.cdc import cdc_latest_state
+
+    log = spark.createDataFrame(
+        [(1, 10, 1, "U", "a"), (1, 20, 2, None, "b"), (2, 5, 3, "D", None)],
+        "k int, seq int, eid int, op string, payload string",
+    )
+    out = cdc_latest_state(log, ["k"], "seq", "op", tiebreak_col="eid")
+    got = {(r["k"], r["op"], r["payload"]) for r in out.collect()}
+    assert got == {(1, None, "b")}  # NULL-op winner survives; delete drops
 
 
 def test_cdc_tiebreak_on_equal_seq(spark):
@@ -404,6 +455,27 @@ def test_two_proportion_ztest_hand_computed(spark):
     assert r["z"] == round((0.3 - 0.5) / se, 6)
     assert r["significant"]  # |z| ~ 2.89 > 1.96
     assert r["lift"] == round(-0.2, 6)
+
+
+def test_two_proportion_ztest_custom_labels_and_missing_arm(spark):
+    """Round-4 ADVICE: variant labels are parameters; a missing arm
+    fails loudly instead of emitting NULL counts."""
+    import pytest as _pytest
+
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        two_proportion_ztest,
+    )
+
+    rows = [("ctl", True)] * 3 + [("ctl", False)] * 7
+    rows += [("trt", True)] * 5 + [("trt", False)] * 5
+    df = spark.createDataFrame(rows, "variant string, converted boolean")
+    r = two_proportion_ztest(
+        df, "variant", "converted", label_a="ctl", label_b="trt"
+    ).collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (10, 3, 10, 5)
+
+    with _pytest.raises(Exception, match="no rows for variant"):
+        two_proportion_ztest(df, "variant", "converted").collect()
 
 
 # ------------------------------------------------------- eval coverage

@@ -22,6 +22,21 @@ def main() -> None:
         for sect in ("queries", "queries_extra"):
             base[sf][sect].update(supp[sf].get(sect, {}))
         base[sf]["errors"].update(supp[sf].get("errors", {}))
+        # Keep error/timing state consistent (round-4 ADVICE): a query
+        # that SUCCEEDED in the remeasure must lose its stale base
+        # error, and one that ERRORED in the remeasure must lose its
+        # stale base timing — otherwise the merged artifact reports
+        # both a timing and an error for the same query.
+        supp_ok = {
+            n
+            for sect in ("queries", "queries_extra")
+            for n in supp[sf].get(sect, {})
+        }
+        for n in supp_ok:
+            base[sf]["errors"].pop(n, None)
+        for n in supp[sf].get("errors", {}):
+            for sect in ("queries", "queries_extra"):
+                base[sf][sect].pop(n, None)
         base[sf]["value"] = round(sum(base[sf]["queries"].values()), 3)
     qs = {**base["sf0.1"]["queries"], **base["sf0.1"]["queries_extra"]}
     qb = {**base["sf1"]["queries"], **base["sf1"]["queries_extra"]}
