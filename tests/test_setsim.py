@@ -115,6 +115,36 @@ def test_containment_vs_brute_force(spark):
     assert got == _brute_containment(small_rows, rows, 0.7)
 
 
+def test_containment_identical_sets_and_df_cap_exact(spark):
+    """Round-5: distinct-set reduction must still emit identical-set
+    pairs (containment exactly 1.0, rep_a == rep_b at set level), and
+    probe_df_cap must be EXACT at any value — the prefix theorem admits
+    any p-subset, so a cap only reorders probes, never drops pairs."""
+    rows = _random_corpus(n=40, seed=23)
+    # clone some docs so several signatures have multiple members
+    rows += [(200 + i, rows[i][1]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    small = df.filter("doc_id % 5 = 0")
+    small_rows = [r for r in rows if r[0] % 5 == 0]
+    want = _brute_containment(small_rows, rows, 0.7)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in setsim.containment_join(small, df, threshold=0.7).collect()
+    }
+    assert base == want
+    # clones of small-side docs must be found with containment 1.0
+    assert any(a % 5 == 0 and b >= 200 for a, b in base)
+    # any cap (tight, loose, all-capped) returns the identical pair set
+    for cap in (1, 5, 10_000, 0):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in setsim.containment_join(
+                small, df, threshold=0.7, probe_df_cap=cap
+            ).collect()
+        }
+        assert got == want, f"cap={cap} changed the result"
+
+
 def test_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
