@@ -31,6 +31,7 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
+    max_basket_items: int | None = 10_000,
 ) -> DataFrame:
     """Canonical item pairs (item_a < item_b) with
     ``(pair_count, support, conf_a_to_b, conf_b_to_a, lift)``.
@@ -38,10 +39,39 @@ def association_rules(
     support = pair baskets / total baskets; confidence a→b =
     pair baskets / baskets(a); lift = support / (supp(a)·supp(b)) —
     equivalently n·pair/(cnt_a·cnt_b). Rounded to 6.
+
+    ``max_basket_items`` makes the per-basket pair bound ENFORCEABLE
+    (round-4 verdict item 5): pair volume is Σ C(|basket|, 2), so one
+    degenerate 10⁶-item basket is 5·10¹¹ pairs — above the cap the
+    operator raises loudly at execution time (the EWMA max_len
+    precedent) instead of silently attempting a quadratic blow-up.
+    None disables the guard.
     """
     items = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
+    if max_basket_items is not None:
+        sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__bsz"))
+        items = (
+            items.join(sizes, "__b")
+            .where(
+                F.assert_true(
+                    F.col("__bsz") <= max_basket_items,
+                    F.concat(
+                        F.lit("association_rules: basket "),
+                        F.col("__b").cast("string"),
+                        F.lit(" has "),
+                        F.col("__bsz").cast("string"),
+                        F.lit(
+                            f" distinct items > max_basket_items="
+                            f"{max_basket_items}; raise the cap or "
+                            f"pre-filter degenerate baskets"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("__bsz")
+        )
     n_baskets = items.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )

@@ -868,6 +868,26 @@ def test_association_rules_hand_computed(spark):
     assert ("x", "z") not in out          # pair_count 1 < min
 
 
+def test_association_rules_mega_basket_raises_loudly(spark):
+    """Round-4 verdict item 5: pair volume is Σ C(|basket|,2) — a
+    degenerate basket above max_basket_items must fail loudly, not
+    silently attempt a quadratic blow-up; a raised cap (or None)
+    accepts it."""
+    import pytest as _pytest
+
+    from dbt_incremental_ci_spark.operators.association import (
+        association_rules,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    rows += [(9, f"item{i}") for i in range(50)]  # 50-item basket
+    df = spark.createDataFrame(rows, "b int, i string")
+    with _pytest.raises(Exception, match="max_basket_items"):
+        association_rules(df, "b", "i", max_basket_items=10).collect()
+    ok = association_rules(df, "b", "i", max_basket_items=50, min_pair_count=2)
+    assert {(r["item_a"], r["item_b"]) for r in ok.collect()} == {("x", "y")}
+
+
 def test_semdedup_arrow_assign_null_vector_propagates(spark):
     from dbt_incremental_ci_spark.operators import semdedup as sd
 
