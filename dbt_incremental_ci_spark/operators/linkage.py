@@ -60,6 +60,110 @@ def fs_score(
     return out.withColumn("fs_weight", F.round(total, 6))
 
 
+def linkage_em_fit(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    m_init: dict[str, float] | None = None,
+    u_init: dict[str, float] | None = None,
+    lam_init: float = 0.1,
+    n_iter: int = 20,
+    tol: float = 1e-6,
+    clip: float = 1e-6,
+) -> dict:
+    """Fit Fellegi-Sunter m/u (and the match proportion λ) by EM over
+    an already-blocked candidate pair frame with boolean agreement
+    columns — the unsupervised fit production linkers (Splink; Winkler
+    1988) use, so the linker is usable without hand-supplied priors
+    (round-4 verdict item 7).
+
+    Model: each pair is a mixture of "true match" (agreement on field
+    i ~ Bernoulli(m_i)) and "non-match" (~ Bernoulli(u_i)) with mixing
+    weight λ, fields conditionally independent (the standard FS
+    assumption).
+
+    E-step: P(match | γ) per pair, computed in log space as a pure
+    Column expression (the per-iteration parameters are compile-time
+    Python floats, so each pass is one codegen'd projection).
+    M-step: m_i = Σ w·γ_i / Σ w, u_i = Σ (1−w)·γ_i / Σ (1−w),
+    λ = Σ w / N — ONE hash aggregate per iteration collecting a single
+    2+2k-value row; the pair frame itself never reaches the driver.
+    Estimates are clipped to [clip, 1−clip] so log-weights stay finite.
+
+    Returns ``{"m": {...}, "u": {...}, "lam": float,
+    "iterations": int, "converged": bool}`` — feed ``m``/``u``
+    straight into :func:`fs_score`'s agreements dict.
+    """
+    m = {c: (m_init or {}).get(c, 0.9) for c in agree_cols}
+    u = {c: (u_init or {}).get(c, 0.1) for c in agree_cols}
+    lam = lam_init
+
+    def _clip(x: float) -> float:
+        return min(max(x, clip), 1.0 - clip)
+
+    # The pair frame is re-scanned once per iteration — truncate its
+    # (possibly expensive blocked-join) lineage once up front.
+    pairs = pairs.select(
+        *[F.col(c).cast("boolean").alias(c) for c in agree_cols]
+    ).localCheckpoint(eager=False)
+
+    converged = False
+    it = 0
+    for it in range(1, n_iter + 1):
+        log_num = F.lit(math.log(lam))
+        log_den = F.lit(math.log(1.0 - lam))
+        for c in agree_cols:
+            g = F.col(c)
+            log_num = log_num + F.when(
+                g, F.lit(math.log(m[c]))
+            ).otherwise(F.lit(math.log(1.0 - m[c])))
+            log_den = log_den + F.when(
+                g, F.lit(math.log(u[c]))
+            ).otherwise(F.lit(math.log(1.0 - u[c])))
+        # responsibility in log space: 1 / (1 + exp(den - num))
+        w = F.lit(1.0) / (F.lit(1.0) + F.exp(log_den - log_num))
+        aggs = [
+            F.sum(w).alias("__sw"),
+            F.count(F.lit(1)).alias("__n"),
+        ]
+        for c in agree_cols:
+            aggs.append(
+                F.sum(F.when(F.col(c), w).otherwise(0.0)).alias(f"__mw_{c}")
+            )
+            aggs.append(
+                F.sum(F.when(F.col(c), F.lit(1.0) - w).otherwise(0.0)).alias(
+                    f"__uw_{c}"
+                )
+            )
+        # driver-bound: single aggregate row of 2 + 2·len(agree_cols)
+        # doubles per iteration (EM parameter update is inherently a
+        # driver-side scalar recurrence)
+        row = pairs.agg(*aggs).collect()[0]
+        sw, n = float(row["__sw"]), float(row["__n"])
+        if n == 0:
+            raise ValueError("linkage_em_fit: empty pair frame")
+        new_m = {c: _clip(float(row[f"__mw_{c}"]) / sw) for c in agree_cols}
+        new_u = {
+            c: _clip(float(row[f"__uw_{c}"]) / (n - sw)) for c in agree_cols
+        }
+        new_lam = _clip(sw / n)
+        delta = max(
+            abs(new_lam - lam),
+            *(abs(new_m[c] - m[c]) for c in agree_cols),
+            *(abs(new_u[c] - u[c]) for c in agree_cols),
+        )
+        m, u, lam = new_m, new_u, new_lam
+        if delta < tol:
+            converged = True
+            break
+    return {
+        "m": m,
+        "u": u,
+        "lam": lam,
+        "iterations": it,
+        "converged": converged,
+    }
+
+
 def classify(
     scored: DataFrame,
     upper: float,

@@ -248,6 +248,39 @@ def test_json_typed_and_kv(spark):
     assert census["s"] == (1, 0)
 
 
+def test_linkage_em_fit_recovers_planted_parameters(spark):
+    """EM on a planted mixture: 300 true-match pairs (agree name 95%,
+    city 80%) among 2700 non-match pairs (agree name 5%, city 30%)
+    must recover m/u/λ near the planted values without priors."""
+    import random
+
+    from dbt_incremental_ci_spark.operators.linkage import linkage_em_fit
+
+    rnd = random.Random(42)
+    rows = []
+    for _ in range(300):  # matches
+        rows.append(
+            (rnd.random() < 0.95, rnd.random() < 0.90, rnd.random() < 0.80)
+        )
+    for _ in range(2700):  # non-matches
+        rows.append(
+            (rnd.random() < 0.02, rnd.random() < 0.05, rnd.random() < 0.30)
+        )
+    df = spark.createDataFrame(
+        rows, "agree_name boolean, agree_dob boolean, agree_city boolean"
+    )
+    cols = ["agree_name", "agree_dob", "agree_city"]
+    fit = linkage_em_fit(df, cols, lam_init=0.5, n_iter=200)
+    assert fit["converged"]
+    assert abs(fit["lam"] - 0.1) < 0.02
+    assert abs(fit["m"]["agree_name"] - 0.95) < 0.05
+    assert abs(fit["u"]["agree_name"] - 0.02) < 0.02
+    assert abs(fit["m"]["agree_dob"] - 0.90) < 0.05
+    assert abs(fit["u"]["agree_dob"] - 0.05) < 0.03
+    assert abs(fit["m"]["agree_city"] - 0.80) < 0.08
+    assert abs(fit["u"]["agree_city"] - 0.30) < 0.05
+
+
 # ------------------------------------------------------------------ cdc
 def test_cdc_latest_state_last_op_wins_and_deletes_drop(spark):
     from dbt_incremental_ci_spark.operators.cdc import (
