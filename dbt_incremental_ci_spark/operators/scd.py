@@ -35,6 +35,8 @@ def scd2_from_events(
     tracked_cols: list[str],
     ts_col: str,
     tiebreak_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Compact an event log into SCD2 validity intervals.
 
@@ -46,28 +48,108 @@ def scd2_from_events(
     Null-safe change detection (``eqNullSafe``) so NULL→value and
     value→NULL transitions are real changes, matching dbt's
     ``check`` strategy column comparison.
+
+    With ``op_col`` set, rows whose op equals ``delete_op`` are CDC
+    tombstones: a delete at t closes the open interval (valid_to = t)
+    and emits no row of its own; a later upsert re-opens the key.
+    Consecutive deletes collapse (no empty intervals). The delete
+    state participates in change detection explicitly, so a delete
+    followed by re-insert of the SAME values still opens a fresh
+    interval (the key was genuinely absent in between).
     """
     order = [F.col(ts_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(key_col).orderBy(*order)
 
-    changed = F.lit(False)
+    is_del = (
+        F.col(op_col).eqNullSafe(delete_op) if op_col else F.lit(False)
+    )
+    df = df.withColumn("__del", is_del)
+    changed = ~F.col("__del").eqNullSafe(F.lag("__del").over(w))
+    value_changed = F.lit(False)
     for c in tracked_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        value_changed = value_changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    changed = changed | (~F.col("__del") & value_changed)
     # first row per key: every lag is NULL -> eqNullSafe false unless
     # the column itself is NULL; force-open the first interval
     first = F.row_number().over(w) == 1
 
     opens = df.withColumn("__open", first | changed).filter(F.col("__open"))
     w2 = Window.partitionBy(key_col).orderBy(*order)
-    out = opens.select(
+    out = (
+        opens.select(
+            key_col,
+            *tracked_cols,
+            "__del",
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w2).alias("valid_to"),
+        )
+        # tombstone "intervals" only exist to close their predecessor
+        .filter(~F.col("__del"))
+        .drop("__del")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    return out
+
+
+def scd2_apply_log(
+    scd: DataFrame,
+    events: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply one CDC changelog batch to an existing SCD2 table,
+    replay-equivalently: streaming batches through this function yields
+    EXACTLY the table :func:`scd2_from_events` builds from the full
+    concatenated log (provided batches arrive in event-time order —
+    the property the streaming test asserts).
+
+    Mechanism: affected keys' OPEN rows are turned back into synthetic
+    events at their ``valid_from`` and re-compacted together with the
+    batch's events through :func:`scd2_from_events`; closed history
+    rows and untouched keys pass through untouched. Per-batch cost is
+    bounded by the batch's key set — one semi/anti join against the
+    current slice plus a window over (batch + one synthetic row per
+    affected key); the history is never re-sorted (the q156/SCD scale
+    contract).
+    """
+    keys = events.select(F.col(key_col)).distinct()
+    cur = scd.filter(F.col("is_current"))
+    affected_cur = cur.join(keys, key_col, "left_semi")
+    untouched = scd.filter(~F.col("is_current")).unionByName(
+        cur.join(keys, key_col, "left_anti")
+    )
+    synth = affected_cur.select(
         key_col,
         *tracked_cols,
-        F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
-    ).withColumn("is_current", F.col("valid_to").isNull())
-    return out
+        F.col("valid_from").alias(ts_col),
+    )
+    if op_col:
+        synth = synth.withColumn(
+            op_col, F.lit(None).cast(events.schema[op_col].dataType)
+        )
+    if tiebreak_col:
+        # synthetic rows sort before any real event at the same ts
+        synth = synth.withColumn(
+            tiebreak_col,
+            F.lit(None).cast(events.schema[tiebreak_col].dataType),
+        )
+    cols = [key_col, *tracked_cols, ts_col]
+    if op_col:
+        cols.append(op_col)
+    if tiebreak_col:
+        cols.append(tiebreak_col)
+    mini_log = synth.select(*cols).unionByName(events.select(*cols))
+    rebuilt = scd2_from_events(
+        mini_log, key_col, tracked_cols, ts_col, tiebreak_col, op_col, delete_op
+    )
+    out_cols = [key_col, *tracked_cols, "valid_from", "valid_to", "is_current"]
+    return untouched.select(*out_cols).unionByName(rebuilt.select(*out_cols))
 
 
 def scd2_merge_snapshot(

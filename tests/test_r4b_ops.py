@@ -96,6 +96,65 @@ def test_scd2_merge_snapshot_is_one_dbt_snapshot_run(spark):
     assert {tuple(r) for r in again.collect()} == got
 
 
+def test_scd2_from_events_cdc_deletes(spark):
+    """Delete tombstones close the open interval, emit no row, and a
+    re-insert of the SAME value after a delete opens a fresh interval."""
+    ev = spark.createDataFrame(
+        [
+            (1, "a", 10, 1, "U"),
+            (1, "a", 20, 2, "D"),   # closes [10,20), no tombstone row
+            (1, "a", 30, 3, "U"),   # same value, but key was absent
+            (2, "x", 5, 4, "U"),
+            (2, "x", 8, 5, "D"),
+            (2, "x", 9, 6, "D"),    # consecutive deletes collapse
+        ],
+        "k int, v string, ts int, eid int, op string",
+    )
+    out = scd2_from_events(ev, "k", ["v"], "ts", "eid", op_col="op")
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 10, 20, False),
+        (1, "a", 30, None, True),
+        (2, "x", 5, 8, False),
+    }
+
+
+def test_scd2_apply_log_split_equals_full_rebuild(spark):
+    """Replay equivalence: applying an event log in K in-order batches
+    via scd2_apply_log equals one scd2_from_events over the whole log
+    — the property the streaming ingest pipeline is built on."""
+    import random
+
+    from dbt_incremental_ci_spark.operators.scd import scd2_apply_log
+
+    rnd = random.Random(5)
+    log = []
+    for eid in range(240):
+        k = rnd.randint(1, 12)
+        op = "D" if rnd.random() < 0.2 else "U"
+        v = None if op == "D" else f"v{rnd.randint(1, 4)}"
+        log.append((k, v, eid * 10, eid, op))
+    schema = "k int, v string, ts int, eid int, op string"
+    full = scd2_from_events(
+        spark.createDataFrame(log, schema), "k", ["v"], "ts", "eid", op_col="op"
+    )
+    want = {tuple(r) for r in full.collect()}
+
+    from dbt_incremental_ci_spark.streaming.ingest import _empty_scd
+
+    events0 = spark.createDataFrame(log[:1], schema)
+    scd = _empty_scd(spark, events0, "k", ["v"], "ts")
+    for lo in range(0, 240, 80):  # three key-overlapping batches
+        batch = spark.createDataFrame(log[lo : lo + 80], schema)
+        scd = scd2_apply_log(
+            scd, batch, "k", ["v"], "ts", tiebreak_col="eid", op_col="op"
+        ).localCheckpoint()
+    assert {tuple(r) for r in scd.collect()} == want
+
+
 # -------------------------------------------------------------- privacy
 def test_k_anonymity_and_suppression(spark):
     df = spark.createDataFrame(

@@ -389,3 +389,94 @@ def test_stream_dedup_first_record_wins(spark, tmp_path):
     # batch twin: distinct-by-key row count matches
     batch = spark.read.parquet(src).dropDuplicates(["id"]).count()
     assert batch == 3
+
+
+def test_cdc_scd2_hll_stream_equals_batch_rebuild(spark, tmp_path):
+    """Round-4 verdict item 6: the composed CDC→SCD2→HLL foreachBatch
+    pipeline, streamed over two key-overlapping batches (with deletes
+    and a re-create), must produce exactly the SCD2 table a full-log
+    scd2_from_events rebuild gives and exactly the HLL registers of
+    the full key set."""
+    from dbt_incremental_ci_spark.operators.hll import (
+        hll_estimate,
+        hll_registers,
+    )
+    from dbt_incremental_ci_spark.operators.scd import scd2_from_events
+    from dbt_incremental_ci_spark.streaming.ingest import cdc_scd2_hll_stream
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "k long, v string, ts long, eid long, op string"
+    batch1 = [
+        (1, "a", 10, 1, "U"),
+        (2, "x", 11, 2, "U"),
+        (3, "p", 12, 3, "U"),
+        (1, "b", 20, 4, "U"),   # in-batch change
+        (2, None, 21, 5, "D"),  # in-batch delete
+    ]
+    batch2 = [
+        (1, "b", 30, 6, "U"),   # no-op (same value) -> no new interval
+        (2, "y", 31, 7, "U"),   # re-create after delete
+        (3, None, 32, 8, "D"),  # cross-batch delete
+        (4, "q", 33, 9, "U"),   # brand-new key
+    ]
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_cdc")
+    spark.sql("DROP TABLE IF EXISTS t_cdc.scd")
+    spark.sql("DROP TABLE IF EXISTS t_cdc.hll")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            cdc_scd2_hll_stream(
+                stream,
+                "t_cdc.scd",
+                "t_cdc.hll",
+                key_col="k",
+                tracked_cols=["v"],
+                ts_col="ts",
+                op_col="op",
+                tiebreak_col="eid",
+                hll_m=64,
+                checkpoint_dir=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    full_log = spark.createDataFrame(batch1 + batch2, schema)
+    want_scd = {
+        tuple(r)
+        for r in scd2_from_events(
+            full_log, "k", ["v"], "ts", "eid", op_col="op"
+        ).collect()
+    }
+    got_scd = {
+        tuple(r)
+        for r in spark.table("t_cdc.scd")
+        .select("k", "v", "valid_from", "valid_to", "is_current")
+        .collect()
+    }
+    assert got_scd == want_scd
+    # sanity on semantics: key 1 has ONE open interval from ts 20
+    assert (1, "b", 20, None, True) in got_scd
+
+    want_regs = {
+        (r["__b"], r["__m"])
+        for r in hll_registers(full_log, "k", m=64).collect()
+    }
+    got_regs = {
+        (r["__b"], r["__m"]) for r in spark.table("t_cdc.hll").collect()
+    }
+    assert got_regs == want_regs  # register-EXACT, not just close
+    est = hll_estimate(spark.table("t_cdc.hll"), m=64).collect()[0]
+    assert abs(est["estimate"] - 4) / 4 < 0.5  # 4 distinct keys ever seen
