@@ -28,23 +28,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Ordered by driver-verification need: the driver's CORRECTNESS
-    window records the first 50 entries. Rounds 2 and 3 drove
-    q01–q50 and q96–q145 green respectively, so round 4 leads with
-    what no driver window has recorded — the round-4 additions
-    (q146 and up), then q51–q95 — and the already-driver-green bands
-    trail. The committed CORRECTNESS_LOCAL_r04 artifact covers every
-    query regardless of the window."""
+    window records the first 50 entries. Driver-recorded so far:
+    q01–q50 (r02), q96–q145 (r03), q146–q184 + q51–q61 (r04). Round
+    5 leads with what no driver window has recorded — the round-5
+    additions (q185+), then q62–q95 — and the already-driver-green
+    bands trail. The committed CORRECTNESS_LOCAL_r05 artifact covers
+    every query regardless of the window."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    new_r4 = [(k, v) for k, v in items if num(k) >= 146]
-    mid = [(k, v) for k, v in items if 51 <= num(k) <= 95]
+    new_r5 = [(k, v) for k, v in items if num(k) >= 185]
+    never = [(k, v) for k, v in items if 62 <= num(k) <= 95]
+    r4band = [(k, v) for k, v in items if 146 <= num(k) <= 184]
     r3band = [(k, v) for k, v in items if 96 <= num(k) <= 145]
-    front = [(k, v) for k, v in items if num(k) <= 50]
-    return dict(new_r4 + mid + r3band + front)
+    front = [(k, v) for k, v in items if num(k) <= 61]
+    return dict(new_r5 + never + r4band + r3band + front)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -154,6 +154,80 @@ EXTRA_QUERIES = [
     "q182_session_metrics",
     "q183_cohort_retention",
     "q184_association_rules",
+    # Round-5 (verdict item 3): the previously never-timed band — §6o's
+    # own lesson is that quadratics hide exactly in the unbenched set.
+    # With these, bench + the sf1 gate span ALL 185 queries.
+    "q02_filter_project",
+    "q04_conditional_agg",
+    "q05_pivot_segments",
+    "q06_global_kpis",
+    "q07_having",
+    "q09_string_agg",
+    "q09b_string_agg_distinct",
+    "q11_monthly_trend",
+    "q13_percent_rank",
+    "q14_share_of_customer",
+    "q15_nation_revenue_share",
+    "q18_full_outer_nations",
+    "q19_orders_per_customer",
+    "q20_region_vs_global",
+    "q21_anti_join",
+    "q22_semi_join",
+    "q23_union_kpis",
+    "q25_incremental_watermark",
+    "q28_lang_id",
+    "q31_json_extract",
+    "q33_simhash_near_dups",
+    "q35_tumbling_windows",
+    "q37_multimodal_features",
+    "q38_ngram_jaccard",
+    "q39_rollup",
+    "q40_approx_distinct",
+    "q51_stratified_sample",
+    "q52_dedup_components",
+    "q53_window_family",
+    "q54_set_ops",
+    "q55_cube",
+    "q56_unpivot",
+    "q57_explode_tokens",
+    "q59_moving_avg",
+    "q60_date_functions",
+    "q61_string_functions",
+    "q63_histogram",
+    "q64_zscore_normalize",
+    "q66_partial_agg_merge",
+    "q67_array_functions",
+    "q69_heavy_hitters",
+    "q72_regression",
+    "q73_posexplode",
+    "q74_grouping_sets",
+    "q75_null_safety",
+    "q76_map_functions",
+    "q77_equidepth_bins",
+    "q78_weighted_sample",
+    "q80_cohort_retention",
+    "q81_argmax",
+    "q82_bool_aggs",
+    "q84_hash_functions",
+    "q85_numeric_functions",
+    "q86_star_join",
+    "q87_range_frames",
+    "q88_bigram_counts",
+    "q89_regex_functions",
+    "q90_date_format",
+    "q91_json_functions",
+    "q92_zorder_key",
+    "q93_frame_sampling",
+    "q94_pagination",
+    "q95_explode_outer",
+    # round-5 additions
+    "q185_hll_setops",
+    "q186_benford_audit",
+    "q187_woe_iv",
+    "q188_conformal_thresholds",
+    "q189_hll_cube",
+    "q190_ann_recall",
+    "q191_fd_discovery",
 ]
 
 

@@ -159,6 +159,176 @@ def hll_cardinality(
     )
 
 
+def hll_registers_by(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    m: int = 128,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-GROUP register frames: ``(*group_cols, __b, __m)`` — the
+    "sketch column" pattern. Each group carries <= m register rows, and
+    a coarser grouping (day → week → total) re-aggregates with
+    ``groupBy(coarser).max(__m)`` WITHOUT rescanning the rows — the
+    reaggregatable-measure idiom that makes distinct-count cubes
+    feasible at 100 TB (a true count_distinct is not reaggregatable;
+    register maxima are)."""
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    key = F.col(key_col)
+    bucket = _u32(key, salt + ":b") % m
+    ur = _u32(key, salt + ":r")
+    rank = F.when(ur == 0, F.lit(33)).otherwise(
+        F.lit(32) - F.floor(F.log2(ur)).cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("__b"), rank.alias("__r"))
+        .groupBy(*group_cols, "__b")
+        .agg(F.max("__r").alias("__m"))
+    )
+
+
+def hll_rollup(regs: DataFrame, coarser_cols: list[str]) -> DataFrame:
+    """Re-aggregate per-group registers to a coarser grouping (max per
+    bucket) — register-EXACT: identical to building the sketch at the
+    coarser grain directly."""
+    return regs.groupBy(*coarser_cols, "__b").agg(F.max("__m").alias("__m"))
+
+
+def hll_estimate_by(
+    regs: DataFrame, group_cols: list[str], m: int
+) -> DataFrame:
+    """Per-group HLL estimate from a :func:`hll_registers_by` frame:
+    ``(*group_cols, n_active, estimate)`` — one hash aggregate over
+    <= m rows per group."""
+    alpha = _alpha(m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.pow(F.lit(2.0), -F.col("__m"))).alias("__inv"),
+    )
+    raw = (F.lit(alpha * m * m)) / (
+        F.col("__inv") + (F.lit(m) - F.col("n_active"))
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("n_active") < m),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_active"))),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(est, 3).alias("estimate"),
+    )
+
+
+def hll_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    m: int = 128,
+    salt: str = "hll",
+) -> DataFrame:
+    """Sketch-only set-operation estimates for two keyed row sets:
+    one row ``(est_a, est_b, est_union, est_intersection,
+    jaccard_est)``. Union is register-exact (max per bucket);
+    intersection is inclusion-exclusion (est_a + est_b − est_union),
+    clamped at 0 — the standard HLL composition (a Theta sketch would
+    estimate intersections directly; inclusion-exclusion is the HLL
+    answer and is accurate when the overlap isn't tiny relative to the
+    union). All inputs reduce map-side to m registers before any
+    shuffle, so comparing two 10-TB row sets costs three O(m)
+    aggregates."""
+    ra = hll_registers(df_a, key_col, m, salt)
+    rb = hll_registers(df_b, key_col, m, salt)
+    ea = hll_estimate(ra, m).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, m).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(ra, rb), m).select(
+        F.col("estimate").alias("est_union")
+    )
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 3),
+        F.lit(0.0),
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersection"),
+            F.when(
+                F.col("est_union") > 0,
+                F.round(inter / F.col("est_union"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard_est"),
+        )
+    )
+
+
+def _hll_estimate_cte(regs_cte: str, m: int) -> str:
+    """DuckDB estimate expression over a ``(b, mr)`` register CTE."""
+    alpha = _alpha(m)
+    return f"""(
+      SELECT CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                       / (sum(pow(2.0, -mr)) + ({m} - count(*)))
+                       <= 2.5 * {m} AND count(*) < {m}
+                  THEN {float(m)!r} * ln({float(m)!r} / ({m} - count(*)))
+                  ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})
+                       / (sum(pow(2.0, -mr)) + ({m} - count(*)))
+             END
+      FROM {regs_cte}
+    )"""
+
+
+def hll_set_ops_sql(
+    from_a: str,
+    from_b: str,
+    key_expr: str,
+    m: int = 128,
+    salt: str = "hll",
+) -> str:
+    """DuckDB twin of :func:`hll_set_ops`. ``from_a``/``from_b`` are
+    ``FROM ...`` fragments; ``key_expr`` applies to both."""
+    ub = _u32_sql("k", salt + ":b")
+    ur = _u32_sql("k", salt + ":r")
+    hashed = (
+        f"SELECT ({ub}) % {m} AS b, "
+        f"CASE WHEN ({ur}) = 0 THEN 33 "
+        f"ELSE 32 - CAST(floor(log2({ur})) AS INT) END AS r"
+    )
+    ea = _hll_estimate_cte("regs_a", m)
+    eb = _hll_estimate_cte("regs_b", m)
+    eu = _hll_estimate_cte("regs_u", m)
+    return f"""
+    WITH rows_a AS (SELECT {key_expr} AS k {from_a}),
+    rows_b AS (SELECT {key_expr} AS k {from_b}),
+    ha AS ({hashed} FROM rows_a),
+    hb AS ({hashed} FROM rows_b),
+    regs_a AS (SELECT b, max(r) AS mr FROM ha GROUP BY b),
+    regs_b AS (SELECT b, max(r) AS mr FROM hb GROUP BY b),
+    regs_u AS (
+      SELECT b, max(mr) AS mr
+      FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+      GROUP BY b
+    ),
+    est AS (
+      SELECT ROUND({ea}, 3) AS est_a,
+             ROUND({eb}, 3) AS est_b,
+             ROUND({eu}, 3) AS est_union
+    )
+    SELECT est_a, est_b, est_union,
+           GREATEST(ROUND(est_a + est_b - est_union, 3), 0.0)
+             AS est_intersection,
+           CASE WHEN est_union > 0
+                THEN ROUND(GREATEST(ROUND(est_a + est_b - est_union, 3),
+                                    0.0) / est_union, 6)
+                ELSE 0.0 END AS jaccard_est
+    FROM est
+    """
+
+
 def hll_cardinality_sql(
     from_clause: str,
     key_expr: str,

@@ -162,3 +162,59 @@ def equi_width_histogram(
         ).alias("hi"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+def fd_check(
+    df: DataFrame,
+    candidates: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate pair
+    (determinant → dependent), does every determinant value map to at
+    most one dependent value? Output one row per candidate:
+    ``(determinant, dependent, n_keys, violating_keys, fd_holds)``.
+
+    The schema-discovery primitive profilers (Metanome/HyFD family —
+    Papenbrock et al., VLDB 2015) run at scale: each candidate is ONE
+    two-phase aggregate — groupBy(determinant).count_distinct(dependent)
+    reduced to a single row — so shuffled bytes scale with determinant
+    cardinality, and the union across candidates is len(candidates)
+    independent single-row frames (the expectations.py shape). NULL
+    dependents count as a value via the count_distinct-over-coalesce
+    convention being avoided: count_distinct skips NULLs on both
+    engines, so a key mapping to {NULL, 'x'} has one distinct
+    dependent — document-compatible with SQL COUNT(DISTINCT).
+    """
+    outs = []
+    for det, dep in candidates:
+        per = df.groupBy(det).agg(
+            F.count_distinct(F.col(dep)).alias("__nd")
+        )
+        outs.append(
+            per.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("violating_keys"),
+            ).withColumn("fd_holds", F.col("violating_keys") == 0)
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def fd_check_sql(table: str, candidates: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`fd_check`."""
+    parts = []
+    for det, dep in candidates:
+        parts.append(f"""
+        SELECT '{det}' AS determinant, '{dep}' AS dependent,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violating_keys,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+        FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+              FROM {table} GROUP BY {det})""")
+    return " UNION ALL ".join(parts)

@@ -1,0 +1,338 @@
+"""q185+: round-5 additions — sketch set operations and
+reaggregatable sketch columns (HLL), Benford first-digit audit,
+WOE/IV feature binning, split-conformal calibration thresholds.
+
+Split-module registration contract: see ``workload`` (the hub) and
+``workload_base`` (registries + determinism rules).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.workload_base import (
+    _LAZY_ORACLES,
+    ORACLES,
+    QUERIES,
+    d,
+    dec,
+    events_table,
+    get_oracles,
+    q,
+    t,
+)
+
+
+# =====================================================================
+# HLL set operations (q185): sketch-only |A|, |B|, |A∪B|, |A∩B| and
+# Jaccard between two keyed row sets — union is register-exact,
+# intersection by inclusion-exclusion. The "how much do these two
+# 10 TB corpora overlap" monitor at O(m) post-map cost.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.hll import (  # noqa: E402
+    hll_set_ops,
+    hll_set_ops_sql,
+)
+
+
+@q(
+    "q185_hll_setops",
+    hll_set_ops_sql(
+        "FROM orders WHERE year(o_orderdate) = 1996",
+        "FROM orders WHERE year(o_orderdate) = 1997",
+        "o_custkey",
+        m=128,
+        salt="setops",
+    ),
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1996)
+    b = orders.filter(F.year("o_orderdate") == 1997)
+    return hll_set_ops(a, b, "o_custkey", m=128, salt="setops")
+
+
+# =====================================================================
+# Benford first-digit audit (q186): leading-digit distribution of
+# l_extendedprice vs Benford's law with per-digit chi-square terms —
+# the forensic/data-quality screen for fabricated or truncated
+# measure columns.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.benford import (  # noqa: E402
+    benford_first_digit,
+    benford_first_digit_sql,
+)
+
+
+@q(
+    "q186_benford_audit",
+    benford_first_digit_sql("lineitem", "l_extendedprice"),
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_first_digit(t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# =====================================================================
+# WOE / information value (q187): account-balance bins of customers
+# scored against the "frequent buyer" label (>5 orders) — the
+# feature-ranking pass a training pipeline runs before fitting.
+# Counts are one key-join + two hash aggregates; WOE/IV are pure
+# column math over #bins rows.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.woe import (  # noqa: E402
+    woe_iv,
+    woe_iv_sql,
+)
+
+_WOE_LABELED = """(
+      SELECT CAST(floor(c.c_acctbal / 2000.0) AS INT) AS bin,
+             COALESCE(o.cnt, 0) > 5 AS label
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+      ) o ON c.c_custkey = o.o_custkey
+    )"""
+_WOE_ORACLE = woe_iv_sql(_WOE_LABELED, "bin", "label")
+
+
+@q("q187_woe_iv", _WOE_ORACLE)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cnts = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    labeled = cust.join(
+        cnts, cust["c_custkey"] == cnts["o_custkey"], "left"
+    ).select(
+        F.floor(F.col("c_acctbal") / 2000.0).cast("int").alias("bin"),
+        (F.coalesce(F.col("cnt"), F.lit(0)) > 5).alias("label"),
+    )
+    return woe_iv(labeled, "bin", "label")
+
+
+# =====================================================================
+# Split-conformal thresholds (q188): per-returnflag (1−α) conformal
+# quantile of discount scores over a FIXED calibration slice
+# (l_orderkey < 1000 — calibration sets do not grow with the corpus;
+# the q155/q175 fixed-bound rule). k = ceil((1−α)(n+1)) exact.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.conformal import (  # noqa: E402
+    conformal_thresholds,
+    conformal_thresholds_sql,
+)
+
+_CONF_ORACLE = conformal_thresholds_sql(
+    "(SELECT * FROM lineitem WHERE l_orderkey < 1000)",
+    "l_returnflag",
+    "l_discount",
+    "l_orderkey * 8 + l_linenumber",
+    alpha=0.1,
+)
+
+
+@q("q188_conformal_thresholds", _CONF_ORACLE)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    cal = cal.withColumn(
+        "__id", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    return conformal_thresholds(
+        cal, "l_returnflag", "l_discount", "__id", alpha=0.1
+    )
+
+
+# =====================================================================
+# Reaggregatable sketch columns (q189): per-month HLL registers of
+# active customers, rolled up to the year by register max — the
+# distinct-count cube pattern (a true count_distinct is not
+# reaggregatable; register maxima are, register-EXACTLY). Output:
+# month rows + the year row, estimates from the same registers.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.hll import (  # noqa: E402
+    _alpha,
+    _u32_sql,
+    hll_estimate_by,
+    hll_registers_by,
+    hll_rollup,
+)
+
+
+def _q189_oracle(m: int = 64, salt: str = "cube") -> str:
+    ub = _u32_sql("k", salt + ":b")
+    ur = _u32_sql("k", salt + ":r")
+    alpha = _alpha(m)
+    est = (
+        f"CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})"
+        f" / (sum(pow(2.0, -mr)) + ({m} - count(*)))"
+        f" <= 2.5 * {m} AND count(*) < {m}"
+        f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - count(*)))"
+        f" ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})"
+        f" / (sum(pow(2.0, -mr)) + ({m} - count(*))) END"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT CAST(month(o_orderdate) AS INT) AS mo,
+             ({ub}) % {m} AS b,
+             CASE WHEN ({ur}) = 0 THEN 33
+                  ELSE 32 - CAST(floor(log2({ur})) AS INT) END AS r
+      FROM (SELECT o_custkey AS k, o_orderdate
+            FROM orders WHERE year(o_orderdate) = 1996)
+    ),
+    regs_mo AS (SELECT mo, b, max(r) AS mr FROM hashed GROUP BY mo, b),
+    regs_yr AS (SELECT b, max(mr) AS mr FROM regs_mo GROUP BY b),
+    months AS (
+      SELECT 'month' AS level, mo AS key,
+             CAST(count(*) AS BIGINT) AS n_active,
+             ROUND({est}, 3) AS estimate
+      FROM regs_mo GROUP BY mo
+    ),
+    yr AS (
+      SELECT 'year' AS level, 0 AS key,
+             CAST(count(*) AS BIGINT) AS n_active,
+             ROUND({est}, 3) AS estimate
+      FROM regs_yr
+    )
+    SELECT * FROM months UNION ALL SELECT * FROM yr
+    """
+
+
+@q("q189_hll_cube", _q189_oracle())
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    base = orders.select(
+        F.month("o_orderdate").cast("int").alias("mo"), "o_custkey"
+    )
+    regs_mo = hll_registers_by(base, "o_custkey", ["mo"], m=64, salt="cube")
+    # rollup is register-exact: identical to sketching the year directly
+    regs_mo = regs_mo.localCheckpoint(eager=False)  # feeds both levels
+    regs_yr = hll_rollup(regs_mo, [])
+    months = hll_estimate_by(regs_mo, ["mo"], m=64).select(
+        F.lit("month").alias("level"),
+        F.col("mo").cast("int").alias("key"),
+        "n_active",
+        "estimate",
+    )
+    yr = hll_estimate_by(regs_yr, [], m=64).select(
+        F.lit("year").alias("level"),
+        F.lit(0).cast("int").alias("key"),
+        "n_active",
+        "estimate",
+    )
+    return months.unionByName(yr)
+
+
+# =====================================================================
+# ANN recall@k evaluation (q190): the index-quality monitor — recall
+# of the LSH top-k (q34 pipeline) against the exact brute-force top-k
+# (q29 baseline) for the fixed 10-query probe set. Both sides rank on
+# (rounded cosine DESC, neighbor_id), so the comparison is
+# deterministic; output is one row per probe query. At 100 TB the
+# probe set stays FIXED-size (an eval set does not grow with the
+# corpus — the q155 rule), so the brute-force side is bounded:
+# |probes| linear scans, each a broadcast-join map pass.
+# =====================================================================
+from dbt_incremental_ci_spark.operators import similarity  # noqa: E402
+
+
+def _q190_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.similarity import _hyperplane
+
+    def arr(plane: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in plane) + "]"
+
+    def bucket(col: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], {arr(_hyperplane(64, p, 42))})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    cos = (
+        "ROUND(list_dot_product(q.qv, c.cv)"
+        " / NULLIF(sqrt(list_dot_product(q.qv, q.qv))"
+        "          * sqrt(list_dot_product(c.cv, c.cv)), 0), 6)"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                      {bucket('embedding')} AS bkt
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 {bucket('embedding')} AS qbkt
+          FROM embeddings WHERE vec_id < 10),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rnk
+        FROM q JOIN c ON c.neighbor_id <> q.query_id
+      ) WHERE rnk <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rnk
+        FROM q JOIN c ON c.bkt = q.qbkt AND c.neighbor_id <> q.query_id
+      ) WHERE rnk <= 5
+    )
+    SELECT b.query_id,
+           CAST(5 AS INT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           ROUND(count(a.neighbor_id) / 5.0, 6) AS recall_at_k
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@q("q190_ann_recall", _q190_oracle())
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(emb, probes, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__bn")
+    )
+    approx = similarity.lsh_topk(emb, probes, k=5, dim=64, n_planes=6).select(
+        "query_id", F.col("neighbor_id").alias("__an")
+    )
+    joined = brute.join(
+        approx,
+        (brute["query_id"] == approx["query_id"])
+        & (brute["__bn"] == approx["__an"]),
+        "left",
+    ).select(brute["query_id"], approx["__an"])
+    return joined.groupBy("query_id").agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count("__an").cast("bigint").alias("hits"),
+        F.round(F.count("__an") / F.lit(5.0), 6).alias("recall_at_k"),
+    )
+
+
+# =====================================================================
+# Functional-dependency audit (q191): schema-discovery profiling over
+# candidate determinant→dependent pairs — each candidate one
+# two-phase aggregate reduced to a single row (union across
+# candidates, the expectations.py shape).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.profiling import (  # noqa: E402
+    fd_check,
+    fd_check_sql,
+)
+
+_FD_CANDS = [
+    ("o_orderkey", "o_custkey"),       # PK -> attribute: holds
+    ("o_custkey", "o_orderpriority"),  # many orders per cust: fails
+    ("o_custkey", "o_orderstatus"),    # fails
+]
+
+
+@q("q191_fd_discovery", fd_check_sql("orders", _FD_CANDS))
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fd_check(t(spark, sf_dir, "orders"), _FD_CANDS)

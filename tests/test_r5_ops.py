@@ -1,0 +1,162 @@
+"""Round-5 operators: HLL set ops / sketch-column rollup, Benford
+audit, WOE/IV binning, conformal thresholds."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ hll cube
+def test_hll_rollup_is_register_exact(spark):
+    """Rolling month registers up to the year must equal sketching the
+    year directly — the reaggregatable-measure contract."""
+    from dbt_incremental_ci_spark.operators.hll import (
+        hll_registers,
+        hll_registers_by,
+        hll_rollup,
+    )
+
+    rows = [(i % 12 + 1, f"u{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(rows, "mo int, uid string")
+    by_mo = hll_registers_by(df, "uid", ["mo"], m=32, salt="t")
+    rolled = {
+        (r["__b"], r["__m"]) for r in hll_rollup(by_mo, []).collect()
+    }
+    direct = {
+        (r["__b"], r["__m"])
+        for r in hll_registers(df, "uid", m=32, salt="t").collect()
+    }
+    assert rolled == direct
+
+
+def test_hll_set_ops_inclusion_exclusion(spark):
+    from dbt_incremental_ci_spark.operators.hll import hll_set_ops
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(300)], "k string")
+    b = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200, 500)], "k string"
+    )
+    r = hll_set_ops(a, b, "k", m=128).collect()[0]
+    # |A|=|B|=300, |A∪B|=500, |A∩B|=100 — sketch estimates within ~15%
+    assert abs(r["est_a"] - 300) / 300 < 0.15
+    assert abs(r["est_union"] - 500) / 500 < 0.15
+    assert r["est_intersection"] >= 0
+    assert abs(r["est_intersection"] - 100) < 100 * 0.8  # I-E noise adds up
+    assert r["est_intersection"] == round(
+        max(r["est_a"] + r["est_b"] - r["est_union"], 0.0), 3
+    )
+
+
+# ------------------------------------------------------------- benford
+def test_benford_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.benford import (
+        benford_first_digit,
+        benford_summary,
+    )
+
+    # values engineered to known digits: 1,1,2,9,0.5(->5),-30(->3),0,None
+    df = spark.createDataFrame(
+        [(1.0,), (150.0,), (2e6,), (9.99,), (0.5,), (-30.0,), (0.0,), (None,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))  # spine fills absent digits
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 1 and rows[9]["n"] == 1
+    assert rows[5]["n"] == 1 and rows[3]["n"] == 1  # 0.5 -> 5, |-30| -> 3
+    assert rows[4]["n"] == 0
+    assert rows[1]["expected_p"] == round(math.log10(2), 6)
+    # 0 and NULL excluded -> total 6
+    summ = benford_summary(benford_first_digit(df, "v")).collect()[0]
+    assert summ["n_total"] == 6
+    assert summ["chi_square"] > 0
+
+
+def test_benford_conforming_sample_conforms(spark):
+    """A sample actually drawn from Benford (2^k leading digits follow
+    Benford closely) must pass the chi-square gate."""
+    from dbt_incremental_ci_spark.operators.benford import (
+        benford_first_digit,
+        benford_summary,
+    )
+
+    vals = [(float(str(2**k)[0]),) for k in range(1, 1000)]
+    df = spark.createDataFrame(vals, "v double")
+    s = benford_summary(benford_first_digit(df, "v")).collect()[0]
+    assert s["conforms"], s["chi_square"]
+
+
+# -------------------------------------------------------------- woe/iv
+def test_woe_iv_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.woe import woe_iv
+
+    # bin A: 8 events / 2 non; bin B: 2 events / 8 non
+    rows = [("A", True)] * 8 + [("A", False)] * 2
+    rows += [("B", True)] * 2 + [("B", False)] * 8
+    df = spark.createDataFrame(rows, "b string, y boolean")
+    out = {r["bin"]: r for r in woe_iv(df, "b", "y").collect()}
+    te, tn, k, s = 10, 10, 2, 0.5
+    pg_a, pb_a = (8 + s) / (te + k * s), (2 + s) / (tn + k * s)
+    assert out["A"]["woe"] == round(math.log(pg_a / pb_a), 6)
+    assert out["A"]["iv_term"] == round((pg_a - pb_a) * math.log(pg_a / pb_a), 6)
+    assert out["A"]["woe"] == -out["B"]["woe"]  # symmetric design
+    assert out["A"]["n"] == 10 and out["A"]["events"] == 8
+
+
+def test_woe_pure_bin_stays_finite(spark):
+    from dbt_incremental_ci_spark.operators.woe import woe_iv
+
+    rows = [("pure", True)] * 5 + [("mixed", True)] * 2 + [("mixed", False)] * 3
+    df = spark.createDataFrame(rows, "b string, y boolean")
+    out = {r["bin"]: r for r in woe_iv(df, "b", "y").collect()}
+    assert out["pure"]["woe"] is not None
+    assert math.isfinite(out["pure"]["woe"])  # smoothing handles 0 cells
+
+
+# ----------------------------------------------------------- conformal
+def test_conformal_threshold_exact_k(spark):
+    from dbt_incremental_ci_spark.operators.conformal import (
+        conformal_thresholds,
+    )
+
+    # group g: scores 1..9 -> n=9, k=ceil(0.9*10)=9 -> threshold 9
+    # group h: scores 1..3 -> n=3, k=ceil(0.9*4)=4 > 3 -> not covered
+    rows = [("g", float(i), i) for i in range(1, 10)]
+    rows += [("h", float(i), 100 + i) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "grp string, s double, id int")
+    out = {r["grp"]: r for r in conformal_thresholds(df, "grp", "s", "id", alpha=0.1).collect()}
+    assert (out["g"]["n"], out["g"]["k"], out["g"]["threshold"], out["g"]["covered"]) == (9, 9, 9.0, True)
+    assert out["h"]["covered"] is False and out["h"]["threshold"] is None
+
+    with pytest.raises(ValueError):
+        conformal_thresholds(df, "grp", "s", "id", alpha=1.5)
+
+
+def test_conformal_tie_break_deterministic(spark):
+    from dbt_incremental_ci_spark.operators.conformal import (
+        conformal_thresholds,
+    )
+
+    rows = [("g", 1.0, i) for i in range(10)] + [("g", 2.0, 100)]
+    df = spark.createDataFrame(rows, "grp string, s double, id int")
+    # n=11, k=ceil(0.9*12)=11 -> the largest score
+    r = conformal_thresholds(df, "grp", "s", "id", alpha=0.1).collect()[0]
+    assert (r["k"], r["threshold"]) == (11, 2.0)
+
+
+# ------------------------------------------------------------------ fd
+def test_fd_check_holds_and_violations(spark):
+    from dbt_incremental_ci_spark.operators.profiling import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (3, "b", "z")],
+        "k int, a string, b string",
+    )
+    out = {
+        (r["determinant"], r["dependent"]): r
+        for r in fd_check(df, [("k", "a"), ("k", "b"), ("a", "b")]).collect()
+    }
+    assert out[("k", "a")]["fd_holds"] is True
+    r = out[("k", "b")]
+    assert (r["fd_holds"], r["violating_keys"], r["n_keys"]) == (False, 1, 3)
+    assert out[("a", "b")]["fd_holds"] is False  # a='b' -> {y,z}
