@@ -25,6 +25,12 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q128_containment_join": "optimizer-injected runtime bloom_filter_agg merges (bounded sketch state, 1MB/8MB caps) on the set-reduction rep keys — not data-sized",
+    "q185_hll_setops": "three 1-row HLL estimate reduces over <=m register rows each, hll.py",
+    "q186_benford_audit": "digit-total reduce: 1 row over a 9-row frame, benford.py",
+    "q187_woe_iv": "class-total reduce: 1 row over #bins rows, woe.py",
+    "q189_hll_cube": "year-level rollup groupBy([]): <=m register rows into one group, hll.py",
+    "q191_fd_discovery": "per-candidate single-row verdict reduces (3 candidates), profiling.fd_check",
     "q42_sequence_packing": "global_cumsum offsets: one row per range bucket (O(partitions)), packing.py",
     "q118_dsir_selection": "two-phase rank: per-bucket boundary rows only (O(partitions)), dsir.py:150",
     "q130_weighted_sample": "WOR final rank runs after limit(n) — frame is n rows, sampling.py:327+",
