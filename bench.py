@@ -228,6 +228,10 @@ EXTRA_QUERIES = [
     "q189_hll_cube",
     "q190_ann_recall",
     "q191_fd_discovery",
+    "q192_position_attribution",
+    "q193_time_decay_attribution",
+    "q194_histogram_quantiles",
+    "q195_readability",
 ]
 
 

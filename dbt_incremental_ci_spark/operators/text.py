@@ -492,3 +492,36 @@ def char_stats(
             "top_char_frac"
         ),
     )
+
+
+def readability_counts(text: Column | str) -> dict[str, Column]:
+    """Flesch reading-ease ingredients (Flesch 1948; the readability
+    screen text-quality pipelines run next to gopher_quality): word
+    count (letter runs), sentence count (terminator runs, >= 1), and
+    the vowel-group syllable heuristic (a cluster of [aeiouy] ~ one
+    syllable — the standard regex approximation; hyphenation-accurate
+    counting needs a dictionary). All three are single regexp_count
+    expressions — map-only, codegen, and regex-dialect-portable (the
+    classes used mean the same in Java regex and RE2, so the DuckDB
+    twin counts identical spans)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "words": F.regexp_count(t, F.lit("[A-Za-z]+")),
+        "sentences": F.greatest(
+            F.lit(1), F.regexp_count(t, F.lit("[.!?]+"))
+        ),
+        "syllables": F.regexp_count(F.lower(t), F.lit("[aeiouy]+")),
+    }
+
+
+def flesch_reading_ease(text: Column | str) -> Column:
+    """206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    rounded 3; NULL for wordless text."""
+    c = readability_counts(text)
+    words = c["words"].cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / c["sentences"].cast("double"))
+        - F.lit(84.6) * (c["syllables"].cast("double") / words)
+    )
+    return F.when(c["words"] > 0, F.round(score, 3))

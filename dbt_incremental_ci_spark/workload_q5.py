@@ -336,3 +336,212 @@ _FD_CANDS = [
 @q("q191_fd_discovery", fd_check_sql("orders", _FD_CANDS))
 def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_check(t(spark, sf_dir, "orders"), _FD_CANDS)
+
+
+# =====================================================================
+# Attribution model variants (q192 position-based, q193 time-decay):
+# the other two production attribution models on q178's pair frame —
+# same user-keyed join bound, same integer micro-unit exactness
+# (position shares are percent integer divisions; decay weights are
+# quantized to micro-weights BEFORE normalization so every sum is an
+# associative bigint sum).
+# =====================================================================
+_ATTR_PAIRS_CTE = """
+    WITH conv AS (
+      SELECT user_id, epoch_ns(ts) AS cts, event_id,
+             CAST(CAST(ROUND(value, 6) AS DECIMAL(18,6)) * 1000000
+                  AS BIGINT) AS vm,
+             CAST(user_id AS VARCHAR) || ':' || CAST(epoch_ns(ts) AS VARCHAR)
+               || ':' || CAST(event_id AS VARCHAR) AS cid
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    tch AS (
+      SELECT user_id, epoch_ns(ts) AS tts, event_type AS ch
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    pairs AS (
+      SELECT c.cid, c.vm, c.cts, t.tts, t.ch
+      FROM conv c JOIN tch t ON t.user_id = c.user_id
+      WHERE t.tts < c.cts AND t.tts >= c.cts - 21600000000000
+    )
+"""
+
+_ATTR_ROLLUP = """
+    SELECT ch AS channel,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(count(DISTINCT cid) AS BIGINT) AS conversions,
+           CAST(sum(share) AS BIGINT) AS attributed_micro,
+           ROUND(sum(share) / 1000000.0, 6) AS attributed
+    FROM shared
+    GROUP BY ch
+"""
+
+
+def _events_conv_touch(spark: SparkSession, sf_dir: str):
+    ev = events_table(spark, sf_dir)
+    conv = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select("user_id", "ts", "event_id", "value")
+    tch = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select("user_id", "ts", F.col("event_type").alias("channel"))
+    return conv, tch
+
+
+@q(
+    "q192_position_attribution",
+    _ATTR_PAIRS_CTE
+    + """,
+    ranked AS (
+      SELECT p.*,
+             row_number() OVER (PARTITION BY cid ORDER BY tts, ch) AS pos,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM pairs p
+    ),
+    shared AS (
+      SELECT ch, cid,
+             CASE WHEN n = 1 THEN vm
+                  WHEN n = 2 THEN (vm * 50) // 100
+                  WHEN pos = 1 OR pos = n THEN (vm * 40) // 100
+                  ELSE ((vm * 20) // 100) // (n - 2)
+             END AS share
+      FROM ranked
+    )
+"""
+    + _ATTR_ROLLUP,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    conv, tch = _events_conv_touch(spark, sf_dir)
+    return position_attribution(
+        conv, tch,
+        user_col="user_id", ts_col="ts", value_col="value",
+        channel_col="channel", lookback=21_600_000_000_000,
+        id_col="event_id",
+    )
+
+
+@q(
+    "q193_time_decay_attribution",
+    _ATTR_PAIRS_CTE
+    + """,
+    weighted AS (
+      SELECT p.*,
+             CAST(CAST(ROUND(pow(2.0, -(CAST(cts - tts AS DOUBLE)
+                                        / 3600000000000.0)), 6)
+                       AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS wm
+      FROM pairs p
+    ),
+    per_conv AS (SELECT cid, sum(wm) AS wsum FROM weighted GROUP BY cid),
+    shared AS (
+      SELECT w.ch, w.cid, (w.vm * w.wm) // pc.wsum AS share
+      FROM weighted w JOIN per_conv pc USING (cid)
+    )
+"""
+    + _ATTR_ROLLUP,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    conv, tch = _events_conv_touch(spark, sf_dir)
+    return time_decay_attribution(
+        conv, tch,
+        user_col="user_id", ts_col="ts", value_col="value",
+        channel_col="channel", lookback=21_600_000_000_000,
+        half_life=3_600_000_000_000,
+        id_col="event_id",
+    )
+
+
+# =====================================================================
+# Mergeable histogram-sketch quantiles (q194): fixed-range equi-width
+# bin counts as reaggregatable quantile state (the Prometheus /
+# HDR-histogram idiom) — two date-shard sketches merge cell-wise and
+# the quantiles come from one O(bins) cumulative pass. The oracle
+# sketches the WHOLE table directly, so the value match proves the
+# shard merge is state-exact (the q174 HLL proof pattern, for
+# quantiles).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.histsketch import (  # noqa: E402
+    histogram_merge,
+    histogram_quantiles,
+    histogram_quantiles_sql,
+    histogram_sketch,
+    histogram_sketch_sql,
+)
+
+_HS_LO, _HS_HI, _HS_BINS = 0.0, 110_000.0, 512
+_HS_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def _q194_oracle() -> str:
+    sketch = histogram_sketch_sql(
+        "lineitem", "l_extendedprice", _HS_LO, _HS_HI, _HS_BINS
+    )
+    return (
+        f"WITH sk AS ({sketch}),\n"
+        + histogram_quantiles_sql("sk", _HS_LO, _HS_HI, _HS_BINS, _HS_QS)
+    )
+
+
+@q("q194_histogram_quantiles", _q194_oracle())
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    early = li.filter(F.year("l_shipdate") < 1998)
+    late = li.filter(F.year("l_shipdate") >= 1998)
+    merged = histogram_merge(
+        histogram_sketch(early, "l_extendedprice", _HS_LO, _HS_HI, _HS_BINS),
+        histogram_sketch(late, "l_extendedprice", _HS_LO, _HS_HI, _HS_BINS),
+    )
+    return histogram_quantiles(merged, _HS_LO, _HS_HI, _HS_BINS, _HS_QS)
+
+
+# =====================================================================
+# Flesch readability (q195): reading-ease scores per document — word /
+# sentence / vowel-group-syllable counts as three map-only
+# regexp_count expressions (regex classes chosen to mean the same in
+# Java regex and RE2, so DuckDB counts identical spans).
+# =====================================================================
+@q(
+    "q195_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS words,
+           CAST(sentences AS BIGINT) AS sentences,
+           CAST(syllables AS BIGINT) AS syllables,
+           CASE WHEN words > 0
+                THEN ROUND(206.835
+                           - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                           - 84.6 * (CAST(syllables AS DOUBLE) / words), 3)
+           END AS flesch
+    FROM c
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.text import (
+        flesch_reading_ease,
+        readability_counts,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    c = readability_counts("text")
+    return docs.select(
+        "doc_id",
+        c["words"].cast("bigint").alias("words"),
+        c["sentences"].cast("bigint").alias("sentences"),
+        c["syllables"].cast("bigint").alias("syllables"),
+        flesch_reading_ease("text").alias("flesch"),
+    )

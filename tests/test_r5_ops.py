@@ -160,3 +160,138 @@ def test_fd_check_holds_and_violations(spark):
     r = out[("k", "b")]
     assert (r["fd_holds"], r["violating_keys"], r["n_keys"]) == (False, 1, 3)
     assert out[("a", "b")]["fd_holds"] is False  # a='b' -> {y,z}
+
+
+# --------------------------------------------------------- attribution
+def test_position_attribution_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    conv = spark.createDataFrame(
+        [(1, 100, 1, 10.0)], "u int, ts long, eid int, v double"
+    )
+    tch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (1, 40, "d")],
+        "u int, ts long, ch string",
+    )
+    out = {
+        r["ch"]: r["attributed_micro"]
+        for r in position_attribution(
+            conv, tch, "u", "ts", "v", "ch", lookback=1000, id_col="eid"
+        ).collect()
+    }
+    # 4 touches: first (a) 40%, last (d) 40%, b/c split 20% -> 10% each
+    assert out["a"] == 4_000_000 and out["d"] == 4_000_000
+    assert out["b"] == 1_000_000 and out["c"] == 1_000_000
+
+
+def test_position_attribution_degenerate_counts(spark):
+    from dbt_incremental_ci_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    conv = spark.createDataFrame(
+        [(1, 100, 1, 2.0), (2, 100, 2, 3.0)],
+        "u int, ts long, eid int, v double",
+    )
+    tch = spark.createDataFrame(
+        [(1, 10, "solo"), (2, 10, "x"), (2, 20, "y")],
+        "u int, ts long, ch string",
+    )
+    out = {
+        r["ch"]: r["attributed_micro"]
+        for r in position_attribution(
+            conv, tch, "u", "ts", "v", "ch", lookback=1000, id_col="eid"
+        ).collect()
+    }
+    assert out["solo"] == 2_000_000          # single touch -> 100%
+    assert out["x"] == 1_500_000 and out["y"] == 1_500_000  # 50/50
+
+
+def test_time_decay_attribution_weights(spark):
+    from dbt_incremental_ci_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    # ages 0+... touch at age 10 (one half-life) has half the weight of
+    # age 0 -> shares 2/3 and 1/3
+    conv = spark.createDataFrame(
+        [(1, 100, 1, 9.0)], "u int, ts long, eid int, v double"
+    )
+    tch = spark.createDataFrame(
+        [(1, 99, "near"), (1, 89, "far")], "u int, ts long, ch string"
+    )
+    out = {
+        r["ch"]: r["attributed_micro"]
+        for r in time_decay_attribution(
+            conv, tch, "u", "ts", "v", "ch",
+            lookback=1000, half_life=10, id_col="eid",
+        ).collect()
+    }
+    # w(near)=2^(-1/10)~0.933033, w(far)=2^(-11/10)~0.466516 (exactly half)
+    # micro-quantized weights: ratio 2 within quantization slack
+    assert abs(out["near"] / out["far"] - 2.0) < 1e-4
+    assert out["near"] + out["far"] <= 9_000_000  # never over-attributes
+
+
+# ----------------------------------------------------------- histsketch
+def test_histogram_sketch_merge_and_quantiles(spark):
+    from dbt_incremental_ci_spark.operators.histsketch import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(0, 50)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(50, 100)], "v double")
+    both = a.unionAll(b)
+    merged = histogram_merge(
+        histogram_sketch(a, "v", 0.0, 100.0, 100),
+        histogram_sketch(b, "v", 0.0, 100.0, 100),
+    )
+    direct = histogram_sketch(both, "v", 0.0, 100.0, 100)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    qs = {
+        r["q"]: r
+        for r in histogram_quantiles(
+            merged, 0.0, 100.0, 100, [0.5, 0.99]
+        ).collect()
+    }
+    # uniform 0..99, bin width 1: median rank 50 -> bin 49 full -> ~50.0
+    assert abs(qs[0.5]["quantile_est"] - 50.0) <= 1.0
+    assert qs[0.99]["n"] == 100
+    assert abs(qs[0.99]["quantile_est"] - 99.0) <= 1.0
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    from dbt_incremental_ci_spark.operators.histsketch import (
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (150.0,), (None,)], "v double"
+    )
+    got = {r["bin"]: r["cnt"] for r in histogram_sketch(df, "v", 0.0, 10.0, 10).collect()}
+    assert got[0] == 2    # -5 clamped into bin 0, 0.5 lands there
+    assert got[9] == 1    # 150 clamped into top bin
+    assert sum(got.values()) == 3  # NULL excluded
+
+
+# ---------------------------------------------------------- readability
+def test_flesch_reading_ease_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "!!!")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", flesch_reading_ease("text").alias("f")
+    ).collect()}
+    # 6 words, 2 sentences, 6 vowel groups
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert out[1] == round(want, 3)
+    assert out[2] is None  # wordless
