@@ -232,6 +232,9 @@ EXTRA_QUERIES = [
     "q193_time_decay_attribution",
     "q194_histogram_quantiles",
     "q195_readability",
+    "q196_moments_profile",
+    "q197_phrase_search",
+    "q198_cusum_changepoints",
 ]
 
 

@@ -218,3 +218,120 @@ def fd_check_sql(table: str, candidates: list[tuple[str, str]]) -> str:
         FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
               FROM {table} GROUP BY {det})""")
     return " UNION ALL ".join(parts)
+
+
+def moments_profile(
+    df: DataFrame,
+    value_cols: list[str],
+    decimals: int = 2,
+) -> DataFrame:
+    """Deterministic skewness/kurtosis profile: one row per column with
+    ``(column, n, mean, variance, skewness, kurtosis_excess)``.
+
+    Spark's built-in skewness/kurtosis fold doubles in partition order
+    (non-reproducible across runs at 10^12 rows, and not bit-matchable
+    cross-engine). Here values are quantized to ``decimals`` places as
+    INTEGER ticks, the four raw power sums Σx..Σx⁴ accumulate as
+    DECIMAL(38,0) integers — exact and associative on any partitioning
+    — and the population moment formulas (m₂/m₃/m₄ about the mean,
+    g₁ = m₃/m₂^1.5, g₂ = m₄/m₂² − 3) are a single double expression
+    over the exact sums. Skewness/kurtosis are scale-invariant, so the
+    tick scale cancels; mean/variance divide the scale back out.
+    Overflow headroom: |x| ≤ 10^7 ticks keeps Σx⁴ under 10^38 for 10^9
+    rows.
+
+    One union of per-column single-row aggregates (the expectations.py
+    shape) — each a map-side-combinable decimal sum.
+    """
+    scale = 10 ** decimals
+    outs = []
+    for c in value_cols:
+        xc = (
+            F.round(F.col(c), decimals).cast(f"decimal(18,{decimals})")
+            * scale
+        ).cast("bigint")
+        df_c = df.filter(F.col(c).isNotNull()).select(xc.alias("__x"))
+        x = F.col("__x")
+        x2 = (x * x).cast("decimal(38,0)")
+        agg = df_c.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast("decimal(38,0)")).alias("s1"),
+            F.sum(x2).alias("s2"),
+            F.sum(x2 * x).alias("s3"),
+            F.sum(x2 * x * x).alias("s4"),
+        )
+        nd = F.col("n").cast("double")
+        m1 = F.col("s1").cast("double") / nd
+        m2 = F.col("s2").cast("double") / nd - m1 * m1
+        m3 = (
+            F.col("s3").cast("double") / nd
+            - 3.0 * m1 * (F.col("s2").cast("double") / nd)
+            + 2.0 * m1 * m1 * m1
+        )
+        m4 = (
+            F.col("s4").cast("double") / nd
+            - 4.0 * m1 * (F.col("s3").cast("double") / nd)
+            + 6.0 * m1 * m1 * (F.col("s2").cast("double") / nd)
+            - 3.0 * m1 * m1 * m1 * m1
+        )
+        outs.append(
+            agg.select(
+                F.lit(c).alias("column"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(m1 / scale, 6).alias("mean"),
+                F.round(m2 / (scale * scale), 6).alias("variance"),
+                F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias(
+                    "skewness"
+                ),
+                F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, 6)).alias(
+                    "kurtosis_excess"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def moments_profile_sql(
+    table: str, value_cols: list[str], decimals: int = 2
+) -> str:
+    """DuckDB twin of :func:`moments_profile` (HUGEINT power sums,
+    same double combination order)."""
+    scale = 10 ** decimals
+    parts = []
+    for c in value_cols:
+        xc = (
+            f"CAST(CAST(ROUND({c}, {decimals}) AS DECIMAL(18,{decimals}))"
+            f" * {scale} AS BIGINT)"
+        )
+        parts.append(f"""
+        SELECT '{c}' AS "column",
+               CAST(cnt AS BIGINT) AS n,
+               ROUND(m1 / {scale}, 6) AS mean,
+               ROUND(m2 / {scale * scale}, 6) AS variance,
+               CASE WHEN m2 > 0 THEN ROUND(m3 / pow(m2, 1.5), 6) END
+                 AS skewness,
+               CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END
+                 AS kurtosis_excess
+        FROM (
+          SELECT cnt, m1,
+                 CAST(s2 AS DOUBLE) / cnt - m1 * m1 AS m2,
+                 CAST(s3 AS DOUBLE) / cnt
+                   - 3.0 * m1 * (CAST(s2 AS DOUBLE) / cnt)
+                   + 2.0 * m1 * m1 * m1 AS m3,
+                 CAST(s4 AS DOUBLE) / cnt
+                   - 4.0 * m1 * (CAST(s3 AS DOUBLE) / cnt)
+                   + 6.0 * m1 * m1 * (CAST(s2 AS DOUBLE) / cnt)
+                   - 3.0 * m1 * m1 * m1 * m1 AS m4
+          FROM (
+            SELECT count(*) AS cnt,
+                   CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) / count(*) AS m1,
+                   sum(CAST(x AS HUGEINT) * x) AS s2,
+                   sum(CAST(x AS HUGEINT) * x * x) AS s3,
+                   sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+            FROM (SELECT {xc} AS x FROM {table} WHERE {c} IS NOT NULL)
+          )
+        )""")
+    return " UNION ALL ".join(parts)

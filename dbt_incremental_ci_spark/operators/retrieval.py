@@ -276,3 +276,76 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = term if score is None else score + term
     return fused.withColumn("rrf_score", F.round(score, 9))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query via a positional inverted index — the
+    index-shaped alternative to a LIKE scan: postings are (token, doc,
+    position) rows, and a phrase of k terms is k−1 equi-joins on
+    (doc, position+offset), each join keyed by ONE phrase term so the
+    planner touches only the postings of the queried tokens (after
+    predicate pushdown on the token column), never the corpus text.
+    Output: ``(doc_id, n_matches)`` per matching doc (count of
+    starting positions).
+
+    At 100 TB the postings table would be written once (bucketed by
+    token) and every phrase query becomes token-pruned scans +
+    position joins; here the index is built inline from the corpus.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    toks = docs.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("__p", "__tok"),
+    )
+    base = toks.filter(F.col("__tok") == phrase[0]).select(
+        "__d", F.col("__p").alias("__start")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("__tok") == term).select(
+            "__d", (F.col("__p") - i).alias("__start")
+        )
+        base = base.join(nxt, ["__d", "__start"])
+    return base.groupBy(F.col("__d").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
+def phrase_search_sql(
+    table: str, phrase: list[str], id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`phrase_search` (zipped unnest positions)."""
+    terms = ", ".join(f"'{t}'" for t in phrase)
+    joins = "\n".join(
+        f"      JOIN toks t{i} ON t{i}.d = t0.d AND t{i}.tok = '{t}'"
+        f" AND t{i}.p = t0.p + {i}"
+        for i, t in enumerate(phrase[1:], start=1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS d,
+             unnest(arr) AS tok,
+             unnest(generate_series(0, len(arr) - 1)) AS p
+      FROM (
+        SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                           x -> x <> '') AS arr
+        FROM {table}
+      )
+    )
+    SELECT t0.d AS {id_col}, CAST(count(*) AS BIGINT) AS n_matches
+    FROM (SELECT d, p FROM toks WHERE tok = '{phrase[0]}') t0
+{joins}
+    GROUP BY t0.d
+    """

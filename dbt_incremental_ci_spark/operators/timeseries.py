@@ -223,3 +223,127 @@ def count_anomaly_zscore(
         F.round(z, 6).alias("z"),
         (F.abs(z) >= z_thresh).alias("is_anomaly"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) over per-key
+    bucketed series — the classic drift alarm for metric streams:
+    CUSUM⁺ tracks upward shifts (resets at 0), CUSUM⁻ downward, and a
+    point is flagged when either exceeds ``threshold_h``·σ. Slack
+    ``slack_k``·σ absorbs in-control noise.
+
+    Implementation is the running-sum identity (no recursion — Spark
+    has no recursive window): with s_i = Σ_{j≤i}(v_j − μ − kσ),
+    CUSUM⁺_i = s_i − min_{j≤i} s_j; symmetrically for CUSUM⁻ with +kσ
+    and a running max. All windows partition by key (state bounded by
+    buckets-per-key, never corpus-sized); μ/σ come from exact integer/
+    decimal sums per key. Running double sums evaluate in bucket order
+    inside one frame, so the values reproduce bit-for-bit
+    cross-engine. Output: ``(key, bucket, value, cusum_pos, cusum_neg,
+    flagged)`` rounded 6.
+    """
+    v = F.col("__v").cast("double")
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).alias("__v"),
+    )
+    stats = base.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(38,6)")).alias("__s1"),
+        F.sum(
+            (F.col("__v").cast("decimal(19,3)")
+             * F.col("__v").cast("decimal(19,3)")).cast("decimal(38,6)")
+        ).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / nd
+    var = F.col("__s2").cast("double") / nd - mu * mu
+    stats = stats.select(
+        "__k",
+        mu.alias("__mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sigma"),
+    )
+    j = base.join(stats, "__k")
+    w = Window.partitionBy("__k").orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    up_term = v - F.col("__mu") - F.lit(slack_k) * F.col("__sigma")
+    dn_term = v - F.col("__mu") + F.lit(slack_k) * F.col("__sigma")
+    s_up = F.sum(up_term).over(w)
+    s_dn = F.sum(dn_term).over(w)
+    cusum_pos = s_up - F.min(s_up).over(w)
+    cusum_neg = F.max(s_dn).over(w) - s_dn
+    lim = F.lit(threshold_h) * F.col("__sigma")
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias(bucket_col),
+        F.col("__v").alias(value_col),
+        F.round(cusum_pos, 6).alias("cusum_pos"),
+        F.round(cusum_neg, 6).alias("cusum_neg"),
+        ((cusum_pos > lim) | (cusum_neg > lim)).alias("flagged"),
+    )
+
+
+def cusum_changepoints_sql(
+    table_expr: str,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> str:
+    """DuckDB twin of :func:`cusum_changepoints`."""
+    return f"""
+    WITH base AS (
+      SELECT {key_col} AS k, {bucket_col} AS b, {value_col} AS v
+      FROM {table_expr}
+    ),
+    stats AS (
+      SELECT k,
+             CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mu,
+             sqrt(GREATEST(
+               CAST(sum(CAST(CAST(v AS DECIMAL(19,3))
+                             * CAST(v AS DECIMAL(19,3))
+                             AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+               - (CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+                 * (CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*)),
+               0.0)) AS sigma
+      FROM base GROUP BY k
+    ),
+    terms AS (
+      SELECT b.k, b.b, b.v, s.sigma,
+             sum(CAST(b.v AS DOUBLE) - s.mu - {slack_k!r} * s.sigma)
+               OVER (PARTITION BY b.k ORDER BY b.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s_up,
+             sum(CAST(b.v AS DOUBLE) - s.mu + {slack_k!r} * s.sigma)
+               OVER (PARTITION BY b.k ORDER BY b.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s_dn
+      FROM base b JOIN stats s USING (k)
+    ),
+    cus AS (
+      SELECT k, b, v, sigma,
+             s_up - min(s_up) OVER (PARTITION BY k ORDER BY b
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cp,
+             max(s_dn) OVER (PARTITION BY k ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - s_dn AS cn
+      FROM terms
+    )
+    SELECT k AS {key_col}, b AS {bucket_col}, v AS {value_col},
+           ROUND(cp, 6) AS cusum_pos,
+           ROUND(cn, 6) AS cusum_neg,
+           (cp > {threshold_h!r} * sigma OR cn > {threshold_h!r} * sigma)
+             AS flagged
+    FROM cus
+    """

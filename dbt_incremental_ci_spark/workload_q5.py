@@ -545,3 +545,74 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["syllables"].cast("bigint").alias("syllables"),
         flesch_reading_ease("text").alias("flesch"),
     )
+
+
+# =====================================================================
+# Deterministic higher-moment profile (q196): skewness / excess
+# kurtosis per measure column from EXACT decimal power sums (built-in
+# skewness/kurtosis fold doubles in partition order — not reproducible
+# at scale, not cross-engine matchable; Σx..Σx⁴ as DECIMAL(38) are
+# associative on any partitioning, and the moment combination is one
+# double expression).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.profiling import (  # noqa: E402
+    moments_profile,
+    moments_profile_sql,
+)
+
+_MOM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@q("q196_moments_profile", moments_profile_sql("lineitem", _MOM_COLS))
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moments_profile(t(spark, sf_dir, "lineitem"), _MOM_COLS)
+
+
+# =====================================================================
+# Positional-index phrase search (q197): exact phrase query as
+# token-pruned postings joins on (doc, position+offset) — the
+# inverted-index shape that replaces LIKE corpus scans at 100 TB
+# (postings bucketed by token; each phrase term's join touches only
+# that token's postings).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.retrieval import (  # noqa: E402
+    phrase_search,
+    phrase_search_sql,
+)
+
+_PHRASE = ["merge", "join"]
+
+
+@q("q197_phrase_search", phrase_search_sql("documents", _PHRASE))
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_search(t(spark, sf_dir, "documents"), _PHRASE)
+
+
+# =====================================================================
+# CUSUM change detection (q198): Page's cumulative-sum drift alarm
+# over per-type daily event volumes — running-sum identity (s − running
+# min), per-key frames only, exact per-key mean/σ from decimal sums.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.timeseries import (  # noqa: E402
+    cusum_changepoints,
+    cusum_changepoints_sql,
+)
+
+_CUSUM_DAILY_SQL = """(
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)"""
+
+
+@q(
+    "q198_cusum_changepoints",
+    cusum_changepoints_sql(_CUSUM_DAILY_SQL, "event_type", "day", "n_events"),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return cusum_changepoints(daily, "event_type", "day", "n_events")

@@ -295,3 +295,84 @@ def test_flesch_reading_ease_hand_computed(spark):
     want = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert out[1] == round(want, 3)
     assert out[2] is None  # wordless
+
+
+# -------------------------------------------------------------- moments
+def test_moments_profile_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.profiling import moments_profile
+
+    # symmetric data -> skew 0; uniform-ish kurtosis known by hand
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = {r["column"]: r for r in moments_profile(df, ["x"]).collect()}["x"]
+    n = len(vals)
+    m1 = sum(vals) / n
+    m2 = sum((v - m1) ** 2 for v in vals) / n
+    m4 = sum((v - m1) ** 4 for v in vals) / n
+    assert r["n"] == n and r["mean"] == m1
+    assert r["variance"] == round(m2, 6)
+    assert r["skewness"] == 0.0
+    assert r["kurtosis_excess"] == round(m4 / m2**2 - 3.0, 6)
+
+
+def test_moments_profile_skewed_sign(spark):
+    from dbt_incremental_ci_spark.operators.profiling import moments_profile
+
+    right = spark.createDataFrame(
+        [(v,) for v in [1.0] * 10 + [100.0]], "x double"
+    )
+    r = moments_profile(right, ["x"]).collect()[0]
+    assert r["skewness"] > 1.0  # heavy right tail
+
+
+# -------------------------------------------------------------- phrase
+def test_phrase_search_positions(spark):
+    from dbt_incremental_ci_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # "a b" twice
+            (2, "b a"),             # reversed -> no match
+            (3, "a  b"),            # double space still adjacent tokens
+            (4, "a c b"),           # not adjacent
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, ["a", "b"]).collect()}
+    assert got == {1: 2, 3: 1}
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        phrase_search(df, ["a"])
+
+
+def test_phrase_search_three_terms(spark):
+    from dbt_incremental_ci_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y q z")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(df, ["x", "y", "z"]).collect()}
+    assert got == {1: 1}
+
+
+# --------------------------------------------------------------- cusum
+def test_cusum_flags_planted_level_shift(spark):
+    from dbt_incremental_ci_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # stable series then a sustained +5sigma-ish shift
+    rows = [("a", d, 100) for d in range(20)]
+    rows += [("a", 20 + d, 130) for d in range(10)]
+    rows += [("b", d, 50) for d in range(30)]  # flat key never flags
+    df = spark.createDataFrame(rows, "k string, day int, v int")
+    out = cusum_changepoints(df, "k", "day", "v", slack_k=0.5, threshold_h=4.0)
+    rowsd = {(r["k"], r["day"]): r for r in out.collect()}
+    assert any(rowsd[("a", d)]["flagged"] for d in range(20, 30))
+    assert not any(rowsd[("a", d)]["flagged"] for d in range(10))
+    assert not any(rowsd[("b", d)]["flagged"] for d in range(30))
+    # cusum stats are never negative
+    assert all(
+        r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in rowsd.values()
+    )
