@@ -235,6 +235,9 @@ EXTRA_QUERIES = [
     "q196_moments_profile",
     "q197_phrase_search",
     "q198_cusum_changepoints",
+    "q199_lang_confusion",
+    "q200_scd2_as_of",
+    "q201_categorical_drift",
 ]
 
 

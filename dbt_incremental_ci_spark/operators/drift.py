@@ -131,3 +131,97 @@ def ks_statistic(
         F.lit(int(tot["tb"])).cast("long").alias("n_b"),
         F.round(F.max(diff), 6).alias("ks"),
     )
+
+
+def categorical_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    cat_col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Categorical-distribution drift between two periods: per-category
+    counts, share on each side, the PSI-style contribution on smoothed
+    shares, and the chi-square homogeneity contribution — the
+    label/segment-mix monitor next to :func:`psi_report`'s numeric one.
+
+    One category-keyed aggregate per side + a full-outer key join
+    (category-cardinality-sized, AQE-broadcastable); categories absent
+    on one side get add-``smooth`` smoothing so contributions stay
+    finite. Chi-square terms use the standard pooled-expectation
+    homogeneity form over exact integer counts.
+    """
+    r = reference.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = current.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    j = r.join(c, "cat", "full_outer").fillna(0, ["n_ref", "n_cur"])
+    tot = j.agg(
+        F.sum("n_ref").alias("__tr"),
+        F.sum("n_cur").alias("__tc"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    out = j.crossJoin(F.broadcast(tot))
+    nr, nc = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    tr, tc = F.col("__tr").cast("double"), F.col("__tc").cast("double")
+    k = F.col("__k").cast("double")
+    p_ref = (nr + F.lit(smooth)) / (tr + F.lit(smooth) * k)
+    p_cur = (nc + F.lit(smooth)) / (tc + F.lit(smooth) * k)
+    # chi-square homogeneity: expected share from the pooled margin
+    pooled = (nr + nc) / (tr + tc)
+    e_ref, e_cur = tr * pooled, tc * pooled
+    chi = F.when(
+        pooled > 0,
+        F.pow(nr - e_ref, F.lit(2.0)) / e_ref
+        + F.pow(nc - e_cur, F.lit(2.0)) / e_cur,
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "cat",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_contrib"
+        ),
+        F.round(chi, 6).alias("chi2_contrib"),
+    )
+
+
+def categorical_drift_sql(
+    ref_expr: str, cur_expr: str, cat_col: str, smooth: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`categorical_drift`. ``ref_expr`` /
+    ``cur_expr`` are parenthesized row-set subqueries exposing
+    ``cat_col``."""
+    return f"""
+    WITH r AS (SELECT {cat_col} AS cat, count(*) AS n_ref
+               FROM {ref_expr} GROUP BY 1),
+    c AS (SELECT {cat_col} AS cat, count(*) AS n_cur
+          FROM {cur_expr} GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.cat, c.cat) AS cat,
+             COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.cat = c.cat
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k FROM j)
+    SELECT cat,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND((n_ref + {smooth!r}) / (tr + {smooth!r} * k), 6) AS p_ref,
+           ROUND((n_cur + {smooth!r}) / (tc + {smooth!r} * k), 6) AS p_cur,
+           ROUND(((n_cur + {smooth!r}) / (tc + {smooth!r} * k)
+                  - (n_ref + {smooth!r}) / (tr + {smooth!r} * k))
+                 * ln(((n_cur + {smooth!r}) / (tc + {smooth!r} * k))
+                      / ((n_ref + {smooth!r}) / (tr + {smooth!r} * k))), 6)
+             AS psi_contrib,
+           ROUND(CASE WHEN (n_ref + n_cur) > 0 THEN
+                   pow(n_ref - tr * ((n_ref + n_cur) / (tr + tc)), 2)
+                     / (tr * ((n_ref + n_cur) / (tr + tc)))
+                   + pow(n_cur - tc * ((n_ref + n_cur) / (tr + tc)), 2)
+                     / (tc * ((n_ref + n_cur) / (tr + tc)))
+                 ELSE 0.0 END, 6) AS chi2_contrib
+    FROM j CROSS JOIN tot
+    """

@@ -219,3 +219,16 @@ def scd2_merge_snapshot(
         .unionByName(closed.select(cols))
         .unionByName(opened.select(cols))
     )
+
+
+def scd2_as_of(scd: DataFrame, as_of) -> DataFrame:
+    """Point-in-time reconstruction from an SCD2 table: the row version
+    of every key valid at ``as_of`` (``valid_from <= t < valid_to``,
+    open intervals unbounded). A pure filter — with the SCD2 table
+    partitioned/z-ordered on validity bounds this prunes to the
+    files overlapping t; no joins, no windows. Keys deleted before t
+    (or born after) simply have no row."""
+    return scd.filter(
+        (F.col("valid_from") <= F.lit(as_of))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+    ).drop("valid_to", "is_current")

@@ -616,3 +616,123 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts div 86400000000000").alias("day"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
     return cusum_changepoints(daily, "event_type", "day", "n_events")
+
+
+# =====================================================================
+# Classifier confusion matrix (q199): the lang-ID heuristic (q28)
+# evaluated against the corpus's true lang column — per (truth,
+# predicted) cell counts and per-truth-class recall share. One
+# |classes|²-bounded hash aggregate over map-only predictions.
+# =====================================================================
+from dbt_incremental_ci_spark.workload_q1 import _langid_oracle  # noqa: E402
+
+
+@q(
+    "q199_lang_confusion",
+    f"""
+    WITH pred AS ({_langid_oracle()}),
+    cells AS (
+      SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2
+    ),
+    truth AS (SELECT lang, sum(n) AS t FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n / CAST(t.t AS DOUBLE), 6) AS recall_share
+    FROM cells c JOIN truth t USING (lang)
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import text
+
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.select(
+        "lang", text.lang_id("text").alias("lang_pred")
+    ).groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    truth = cells.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return cells.join(truth, "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("__t").cast("double"), 6).alias(
+            "recall_share"
+        ),
+    )
+
+
+# =====================================================================
+# Bitemporal point-in-time query (q200): reconstruct every user's
+# state as of a mid-corpus instant from the q156 SCD2 history — a
+# pure validity-interval filter (file-prunable on a bounds-partitioned
+# history at scale).
+# =====================================================================
+_AS_OF_NS = 1_705_363_200_000_000_000  # 2024-01-16T00:00Z, mid-corpus
+
+
+@q(
+    "q200_scd2_as_of",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events
+    ),
+    d AS (
+      SELECT user_id, event_type, tsn, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tsn, event_id) AS prev
+      FROM e
+    ),
+    o AS (
+      SELECT user_id, event_type, tsn FROM d
+      WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+    ),
+    scd AS (
+      SELECT user_id, event_type, tsn AS valid_from,
+             lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn)
+               AS valid_to
+      FROM o
+    )
+    SELECT user_id, event_type, valid_from
+    FROM scd
+    WHERE valid_from <= {_AS_OF_NS}
+      AND (valid_to IS NULL OR valid_to > {_AS_OF_NS})
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.scd import (
+        scd2_as_of,
+        scd2_from_events,
+    )
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    scd = scd2_from_events(
+        ev, "user_id", ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    return scd2_as_of(scd, _AS_OF_NS)
+
+
+# =====================================================================
+# Categorical drift (q201): order-priority mix 1996 vs 1997 — per
+# category shares, PSI contribution, chi-square homogeneity terms.
+# Category-cardinality-sized join; the label/segment-mix monitor next
+# to q135's numeric PSI.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.drift import (  # noqa: E402
+    categorical_drift,
+    categorical_drift_sql,
+)
+
+
+@q(
+    "q201_categorical_drift",
+    categorical_drift_sql(
+        "(SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996)",
+        "(SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997)",
+        "o_orderpriority",
+    ),
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") == 1996)
+    cur = orders.filter(F.year("o_orderdate") == 1997)
+    return categorical_drift(ref, cur, "o_orderpriority")

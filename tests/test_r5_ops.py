@@ -376,3 +376,47 @@ def test_cusum_flags_planted_level_shift(spark):
     assert all(
         r["cusum_pos"] >= 0 and r["cusum_neg"] >= 0 for r in rowsd.values()
     )
+
+
+# -------------------------------------------------------------- as-of
+def test_scd2_as_of_point_in_time(spark):
+    from dbt_incremental_ci_spark.operators.scd import scd2_as_of
+
+    scd = spark.createDataFrame(
+        [
+            (1, "a", 10, 20, False),
+            (1, "b", 20, None, True),
+            (2, "x", 5, 15, False),   # deleted at 15 (no current row)
+            (3, "y", 30, None, True),  # born after t
+        ],
+        "k int, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    got = {(r["k"], r["v"]) for r in scd2_as_of(scd, 18).collect()}
+    assert got == {(1, "a")}  # 2 deleted before 18, 3 born after
+    got2 = {(r["k"], r["v"]) for r in scd2_as_of(scd, 25).collect()}
+    assert got2 == {(1, "b")}
+
+
+# ---------------------------------------------------------- cat drift
+def test_categorical_drift_shift_and_new_category(spark):
+    from dbt_incremental_ci_spark.operators.drift import categorical_drift
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 10 + [("c",)] * 10, "cat string"
+    )
+    out = {r["cat"]: r for r in categorical_drift(ref, cur, "cat").collect()}
+    assert out["c"]["n_ref"] == 0 and out["c"]["n_cur"] == 10
+    import math
+    assert all(math.isfinite(r["psi_contrib"]) for r in out.values())
+    # the shrinking category contributes positive PSI; chi2 terms >= 0
+    assert out["b"]["psi_contrib"] > 0
+    assert all(r["chi2_contrib"] >= 0 for r in out.values())
+    # identical distributions -> ~zero drift
+    same = {
+        r["cat"]: r for r in categorical_drift(ref, ref, "cat").collect()
+    }
+    assert all(r["psi_contrib"] == 0.0 for r in same.values())
+    assert all(r["chi2_contrib"] == 0.0 for r in same.values())
