@@ -238,6 +238,7 @@ EXTRA_QUERIES = [
     "q199_lang_confusion",
     "q200_scd2_as_of",
     "q201_categorical_drift",
+    "q202_skyline",
 ]
 
 

@@ -736,3 +736,30 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.filter(F.year("o_orderdate") == 1996)
     cur = orders.filter(F.year("o_orderdate") == 1997)
     return categorical_drift(ref, cur, "o_orderpriority")
+
+
+# =====================================================================
+# Pareto skyline (q202): cheapest line item dominating each quantity
+# level — two-phase frontier (bucketed local running max + O(buckets)
+# broadcast prefix maxima), no global single-task sort; the oracle
+# affords the textbook sorted pass.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.skyline import (  # noqa: E402
+    skyline_2d,
+    skyline_2d_sql,
+)
+
+_SKY_ROWS = "(SELECT l_orderkey * 8 + l_linenumber AS lid, l_extendedprice, l_quantity FROM lineitem)"
+
+
+@q(
+    "q202_skyline",
+    skyline_2d_sql(_SKY_ROWS, "l_extendedprice", "l_quantity", "lid"),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lid"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return skyline_2d(li, "l_extendedprice", "l_quantity", "lid")

@@ -420,3 +420,28 @@ def test_categorical_drift_shift_and_new_category(spark):
     }
     assert all(r["psi_contrib"] == 0.0 for r in same.values())
     assert all(r["chi2_contrib"] == 0.0 for r in same.values())
+
+
+# -------------------------------------------------------------- skyline
+def test_skyline_2d_vs_brute_force(spark):
+    import random
+
+    from dbt_incremental_ci_spark.operators.skyline import skyline_2d
+
+    rnd = random.Random(9)
+    rows = [(i, rnd.uniform(0, 100), rnd.uniform(0, 100)) for i in range(400)]
+    rows += [(1000, 5.0, 99.0), (1001, 5.0, 99.0)]  # exact duplicates
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", "id").collect()}
+
+    # brute force: survivor iff strictly better than every prior point
+    # in the (x asc, y desc, id) order — mirror the operator contract
+    srt = sorted(rows, key=lambda r: (round(r[1], 6), -round(r[2], 6), r[0]))
+    want, best = set(), float("-inf")
+    for i, x, y in srt:
+        if round(y, 6) > best:
+            want.add(i)
+            best = round(y, 6)
+    assert got == want
+    assert 1001 not in got  # at most one survivor per duplicate pair
+    assert (1000 in got) == (1000 in want)

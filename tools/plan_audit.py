@@ -25,6 +25,7 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
     "q196_moments_profile": "three 1-row decimal power-sum reduces (profiling.moments_profile)",
     "q194_histogram_quantiles": "cumulative bin pass + spine: O(bins)=512 rows, histsketch.py",
     "q128_containment_join": "optimizer-injected runtime bloom_filter_agg merges (bounded sketch state, 1MB/8MB caps) on the set-reduction rep keys — not data-sized",
