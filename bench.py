@@ -239,6 +239,7 @@ EXTRA_QUERIES = [
     "q200_scd2_as_of",
     "q201_categorical_drift",
     "q202_skyline",
+    "q203_max_concurrency",
 ]
 
 

@@ -90,3 +90,78 @@ def covered_total(
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered"),
         F.count(F.lit(1)).alias("n_islands"),
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent intervals per key (capacity planning: max
+    simultaneous sessions/connections/jobs) — the sweep line: each
+    interval contributes (+1 at start, −1 at end), the running sum in
+    time order is the live concurrency, its max the answer. Ends sort
+    BEFORE starts at the same instant (half-open [start, end)
+    semantics).
+
+    Per-key ordered windows only — state bounded by a key's event
+    count, never corpus-sized; the output is one row per key with the
+    peak and the EARLIEST instant it is reached (deterministic argmax
+    via min-ts-at-max). Exact integer arithmetic throughout.
+    """
+    pts = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(start_col).alias("__t"),
+        F.lit(1).alias("__d"),
+    ).unionByName(
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(end_col).alias("__t"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__t").asc(), F.col("__d").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    live = pts.withColumn("__live", F.sum("__d").over(w))
+    return (
+        live.groupBy("__k")
+        .agg(
+            F.max("__live").alias("peak"),
+            F.min_by(F.struct("__t", "__live"), F.struct((-F.col("__live")).alias("n"), F.col("__t"))).alias("__arg"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("peak").cast("bigint").alias("peak"),
+            F.col("__arg.__t").alias("peak_ts"),
+        )
+    )
+
+
+def max_concurrency_sql(
+    table_expr: str, key_col: str, start_col: str, end_col: str
+) -> str:
+    """DuckDB twin of :func:`max_concurrency`."""
+    return f"""
+    WITH pts AS (
+      SELECT {key_col} AS k, {start_col} AS t, 1 AS d FROM {table_expr}
+      UNION ALL
+      SELECT {key_col} AS k, {end_col} AS t, -1 AS d FROM {table_expr}
+    ),
+    live AS (
+      SELECT k, t,
+             sum(d) OVER (PARTITION BY k ORDER BY t ASC, d ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM pts
+    ),
+    sel AS (
+      SELECT k, t, live, max(live) OVER (PARTITION BY k) AS mx FROM live
+    )
+    SELECT k AS {key_col},
+           CAST(mx AS BIGINT) AS peak,
+           min(t) AS peak_ts
+    FROM sel WHERE live = mx
+    GROUP BY k, mx
+    """

@@ -763,3 +763,40 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
     )
     return skyline_2d(li, "l_extendedprice", "l_quantity", "lid")
+
+
+# =====================================================================
+# Sweep-line peak concurrency (q203): max simultaneous 30-minute
+# activity windows per event type — (+1 start, −1 end) points, per-key
+# ordered running sum, deterministic earliest-peak argmax. The
+# capacity-planning staple; per-key frames only.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.intervals import (  # noqa: E402
+    max_concurrency,
+    max_concurrency_sql,
+)
+
+_CONC_WIN_NS = 1_800_000_000_000  # 30 min
+
+
+@q(
+    "q203_max_concurrency",
+    max_concurrency_sql(
+        f"""(
+      SELECT event_type, epoch_ns(ts) AS s,
+             epoch_ns(ts) + {_CONC_WIN_NS} AS e
+      FROM events
+    )""",
+        "event_type",
+        "s",
+        "e",
+    ),
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    iv = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.lit(_CONC_WIN_NS)).alias("e"),
+    )
+    return max_concurrency(iv, "event_type", "s", "e")

@@ -445,3 +445,18 @@ def test_skyline_2d_vs_brute_force(spark):
     assert got == want
     assert 1001 not in got  # at most one survivor per duplicate pair
     assert (1000 in got) == (1000 in want)
+
+
+# ---------------------------------------------------------- concurrency
+def test_max_concurrency_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.intervals import max_concurrency
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 9, 12),   # 3 live in [9,10)
+        ("a", 20, 30),
+        ("b", 0, 5), ("b", 5, 10),  # half-open: end==start -> never 2
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {r["k"]: (r["peak"], r["peak_ts"]) for r in max_concurrency(df, "k", "s", "e").collect()}
+    assert got["a"] == (3, 9)
+    assert got["b"] == (1, 0)  # earliest instant the peak is reached
