@@ -1,6 +1,6 @@
 """The engine's query workload — registration hub.
 
-The queries live in four band modules (split round 5, verdict item 8;
+The queries live in five band modules (split round 5, verdict item 8;
 the original single module had grown past 9k lines):
 
 - ``workload_q1`` — q01-q50 (reference-parity relational band + first
@@ -11,8 +11,13 @@ the original single module had grown past 9k lines):
   IVM, timeseries)
 - ``workload_q4`` — q146-q184 (eval metrics, privacy, linkage,
   CDC/SCD2, HLL, patterns)
+- ``workload_q5`` — q185+ (round-5 additions: HLL set ops / sketch
+  cube, Benford, WOE/IV, conformal, ANN recall, FD discovery,
+  attribution variants, histogram quantiles, readability, moments,
+  phrase search, CUSUM, confusion matrix, bitemporal as-of,
+  categorical drift, skyline, peak concurrency)
 
-Importing this module imports all four, which registers every query
+Importing this module imports all five, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
