@@ -240,6 +240,15 @@ EXTRA_QUERIES = [
     "q201_categorical_drift",
     "q202_skyline",
     "q203_max_concurrency",
+    "q204_ndcg",
+    "q205_map_at_k",
+    "q206_concentration",
+    "q207_js_divergence",
+    "q208_mutual_information",
+    "q209_decile_lift",
+    "q210_trimmed_stats",
+    "q211_zone_pruning",
+    "q212_ips_eval",
 ]
 
 

@@ -225,3 +225,106 @@ def categorical_drift_sql(
                  ELSE 0.0 END, 6) AS chi2_contrib
     FROM j CROSS JOIN tot
     """
+
+
+def js_divergence(
+    reference: DataFrame,
+    current: DataFrame,
+    cat_col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the categorical distributions
+    of two periods — the bounded, symmetric drift scalar (Lin '91)
+    that complements :func:`categorical_drift`'s per-category PSI /
+    chi-square report: JSD is finite even for disjoint supports and
+    its square root is a metric, so it's the right single number to
+    alarm on.
+
+    Same plan shape as ``categorical_drift``: one category-keyed
+    aggregate per side, a full-outer key join (category-cardinality-
+    sized), add-``smooth`` smoothing, then per-category divergence
+    terms ``0.5*p*ln(p/m) + 0.5*q*ln(q/m)`` (m the midpoint) rounded
+    to 12 dp and summed as DECIMAL(26,12) — an order-exact fold into
+    ONE output row ``(k, jsd_nats, jsd_bits, js_distance)``. jsd_bits
+    lies in [0, 1]; js_distance = sqrt(jsd_bits).
+    """
+    r = reference.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = current.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    j = r.join(c, "cat", "full_outer").fillna(0, ["n_ref", "n_cur"])
+    tot = j.agg(
+        F.sum("n_ref").alias("__tr"),
+        F.sum("n_cur").alias("__tc"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    out = j.crossJoin(F.broadcast(tot))
+    nr, nc = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    tr, tc = F.col("__tr").cast("double"), F.col("__tc").cast("double")
+    k = F.col("__k").cast("double")
+    p = (nr + F.lit(smooth)) / (tr + F.lit(smooth) * k)
+    q_ = (nc + F.lit(smooth)) / (tc + F.lit(smooth) * k)
+    m = (p + q_) / 2
+    term = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q_ * F.log(q_ / m)
+    tdec = F.round(term, 12).cast("decimal(26,12)")
+    agg = out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(tdec).cast("double").alias("__jsd"),
+    )
+    bits = F.col("__jsd") / F.lit(0.6931471805599453)
+    return agg.select(
+        "k",
+        F.round(F.col("__jsd"), 9).alias("jsd_nats"),
+        F.round(bits, 9).alias("jsd_bits"),
+        F.round(F.sqrt(F.greatest(bits, F.lit(0.0))), 9).alias(
+            "js_distance"
+        ),
+    )
+
+
+def js_divergence_sql(
+    ref_expr: str, cur_expr: str, cat_col: str, smooth: float = 0.5
+) -> str:
+    """DuckDB twin of :func:`js_divergence`."""
+    return f"""
+    WITH r AS (SELECT {cat_col} AS cat, count(*) AS n_ref
+               FROM {ref_expr} GROUP BY 1),
+    c AS (SELECT {cat_col} AS cat, count(*) AS n_cur
+          FROM {cur_expr} GROUP BY 1),
+    j AS (
+      SELECT COALESCE(r.cat, c.cat) AS cat,
+             COALESCE(n_ref, 0) AS n_ref,
+             COALESCE(n_cur, 0) AS n_cur
+      FROM r FULL OUTER JOIN c ON r.cat = c.cat
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc,
+                   count(*) AS k FROM j),
+    pq AS (
+      SELECT
+        (CAST(n_ref AS DOUBLE) + CAST({smooth!r} AS DOUBLE))
+          / (CAST(tr AS DOUBLE)
+             + CAST({smooth!r} AS DOUBLE) * CAST(k AS DOUBLE)) AS p,
+        (CAST(n_cur AS DOUBLE) + CAST({smooth!r} AS DOUBLE))
+          / (CAST(tc AS DOUBLE)
+             + CAST({smooth!r} AS DOUBLE) * CAST(k AS DOUBLE)) AS q
+      FROM j CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT CAST(0.5 AS DOUBLE) * p * ln(p / ((p + q) / 2))
+             + CAST(0.5 AS DOUBLE) * q * ln(q / ((p + q) / 2)) AS term
+      FROM pq
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(ROUND(term, 12) AS DECIMAL(26,12)))
+               AS DOUBLE) AS jsd
+      FROM terms
+    )
+    SELECT k, ROUND(jsd, 9) AS jsd_nats,
+           ROUND(jsd / 0.6931471805599453, 9) AS jsd_bits,
+           ROUND(sqrt(greatest(jsd / 0.6931471805599453, 0.0)), 9)
+             AS js_distance
+    FROM agg
+    """

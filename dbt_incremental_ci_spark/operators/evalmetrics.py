@@ -420,3 +420,443 @@ def srm_check(
         F.sum(tdec).over(w).cast("double").alias("chi2"),
     )
     return out.withColumn("srm", F.col("chi2") >= chi2_crit)
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per ranking group — the graded-relevance retrieval
+    metric (Järvelin & Kekäläinen, TOIS'02) for grading a ranker
+    (BM25, ANN, RRF fusion) against editorial/graded labels.
+
+    Rank = ``score_col`` desc with an ``id_col`` tiebreaker (both
+    engines agree bit-for-bit); ideal rank re-sorts by ``rel_col``.
+    Gain is the exponential form ``(2^rel - 1) / log2(rank + 1)``;
+    every per-item gain is rounded to 10 dp and summed as
+    DECIMAL(28,10) so the per-group fold is order-exact, then one
+    float division produces NDCG. Two windows over the SAME partition
+    key → a single group-keyed shuffle with two in-partition sorts;
+    no global sort, no collect. Output: one row per group
+    ``(group, n, dcg, idcg, ndcg)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wi = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        F.row_number().over(w).alias("__rnk"),
+        F.row_number().over(wi).alias("__irnk"),
+    )
+
+    def gain(rank_col: str) -> F.Column:
+        g = (F.pow(F.lit(2.0), F.col("__rel")) - 1) / F.log2(
+            F.col(rank_col) + 1
+        )
+        return F.when(F.col(rank_col) <= k, F.round(g, 10)).otherwise(
+            F.lit(0.0)
+        ).cast("decimal(28,10)")
+
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(gain("__rnk")).alias("__dcg"),
+        F.sum(gain("__irnk")).alias("__idcg"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.col("__dcg").cast("double").alias("dcg"),
+        F.col("__idcg").cast("double").alias("idcg"),
+        F.round(
+            F.when(
+                F.col("__idcg") > 0,
+                F.col("__dcg").cast("double")
+                / F.col("__idcg").cast("double"),
+            ),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_at_k_sql(
+    rows: str,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`ndcg_at_k`; ``rows`` is a parenthesized
+    row-set subquery."""
+    gain = (
+        "CAST(CASE WHEN {r} <= {k} THEN "
+        "ROUND((pow(2.0, CAST({rel} AS DOUBLE)) - 1) / log2({r} + 1), 10) "
+        "ELSE 0.0 END AS DECIMAL(28,10))"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS grp, {rel_col} AS rel,
+             row_number() OVER (PARTITION BY {group_col}
+               ORDER BY {score_col} DESC, {id_col} ASC) AS rnk,
+             row_number() OVER (PARTITION BY {group_col}
+               ORDER BY {rel_col} DESC, {id_col} ASC) AS irnk
+      FROM {rows}
+    ),
+    agg AS (
+      SELECT grp, count(*) AS n,
+             sum({gain.format(r='rnk', k=k, rel='rel')}) AS dcg_d,
+             sum({gain.format(r='irnk', k=k, rel='rel')}) AS idcg_d
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp AS {group_col}, n,
+           CAST(dcg_d AS DOUBLE) AS dcg,
+           CAST(idcg_d AS DOUBLE) AS idcg,
+           ROUND(CASE WHEN idcg_d > 0
+                 THEN CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE)
+                 END, 6) AS ndcg
+    FROM agg
+    """
+
+
+def average_precision_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """AP@k per ranking group (binary relevance: ``rel_col`` > 0) —
+    the MAP building block. AP@k = sum over relevant hits at rank
+    i <= k of precision@i, divided by min(R, k) where R = total
+    relevant items in the group.
+
+    Precision@i uses a cumulative count over the SAME rank window
+    as the ranking itself (one group-keyed shuffle, one in-partition
+    sort); per-hit precision terms are rounded to 10 dp and summed as
+    DECIMAL(28,10) for an order-exact fold. Output: one row per group
+    ``(group, n, n_relevant, ap)``; ap is NULL for groups with no
+    relevant items.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    rel = (F.col(rel_col) > 0).cast("int")
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        rel.alias("__rel"),
+        F.row_number().over(w).alias("__rnk"),
+        F.sum(rel).over(w).alias("__cum_rel"),
+    )
+    term = F.when(
+        (F.col("__rel") == 1) & (F.col("__rnk") <= k),
+        F.round(F.col("__cum_rel") / F.col("__rnk"), 10),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,10)")
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rel").cast("bigint").alias("n_relevant"),
+        F.sum(term).alias("__ap_num"),
+    )
+    denom = F.least(F.col("n_relevant"), F.lit(k)).cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_relevant",
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("__ap_num").cast("double") / denom,
+            ),
+            6,
+        ).alias("ap"),
+    )
+
+
+def average_precision_at_k_sql(
+    rows: str,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`average_precision_at_k`."""
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS grp,
+             CAST(({rel_col} > 0) AS INT) AS rel,
+             row_number() OVER (PARTITION BY {group_col}
+               ORDER BY {score_col} DESC, {id_col} ASC) AS rnk,
+             sum(CAST(({rel_col} > 0) AS INT)) OVER (
+               PARTITION BY {group_col}
+               ORDER BY {score_col} DESC, {id_col} ASC) AS cum_rel
+      FROM {rows}
+    ),
+    agg AS (
+      SELECT grp, count(*) AS n,
+             CAST(sum(rel) AS BIGINT) AS n_relevant,
+             sum(CAST(CASE WHEN rel = 1 AND rnk <= {k}
+                   THEN ROUND(CAST(cum_rel AS DOUBLE) / rnk, 10)
+                   ELSE 0.0 END AS DECIMAL(28,10))) AS ap_num
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp AS {group_col}, n, n_relevant,
+           ROUND(CASE WHEN n_relevant > 0
+                 THEN CAST(ap_num AS DOUBLE)
+                      / CAST(least(n_relevant, {k}) AS DOUBLE)
+                 END, 6) AS ap
+    FROM agg
+    """
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> DataFrame:
+    """Gains/lift table — the classic model-quality report for a
+    scoring model: rows ranked by score desc are cut into
+    ``n_tiles`` equal-count tiles; each tile reports its positive
+    rate, cumulative capture of all positives, and lift vs the base
+    rate. This is how a quality-classifier threshold is chosen in a
+    curation pipeline ("top 3 deciles capture 85% of good docs").
+
+    One global ntile ranking (score desc, ``id_col`` tiebreaker —
+    deterministic and identical across engines), one tile-keyed
+    aggregate, then the cumulative pass runs over the ``n_tiles``-row
+    summary frame (the 1-part exchange is O(n_tiles), never
+    data-sized). Counts are exact integers; every ratio is one float
+    division of exact integers. Output: ``(tile, n, n_pos, pos_rate,
+    cum_pos, cum_capture, lift)``.
+
+    Scale note: the global ntile is a total order — at 100 TB replace
+    with the two-phase distributed rank (``operators/ranks.py``) or
+    bin scores first (``binned_pr_curve``); for model-eval frames
+    (sampled predictions, ≤ 10^8 rows) the single sort is the honest
+    shape and AQE splits it across partitions by range.
+    """
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    pos = (F.col(label_col).cast("int") > 0).cast("int")
+    tiled = df.select(
+        F.ntile(n_tiles).over(w).alias("tile"), pos.alias("__pos")
+    )
+    per = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+    )
+    wt = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = per.select(
+        "tile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.sum("n_pos").over(wt).cast("bigint").alias("cum_pos"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("__tot_pos"),
+        F.sum("n").over(wall).cast("bigint").alias("__tot_n"),
+    )
+    base = F.col("__tot_pos") / F.col("__tot_n")
+    return out.select(
+        "tile",
+        "n",
+        "n_pos",
+        "pos_rate",
+        "cum_pos",
+        F.round(
+            F.when(
+                F.col("__tot_pos") > 0,
+                F.col("cum_pos") / F.col("__tot_pos"),
+            ),
+            6,
+        ).alias("cum_capture"),
+        F.round(
+            F.when(base > 0, F.col("pos_rate") / base), 6
+        ).alias("lift"),
+    )
+
+
+def decile_lift_sql(
+    rows: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+) -> str:
+    """DuckDB twin of :func:`decile_lift`."""
+    return f"""
+    WITH tiled AS (
+      SELECT ntile({n_tiles}) OVER (
+               ORDER BY {score_col} DESC, {id_col} ASC) AS tile,
+             CAST((CAST({label_col} AS INT) > 0) AS INT) AS pos
+      FROM {rows}
+    ),
+    per AS (
+      SELECT tile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM tiled GROUP BY tile
+    ),
+    c AS (
+      SELECT tile, n, n_pos,
+             ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+             CAST(sum(n_pos) OVER (ORDER BY tile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+             CAST(sum(n) OVER () AS BIGINT) AS tot_n
+      FROM per
+    )
+    SELECT tile, n, n_pos, pos_rate, cum_pos,
+           ROUND(CASE WHEN tot_pos > 0
+                 THEN CAST(cum_pos AS DOUBLE) / tot_pos END, 6)
+             AS cum_capture,
+           ROUND(CASE WHEN tot_pos > 0
+                 THEN pos_rate / (CAST(tot_pos AS DOUBLE) / tot_n)
+                 END, 6) AS lift
+    FROM c
+    """
+
+
+def ips_offline_eval(
+    df: DataFrame,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+    target_action_col: str,
+) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring (Horvitz-
+    Thompson / SNIPS, Swaminathan & Joachims): estimate the mean
+    reward a TARGET policy would earn from logs collected under a
+    different (logging) policy — the "would this ranking/filter change
+    help" question answered without an online experiment.
+
+    The logging propensity p(action | context) is estimated from the
+    logs themselves as the empirical action share within each context
+    (two context-keyed aggregates joined back — both
+    cardinality-sized, AQE-broadcastable). Each logged row
+    contributes weight w = 1{action = target} / p; the IPS estimate
+    is avg(w * reward), SNIPS divides by avg(w) instead of n, and
+    the effective sample size (sum w)^2 / sum(w^2) quantifies how
+    much log overlap the target policy actually has.
+
+    Per-row w*reward / w / w^2 terms are rounded to 8 dp and summed
+    as DECIMAL(38,8) (order-exact fold); output is ONE row
+    ``(n, n_matched, ips, snips, ess)``.
+    """
+    ctx = F.col(context_col)
+    per_ca = df.groupBy(
+        ctx.alias("__ctx"), F.col(action_col).alias("__act")
+    ).agg(F.count(F.lit(1)).alias("__n_ca"))
+    per_c = per_ca.groupBy("__ctx").agg(
+        F.sum("__n_ca").alias("__n_c")
+    )
+    prop = per_ca.join(per_c, "__ctx").select(
+        "__ctx", "__act",
+        (F.col("__n_ca") / F.col("__n_c")).alias("__p"),
+    )
+    j = df.join(
+        prop,
+        (ctx == F.col("__ctx"))
+        & (F.col(action_col) == F.col("__act")),
+    )
+    match = (
+        F.col(action_col) == F.col(target_action_col)
+    ).cast("int")
+    wgt = match / F.col("__p")
+
+    def sdec(c: F.Column) -> F.Column:
+        return F.sum(F.round(c, 8).cast("decimal(38,8)")).cast("double")
+
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(match).cast("bigint").alias("n_matched"),
+        sdec(wgt * F.col(reward_col)).alias("__swr"),
+        sdec(wgt).alias("__sw"),
+        sdec(wgt * wgt).alias("__sw2"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.col("__swr") / F.col("n"), 6).alias("ips"),
+        F.round(
+            F.when(F.col("__sw") > 0, F.col("__swr") / F.col("__sw")),
+            6,
+        ).alias("snips"),
+        F.round(
+            F.when(
+                F.col("__sw2") > 0,
+                F.col("__sw") * F.col("__sw") / F.col("__sw2"),
+            ),
+            6,
+        ).alias("ess"),
+    )
+
+
+def ips_offline_eval_sql(
+    rows: str,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+    target_action_col: str,
+) -> str:
+    """DuckDB twin of :func:`ips_offline_eval`."""
+    return f"""
+    WITH logs AS (SELECT * FROM {rows}),
+    per_ca AS (
+      SELECT {context_col} AS ctx, {action_col} AS act,
+             count(*) AS n_ca
+      FROM logs GROUP BY 1, 2
+    ),
+    per_c AS (
+      SELECT ctx, sum(n_ca) AS n_c FROM per_ca GROUP BY ctx
+    ),
+    prop AS (
+      SELECT per_ca.ctx, act,
+             CAST(n_ca AS DOUBLE) / n_c AS p
+      FROM per_ca JOIN per_c ON per_ca.ctx = per_c.ctx
+    ),
+    wrow AS (
+      SELECT CAST((l.{action_col} = l.{target_action_col}) AS INT)
+               AS m,
+             CAST((l.{action_col} = l.{target_action_col}) AS INT) / p
+               AS w,
+             l.{reward_col} AS reward
+      FROM logs l
+      JOIN prop ON l.{context_col} = prop.ctx
+                AND l.{action_col} = prop.act
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(m) AS BIGINT) AS n_matched,
+             CAST(sum(CAST(ROUND(w * reward, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS swr,
+             CAST(sum(CAST(ROUND(w, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sw,
+             CAST(sum(CAST(ROUND(w * w, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sw2
+      FROM wrow
+    )
+    SELECT n, n_matched,
+           ROUND(swr / n, 6) AS ips,
+           ROUND(CASE WHEN sw > 0 THEN swr / sw END, 6) AS snips,
+           ROUND(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 6) AS ess
+    FROM agg
+    """

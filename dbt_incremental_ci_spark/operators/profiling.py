@@ -28,7 +28,7 @@ operator surface this engine adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -335,3 +335,140 @@ def moments_profile_sql(
           )
         )""")
     return " UNION ALL ".join(parts)
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI — the dependence profile
+    that complements the chi-square independence test (workload q139):
+    "is `source` informative about `lang`" asked in bits, the form
+    feature-selection and leakage audits want.
+
+    One contingency aggregate over the corpus (map-side combined,
+    |X|x|Y| rows), margins by two window sums OVER the contingency
+    frame (partitioned by x / by y — cardinality-sized, never
+    data-sized), grand total over the same tiny frame. MI / H(X) /
+    H(Y) terms are rounded to 12 dp and summed as DECIMAL(26,12)
+    (order-exact fold). Output: ONE row ``(n, k_x, k_y, mi_nats,
+    mi_bits, h_x, h_y, nmi)`` with nmi = MI / sqrt(H(X) * H(Y))
+    (NULL when either entropy is 0).
+    """
+    cont = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count(F.lit(1)).alias("__nxy"))
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy()
+    withm = cont.select(
+        "__x",
+        "__y",
+        "__nxy",
+        F.sum("__nxy").over(wx).alias("__nx"),
+        F.sum("__nxy").over(wy).alias("__ny"),
+        F.sum("__nxy").over(wall).alias("__n"),
+    )
+    nxy = F.col("__nxy").cast("double")
+    nx = F.col("__nx").cast("double")
+    ny = F.col("__ny").cast("double")
+    n = F.col("__n").cast("double")
+    mi_term = (nxy / n) * F.log(n * nxy / (nx * ny))
+    # H(X) terms only once per x: weight by 1/(rows in this x slice)
+    # would break exactness — instead emit the x-entropy term on the
+    # first y of each x (row_number over a deterministic order)
+    rx = F.row_number().over(
+        Window.partitionBy("__x").orderBy("__y")
+    )
+    ry = F.row_number().over(
+        Window.partitionBy("__y").orderBy("__x")
+    )
+    hx_term = F.when(
+        rx == 1, F.round(-(nx / n) * F.log(nx / n), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(26,12)")
+    hy_term = F.when(
+        ry == 1, F.round(-(ny / n) * F.log(ny / n), 12)
+    ).otherwise(F.lit(0.0)).cast("decimal(26,12)")
+    agg = withm.select(
+        "__x",
+        "__y",
+        F.col("__n").alias("__ntot"),
+        F.round(mi_term, 12).cast("decimal(26,12)").alias("__mit"),
+        hx_term.alias("__hxt"),
+        hy_term.alias("__hyt"),
+    ).agg(
+        F.max("__ntot").cast("bigint").alias("n"),
+        F.count_distinct(F.col("__x")).cast("bigint").alias("k_x"),
+        F.count_distinct(F.col("__y")).cast("bigint").alias("k_y"),
+        F.sum("__mit").cast("double").alias("__mi"),
+        F.sum("__hxt").cast("double").alias("__hx"),
+        F.sum("__hyt").cast("double").alias("__hy"),
+    )
+    ln2 = 0.6931471805599453
+    nmi_den = F.sqrt(F.col("__hx") * F.col("__hy"))
+    return agg.select(
+        "n",
+        "k_x",
+        "k_y",
+        F.round(F.col("__mi"), 9).alias("mi_nats"),
+        F.round(F.col("__mi") / F.lit(ln2), 9).alias("mi_bits"),
+        F.round(F.col("__hx"), 9).alias("h_x"),
+        F.round(F.col("__hy"), 9).alias("h_y"),
+        F.round(
+            F.when(nmi_den > 0, F.col("__mi") / nmi_den), 9
+        ).alias("nmi"),
+    )
+
+
+def mutual_information_sql(rows: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`mutual_information`; ``rows`` is a
+    parenthesized row-set subquery."""
+    return f"""
+    WITH cont AS (
+      SELECT {x_col} AS x, {y_col} AS y, count(*) AS nxy
+      FROM {rows} GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, nxy,
+             sum(nxy) OVER (PARTITION BY x) AS nx,
+             sum(nxy) OVER (PARTITION BY y) AS ny,
+             sum(nxy) OVER () AS n,
+             row_number() OVER (PARTITION BY x ORDER BY y) AS rx,
+             row_number() OVER (PARTITION BY y ORDER BY x) AS ry
+      FROM cont
+    ),
+    terms AS (
+      SELECT n,
+             x, y,
+             CAST(ROUND((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 12)
+               AS DECIMAL(26,12)) AS mit,
+             CAST(CASE WHEN rx = 1 THEN
+               ROUND(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               ELSE 0.0 END AS DECIMAL(26,12)) AS hxt,
+             CAST(CASE WHEN ry = 1 THEN
+               ROUND(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               ELSE 0.0 END AS DECIMAL(26,12)) AS hyt
+      FROM m
+    ),
+    agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(DISTINCT x) AS BIGINT) AS k_x,
+             CAST(count(DISTINCT y) AS BIGINT) AS k_y,
+             CAST(sum(mit) AS DOUBLE) AS mi,
+             CAST(sum(hxt) AS DOUBLE) AS hx,
+             CAST(sum(hyt) AS DOUBLE) AS hy
+      FROM terms
+    )
+    SELECT n, k_x, k_y,
+           ROUND(mi, 9) AS mi_nats,
+           ROUND(mi / 0.6931471805599453, 9) AS mi_bits,
+           ROUND(hx, 9) AS h_x,
+           ROUND(hy, 9) AS h_y,
+           ROUND(CASE WHEN sqrt(hx * hy) > 0
+                 THEN mi / sqrt(hx * hy) END, 9) AS nmi
+    FROM agg
+    """

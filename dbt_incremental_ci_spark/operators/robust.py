@@ -22,7 +22,7 @@ reported means go through decimal casts before summation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,122 @@ def winsorize(value: Column, lo: Column, hi: Column) -> Column:
     """Clip to [lo, hi] — pure expression, map-only once the per-group
     percentile bounds are joined in."""
     return F.least(F.greatest(value, lo), hi)
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed and winsorized means — the rank-based robust
+    location estimates (drop / clamp the extreme ``trim`` fraction on
+    EACH side) used to summarize skewed measures (doc lengths, spend,
+    latencies) without letting outliers move the aggregate.
+
+    Exact rank semantics: rows rank ascending by value with an
+    ``id_col`` tiebreaker; ``cut = floor(trim * n)`` rows are dropped
+    from each end (trimmed) or clamped to the boundary values kept
+    (winsorized: cut * lo_kept + inner sum + cut * hi_kept, over n).
+    Values aggregate as DECIMAL(18,2) so every sum is order-exact;
+    the means are single float divisions. One group-keyed shuffle +
+    in-partition sort (the standard per-group window shape — groups
+    shard across executors at 100 TB); output is group-cardinality-
+    sized: ``(group, n, n_trimmed, mean, trimmed_mean,
+    winsorized_mean)``.
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    v = F.col(value_col).cast("decimal(18,2)")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        v.alias("__v"),
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    cut = F.floor(F.lit(trim) * F.col("__n")).cast("int")
+    kept = (F.col("__i") > cut) & (F.col("__i") <= F.col("__n") - cut)
+    agg = ranked.groupBy("grp").agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum("__v").alias("__sum_all"),
+        F.sum(F.when(kept, F.col("__v"))).alias("__sum_kept"),
+        F.count(F.when(kept, F.lit(1))).cast("bigint").alias(
+            "n_trimmed"
+        ),
+        F.min(F.when(kept, F.col("__v"))).alias("__lo"),
+        F.max(F.when(kept, F.col("__v"))).alias("__hi"),
+        F.max(cut).cast("bigint").alias("__cut"),
+    )
+    wins_sum = (
+        F.col("__sum_kept")
+        + F.col("__cut").cast("decimal(18,0)") * F.col("__lo")
+        + F.col("__cut").cast("decimal(18,0)") * F.col("__hi")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_trimmed",
+        F.round(
+            F.col("__sum_all").cast("double") / F.col("n"), 6
+        ).alias("mean"),
+        F.round(
+            F.col("__sum_kept").cast("double") / F.col("n_trimmed"), 6
+        ).alias("trimmed_mean"),
+        F.round(
+            wins_sum.cast("double") / F.col("n"), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+def trimmed_stats_sql(
+    rows: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`trimmed_stats`."""
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS grp,
+             CAST({value_col} AS DECIMAL(18,2)) AS v,
+             row_number() OVER (PARTITION BY {group_col}
+               ORDER BY {value_col} ASC, {id_col} ASC) AS i,
+             count(*) OVER (PARTITION BY {group_col}) AS n
+      FROM {rows}
+    ),
+    marked AS (
+      SELECT grp, v, n,
+             CAST(floor(CAST({trim!r} AS DOUBLE) * n) AS INT) AS cut,
+             (i > CAST(floor(CAST({trim!r} AS DOUBLE) * n) AS INT)
+              AND i <= n - CAST(floor(CAST({trim!r} AS DOUBLE) * n)
+                AS INT)) AS kept
+      FROM ranked
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(max(n) AS BIGINT) AS n,
+             sum(v) AS sum_all,
+             sum(CASE WHEN kept THEN v END) AS sum_kept,
+             CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
+               AS n_trimmed,
+             min(CASE WHEN kept THEN v END) AS lo,
+             max(CASE WHEN kept THEN v END) AS hi,
+             CAST(max(cut) AS BIGINT) AS cut
+      FROM marked GROUP BY grp
+    )
+    SELECT grp AS {group_col}, n, n_trimmed,
+           ROUND(CAST(sum_all AS DOUBLE) / n, 6) AS mean,
+           ROUND(CAST(sum_kept AS DOUBLE) / n_trimmed, 6)
+             AS trimmed_mean,
+           ROUND(CAST(sum_kept
+                      + CAST(cut AS DECIMAL(18,0)) * lo
+                      + CAST(cut AS DECIMAL(18,0)) * hi
+                  AS DOUBLE) / n, 6) AS winsorized_mean
+    FROM agg
+    """

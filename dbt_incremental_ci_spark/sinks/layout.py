@@ -166,3 +166,178 @@ def write_zordered(
         .parquet(path)
     )
     return int(n)
+
+
+def zone_map_stats(
+    df: DataFrame, zone_col: str, value_col: str
+) -> DataFrame:
+    """Per-zone min/max/count zone maps for ``value_col`` — the
+    file/row-group skipping statistics every columnar layout keeps
+    (parquet column chunks, ORC stripes, Delta/Iceberg file stats).
+    ``zone_col`` is the storage-zone key (partition value, file id,
+    date bucket). One map-side-combined aggregate; output is
+    zone-cardinality-sized.
+    """
+    return df.groupBy(F.col(zone_col).alias("zone")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+    )
+
+
+def pruning_report(
+    df: DataFrame,
+    zone_col: str,
+    value_col: str,
+    predicates: list[tuple[str, float, float]],
+) -> DataFrame:
+    """Data-skipping effectiveness report: for each closed-range
+    predicate ``lo <= value <= hi``, how many zones the zone maps
+    let a scan skip, how many rows the surviving zones force it to
+    read, and how many rows actually match — the measurement behind
+    "is this table worth Z-ordering on this column" (pair with
+    ``zorder_key``/``write_zordered``; the same report after
+    re-clustering shows the pruning win).
+
+    Plan: the zone-map aggregate (zone-cardinality-sized) is
+    cross-joined with the literal predicate frame (|zones| x |preds|,
+    both tiny); exact per-predicate match counts come from ONE
+    conditional-aggregate pass over the data (no per-predicate
+    rescans — the predicate list unrolls into counter columns).
+    Output: one row per predicate ``(pred_id, lo, hi, zones_total,
+    zones_scanned, rows_total, rows_scanned, rows_matching,
+    scan_fraction, false_positive_fraction)``.
+    """
+    if not predicates:
+        raise ValueError("predicates must be non-empty")
+    if len(predicates) > 64:
+        raise ValueError(
+            f"{len(predicates)} predicates would unroll past the "
+            "codegen-safe expression budget (docs/SCALE.md §6n); "
+            "batch the report"
+        )
+    zones = zone_map_stats(df, zone_col, value_col)
+    v = F.col(value_col).cast("double")
+    match_aggs = [
+        F.sum(
+            F.when(
+                (v >= F.lit(float(lo))) & (v <= F.lit(float(hi))),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias(f"__m_{pid}")
+        for pid, lo, hi in predicates
+    ]
+    matches = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        *match_aggs,
+    )
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [(pid, float(lo), float(hi)) for pid, lo, hi in predicates],
+        "pred_id string, lo double, hi double",
+    )
+    overlap = (F.col("v_max").cast("double") >= F.col("lo")) & (
+        F.col("v_min").cast("double") <= F.col("hi")
+    )
+    per_pred = (
+        preds.crossJoin(zones)
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("zones_total"),
+            F.sum(overlap.cast("int")).cast("bigint").alias(
+                "zones_scanned"
+            ),
+            F.sum(
+                F.when(overlap, F.col("n_rows")).otherwise(0)
+            ).cast("bigint").alias("rows_scanned"),
+        )
+    )
+    # unpivot the single-row match frame back to (pred_id, matching)
+    match_rows = matches.select(
+        "rows_total",
+        F.explode(
+            F.create_map(
+                *[
+                    x
+                    for pid, _, _ in predicates
+                    for x in (F.lit(pid), F.col(f"__m_{pid}"))
+                ]
+            )
+        ).alias("pred_id", "rows_matching"),
+    )
+    out = per_pred.join(F.broadcast(match_rows), "pred_id")
+    return out.select(
+        "pred_id",
+        "lo",
+        "hi",
+        "zones_total",
+        "zones_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+        F.round(
+            F.col("rows_scanned") / F.col("rows_total"), 6
+        ).alias("scan_fraction"),
+        F.round(
+            F.when(
+                F.col("rows_scanned") > 0,
+                (F.col("rows_scanned") - F.col("rows_matching"))
+                / F.col("rows_scanned"),
+            ),
+            6,
+        ).alias("false_positive_fraction"),
+    )
+
+
+def pruning_report_sql(
+    rows: str,
+    zone_col: str,
+    value_col: str,
+    predicates: list[tuple[str, float, float]],
+) -> str:
+    """DuckDB twin of :func:`pruning_report`; ``rows`` is a
+    parenthesized row-set subquery."""
+    pred_values = ", ".join(
+        f"('{pid}', CAST({float(lo)!r} AS DOUBLE), "
+        f"CAST({float(hi)!r} AS DOUBLE))"
+        for pid, lo, hi in predicates
+    )
+    return f"""
+    WITH zones AS (
+      SELECT {zone_col} AS zone, count(*) AS n_rows,
+             min({value_col}) AS v_min, max({value_col}) AS v_max
+      FROM {rows} GROUP BY 1
+    ),
+    preds(pred_id, lo, hi) AS (VALUES {pred_values}),
+    per_pred AS (
+      SELECT pred_id, lo, hi,
+             CAST(count(*) AS BIGINT) AS zones_total,
+             CAST(sum(CAST((CAST(v_max AS DOUBLE) >= lo
+                            AND CAST(v_min AS DOUBLE) <= hi) AS INT))
+               AS BIGINT) AS zones_scanned,
+             CAST(sum(CASE WHEN CAST(v_max AS DOUBLE) >= lo
+                            AND CAST(v_min AS DOUBLE) <= hi
+                       THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned
+      FROM preds CROSS JOIN zones
+      GROUP BY 1, 2, 3
+    ),
+    match_rows AS (
+      SELECT p.pred_id,
+             (SELECT CAST(count(*) AS BIGINT) FROM {rows}) AS rows_total,
+             (SELECT CAST(count(*) AS BIGINT) FROM {rows} r
+              WHERE CAST(r.{value_col} AS DOUBLE) >= p.lo
+                AND CAST(r.{value_col} AS DOUBLE) <= p.hi)
+               AS rows_matching
+      FROM preds p
+    )
+    SELECT pp.pred_id, pp.lo, pp.hi, pp.zones_total, pp.zones_scanned,
+           mr.rows_total, pp.rows_scanned, mr.rows_matching,
+           ROUND(CAST(pp.rows_scanned AS DOUBLE) / mr.rows_total, 6)
+             AS scan_fraction,
+           ROUND(CASE WHEN pp.rows_scanned > 0 THEN
+                 CAST(pp.rows_scanned - mr.rows_matching AS DOUBLE)
+                   / pp.rows_scanned END, 6)
+             AS false_positive_fraction
+    FROM per_pred pp JOIN match_rows mr ON pp.pred_id = mr.pred_id
+    """

@@ -1,6 +1,6 @@
 """The engine's query workload — registration hub.
 
-The queries live in five band modules (split round 5, verdict item 8;
+The queries live in six band modules (split round 5, verdict item 8;
 the original single module had grown past 9k lines):
 
 - ``workload_q1`` — q01-q50 (reference-parity relational band + first
@@ -16,8 +16,11 @@ the original single module had grown past 9k lines):
   attribution variants, histogram quantiles, readability, moments,
   phrase search, CUSUM, confusion matrix, bitemporal as-of,
   categorical drift, skyline, peak concurrency)
+- ``workload_q6`` — q204+ (ranking eval NDCG/MAP/lift, IPS off-policy
+  eval, concentration/Gini, JS divergence, mutual information,
+  trimmed stats, zone-map pruning)
 
-Importing this module imports all five, which registers every query
+Importing this module imports all six, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -46,3 +49,4 @@ from dbt_incremental_ci_spark import workload_q2  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q3  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q4  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q5  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q6  # noqa: F401,E402

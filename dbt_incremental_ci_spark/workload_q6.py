@@ -1,0 +1,305 @@
+"""q204+: round-5 second batch — ranking-quality eval (NDCG@k,
+MAP@k, gains/lift), off-policy IPS evaluation, concentration /
+inequality profiling (Gini, HHI, entropy), Jensen-Shannon drift,
+mutual-information dependence profiling, trimmed/winsorized robust
+stats, and zone-map pruning-effectiveness reporting.
+
+Split-module registration contract: see ``workload`` (the hub) and
+``workload_base`` (registries + determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.workload_base import q, t
+
+# =====================================================================
+# NDCG@k (q204): grade a ranker per group against graded relevance —
+# events ranked by value within event_type, relevance = a 0-3 grade
+# derived deterministically from event_id (stands in for editorial
+# labels). Two same-key windows, decimal-exact DCG folds.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    average_precision_at_k,
+    average_precision_at_k_sql,
+    decile_lift,
+    decile_lift_sql,
+    ips_offline_eval,
+    ips_offline_eval_sql,
+    ndcg_at_k,
+    ndcg_at_k_sql,
+)
+
+_RANK_ROWS = (
+    "(SELECT event_type, event_id, value, event_id % 4 AS rel "
+    "FROM events)"
+)
+
+
+@q(
+    "q204_ndcg",
+    ndcg_at_k_sql(_RANK_ROWS, "event_type", "value", "rel", "event_id", k=10),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("event_id") % 4).alias("rel"),
+    )
+    return ndcg_at_k(ev, "event_type", "value", "rel", "event_id", k=10)
+
+
+# =====================================================================
+# MAP@k (q205): binary-relevance average precision per ranking group
+# (rel = 1 for every fifth event id — a 20% positive rate).
+# =====================================================================
+_AP_ROWS = (
+    "(SELECT event_type, event_id, value, "
+    "CAST(event_id % 5 = 0 AS INT) AS rel FROM events)"
+)
+
+
+@q(
+    "q205_map_at_k",
+    average_precision_at_k_sql(
+        _AP_ROWS, "event_type", "value", "rel", "event_id", k=20
+    ),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        (F.col("event_id") % 5 == 0).cast("int").alias("rel"),
+    )
+    return average_precision_at_k(
+        ev, "event_type", "value", "rel", "event_id", k=20
+    )
+
+
+# =====================================================================
+# Concentration profile (q206): how customer spend concentrates
+# within each market segment — Gini, HHI, entropy/evenness per
+# segment (the domain-mix monitor shape: swap segment->source and
+# spend->tokens for the pretraining-mix gate).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.concentration import (  # noqa: E402
+    group_concentration,
+    group_concentration_sql,
+)
+
+_CONC_ROWS = (
+    "(SELECT c_mktsegment, o_custkey, o_totalprice "
+    "FROM orders JOIN customer ON o_custkey = c_custkey)"
+)
+
+
+@q(
+    "q206_concentration",
+    group_concentration_sql(
+        _CONC_ROWS, "c_mktsegment", "o_custkey", "o_totalprice"
+    ),
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(cust),
+        orders.o_custkey == cust.c_custkey,
+    ).select("c_mktsegment", "o_custkey", "o_totalprice")
+    return group_concentration(
+        rows, "c_mktsegment", "o_custkey", "o_totalprice"
+    )
+
+
+# =====================================================================
+# Jensen-Shannon drift (q207): the bounded symmetric drift scalar
+# between two periods' return-flag mixes — the alarm number next to
+# q201's per-category PSI/chi2 report.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.drift import (  # noqa: E402
+    js_divergence,
+    js_divergence_sql,
+)
+
+
+@q(
+    "q207_js_divergence",
+    js_divergence_sql(
+        "(SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1996)",
+        "(SELECT l_returnflag FROM lineitem WHERE year(l_shipdate) = 1997)",
+        "l_returnflag",
+    ),
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.year("l_shipdate") == 1996)
+    cur = li.filter(F.year("l_shipdate") == 1997)
+    return js_divergence(ref, cur, "l_returnflag")
+
+
+# =====================================================================
+# Mutual information (q208): is `source` informative about `lang` on
+# the documents table — MI/NMI + marginal entropies from one
+# contingency aggregate (the dependence complement to q139's
+# chi-square test).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.profiling import (  # noqa: E402
+    mutual_information,
+    mutual_information_sql,
+)
+
+
+@q(
+    "q208_mutual_information",
+    mutual_information_sql("(SELECT source, lang FROM documents)", "source", "lang"),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "lang")
+    return mutual_information(docs, "source", "lang")
+
+
+# =====================================================================
+# Gains / decile lift (q209): account balance as the score, "placed
+# more than 5 orders" as the label — the threshold-picking report for
+# any quality-classifier score.
+# =====================================================================
+_LIFT_ROWS = """(
+  SELECT c_custkey, c_acctbal,
+         CAST(COALESCE(o.cnt, 0) > 5 AS INT) AS label
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+             FROM orders GROUP BY o_custkey) o
+    ON c_custkey = o.o_custkey
+)"""
+
+
+@q(
+    "q209_decile_lift",
+    decile_lift_sql(_LIFT_ROWS, "c_acctbal", "label", "c_custkey", n_tiles=10),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cnt = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = (
+        cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.coalesce(F.col("cnt"), F.lit(0)) > 5)
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return decile_lift(rows, "c_acctbal", "label", "c_custkey", n_tiles=10)
+
+
+# =====================================================================
+# Trimmed / winsorized means (q210): per-nation robust order-value
+# location estimates — rank-trimmed at 10% each side, decimal-exact.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.robust import (  # noqa: E402
+    trimmed_stats,
+    trimmed_stats_sql,
+)
+
+_TRIM_ROWS = (
+    "(SELECT c_nationkey, o_orderkey, o_totalprice "
+    "FROM orders JOIN customer ON o_custkey = c_custkey)"
+)
+
+
+@q(
+    "q210_trimmed_stats",
+    trimmed_stats_sql(
+        _TRIM_ROWS, "c_nationkey", "o_totalprice", "o_orderkey", trim=0.1
+    ),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rows = orders.join(
+        F.broadcast(cust),
+        orders.o_custkey == cust.c_custkey,
+    ).select("c_nationkey", "o_orderkey", "o_totalprice")
+    return trimmed_stats(
+        rows, "c_nationkey", "o_totalprice", "o_orderkey", trim=0.1
+    )
+
+
+# =====================================================================
+# Zone-map pruning report (q211): month-of-shipdate zones over the
+# epoch-day of the same date — per-predicate zones skipped, rows
+# scanned vs matching (the "is Z-ordering worth it" measurement,
+# pairing with q162/q92's Z-order keys).
+# =====================================================================
+from dbt_incremental_ci_spark.sinks.layout import (  # noqa: E402
+    pruning_report,
+    pruning_report_sql,
+)
+
+_ZONE_PREDS = [
+    ("year_1996", 9496.0, 9861.0),
+    ("q3_1998", 10408.0, 10499.0),
+    ("week_2000_03", 11017.0, 11023.0),
+]
+_ZONE_ROWS = (
+    "(SELECT strftime(l_shipdate, '%Y-%m') AS zone_month, "
+    "date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) "
+    "AS ship_day FROM lineitem)"
+)
+
+
+@q(
+    "q211_zone_pruning",
+    pruning_report_sql(_ZONE_ROWS, "zone_month", "ship_day", _ZONE_PREDS),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("zone_month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+        ).alias("ship_day"),
+    )
+    return pruning_report(li, "zone_month", "ship_day", _ZONE_PREDS)
+
+
+# =====================================================================
+# IPS off-policy evaluation (q212): logs = events (context = user
+# cohort, action = event_type, reward = value); target policy =
+# "purchase for low cohorts, click otherwise". Propensities estimated
+# from the logs; IPS / SNIPS / effective sample size in one pass.
+# =====================================================================
+_IPS_ROWS = """(
+  SELECT user_id % 10 AS cohort, event_type, value,
+         CASE WHEN user_id % 10 < 5 THEN 'purchase'
+              ELSE 'click' END AS target_action
+  FROM events
+)"""
+
+
+@q(
+    "q212_ips_eval",
+    ips_offline_eval_sql(
+        _IPS_ROWS, "cohort", "event_type", "value", "target_action"
+    ),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 10 < 5, F.lit("purchase"))
+        .otherwise(F.lit("click"))
+        .alias("target_action"),
+    )
+    return ips_offline_eval(
+        ev, "cohort", "event_type", "value", "target_action"
+    )

@@ -25,6 +25,11 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q207_js_divergence": "category-sized divergence terms reduce to 1 row (drift.js_divergence)",
+    "q208_mutual_information": "margins/total windows + final reduce run over the |X|x|Y| contingency frame (profiling.mutual_information)",
+    "q209_decile_lift": "global ntile = one total-order sort (eval frames; docstring bounds it and points to ranks.py two-phase for corpus scale) + O(n_tiles) cumulative pass",
+    "q211_zone_pruning": "single-row conditional-match aggregate (<=64 predicate counters) + zone-sized report join (layout.pruning_report)",
+    "q212_ips_eval": "single-row IPS reduce (decimal term sums, evalmetrics.ips_offline_eval)",
     "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
     "q196_moments_profile": "three 1-row decimal power-sum reduces (profiling.moments_profile)",
     "q194_histogram_quantiles": "cumulative bin pass + spine: O(bins)=512 rows, histsketch.py",
