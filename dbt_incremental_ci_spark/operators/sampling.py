@@ -484,8 +484,16 @@ def neyman_stratified_sample(
         F.col("__n_h") > 1,
         F.sqrt(F.greatest((v2 - v1 * v1 / n_h) / (n_h - F.lit(1.0)), F.lit(0.0))),
     ).otherwise(F.lit(0.0))
+    # a_h terms round to 6 dp and fold as DECIMAL(38,6): the strata
+    # frame is tiny, but a raw double sum folds in task-arrival order,
+    # and a 1-ulp wobble in a_tot changes the unrounded sample_rate on
+    # EVERY output row (observed as a full-run flake at sf0.01 —
+    # passes alone, mismatches under concurrent scheduling). Exact
+    # decimal folds make the rates run-order-independent.
     alloc = stats.select(
-        strata_col, "__n_h", (n_h * s_h).alias("__a_h")
+        strata_col,
+        "__n_h",
+        F.round(n_h * s_h, 6).cast("decimal(38,6)").alias("__a_h"),
     )
     total = alloc.agg(F.sum("__a_h").alias("__a_tot"))
     rates = alloc.crossJoin(F.broadcast(total)).select(
@@ -495,8 +503,8 @@ def neyman_stratified_sample(
             F.least(
                 F.lit(1.0),
                 F.lit(float(n_target))
-                * F.col("__a_h")
-                / F.col("__a_tot")
+                * F.col("__a_h").cast("double")
+                / F.col("__a_tot").cast("double")
                 / F.col("__n_h").cast("double"),
             ),
         )
@@ -536,19 +544,21 @@ def neyman_stratified_sample_sql(
     ),
     alloc AS (
       SELECT {strata_col}, n_h,
-             CAST(n_h AS DOUBLE) * (CASE WHEN n_h > 1
+             CAST(ROUND(CAST(n_h AS DOUBLE) * (CASE WHEN n_h > 1
                THEN sqrt(greatest((CAST(s2 AS DOUBLE)
                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                         / CAST(n_h AS DOUBLE))
                       / (CAST(n_h AS DOUBLE) - 1.0), 0.0))
-               ELSE 0.0 END) AS a_h
+               ELSE 0.0 END), 6) AS DECIMAL(38,6)) AS a_h
       FROM stats
     ),
     tot AS (SELECT sum(a_h) AS a_tot FROM alloc),
     rates AS (
       SELECT {strata_col},
              CASE WHEN a_tot > 0
-                  THEN least(1.0, CAST({n_target} AS DOUBLE) * a_h / a_tot
+                  THEN least(1.0, CAST({n_target} AS DOUBLE)
+                             * CAST(a_h AS DOUBLE)
+                             / CAST(a_tot AS DOUBLE)
                              / CAST(n_h AS DOUBLE))
                   ELSE 0.0 END AS sample_rate
       FROM alloc CROSS JOIN tot
