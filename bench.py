@@ -249,6 +249,11 @@ EXTRA_QUERIES = [
     "q210_trimmed_stats",
     "q211_zone_pruning",
     "q212_ips_eval",
+    "q213_power_analysis",
+    "q214_weighted_quantiles",
+    "q215_rare_collapse",
+    "q216_ngram_novelty",
+    "q217_feature_hash_stats",
 ]
 
 

@@ -152,3 +152,94 @@ def eval_coverage(
             ),
         )
     )
+
+
+def ngram_novelty(
+    previous: DataFrame,
+    current: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus novelty rate: what fraction of the CURRENT epoch's
+    distinct word ``n``-grams never appeared in the PREVIOUS epoch —
+    the "are we still adding new content or just recrawling"
+    freshness monitor for an incremental crawl/ingest pipeline
+    (the forward-looking complement to ``eval_coverage``'s
+    backward-looking containment).
+
+    Both sides reduce to distinct n-gram sets FIRST (vocabulary-
+    sized, the corpus is never pair-joined), then one left-anti
+    key join counts survivors. N-grams compare as the literal
+    space-joined token strings (not hashes) so the DuckDB twin is
+    byte-identical. Output: ONE row ``(n_prev_ngrams,
+    n_cur_ngrams, n_novel, novelty_rate)``.
+    """
+    def gramset(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(word_ngrams(text_col, n)).alias("ng"))
+            .dropDuplicates(["ng"])
+        )
+
+    prev_g = gramset(previous)
+    cur_g = gramset(current)
+    novel = cur_g.join(prev_g, "ng", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    counts = cur_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cur_ngrams")
+    ).crossJoin(
+        prev_g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_prev_ngrams")
+        )
+    )
+    return counts.crossJoin(novel).select(
+        "n_prev_ngrams",
+        "n_cur_ngrams",
+        "n_novel",
+        F.round(
+            F.when(
+                F.col("n_cur_ngrams") > 0,
+                F.col("n_novel") / F.col("n_cur_ngrams"),
+            ),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+def ngram_novelty_sql(
+    prev_rows: str, cur_rows: str, text_col: str = "text", n: int = 3
+) -> str:
+    """DuckDB twin of :func:`ngram_novelty`; ``prev_rows`` /
+    ``cur_rows`` are parenthesized row-set subqueries exposing
+    ``text_col``."""
+    def gramset(rows: str) -> str:
+        return f"""(
+      SELECT DISTINCT ng FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(0, len(toks) - {n - 1})),
+                 i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS ng
+        FROM (SELECT list_filter(
+                       string_split_regex(trim({text_col}), '\\s+'),
+                       x -> x <> '') AS toks
+              FROM {rows}))
+    )"""
+
+    return f"""
+    WITH prev_g AS (SELECT ng FROM {gramset(prev_rows)}),
+    cur_g AS (SELECT ng FROM {gramset(cur_rows)}),
+    novel AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_novel
+      FROM cur_g WHERE ng NOT IN (SELECT ng FROM prev_g)
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM cur_g)
+               AS n_cur_ngrams,
+             (SELECT CAST(count(*) AS BIGINT) FROM prev_g)
+               AS n_prev_ngrams
+    )
+    SELECT n_prev_ngrams, n_cur_ngrams, n_novel,
+           ROUND(CASE WHEN n_cur_ngrams > 0 THEN
+                 CAST(n_novel AS DOUBLE) / n_cur_ngrams END, 6)
+             AS novelty_rate
+    FROM counts CROSS JOIN novel
+    """

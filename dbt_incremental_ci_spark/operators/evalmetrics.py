@@ -860,3 +860,98 @@ def ips_offline_eval_sql(
            ROUND(CASE WHEN sw2 > 0 THEN sw * sw / sw2 END, 6) AS ess
     FROM agg
     """
+
+
+def power_analysis(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    rel_lift: float = 0.10,
+    z_alpha: float = 1.9599639845400545,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """A/B test power analysis per segment — the pre-experiment
+    planning step that closes the experimentation family
+    (``two_proportion_ztest`` reads results, ``srm_check`` guards
+    assignment, this one sizes the test): from the observed baseline
+    conversion p̂, report the minimum detectable absolute effect at
+    the current sample size and the per-arm n required to detect a
+    ``rel_lift`` relative lift (two-sided alpha, default 5%, at the
+    default 80% power).
+
+    One boolean aggregate per group (exact integer counts); every
+    output is a fixed double expression over those integers — no
+    windows, no data-sized anything. Output: ``(group, n, conv,
+    p_hat, mde_abs, mde_rel, n_required)``; NULL analysis columns for
+    degenerate baselines (p̂ = 0 or 1).
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col(success_col).cast("int") > 0).cast("int")
+        ).cast("bigint").alias("conv"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("conv").cast("double") / n
+    zsum = F.lit(z_alpha + z_beta)
+    ok = (F.col("conv") > 0) & (F.col("conv") < F.col("n"))
+    mde = zsum * F.sqrt(F.lit(2.0) * p * (1 - p) / n)
+    p2 = p * F.lit(1.0 + rel_lift)
+    var_sum = p * (1 - p) + p2 * (1 - p2)
+    n_req = F.ceil(
+        zsum * zsum * var_sum / ((p2 - p) * (p2 - p))
+    ).cast("bigint")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "conv",
+        F.round(p, 6).alias("p_hat"),
+        F.round(F.when(ok, mde), 6).alias("mde_abs"),
+        F.round(F.when(ok, mde / p), 6).alias("mde_rel"),
+        F.when(ok & (p2 <= 1.0), n_req).alias("n_required"),
+    )
+
+
+def power_analysis_sql(
+    rows: str,
+    group_col: str,
+    success_col: str,
+    rel_lift: float = 0.10,
+    z_alpha: float = 1.9599639845400545,
+    z_beta: float = 0.8416212335729143,
+) -> str:
+    """DuckDB twin of :func:`power_analysis`."""
+    zs = z_alpha + z_beta
+    return f"""
+    WITH per AS (
+      SELECT {group_col} AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((CAST({success_col} AS INT) > 0) AS INT))
+               AS BIGINT) AS conv
+      FROM {rows} GROUP BY 1
+    ),
+    calc AS (
+      SELECT grp, n, conv,
+             CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             (conv > 0 AND conv < n) AS ok
+      FROM per
+    ),
+    calc2 AS (
+      SELECT grp, n, conv, p, ok,
+             CAST({zs!r} AS DOUBLE)
+               * sqrt(CAST(2.0 AS DOUBLE) * p * (1 - p)
+                      / CAST(n AS DOUBLE)) AS mde,
+             p * CAST({1.0 + rel_lift!r} AS DOUBLE) AS p2
+      FROM calc
+    )
+    SELECT grp AS {group_col}, n, conv,
+           ROUND(p, 6) AS p_hat,
+           ROUND(CASE WHEN ok THEN mde END, 6) AS mde_abs,
+           ROUND(CASE WHEN ok THEN mde / p END, 6) AS mde_rel,
+           CASE WHEN ok AND p2 <= 1.0 THEN
+             CAST(ceil(CAST({zs!r} AS DOUBLE) * CAST({zs!r} AS DOUBLE)
+               * (p * (1 - p) + p2 * (1 - p2))
+               / ((p2 - p) * (p2 - p))) AS BIGINT)
+           END AS n_required
+    FROM calc2
+    """

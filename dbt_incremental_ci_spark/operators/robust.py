@@ -204,3 +204,114 @@ def trimmed_stats_sql(
                   AS DOUBLE) / n, 6) AS winsorized_mean
     FROM agg
     """
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Exact weighted quantiles per group: the smallest value whose
+    cumulative weight reaches q·W — "the median transaction weighted
+    by quantity", "the p95 doc length weighted by token count". The
+    weighted complement to the unweighted exact percentiles
+    (q46) and the mergeable sketches (q49/q194).
+
+    Exactness contract: weights aggregate in integer centi-units
+    (DECIMAL(18,2) × 100), cumulative weights are exact integers over
+    a (value, ``id_col``) total order per group, and the q·W
+    threshold is ``ceil`` of a double product of exact integers — the
+    same expression in both engines, so the selected row is
+    bit-identical. One group-keyed shuffle + in-partition sort, a
+    |groups|×|qs| broadcast spine, and a group-keyed re-aggregate;
+    nothing data-sized funnels to one task. Output: ``(group, q,
+    total_weight, wq)``.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 < q_ <= 1.0 for q_ in qs):
+        raise ValueError(f"quantiles must lie in (0, 1], got {qs}")
+    wcent = (
+        F.col(weight_col).cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    wg = Window.partitionBy("__g")
+    # zero-weight rows contribute nothing but tie the cumulative
+    # weight with their neighbor, making the min_by(value, cw) pick
+    # engine-dependent — drop them (negative weights drop too; the
+    # quantile of a signed-weight distribution is undefined here)
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.col(id_col).alias("__id"),
+        wcent.alias("__w"),
+    ).where(F.col("__w") > 0).select(
+        "__g",
+        "__v",
+        F.sum("__w").over(w).alias("__cw"),
+        F.sum("__w").over(wg).alias("__tw"),
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(float(q_),) for q_ in sorted(qs)], "q double"
+    )
+    thr = F.ceil(F.col("q") * F.col("__tw").cast("double")).cast(
+        "bigint"
+    )
+    hit = ranked.crossJoin(F.broadcast(spine)).where(
+        F.col("__cw") >= thr
+    )
+    return (
+        hit.groupBy(F.col("__g").alias(group_col), "q")
+        .agg(
+            (F.max("__tw") / F.lit(100.0)).alias("total_weight"),
+            F.min_by("__v", "__cw").alias("wq"),
+        )
+        .select(
+            group_col,
+            "q",
+            F.round(F.col("total_weight"), 2).alias("total_weight"),
+            "wq",
+        )
+    )
+
+
+def weighted_quantiles_sql(
+    rows: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    id_col: str,
+    qs: list[float],
+) -> str:
+    """DuckDB twin of :func:`weighted_quantiles`."""
+    spine = ", ".join(f"(CAST({float(q_)!r} AS DOUBLE))" for q_ in sorted(qs))
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col} AS g, {value_col} AS v,
+             sum(CAST(CAST({weight_col} AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) OVER (
+               PARTITION BY {group_col}
+               ORDER BY {value_col} ASC, {id_col} ASC) AS cw,
+             sum(CAST(CAST({weight_col} AS DECIMAL(18,2)) * 100
+                 AS BIGINT)) OVER (
+               PARTITION BY {group_col}) AS tw
+      FROM {rows}
+      WHERE CAST(CAST({weight_col} AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+    ),
+    spine(q) AS (VALUES {spine}),
+    hit AS (
+      SELECT g, q, v, cw, tw
+      FROM ranked CROSS JOIN spine
+      WHERE cw >= CAST(ceil(q * CAST(tw AS DOUBLE)) AS BIGINT)
+    )
+    SELECT g AS {group_col}, q,
+           ROUND(max(tw) / 100.0, 2) AS total_weight,
+           min_by(v, cw) AS wq
+    FROM hit GROUP BY 1, 2
+    """

@@ -303,3 +303,155 @@ def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ips_offline_eval(
         ev, "cohort", "event_type", "value", "target_action"
     )
+
+
+# =====================================================================
+# A/B power analysis (q213): per-cohort baseline conversion -> minimum
+# detectable effect at current n + required n per arm for a 10%
+# relative lift. Completes the experimentation family (q168 z-test,
+# q177 SRM): size the test before running it.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    power_analysis,
+    power_analysis_sql,
+)
+
+_POWER_ROWS = (
+    "(SELECT user_id % 5 AS cohort, "
+    "CAST(event_type = 'purchase' AS INT) AS converted FROM events)"
+)
+
+
+@q(
+    "q213_power_analysis",
+    power_analysis_sql(_POWER_ROWS, "cohort", "converted", rel_lift=0.10),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("cohort"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return power_analysis(ev, "cohort", "converted", rel_lift=0.10)
+
+
+# =====================================================================
+# Weighted quantiles (q214): quantity-weighted median and p90 of the
+# extended price per return flag — exact integer-centi-unit cumulative
+# weights, engine-identical row selection.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.robust import (  # noqa: E402
+    trimmed_stats as _ts,  # noqa: F401  (q210 imports above)
+    weighted_quantiles,
+    weighted_quantiles_sql,
+)
+
+_WQ_ROWS = (
+    "(SELECT l_returnflag, l_extendedprice, l_quantity, "
+    "l_orderkey * 8 + l_linenumber AS lid FROM lineitem)"
+)
+
+
+@q(
+    "q214_weighted_quantiles",
+    weighted_quantiles_sql(
+        _WQ_ROWS, "l_returnflag", "l_extendedprice", "l_quantity",
+        "lid", [0.5, 0.9],
+    ),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("lid"),
+    )
+    return weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "lid",
+        [0.5, 0.9],
+    )
+
+
+# =====================================================================
+# Rare-category collapse (q215): fold the long tail of leading tokens
+# into __other__ at min_support=5 — the cardinality-stabilizing step
+# before categorical encoding.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.featurehygiene import (  # noqa: E402
+    feature_hash_stats,
+    feature_hash_stats_sql,
+    rare_category_collapse,
+    rare_category_collapse_sql,
+)
+
+_FIRST_TOKEN_SQL = (
+    "(SELECT list_filter(string_split_regex(trim(text), '\\s+'), "
+    "x -> x <> '')[1] AS tok0 FROM documents)"
+)
+
+
+@q(
+    "q215_rare_collapse",
+    rare_category_collapse_sql(_FIRST_TOKEN_SQL, "tok0", 5),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )[0].alias("tok0")
+    )
+    return rare_category_collapse(docs, "tok0", 5)
+
+
+# =====================================================================
+# N-gram novelty (q216): share of the current crawl epoch's distinct
+# trigrams unseen in the previous epoch — the freshness monitor for
+# incremental ingestion.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.decontam import (  # noqa: E402
+    ngram_novelty,
+    ngram_novelty_sql,
+)
+
+
+@q(
+    "q216_ngram_novelty",
+    ngram_novelty_sql(
+        "(SELECT text FROM documents WHERE doc_id < 250)",
+        "(SELECT text FROM documents WHERE doc_id >= 250)",
+        "text",
+        n=3,
+    ),
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") < 250)
+    cur = docs.filter(F.col("doc_id") >= 250)
+    return ngram_novelty(prev, cur, "text", n=3)
+
+
+# =====================================================================
+# Feature-hash diagnostics (q217): hashing-trick collision load of
+# the document token vocabulary at 256 buckets — sizes the hash
+# dimension by measurement.
+# =====================================================================
+_TOKENS_SQL = (
+    "(SELECT unnest(list_filter("
+    "string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok "
+    "FROM documents)"
+)
+
+
+@q(
+    "q217_feature_hash_stats",
+    feature_hash_stats_sql(_TOKENS_SQL, "tok", 256),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    return feature_hash_stats(docs, "tok", 256)

@@ -290,3 +290,167 @@ def test_pruning_report_rejects_empty_and_oversized(spark):
         pruning_report(
             df, "zone", "v", [(f"p{i}", 0.0, 1.0) for i in range(65)]
         )
+
+
+# ---------------------------------------------------- power analysis
+def test_power_analysis_known_baseline(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        power_analysis,
+    )
+
+    # p = 0.2, n = 1000: textbook two-proportion sizing at 80%/5%
+    rows = [("g", 1 if i < 200 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    r = power_analysis(df, "grp", "conv", rel_lift=0.10).collect()[0]
+    assert r["p_hat"] == pytest.approx(0.2, abs=1e-9)
+    zsum = 1.9599639845400545 + 0.8416212335729143
+    import math
+
+    mde = zsum * math.sqrt(2 * 0.2 * 0.8 / 1000)
+    assert r["mde_abs"] == pytest.approx(round(mde, 6), abs=1e-9)
+    p2 = 0.2 * 1.1
+    n_req = math.ceil(
+        zsum * zsum * (0.2 * 0.8 + p2 * (1 - p2)) / (p2 - 0.2) ** 2
+    )
+    assert r["n_required"] == n_req
+    assert 6000 < n_req < 7000  # sanity: ~6.3k per arm for +10% on 20%
+
+
+def test_power_analysis_degenerate_baseline_is_null(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        power_analysis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 1), ("b", 1)], "grp string, conv int"
+    )
+    out = {r["grp"]: r for r in power_analysis(df, "grp", "conv").collect()}
+    assert out["a"]["mde_abs"] is None and out["a"]["n_required"] is None
+    assert out["b"]["mde_abs"] is None
+
+
+# ------------------------------------------------- weighted quantiles
+def test_weighted_quantiles_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1,1,1,7 -> W=10; median threshold 5
+    # falls in the weight-7 block -> wq(0.5) = 4; q=0.2 -> cum 2 -> 2
+    df = spark.createDataFrame(
+        [("g", 1, 1.0, 1.0), ("g", 2, 2.0, 1.0), ("g", 3, 3.0, 1.0),
+         ("g", 4, 4.0, 7.0)],
+        "grp string, id int, v double, w double",
+    )
+    out = {
+        r["q"]: r
+        for r in weighted_quantiles(
+            df, "grp", "v", "w", "id", [0.2, 0.5]
+        ).collect()
+    }
+    assert out[0.5]["wq"] == 4.0
+    assert out[0.2]["wq"] == 2.0
+    assert out[0.5]["total_weight"] == 10.0
+
+
+def test_weighted_quantiles_uniform_weights_match_rank_median(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, float(i), 1.0) for i in range(1, 101)],
+        "grp string, id int, v double, w double",
+    )
+    out = {
+        r["q"]: r["wq"]
+        for r in weighted_quantiles(
+            df, "grp", "v", "w", "id", [0.5, 0.9, 1.0]
+        ).collect()
+    }
+    assert out[0.5] == 50.0 and out[0.9] == 90.0 and out[1.0] == 100.0
+
+
+def test_weighted_quantiles_drops_zero_weights(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 1.0, 0.0), ("g", 2, 2.0, 1.0)],
+        "grp string, id int, v double, w double",
+    )
+    r = weighted_quantiles(df, "grp", "v", "w", "id", [0.5]).collect()[0]
+    assert r["wq"] == 2.0 and r["total_weight"] == 1.0
+
+
+# -------------------------------------------------- rare collapse
+def test_rare_category_collapse(spark):
+    from dbt_incremental_ci_spark.operators.featurehygiene import (
+        rare_category_collapse,
+    )
+
+    rows = [("big",)] * 10 + [("mid",)] * 3 + [("r1",), ("r2",)]
+    df = spark.createDataFrame(rows, "c string")
+    out = {
+        r["category"]: r
+        for r in rare_category_collapse(df, "c", 3).collect()
+    }
+    assert out["big"]["n_rows"] == 10
+    assert out["mid"]["n_rows"] == 3
+    assert out["__other__"]["n_rows"] == 2
+    assert out["__other__"]["n_source_categories"] == 2
+
+
+# -------------------------------------------------- ngram novelty
+def test_ngram_novelty_disjoint_and_identical(spark):
+    from dbt_incremental_ci_spark.operators.decontam import ngram_novelty
+
+    prev = spark.createDataFrame([("a b c d",)], "text string")
+    cur_same = spark.createDataFrame([("a b c d",)], "text string")
+    cur_new = spark.createDataFrame([("x y z w",)], "text string")
+    r_same = ngram_novelty(prev, cur_same, "text", n=2).collect()[0]
+    assert r_same["n_novel"] == 0 and r_same["novelty_rate"] == 0.0
+    r_new = ngram_novelty(prev, cur_new, "text", n=2).collect()[0]
+    assert r_new["n_novel"] == 3 and r_new["novelty_rate"] == 1.0
+
+
+def test_ngram_novelty_partial(spark):
+    from dbt_incremental_ci_spark.operators.decontam import ngram_novelty
+
+    prev = spark.createDataFrame([("a b c",)], "text string")
+    # bigrams of cur: "a b" (seen), "b x" (novel) -> rate 0.5
+    cur = spark.createDataFrame([("a b x",)], "text string")
+    r = ngram_novelty(prev, cur, "text", n=2).collect()[0]
+    assert r["n_cur_ngrams"] == 2 and r["n_novel"] == 1
+    assert r["novelty_rate"] == 0.5
+
+
+# ---------------------------------------------- feature hash stats
+def test_feature_hash_stats_pigeonhole(spark):
+    from dbt_incremental_ci_spark.operators.featurehygiene import (
+        feature_hash_stats,
+    )
+
+    # 10 features into 4 buckets: collisions guaranteed (pigeonhole)
+    df = spark.createDataFrame([(f"f{i}",) for i in range(10)], "f string")
+    r = feature_hash_stats(df, "f", 4).collect()[0]
+    assert r["n_features"] == 10
+    assert r["buckets_used"] <= 4
+    assert r["colliding_buckets"] >= 1
+    assert r["features_in_collisions"] >= 10 - 4 + 1
+    assert 0 < r["collision_rate"] <= 1.0
+
+
+def test_feature_hash_stats_no_collisions_when_sparse(spark):
+    from dbt_incremental_ci_spark.operators.featurehygiene import (
+        feature_hash_stats,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "f string")
+    r = feature_hash_stats(df, "f", 65536).collect()[0]
+    assert r["n_features"] == 2
+    assert r["collision_rate"] in (0.0, 1.0)  # 2/65536 collision odds
+    assert r["load_factor"] == pytest.approx(
+        round(r["buckets_used"] / 65536, 6), abs=1e-9
+    )
