@@ -254,6 +254,9 @@ EXTRA_QUERIES = [
     "q215_rare_collapse",
     "q216_ngram_novelty",
     "q217_feature_hash_stats",
+    "q218_slice_wilson",
+    "q219_bootstrap_ci",
+    "q220_minhash_merge",
 ]
 
 

@@ -955,3 +955,93 @@ def power_analysis_sql(
            END AS n_required
     FROM calc2
     """
+
+
+def slice_metrics_wilson(
+    df: DataFrame,
+    slice_col: str,
+    label_col: str,
+    pred_col: str,
+    z: float = 1.9599639845400545,
+) -> DataFrame:
+    """Per-slice classification accuracy with a Wilson score interval
+    — the sliced-eval report ("how does the filter do on zh docs /
+    short docs / src7") that turns a global accuracy number into the
+    per-segment view responsible eval requires. Wilson (1927) keeps
+    honest coverage at small slice sizes where the normal interval
+    collapses.
+
+    One boolean aggregate per slice (exact integers); accuracy and
+    both interval bounds are fixed double expressions over those
+    integers. Output: ``(slice, n, n_correct, accuracy, wilson_lo,
+    wilson_hi)``.
+    """
+    correct = (
+        F.col(label_col).cast("int") == F.col(pred_col).cast("int")
+    ).cast("int")
+    per = df.groupBy(F.col(slice_col).alias("slc")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_correct").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return per.select(
+        F.col("slc").alias(slice_col),
+        "n",
+        "n_correct",
+        F.round(p, 6).alias("accuracy"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias(
+            "wilson_lo"
+        ),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+def slice_metrics_wilson_sql(
+    rows: str,
+    slice_col: str,
+    label_col: str,
+    pred_col: str,
+    z: float = 1.9599639845400545,
+) -> str:
+    """DuckDB twin of :func:`slice_metrics_wilson`."""
+    return f"""
+    WITH per AS (
+      SELECT {slice_col} AS slc,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((CAST({label_col} AS INT)
+                            = CAST({pred_col} AS INT)) AS INT))
+               AS BIGINT) AS n_correct
+      FROM {rows} GROUP BY 1
+    ),
+    c AS (
+      SELECT slc, n, n_correct,
+             CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd,
+             CAST({z * z!r} AS DOUBLE) AS z2
+      FROM per
+    ),
+    c2 AS (
+      SELECT slc, n, n_correct, p,
+             (p + z2 / (2 * nd)) / (1 + z2 / nd) AS center,
+             CAST({z!r} AS DOUBLE)
+               * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))
+               / (1 + z2 / nd) AS half
+      FROM c
+    )
+    SELECT slc AS {slice_col}, n, n_correct,
+           ROUND(p, 6) AS accuracy,
+           ROUND(greatest(center - half, 0.0), 6) AS wilson_lo,
+           ROUND(least(center + half, 1.0), 6) AS wilson_hi
+    FROM c2
+    """

@@ -567,3 +567,196 @@ def neyman_stratified_sample_sql(
     FROM {table} t JOIN rates r USING ({strata_col})
     WHERE {u} < r.sample_rate
     """
+
+
+# inverse-CDF table for Poisson(1), capped at 5 (P(X>5) ~ 0.06%):
+# cumulative probabilities after each count 0..4
+_POIS1_CDF = [
+    0.36787944117144233,  # P(0)
+    0.7357588823428847,   # P(<=1)
+    0.9196986029286058,   # P(<=2)
+    0.9810118431238462,   # P(<=3)
+    0.9963401531726563,   # P(<=4)
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-group mean
+    via the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012) — THE distributed
+    bootstrap: instead of drawing n rows with replacement (impossible
+    without a global index), every row independently gets a
+    Poisson(1) weight per resample, which converges to multinomial
+    resampling and needs only one pass.
+
+    Determinism: the Poisson draw is an inverse-CDF lookup on the
+    engine's md5 uniform (``hash_uniform(key:salt:b)``), so both
+    engines assign identical weights. Per-resample weighted sums fold
+    in DECIMAL (weight × DECIMAL(18,2) value — exact); the B resample
+    means rank inside each group (a B-row window per group) and the
+    interval picks rank ``ceil(q·B)`` order statistics.
+
+    Scale: the fan-out is a ``B``-row broadcast spine (rows × B map
+    work — the method's stated price), one (group, b)-keyed aggregate,
+    then windows over B-row frames. Output: ``(group, n, mean_full,
+    ci_lo, ci_hi)``.
+    """
+    if n_resamples < 10:
+        raise ValueError(f"n_resamples must be >= 10, got {n_resamples}")
+    if not 0.0 < alpha < 0.5:
+        raise ValueError(f"alpha must be in (0, 0.5), got {alpha}")
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(b,) for b in range(1, n_resamples + 1)], "b int"
+    )
+    u = hash_uniform(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        ),
+        salt,
+    )
+    wgt = (
+        F.when(u < _POIS1_CDF[0], 0)
+        .when(u < _POIS1_CDF[1], 1)
+        .when(u < _POIS1_CDF[2], 2)
+        .when(u < _POIS1_CDF[3], 3)
+        .when(u < _POIS1_CDF[4], 4)
+        .otherwise(5)
+    )
+    v = F.col(value_col).cast("decimal(18,2)")
+    fanned = df.crossJoin(F.broadcast(spine)).select(
+        F.col(group_col).alias("__g"),
+        F.col("b"),
+        wgt.alias("__w"),
+        v.alias("__v"),
+    )
+    per_b = fanned.groupBy("__g", "b").agg(
+        F.sum(F.col("__w").cast("decimal(18,0)") * F.col("__v")).alias(
+            "__ws"
+        ),
+        F.sum("__w").cast("bigint").alias("__wn"),
+    )
+    mean_b = per_b.select(
+        "__g",
+        "b",
+        F.when(
+            F.col("__wn") > 0,
+            F.round(
+                F.col("__ws").cast("double") / F.col("__wn"), 9
+            ),
+        ).alias("__m"),
+    ).where(F.col("__m").isNotNull())
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__m").asc(), F.col("b").asc()
+    )
+    wcnt = Window.partitionBy("__g")
+    ranked = mean_b.select(
+        "__g",
+        "__m",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wcnt).alias("__bn"),
+    )
+    lo_r = F.greatest(
+        F.ceil(F.lit(alpha / 2) * F.col("__bn")).cast("int"), F.lit(1)
+    )
+    hi_r = F.ceil(F.lit(1.0 - alpha / 2) * F.col("__bn")).cast("int")
+    ci = ranked.groupBy(F.col("__g")).agg(
+        F.min(F.when(F.col("__r") == lo_r, F.col("__m"))).alias(
+            "ci_lo"
+        ),
+        F.min(F.when(F.col("__r") == hi_r, F.col("__m"))).alias(
+            "ci_hi"
+        ),
+    )
+    full = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(v).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_full"),
+    )
+    return full.join(ci, "__g").select(
+        F.col("__g").alias(group_col),
+        "n",
+        "mean_full",
+        F.round(F.col("ci_lo"), 6).alias("ci_lo"),
+        F.round(F.col("ci_hi"), 6).alias("ci_hi"),
+    )
+
+
+def poisson_bootstrap_ci_sql(
+    rows: str,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_ci`."""
+    u = hash_uniform_sql(
+        f"(CAST({key_col} AS VARCHAR) || ':' || CAST(b AS VARCHAR))", salt
+    )
+    c = _POIS1_CDF
+    return f"""
+    WITH spine AS (SELECT unnest(generate_series(1, {n_resamples})) AS b),
+    fanned AS (
+      SELECT {group_col} AS g, b,
+             CASE WHEN {u} < {c[0]!r} THEN 0
+                  WHEN {u} < {c[1]!r} THEN 1
+                  WHEN {u} < {c[2]!r} THEN 2
+                  WHEN {u} < {c[3]!r} THEN 3
+                  WHEN {u} < {c[4]!r} THEN 4
+                  ELSE 5 END AS w,
+             CAST({value_col} AS DECIMAL(18,2)) AS v
+      FROM {rows} CROSS JOIN spine
+    ),
+    per_b AS (
+      SELECT g, b,
+             sum(CAST(w AS DECIMAL(18,0)) * v) AS ws,
+             CAST(sum(w) AS BIGINT) AS wn
+      FROM fanned GROUP BY g, b
+    ),
+    mean_b AS (
+      SELECT g, b,
+             ROUND(CAST(ws AS DOUBLE) / wn, 9) AS m
+      FROM per_b WHERE wn > 0
+    ),
+    ranked AS (
+      SELECT g, m,
+             row_number() OVER (PARTITION BY g
+               ORDER BY m ASC, b ASC) AS r,
+             count(*) OVER (PARTITION BY g) AS bn
+      FROM mean_b
+    ),
+    ci AS (
+      SELECT g,
+             min(CASE WHEN r = greatest(CAST(ceil(
+                   CAST({alpha / 2!r} AS DOUBLE) * bn) AS INT), 1)
+                 THEN m END) AS ci_lo,
+             min(CASE WHEN r = CAST(ceil(
+                   CAST({1.0 - alpha / 2!r} AS DOUBLE) * bn) AS INT)
+                 THEN m END) AS ci_hi
+      FROM ranked GROUP BY g
+    ),
+    base AS (
+      SELECT {group_col} AS g,
+             CAST(count(*) AS BIGINT) AS n,
+             ROUND(CAST(sum(CAST({value_col} AS DECIMAL(18,2)))
+               AS DOUBLE) / count(*), 6) AS mean_full
+      FROM {rows} GROUP BY 1
+    )
+    SELECT base.g AS {group_col}, n, mean_full,
+           ROUND(ci_lo, 6) AS ci_lo,
+           ROUND(ci_hi, 6) AS ci_hi
+    FROM base JOIN ci ON base.g = ci.g
+    """

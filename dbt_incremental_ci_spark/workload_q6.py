@@ -455,3 +455,94 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     return feature_hash_stats(docs, "tok", 256)
+
+
+# =====================================================================
+# Sliced eval with Wilson intervals (q218): per-event-type accuracy of
+# a threshold predictor against the high-value label, with
+# small-slice-honest confidence bounds.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    slice_metrics_wilson,
+    slice_metrics_wilson_sql,
+)
+
+_SLICE_ROWS = (
+    "(SELECT event_type, CAST(value > 50 AS INT) AS label, "
+    "CAST(value > 45 AS INT) AS pred FROM events)"
+)
+
+
+@q(
+    "q218_slice_wilson",
+    slice_metrics_wilson_sql(_SLICE_ROWS, "event_type", "label", "pred"),
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") > 50).cast("int").alias("label"),
+        (F.col("value") > 45).cast("int").alias("pred"),
+    )
+    return slice_metrics_wilson(ev, "event_type", "label", "pred")
+
+
+# =====================================================================
+# Poisson bootstrap CI (q219): per-priority mean order value with a
+# 95% percentile-bootstrap interval — the one-pass distributed
+# bootstrap (per-row Poisson(1) weights, B=40 resamples).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.sampling import (  # noqa: E402
+    poisson_bootstrap_ci,
+    poisson_bootstrap_ci_sql,
+)
+
+
+@q(
+    "q219_bootstrap_ci",
+    poisson_bootstrap_ci_sql(
+        "(SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders)",
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        n_resamples=40,
+    ),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    return poisson_bootstrap_ci(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey",
+        n_resamples=40,
+    )
+
+
+# =====================================================================
+# Mergeable MinHash registers (q220): per-event-type audience sketch
+# built per shard, shard-merged, and proven register-identical to the
+# direct sketch — the q174 HLL-merge contract for set-similarity
+# signatures.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.mhsketch import (  # noqa: E402
+    minhash_merge_proof,
+    minhash_merge_proof_sql,
+)
+
+_MH_ROWS = (
+    "(SELECT event_type, user_id, event_id % 3 AS shard FROM events)"
+)
+
+
+@q(
+    "q220_minhash_merge",
+    minhash_merge_proof_sql(
+        _MH_ROWS, "event_type", "user_id", "shard", m=32
+    ),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.col("event_id") % 3).alias("shard"),
+    )
+    return minhash_merge_proof(ev, "event_type", "user_id", "shard", m=32)

@@ -454,3 +454,123 @@ def test_feature_hash_stats_no_collisions_when_sparse(spark):
     assert r["load_factor"] == pytest.approx(
         round(r["buckets_used"] / 65536, 6), abs=1e-9
     )
+
+
+# ------------------------------------------------ wilson slice metrics
+def test_wilson_interval_brackets_accuracy(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        slice_metrics_wilson,
+    )
+
+    rows = [("s", 1, 1)] * 80 + [("s", 1, 0)] * 20
+    df = spark.createDataFrame(rows, "slc string, label int, pred int")
+    r = slice_metrics_wilson(df, "slc", "label", "pred").collect()[0]
+    assert r["accuracy"] == pytest.approx(0.8, abs=1e-9)
+    assert r["wilson_lo"] < 0.8 < r["wilson_hi"]
+    # textbook Wilson 95% bounds for 80/100
+    assert r["wilson_lo"] == pytest.approx(0.7112, abs=2e-3)
+    assert r["wilson_hi"] == pytest.approx(0.8666, abs=2e-3)
+
+
+def test_wilson_degenerate_slice_stays_in_unit_interval(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        slice_metrics_wilson,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 1), ("s", 0, 0)], "slc string, label int, pred int"
+    )
+    r = slice_metrics_wilson(df, "slc", "label", "pred").collect()[0]
+    assert r["accuracy"] == 1.0
+    assert 0.0 <= r["wilson_lo"] <= 1.0
+    assert r["wilson_hi"] == 1.0  # clamped
+
+
+# --------------------------------------------------- poisson bootstrap
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    from dbt_incremental_ci_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g", i, 100.0 + (i % 21) - 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    r = poisson_bootstrap_ci(
+        df, "grp", "v", "id", n_resamples=40
+    ).collect()[0]
+    assert r["n"] == 2000
+    assert r["ci_lo"] <= r["mean_full"] <= r["ci_hi"]
+    # sd ~ 6, so the CI of the mean at n=2000 is well under +-1
+    assert r["ci_hi"] - r["ci_lo"] < 1.5
+
+
+def test_bootstrap_ci_deterministic_across_runs(spark):
+    from dbt_incremental_ci_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g", i, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, id int, v double")
+    a = poisson_bootstrap_ci(df, "grp", "v", "id").collect()[0]
+    b = poisson_bootstrap_ci(
+        df.repartition(7), "grp", "v", "id"
+    ).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+
+
+def test_bootstrap_rejects_bad_params(spark):
+    from dbt_incremental_ci_spark.operators.sampling import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id int, v double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "grp", "v", "id", n_resamples=5)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "grp", "v", "id", alpha=0.7)
+
+
+# ------------------------------------------------- mergeable minhash
+def test_minhash_merge_is_register_exact(spark):
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        minhash_merge_proof,
+    )
+
+    rows = [
+        ("A", f"t{i}", i % 4) for i in range(100)
+    ] + [("B", f"t{i}", i % 4) for i in range(40, 140)]
+    df = spark.createDataFrame(rows, "s string, tok string, shard int")
+    out = minhash_merge_proof(df, "s", "tok", "shard", m=16).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_perms"] == 16
+        assert r["n_agree"] == 16  # merge must be lossless
+
+
+def test_minhash_registers_estimate_jaccard(spark):
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        minhash_md5_registers,
+    )
+
+    # |A∩B| / |A∪B| = 60/140 ~ 0.43; register agreement estimates it
+    rows = [("A", f"t{i}") for i in range(100)] + [
+        ("B", f"t{i}") for i in range(40, 140)
+    ]
+    df = spark.createDataFrame(rows, "s string, tok string")
+    regs = minhash_md5_registers(df, "s", "tok", m=128).collect()
+    byset = {}
+    for r in regs:
+        byset.setdefault(r["s"], {})[r["j"]] = r["h"]
+    agree = sum(
+        1 for j in range(128) if byset["A"][j] == byset["B"][j]
+    )
+    assert abs(agree / 128 - 60 / 140) < 0.15
+
+
+def test_minhash_registers_rejects_bad_m(spark):
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        minhash_md5_registers,
+    )
+
+    df = spark.createDataFrame([("a", "t")], "s string, tok string")
+    with pytest.raises(ValueError):
+        minhash_md5_registers(df, "s", "tok", m=0)

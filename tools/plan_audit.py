@@ -31,6 +31,7 @@ ONE_PART_NOTES = {
     "q211_zone_pruning": "single-row conditional-match aggregate (<=64 predicate counters) + zone-sized report join (layout.pruning_report)",
     "q212_ips_eval": "single-row IPS reduce (decimal term sums, evalmetrics.ips_offline_eval)",
     "q216_ngram_novelty": "three 1-row gramset-count reduces (decontam.ngram_novelty)",
+    "q219_bootstrap_ci": "per-group B-row resample-mean windows + group-keyed CI reduce (B=40, sampling.poisson_bootstrap_ci)",
     "q217_feature_hash_stats": "single-row bucket-load summary over the <=n_buckets frame (featurehygiene.feature_hash_stats)",
     "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
     "q196_moments_profile": "three 1-row decimal power-sum reduces (profiling.moments_profile)",
