@@ -257,6 +257,7 @@ EXTRA_QUERIES = [
     "q218_slice_wilson",
     "q219_bootstrap_ci",
     "q220_minhash_merge",
+    "q221_lsh_banding_eval",
 ]
 
 

@@ -176,3 +176,198 @@ def minhash_merge_proof_sql(
                             AND merged.j = direct.j
     GROUP BY 1
     """
+
+
+def lsh_banding_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    salt: str = "lshband",
+) -> DataFrame:
+    """Operator-QA harness: measure the recall/precision of MinHash
+    LSH banding against EXACT token-set Jaccard ground truth on an
+    audit slice — the "is my dedup config (m, bands) actually catching
+    near-dups at this threshold" report run before trusting a sweep
+    over the full corpus.
+
+    ``df`` must be a FIXED-SIZE audit slice (the §6o rule: QA samples
+    don't grow with the corpus) — the ground-truth side is an
+    all-pairs token-set Jaccard over the slice, bounded by
+    construction, and the candidate side is the banded self-join the
+    production pipeline uses. Signatures are the mergeable md5
+    registers (:func:`minhash_md5_registers`) grouped into ``bands``
+    band keys, so the DuckDB twin reproduces every candidate pair
+    without a Python replica. Output: ONE row ``(n_docs, n_truth,
+    n_candidates, n_hits, recall, precision)``.
+    """
+    if m % bands != 0:
+        raise ValueError(f"bands must divide m ({bands} vs {m})")
+    rows_per_band = m // bands
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    toks = toks.localCheckpoint(eager=False)
+    # --- candidates: md5 registers -> per-band key -> self-join
+    regs = minhash_md5_registers(
+        toks.select("__id", F.explode("__toks").alias("__t")),
+        "__id",
+        "__t",
+        m=m,
+        salt=salt,
+    )
+    band_keys = (
+        regs.withColumn(
+            "band", (F.col("j") / rows_per_band).cast("int")
+        )
+        .groupBy("__id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("j", "h"))
+                        ),
+                        lambda s: s["h"].cast("string"),
+                    ),
+                )
+            ).alias("bkey")
+        )
+    ).localCheckpoint(eager=False)
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    # --- truth: audit-slice-bounded all-pairs exact Jaccard
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    jac = F.size(
+        F.array_intersect(F.col("ta.__toks"), F.col("tb.__toks"))
+    ) / F.size(F.array_union(F.col("ta.__toks"), F.col("tb.__toks")))
+    truth = (
+        ta.join(tb, F.col("ta.__id") < F.col("tb.__id"))
+        .where(jac >= F.lit(threshold))
+        .select(
+            F.col("ta.__id").alias("id_a"), F.col("tb.__id").alias("id_b")
+        )
+    )
+    hits = truth.join(cands, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    counts = (
+        toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(
+            truth.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_truth")
+            )
+        )
+        .crossJoin(
+            cands.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+            )
+        )
+        .crossJoin(hits)
+    )
+    return counts.select(
+        "n_docs",
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits") / F.col("n_truth"),
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits") / F.col("n_candidates"),
+            ),
+            6,
+        ).alias("precision"),
+    )
+
+
+def lsh_banding_eval_sql(
+    rows: str,
+    id_col: str,
+    text_col: str,
+    m: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    salt: str = "lshband",
+) -> str:
+    """DuckDB twin of :func:`lsh_banding_eval`."""
+    rows_per_band = m // bands
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS id,
+             list_distinct(list_filter(
+               string_split_regex(trim(lower({text_col})), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM {rows}
+    ),
+    toks_ne AS (SELECT * FROM toks WHERE len(tk) > 0),
+    regs AS (
+      SELECT id, j,
+             min(('0x' || substr(md5(t || ':' || CAST(j AS VARCHAR)
+                 || ':{salt}'), 1, 8))::BIGINT) AS h
+      FROM (SELECT id, unnest(tk) AS t FROM toks_ne)
+      CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+      GROUP BY id, j
+    ),
+    band_keys AS (
+      SELECT id, CAST(floor(j / {rows_per_band}) AS INT) AS band,
+             md5(array_to_string(
+               list(CAST(h AS VARCHAR) ORDER BY j), ',')) AS bkey
+      FROM regs GROUP BY id, CAST(floor(j / {rows_per_band}) AS INT)
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM band_keys a JOIN band_keys b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+    ),
+    truth AS (
+      SELECT ta.id AS id_a, tb.id AS id_b
+      FROM toks_ne ta JOIN toks_ne tb ON ta.id < tb.id
+      WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+              / len(list_distinct(list_concat(ta.tk, tb.tk)))
+            >= CAST({threshold!r} AS DOUBLE)
+    ),
+    hits AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth JOIN cands USING (id_a, id_b)
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks_ne) AS n_docs,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cands)
+               AS n_candidates
+    )
+    SELECT n_docs, n_truth, n_candidates, n_hits,
+           ROUND(CASE WHEN n_truth > 0 THEN
+                 CAST(n_hits AS DOUBLE) / n_truth END, 6) AS recall,
+           ROUND(CASE WHEN n_candidates > 0 THEN
+                 CAST(n_hits AS DOUBLE) / n_candidates END, 6)
+             AS precision
+    FROM counts CROSS JOIN hits
+    """

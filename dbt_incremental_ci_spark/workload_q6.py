@@ -546,3 +546,33 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 3).alias("shard"),
     )
     return minhash_merge_proof(ev, "event_type", "user_id", "shard", m=32)
+
+
+# =====================================================================
+# LSH banding QA (q221): recall/precision of the (m=32, bands=8)
+# MinHash banding config against exact token-set Jaccard ground truth
+# on the fixed documents audit slice — measure the dedup config
+# before trusting a corpus sweep.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.mhsketch import (  # noqa: E402
+    lsh_banding_eval,
+    lsh_banding_eval_sql,
+)
+
+
+@q(
+    "q221_lsh_banding_eval",
+    lsh_banding_eval_sql(
+        "(SELECT doc_id, text FROM documents)",
+        "doc_id",
+        "text",
+        m=32,
+        bands=8,
+        threshold=0.5,
+    ),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lsh_banding_eval(
+        docs, "doc_id", "text", m=32, bands=8, threshold=0.5
+    )

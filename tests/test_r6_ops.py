@@ -574,3 +574,35 @@ def test_minhash_registers_rejects_bad_m(spark):
     df = spark.createDataFrame([("a", "t")], "s string, tok string")
     with pytest.raises(ValueError):
         minhash_md5_registers(df, "s", "tok", m=0)
+
+
+# ------------------------------------------------- lsh banding eval
+def test_lsh_banding_eval_catches_exact_dups(spark):
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        lsh_banding_eval,
+    )
+
+    # two identical docs + one unrelated: truth = 1 pair, banding must
+    # catch it (identical signatures agree on every band)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota")],
+        "doc_id int, text string",
+    )
+    r = lsh_banding_eval(df, "doc_id", "text", m=16, bands=4).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_truth"] == 1
+    assert r["n_hits"] == 1
+    assert r["recall"] == 1.0
+
+
+def test_lsh_banding_eval_rejects_bad_bands(spark):
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        lsh_banding_eval,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_banding_eval(df, "doc_id", "text", m=16, bands=5)
