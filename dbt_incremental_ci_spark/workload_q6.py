@@ -563,7 +563,9 @@ from dbt_incremental_ci_spark.operators.mhsketch import (  # noqa: E402
 @q(
     "q221_lsh_banding_eval",
     lsh_banding_eval_sql(
-        "(SELECT doc_id, text FROM documents)",
+        # fixed audit slice (doc_id cap): QA samples don't grow with
+        # the corpus — the truth side is all-pairs over this slice
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 1000)",
         "doc_id",
         "text",
         m=32,
@@ -572,7 +574,11 @@ from dbt_incremental_ci_spark.operators.mhsketch import (  # noqa: E402
     ),
 )
 def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
     return lsh_banding_eval(
         docs, "doc_id", "text", m=32, bands=8, threshold=0.5
     )
