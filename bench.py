@@ -258,6 +258,7 @@ EXTRA_QUERIES = [
     "q219_bootstrap_ci",
     "q220_minhash_merge",
     "q221_lsh_banding_eval",
+    "q222_hits",
 ]
 
 

@@ -582,3 +582,33 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_banding_eval(
         docs, "doc_id", "text", m=32, bands=8, threshold=0.5
     )
+
+
+# =====================================================================
+# HITS hub/authority (q222): buyers as hubs, suppliers as authorities
+# over the order transaction graph — 3 max-normalized power
+# iterations, round-9-then-iterate so both engines walk identical
+# numbers (the DuckDB twin unrolls the iterations as CTEs).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.hits import (  # noqa: E402
+    hits_scores,
+    hits_scores_sql,
+)
+
+_HITS_EDGES = (
+    "(SELECT o_custkey, l_suppkey FROM orders "
+    "JOIN lineitem ON o_orderkey = l_orderkey)"
+)
+
+
+@q(
+    "q222_hits",
+    hits_scores_sql(_HITS_EDGES, "o_custkey", "l_suppkey", iterations=3),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select("o_custkey", "l_suppkey")
+    return hits_scores(edges, "o_custkey", "l_suppkey", iterations=3)

@@ -606,3 +606,46 @@ def test_lsh_banding_eval_rejects_bad_bands(spark):
 
     with _pt.raises(ValueError):
         lsh_banding_eval(df, "doc_id", "text", m=16, bands=5)
+
+
+# --------------------------------------------------------------- hits
+def test_hits_star_graph(spark):
+    from dbt_incremental_ci_spark.operators.hits import hits_scores
+
+    # every hub points at 'center'; center is the max authority (1.0)
+    # and all hubs tie at 1.0
+    edges = [(f"u{i}", "center") for i in range(5)] + [
+        ("u0", "side")
+    ]
+    df = spark.createDataFrame(edges, "s string, d string")
+    out = {(r["role"], r["node"]): r["score"]
+           for r in hits_scores(df, "s", "d", iterations=3).collect()}
+    assert out[("authority", "center")] == 1.0
+    assert out[("authority", "side")] < 1.0
+    assert out[("hub", "u0")] == 1.0  # points at both
+    assert out[("hub", "u1")] < 1.0
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from dbt_incremental_ci_spark.operators.hits import hits_scores
+
+    edges = [(f"s{i % 7}", f"d{(i * 3) % 11}") for i in range(200)]
+    df = spark.createDataFrame(edges, "s string, d string")
+    a = sorted(map(tuple, hits_scores(df, "s", "d").collect()))
+    b = sorted(
+        map(tuple, hits_scores(df.repartition(13), "s", "d").collect())
+    )
+    assert a == b
+
+
+def test_hits_rejects_bad_iterations(spark):
+    from dbt_incremental_ci_spark.operators.hits import (
+        hits_scores,
+        hits_scores_sql,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "s string, d string")
+    with pytest.raises(ValueError):
+        hits_scores(df, "s", "d", iterations=0)
+    with pytest.raises(ValueError):
+        hits_scores_sql("(t)", "s", "d", iterations=0)
