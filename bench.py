@@ -259,6 +259,7 @@ EXTRA_QUERIES = [
     "q220_minhash_merge",
     "q221_lsh_banding_eval",
     "q222_hits",
+    "q223_dataset_card",
 ]
 
 

@@ -612,3 +612,22 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, orders.o_orderkey == li.l_orderkey
     ).select("o_custkey", "l_suppkey")
     return hits_scores(edges, "o_custkey", "l_suppkey", iterations=3)
+
+
+# =====================================================================
+# Dataset card (q223): the one-row release datasheet for the corpus —
+# volume, length stats, language/source cardinality + top shares,
+# exact-duplicate rate.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.datasetcard import (  # noqa: E402
+    dataset_card,
+    dataset_card_sql,
+)
+
+
+@q(
+    "q223_dataset_card",
+    dataset_card_sql("documents"),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(t(spark, sf_dir, "documents"))

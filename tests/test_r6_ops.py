@@ -649,3 +649,21 @@ def test_hits_rejects_bad_iterations(spark):
         hits_scores(df, "s", "d", iterations=0)
     with pytest.raises(ValueError):
         hits_scores_sql("(t)", "s", "d", iterations=0)
+
+
+# ------------------------------------------------------- dataset card
+def test_dataset_card_hand_computed(spark):
+    from dbt_incremental_ci_spark.operators.datasetcard import dataset_card
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s1"), (2, "a b c", "en", "s1"),
+         (3, "x y", "de", "s2"), (4, "zz", "en", "s1")],
+        "doc_id int, text string, lang string, source string",
+    )
+    r = dataset_card(df).collect()[0]
+    assert r["n_docs"] == 4 and r["n_langs"] == 2 and r["n_sources"] == 2
+    assert r["n_tokens"] == 3 + 3 + 2 + 1
+    assert r["exact_dup_rate"] == 0.25  # one duplicated text among 4
+    assert r["top_lang"] == "en"
+    assert r["top_lang_share"] == 0.75
+    assert r["top_source_share"] == 0.75

@@ -34,6 +34,7 @@ ONE_PART_NOTES = {
     "q219_bootstrap_ci": "per-group B-row resample-mean windows + group-keyed CI reduce (B=40, sampling.poisson_bootstrap_ci)",
     "q221_lsh_banding_eval": "four 1-row QA count reduces over audit-slice-bounded pair frames (mhsketch.lsh_banding_eval)",
     "q222_hits": "per-iteration max-normalizer: 1-row reduce broadcast back (hits.py)",
+    "q223_dataset_card": "three 1-row report reduces (corpus core + two category-cardinality top-share frames, datasetcard.py)",
     "q217_feature_hash_stats": "single-row bucket-load summary over the <=n_buckets frame (featurehygiene.feature_hash_stats)",
     "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
     "q196_moments_profile": "three 1-row decimal power-sum reduces (profiling.moments_profile)",
