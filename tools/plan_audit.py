@@ -25,6 +25,7 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q201_categorical_drift": "category-frame totals: 1-row reduce broadcast back (drift.categorical_drift)",
     "q207_js_divergence": "category-sized divergence terms reduce to 1 row (drift.js_divergence)",
     "q208_mutual_information": "margins/total windows + final reduce run over the |X|x|Y| contingency frame (profiling.mutual_information)",
     "q209_decile_lift": "global ntile = one total-order sort (eval frames; docstring bounds it and points to ranks.py two-phase for corpus scale) + O(n_tiles) cumulative pass",
