@@ -285,6 +285,26 @@ REGRESSION_TRIAGE = {
         "count() 0.80s vs r02 0.80s -> NO plan regression; +0.55s is "
         "pure method cost."
     ),
+    # Round-5 triage (same protocol): each re-measured under count()
+    # at sf0.1 — all four within noise of their r02 count() numbers,
+    # so the noop-delta is method cost (sketch/array outputs count()
+    # used to prune) + the box's measured ±30% intra-day drift.
+    "q01_pricing_summary": (
+        "count() 0.41s ~= r02 count() -> NO plan regression; noop "
+        "materializes the full 10-column aggregate row set."
+    ),
+    "q49_approx_quantiles": (
+        "count() 0.32s ~= r02 -> NO plan regression; noop "
+        "materializes the digest array columns."
+    ),
+    "q68_curation_pipeline": (
+        "count() 0.63s ~= r02 0.51s (noise) -> NO plan regression; "
+        "noop materializes every curation feature column."
+    ),
+    "q71_bitmap_distinct": (
+        "count() 0.23s ~= r02 -> NO plan regression; noop "
+        "materializes the bitmap payloads."
+    ),
 }
 
 
@@ -379,6 +399,21 @@ def main() -> None:
     # past crashed/unparsed artifacts (round 3's had rc=1, parsed=null)
     # and past rounds run at a different SF (not comparable).
     here = os.path.dirname(os.path.abspath(__file__))
+    # Current round (env override, else one past the newest driver
+    # artifact). Needed BEFORE the prev-round walk so a same-round
+    # BENCH_FULL file (e.g. an earlier run of THIS round on a loaded
+    # box) is never chosen as the comparison base — deltas are
+    # round-over-round, not run-over-run.
+    round_n = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_n is None:
+        _nums = [
+            int(f[len("BENCH_r"):-len(".json")])
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and f[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        round_n = str(max(_nums) + 1 if _nums else 1)
+
     # BENCH_FULL_r{N} (complete, written by this script since r05) is
     # preferred over the driver-captured BENCH_r{N} for the same round,
     # so sort by (round, is_full) and walk backwards.
@@ -392,6 +427,7 @@ def main() -> None:
             f for f in os.listdir(here)
             if (f.startswith("BENCH_r") or f.startswith("BENCH_FULL_r"))
             and f.endswith(".json")
+            and _round_key(f)[0] < int(round_n)
         ),
         key=_round_key,
     )
@@ -458,15 +494,6 @@ def main() -> None:
     # provably < 1500 chars at any query count — headline value, the
     # 13-query headline dict (bounded), error/regression counts, and a
     # pointer to the full artifact.
-    round_n = os.environ.get("SPARK_GRAFT_ROUND")
-    if round_n is None:
-        nums = [
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ]
-        round_n = str(max(nums) + 1 if nums else 1)
     full_path = os.path.join(here, f"BENCH_FULL_r{int(round_n):02d}.json")
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
