@@ -106,3 +106,51 @@ def cdc_scd2_hll_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def minhash_register_stream(
+    stream_df: DataFrame,
+    register_table: str,
+    set_col: str,
+    token_col: str,
+    m: int = 32,
+    salt: str = "mmh",
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Incrementally-maintained MinHash signatures: each micro-batch's
+    tokens sketch to (set, perm, h) registers and fold into the stored
+    table by elementwise ``min`` — the set-similarity twin of the HLL
+    branch above (``mhsketch.py`` proves merge losslessness in q220;
+    this exercises it as streaming state). Per-batch work is bounded
+    by the batch plus the m-per-set register table; token history is
+    never rescanned.
+
+    Oracle (test_streaming.py): after streaming N batches,
+    ``register_table`` equals ``minhash_md5_registers`` over the full
+    concatenated input — stream-apply ≡ batch rebuild.
+    """
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        minhash_md5_registers,
+        minhash_merge,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        regs_new = minhash_md5_registers(
+            batch_df, set_col, token_col, m=m, salt=salt
+        )
+        if spark.catalog.tableExists(register_table):
+            regs_new = minhash_merge(
+                spark.table(register_table).unionByName(regs_new),
+                set_col,
+            )
+        _two_phase_overwrite(spark, register_table, regs_new, None)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

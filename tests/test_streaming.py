@@ -480,3 +480,59 @@ def test_cdc_scd2_hll_stream_equals_batch_rebuild(spark, tmp_path):
     assert got_regs == want_regs  # register-EXACT, not just close
     est = hll_estimate(spark.table("t_cdc.hll"), m=64).collect()[0]
     assert abs(est["estimate"] - 4) / 4 < 0.5  # 4 distinct keys ever seen
+
+
+def test_minhash_register_stream_equals_batch_rebuild(spark, tmp_path):
+    """Streaming twin of the q220 merge proof: MinHash registers
+    maintained per micro-batch via elementwise-min folds must equal
+    the direct sketch of the full concatenated input — including a
+    batch that only repeats already-seen tokens (idempotence)."""
+    from dbt_incremental_ci_spark.operators.mhsketch import (
+        minhash_md5_registers,
+    )
+    from dbt_incremental_ci_spark.streaming.ingest import (
+        minhash_register_stream,
+    )
+
+    src = str(tmp_path / "mh_src")
+    ckpt = str(tmp_path / "mh_ckpt")
+    schema = "s string, tok string"
+    batch1 = [("A", f"t{i}") for i in range(30)] + [
+        ("B", f"t{i}") for i in range(10, 40)
+    ]
+    batch2 = (
+        [("A", f"t{i}") for i in range(25, 50)]  # new + overlapping
+        + [("B", f"t{i}") for i in range(10, 40)]  # pure repeat
+        + [("C", "solo")]  # new set
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_mh")
+    spark.sql("DROP TABLE IF EXISTS t_mh.regs")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            minhash_register_stream(
+                stream, "t_mh.regs", "s", "tok", m=16,
+                checkpoint_dir=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        tuple(r)
+        for r in minhash_md5_registers(full, "s", "tok", m=16).collect()
+    }
+    got = {tuple(r) for r in spark.table("t_mh.regs").collect()}
+    assert got == want  # register-EXACT across the batch split
