@@ -260,6 +260,9 @@ EXTRA_QUERIES = [
     "q221_lsh_banding_eval",
     "q222_hits",
     "q223_dataset_card",
+    "q224_krippendorff_alpha",
+    "q225_quantile_normalize",
+    "q226_split_leakage",
 ]
 
 

@@ -1045,3 +1045,164 @@ def slice_metrics_wilson_sql(
            ROUND(least(center + half, 1.0), 6) AS wilson_hi
     FROM c2
     """
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data — the inter-annotator
+    agreement coefficient labeling pipelines standardize on (handles
+    any number of raters per unit and missing ratings, unlike Cohen's
+    kappa q152). Input: one row per (unit, rating); units with fewer
+    than 2 ratings drop out (no pairable values).
+
+    Coincidence-matrix form (Krippendorff 2004): for each unit with
+    m_u ratings, every ordered pair of DISTINCT rating slots
+    contributes 1/(m_u - 1); observed disagreement Do sums the
+    cross-category mass, expected De from the category margins. All
+    contributions are exact integer/decimal arithmetic: per-unit
+    category counts are integers, and the 1/(m_u-1) weights are
+    rounded to 12 dp and folded as DECIMAL(28,12) (order-exact — the
+    §6q rule). One unit-keyed aggregate + one category-pair aggregate
+    over the |categories|²-sized coincidence frame. Output: ONE row
+    ``(n_units, n_ratings, n_categories, do_rate, de_rate, alpha)``.
+    """
+    per_uc = df.groupBy(
+        F.col(unit_col).alias("__u"), F.col(value_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__n_uc"))
+    per_u = per_uc.groupBy("__u").agg(
+        F.sum("__n_uc").alias("__m_u")
+    )
+    j = per_uc.join(per_u, "__u").where(F.col("__m_u") >= 2)
+    # coincidence contribution of (c, c') within a unit:
+    #   same c:  n_uc * (n_uc - 1) / (m_u - 1)
+    #   c != c': n_uc * n_uc' / (m_u - 1)
+    a = j.select(
+        "__u",
+        F.col("__c").alias("__ca"),
+        F.col("__n_uc").alias("__na"),
+        "__m_u",
+    )
+    b = j.select(
+        F.col("__u").alias("__u2"),
+        F.col("__c").alias("__cb"),
+        F.col("__n_uc").alias("__nb"),
+    )
+    pairs = a.join(b, F.col("__u") == F.col("__u2"))
+    mass = F.when(
+        F.col("__ca") == F.col("__cb"),
+        F.col("__na") * (F.col("__na") - 1),
+    ).otherwise(F.col("__na") * F.col("__nb")) / (F.col("__m_u") - 1)
+    coin = pairs.groupBy("__ca", "__cb").agg(
+        F.sum(F.round(mass, 12).cast("decimal(28,12)")).alias("__o")
+    )
+    # margins n_c = row sums of the coincidence matrix; total n
+    totals = coin.agg(
+        F.sum("__o").alias("__n_tot"),
+        F.sum(
+            F.when(F.col("__ca") != F.col("__cb"), F.col("__o")).otherwise(
+                F.lit(0).cast("decimal(28,12)")
+            )
+        ).alias("__do_mass"),
+        F.count_distinct("__ca").cast("bigint").alias("n_categories"),
+    )
+    margins = coin.groupBy("__ca").agg(F.sum("__o").alias("__n_c"))
+    # De mass = sum over c != c' of n_c * n_c' / (n - 1)
+    de = (
+        margins.agg(
+            F.sum(F.col("__n_c").cast("double")).alias("__s1"),
+            F.sum(
+                F.col("__n_c").cast("double")
+                * F.col("__n_c").cast("double")
+            ).alias("__s2"),
+        )
+    )
+    stats = df.where(F.col(value_col).isNotNull()).agg(
+        F.count_distinct(F.col(unit_col)).cast("bigint").alias(
+            "n_units"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+    )
+    out = totals.crossJoin(de).crossJoin(stats)
+    n = F.col("__n_tot").cast("double")
+    do_rate = F.col("__do_mass").cast("double") / n
+    de_rate = (
+        (F.col("__s1") * F.col("__s1") - F.col("__s2"))
+        / (n * (n - 1))
+    )
+    return out.select(
+        "n_units",
+        "n_ratings",
+        "n_categories",
+        F.round(do_rate, 9).alias("do_rate"),
+        F.round(de_rate, 9).alias("de_rate"),
+        F.round(
+            F.when(de_rate > 0, 1 - do_rate / de_rate), 9
+        ).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_nominal_sql(
+    rows: str, unit_col: str, value_col: str
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha_nominal`."""
+    return f"""
+    WITH per_uc AS (
+      SELECT {unit_col} AS u, {value_col} AS c, count(*) AS n_uc
+      FROM {rows} GROUP BY 1, 2
+    ),
+    per_u AS (SELECT u, sum(n_uc) AS m_u FROM per_uc GROUP BY u),
+    j AS (
+      SELECT per_uc.u, c, n_uc, m_u
+      FROM per_uc JOIN per_u ON per_uc.u = per_u.u
+      WHERE m_u >= 2
+    ),
+    pairs AS (
+      SELECT a.u, a.c AS ca, b.c AS cb, a.n_uc AS na, b.n_uc AS nb,
+             a.m_u
+      FROM j a JOIN j b ON a.u = b.u
+    ),
+    coin AS (
+      SELECT ca, cb,
+             sum(CAST(ROUND(
+               (CASE WHEN ca = cb THEN CAST(na AS DOUBLE) * (na - 1)
+                     ELSE CAST(na AS DOUBLE) * nb END)
+               / (m_u - 1), 12) AS DECIMAL(28,12))) AS o
+      FROM pairs GROUP BY ca, cb
+    ),
+    totals AS (
+      SELECT sum(o) AS n_tot,
+             sum(CASE WHEN ca <> cb THEN o
+                 ELSE CAST(0 AS DECIMAL(28,12)) END) AS do_mass,
+             CAST(count(DISTINCT ca) AS BIGINT) AS n_categories
+      FROM coin
+    ),
+    margins AS (SELECT ca, sum(o) AS n_c FROM coin GROUP BY ca),
+    de AS (
+      SELECT sum(CAST(n_c AS DOUBLE)) AS s1,
+             sum(CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)) AS s2
+      FROM margins
+    ),
+    stats AS (
+      SELECT CAST(count(DISTINCT {unit_col}) AS BIGINT) AS n_units,
+             CAST(count(*) AS BIGINT) AS n_ratings
+      FROM {rows} WHERE {value_col} IS NOT NULL
+    )
+    SELECT n_units, n_ratings, n_categories,
+           ROUND(CAST(do_mass AS DOUBLE) / CAST(n_tot AS DOUBLE), 9)
+             AS do_rate,
+           ROUND((s1 * s1 - s2)
+                 / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1)),
+                 9) AS de_rate,
+           ROUND(CASE WHEN (s1 * s1 - s2)
+                   / (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1))
+                   > 0
+                 THEN 1 - (CAST(do_mass AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   / ((s1 * s1 - s2)
+                      / (CAST(n_tot AS DOUBLE)
+                         * (CAST(n_tot AS DOUBLE) - 1)))
+                 END, 9) AS alpha
+    FROM totals CROSS JOIN de CROSS JOIN stats
+    """

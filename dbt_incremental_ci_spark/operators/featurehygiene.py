@@ -184,3 +184,81 @@ def feature_hash_stats_sql(
                  END, 6) AS collision_rate
     FROM agg
     """
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    unit_col: str,
+    fold_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Train/test split hygiene: per-fold size and label balance,
+    plus the GROUP-LEAKAGE count — units (users, documents, patients)
+    whose rows span more than one fold, the classic eval-inflation
+    bug a row-level split introduces when rows correlate within a
+    unit. Run this before trusting any eval on a split you didn't
+    build group-aware.
+
+    Two aggregates: a (unit → distinct folds) frame (unit-cardinality
+    sized) and a per-fold row/label aggregate; the leak totals are a
+    1-row reduce broadcast onto the fold-cardinality output. Output:
+    one row per fold ``(fold, n_rows, n_units, pos_rate,
+    leaky_units_total, leaky_rows_total)`` — leak totals are global,
+    repeated per row for a single-frame report.
+    """
+    per_unit = df.groupBy(F.col(unit_col).alias("__u")).agg(
+        F.count_distinct(F.col(fold_col)).alias("__nf"),
+        F.count(F.lit(1)).alias("__nr"),
+    )
+    leaks = per_unit.agg(
+        F.sum((F.col("__nf") > 1).cast("int"))
+        .cast("bigint")
+        .alias("leaky_units_total"),
+        F.sum(F.when(F.col("__nf") > 1, F.col("__nr")).otherwise(0))
+        .cast("bigint")
+        .alias("leaky_rows_total"),
+    )
+    per_fold = df.groupBy(F.col(fold_col).alias("fold")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct(F.col(unit_col)).cast("bigint").alias(
+            "n_units"
+        ),
+        F.round(
+            F.sum((F.col(label_col).cast("int") > 0).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )
+    return per_fold.crossJoin(F.broadcast(leaks))
+
+
+def split_leakage_audit_sql(
+    rows: str, unit_col: str, fold_col: str, label_col: str
+) -> str:
+    """DuckDB twin of :func:`split_leakage_audit`."""
+    return f"""
+    WITH per_unit AS (
+      SELECT {unit_col} AS u,
+             count(DISTINCT {fold_col}) AS nf,
+             count(*) AS nr
+      FROM {rows} GROUP BY 1
+    ),
+    leaks AS (
+      SELECT CAST(sum(CAST((nf > 1) AS INT)) AS BIGINT)
+               AS leaky_units_total,
+             CAST(sum(CASE WHEN nf > 1 THEN nr ELSE 0 END) AS BIGINT)
+               AS leaky_rows_total
+      FROM per_unit
+    ),
+    per_fold AS (
+      SELECT {fold_col} AS fold,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT {unit_col}) AS BIGINT) AS n_units,
+             ROUND(CAST(sum(CAST((CAST({label_col} AS INT) > 0)
+               AS INT)) AS DOUBLE) / count(*), 6) AS pos_rate
+      FROM {rows} GROUP BY 1
+    )
+    SELECT fold, n_rows, n_units, pos_rate,
+           leaky_units_total, leaky_rows_total
+    FROM per_fold CROSS JOIN leaks
+    """

@@ -315,3 +315,87 @@ def weighted_quantiles_sql(
            min_by(v, cw) AS wq
     FROM hit GROUP BY 1, 2
     """
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group quantile normalization against the GLOBAL value
+    distribution — the batch-effect correction used when per-source
+    measurement drift (one crawler's length counter, one lab's scale)
+    must not leak into downstream thresholds: each group's rank-i
+    value maps to the global distribution's value at the matching
+    quantile, so every group ends up with the same marginal
+    distribution.
+
+    Exact integer rank mapping (no float quantile interpolation to
+    disagree on): source rank i of n_g maps to global rank
+    ``ceil(i * n_ref / n_g)`` — integer arithmetic, identical in both
+    engines. Plan: one per-group window sort, one global two-column
+    rank frame (value, id tiebreaker — a total order; at 100 TB use
+    the two-phase distributed rank in ``ranks.py`` for the reference
+    side), and one integer-key join. Output: ``(id, group, value,
+    normalized)``.
+    """
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wg).alias("__i"),
+        F.count(F.lit(1)).over(wn).alias("__ng"),
+    )
+    wr = Window.orderBy(F.col(value_col).asc(), F.col(id_col).asc())
+    ref = df.select(
+        F.col(value_col).alias("__rv"),
+        F.row_number().over(wr).alias("__r"),
+    )
+    n_ref = df.count()
+    # ceil(i * n_ref / n_g): products stay < 2^53, so the double
+    # division + ceil is exact and engine-identical
+    tgt = F.ceil(
+        (F.col("__i").cast("bigint") * F.lit(int(n_ref)))
+        / F.col("__ng")
+    ).cast("bigint")
+    # NOTE: ref is corpus-sized — no broadcast hint (the round-2
+    # landmine class); AQE picks the join strategy
+    joined = src.withColumn("__r", tgt).join(ref, "__r")
+    return joined.select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__v").alias(value_col),
+        F.col("__rv").alias("normalized"),
+    )
+
+
+def quantile_normalize_sql(
+    rows: str, group_col: str, value_col: str, id_col: str
+) -> str:
+    """DuckDB twin of :func:`quantile_normalize`."""
+    return f"""
+    WITH src AS (
+      SELECT {id_col} AS id, {group_col} AS g, {value_col} AS v,
+             row_number() OVER (PARTITION BY {group_col}
+               ORDER BY {value_col} ASC, {id_col} ASC) AS i,
+             count(*) OVER (PARTITION BY {group_col}) AS ng
+      FROM {rows}
+    ),
+    ref AS (
+      SELECT {value_col} AS rv,
+             row_number() OVER (
+               ORDER BY {value_col} ASC, {id_col} ASC) AS r
+      FROM {rows}
+    ),
+    nref AS (SELECT count(*) AS n FROM {rows})
+    SELECT src.id AS {id_col}, src.g AS {group_col},
+           src.v AS {value_col}, ref.rv AS normalized
+    FROM src CROSS JOIN nref
+    JOIN ref ON ref.r = CAST(ceil(CAST(src.i AS DOUBLE) * nref.n
+                              / src.ng) AS BIGINT)
+    """

@@ -631,3 +631,107 @@ from dbt_incremental_ci_spark.operators.datasetcard import (  # noqa: E402
 )
 def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# Krippendorff's alpha (q224): inter-annotator agreement over a
+# 3-rater synthetic labeling of events (unit = event, rating = one of
+# 3 derived labelers) — the missing-tolerant, N-rater upgrade over
+# Cohen's kappa (q152).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    krippendorff_alpha_nominal,
+    krippendorff_alpha_nominal_sql,
+)
+
+# three deterministic "raters" with partial agreement; rater 3 skips
+# two thirds of units (missing ratings — the case kappa can't handle)
+_KRIPP_ROWS = """(
+  SELECT event_id AS unit, CAST(value > 50 AS INT) AS rating
+  FROM events
+  UNION ALL
+  SELECT event_id AS unit, CAST(value > 45 AS INT) AS rating
+  FROM events
+  UNION ALL
+  SELECT event_id AS unit, CAST(value > 55 AS INT) AS rating
+  FROM events WHERE event_id % 3 = 0
+)"""
+
+
+@q(
+    "q224_krippendorff_alpha",
+    krippendorff_alpha_nominal_sql(_KRIPP_ROWS, "unit", "rating"),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    r1 = ev.select(
+        F.col("event_id").alias("unit"),
+        (F.col("value") > 50).cast("int").alias("rating"),
+    )
+    r2 = ev.select(
+        F.col("event_id").alias("unit"),
+        (F.col("value") > 45).cast("int").alias("rating"),
+    )
+    r3 = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("unit"),
+        (F.col("value") > 55).cast("int").alias("rating"),
+    )
+    rows = r1.unionByName(r2).unionByName(r3)
+    return krippendorff_alpha_nominal(rows, "unit", "rating")
+
+
+# =====================================================================
+# Quantile normalization (q225): map each source's doc-length
+# distribution onto the global one by exact integer rank mapping —
+# per-source batch-effect correction.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.robust import (  # noqa: E402
+    quantile_normalize,
+    quantile_normalize_sql,
+)
+
+
+@q(
+    "q225_quantile_normalize",
+    quantile_normalize_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)",
+        "source",
+        "n_chars",
+        "doc_id",
+    ),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+# =====================================================================
+# Split-leakage audit (q226): a row-level fold assignment over events
+# with unit = user — per-fold balance plus the group-leakage count a
+# group-aware split would have avoided.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.featurehygiene import (  # noqa: E402
+    split_leakage_audit,
+    split_leakage_audit_sql,
+)
+
+_SPLIT_ROWS = """(
+  SELECT user_id, event_id % 5 AS fold,
+         CAST(event_type = 'purchase' AS INT) AS label
+  FROM events
+)"""
+
+
+@q(
+    "q226_split_leakage",
+    split_leakage_audit_sql(_SPLIT_ROWS, "user_id", "fold", "label"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 5).alias("fold"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return split_leakage_audit(ev, "user_id", "fold", "label")

@@ -667,3 +667,119 @@ def test_dataset_card_hand_computed(spark):
     assert r["top_lang"] == "en"
     assert r["top_lang_share"] == 0.75
     assert r["top_source_share"] == 0.75
+
+
+# -------------------------------------------------- krippendorff alpha
+def test_krippendorff_perfect_agreement(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        krippendorff_alpha_nominal,
+    )
+
+    rows = [(u, v) for u, v in [(1, "a"), (2, "b"), (3, "a")]
+            for _ in range(3)]
+    df = spark.createDataFrame(rows, "unit int, rating string")
+    r = krippendorff_alpha_nominal(df, "unit", "rating").collect()[0]
+    assert r["alpha"] == pytest.approx(1.0, abs=1e-9)
+    assert r["do_rate"] == 0.0
+
+
+def test_krippendorff_textbook_example(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        krippendorff_alpha_nominal,
+    )
+
+    # Krippendorff (2004) binary example: units/ratings chosen so a
+    # hand computation is easy — 4 units, 2 raters:
+    # (a,a), (a,b), (b,b), (b,b)  ->  Do = (1/n)*sum off-diag
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "b"),
+         (3, "b"), (3, "b"), (4, "b"), (4, "b")],
+        "unit int, rating string",
+    )
+    r = krippendorff_alpha_nominal(df, "unit", "rating").collect()[0]
+    # coincidence matrix: aa=2, ab=ba=1, bb=4 (each pair weight 1/(2-1))
+    # n=8, n_a=3, n_b=5; Do=2/8=0.25; De=(8*8-(9+25))/(8*7)=30/56
+    import math
+    de = 30 / 56
+    want = 1 - 0.25 / de
+    assert r["alpha"] == pytest.approx(round(want, 9), abs=1e-9)
+    assert r["n_units"] == 4 and r["n_ratings"] == 8
+
+
+def test_krippendorff_single_rating_units_drop(spark):
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        krippendorff_alpha_nominal,
+    )
+
+    # unit 9 has one rating -> contributes nothing
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (9, "b")], "unit int, rating string"
+    )
+    r = krippendorff_alpha_nominal(df, "unit", "rating").collect()[0]
+    assert r["do_rate"] == 0.0
+
+
+# ------------------------------------------------ quantile normalize
+def test_quantile_normalize_shifts_group_to_global(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        quantile_normalize,
+    )
+
+    # group A = 1..4 (low), group B = 101..104 (high); global ranks
+    # 1..8. A's rank i of 4 maps to global rank 2i
+    rows = [("A", i, float(i)) for i in range(1, 5)] + [
+        ("B", i + 4, float(100 + i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = {
+        (r["g"], r["v"]): r["normalized"]
+        for r in quantile_normalize(df, "g", "v", "id").collect()
+    }
+    # A rank1 -> global rank 2 -> value 2.0 ; A rank4 -> rank8 -> 104
+    assert out[("A", 1.0)] == 2.0
+    assert out[("A", 4.0)] == 104.0
+    assert out[("B", 101.0)] == 2.0
+    assert out[("B", 104.0)] == 104.0
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        quantile_normalize,
+    )
+
+    rows = [("g", i, float(i * 3)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    assert all(r["normalized"] == r["v"] for r in out)
+
+
+# ----------------------------------------------- split leakage audit
+def test_split_leakage_detects_spanning_units(spark):
+    from dbt_incremental_ci_spark.operators.featurehygiene import (
+        split_leakage_audit,
+    )
+
+    rows = [
+        (1, "train", 1), (1, "test", 0),   # unit 1 leaks
+        (2, "train", 1), (2, "train", 0),  # unit 2 clean
+        (3, "test", 1),
+    ]
+    df = spark.createDataFrame(rows, "u int, fold string, label int")
+    out = {r["fold"]: r for r in
+           split_leakage_audit(df, "u", "fold", "label").collect()}
+    assert out["train"]["leaky_units_total"] == 1
+    assert out["train"]["leaky_rows_total"] == 2
+    assert out["train"]["n_rows"] == 3 and out["train"]["n_units"] == 2
+    assert out["test"]["pos_rate"] == 0.5
+
+
+def test_split_leakage_clean_group_split(spark):
+    from dbt_incremental_ci_spark.operators.featurehygiene import (
+        split_leakage_audit,
+    )
+
+    rows = [(u, "train" if u % 2 else "test", u % 2)
+            for u in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "u int, fold string, label int")
+    out = split_leakage_audit(df, "u", "fold", "label").collect()
+    assert all(r["leaky_units_total"] == 0 for r in out)

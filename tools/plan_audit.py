@@ -36,6 +36,9 @@ ONE_PART_NOTES = {
     "q221_lsh_banding_eval": "four 1-row QA count reduces over audit-slice-bounded pair frames (mhsketch.lsh_banding_eval)",
     "q222_hits": "per-iteration max-normalizer: 1-row reduce broadcast back (hits.py)",
     "q223_dataset_card": "three 1-row report reduces (corpus core + two category-cardinality top-share frames, datasetcard.py)",
+    "q224_krippendorff_alpha": "coincidence-matrix reduces: |categories|^2-sized frames to 1 row (evalmetrics.krippendorff_alpha_nominal)",
+    "q225_quantile_normalize": "global reference rank = one total order (docstring points to ranks.py two-phase at corpus scale) + n_ref scalar",
+    "q226_split_leakage": "leak totals: 1-row reduce broadcast onto the fold-cardinality report (featurehygiene.split_leakage_audit)",
     "q217_feature_hash_stats": "single-row bucket-load summary over the <=n_buckets frame (featurehygiene.feature_hash_stats)",
     "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
     "q196_moments_profile": "three 1-row decimal power-sum reduces (profiling.moments_profile)",
