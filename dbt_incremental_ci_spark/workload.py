@@ -18,7 +18,11 @@ the original single module had grown past 9k lines):
   categorical drift, skyline, peak concurrency)
 - ``workload_q6`` — q204+ (ranking eval NDCG/MAP/lift, IPS off-policy
   eval, concentration/Gini, JS divergence, mutual information,
-  trimmed stats, zone-map pruning)
+  trimmed stats, zone-map pruning, power analysis, weighted
+  quantiles, rare-collapse, n-gram novelty, feature-hash stats,
+  Wilson slice metrics, Poisson bootstrap, mergeable MinHash +
+  LSH-banding QA, HITS, dataset card, Krippendorff alpha, quantile
+  normalization, split-leakage audit)
 
 Importing this module imports all six, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
