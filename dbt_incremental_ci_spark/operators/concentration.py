@@ -68,7 +68,10 @@ def group_concentration(
     tot = ranked.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("__x").alias("__tot"),
-    )
+    ).where(F.col("__tot") > 0)
+    # ^ zero-total groups drop: their shares are 0/0, which Spark
+    # nulls and DuckDB infs — no meaningful concentration exists for
+    # an all-zero distribution anyway
     j = ranked.join(tot, "grp")
     p = F.col("__x").cast("double") / F.col("__tot").cast("double")
     hterm = F.round(p * p, 12).cast("decimal(26,12)")
@@ -133,6 +136,7 @@ def group_concentration_sql(
     tot AS (
       SELECT grp, count(*) AS n_members, sum(x) AS tot
       FROM ranked GROUP BY grp
+      HAVING sum(x) > 0
     ),
     terms AS (
       SELECT r.grp, t.n_members, t.tot,

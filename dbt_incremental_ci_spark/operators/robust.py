@@ -340,6 +340,9 @@ def quantile_normalize(
     side), and one integer-key join. Output: ``(id, group, value,
     normalized)``.
     """
+    # NULL values drop up front: Spark sorts nulls FIRST asc, DuckDB
+    # LAST — a NULL measure has no quantile position either way
+    df = df.where(F.col(value_col).isNotNull())
     wg = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(id_col).asc()
     )
@@ -379,20 +382,23 @@ def quantile_normalize_sql(
 ) -> str:
     """DuckDB twin of :func:`quantile_normalize`."""
     return f"""
-    WITH src AS (
+    WITH nn AS (
+      SELECT * FROM {rows} WHERE {value_col} IS NOT NULL
+    ),
+    src AS (
       SELECT {id_col} AS id, {group_col} AS g, {value_col} AS v,
              row_number() OVER (PARTITION BY {group_col}
                ORDER BY {value_col} ASC, {id_col} ASC) AS i,
              count(*) OVER (PARTITION BY {group_col}) AS ng
-      FROM {rows}
+      FROM nn
     ),
     ref AS (
       SELECT {value_col} AS rv,
              row_number() OVER (
                ORDER BY {value_col} ASC, {id_col} ASC) AS r
-      FROM {rows}
+      FROM nn
     ),
-    nref AS (SELECT count(*) AS n FROM {rows})
+    nref AS (SELECT count(*) AS n FROM nn)
     SELECT src.id AS {id_col}, src.g AS {group_col},
            src.v AS {value_col}, ref.rv AS normalized
     FROM src CROSS JOIN nref

@@ -783,3 +783,27 @@ def test_split_leakage_clean_group_split(spark):
     df = spark.createDataFrame(rows, "u int, fold string, label int")
     out = split_leakage_audit(df, "u", "fold", "label").collect()
     assert all(r["leaky_units_total"] == 0 for r in out)
+
+
+def test_concentration_zero_total_group_drops(spark):
+    from dbt_incremental_ci_spark.operators.concentration import (
+        group_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [("dead", "m1", 0.0), ("dead", "m2", 0.0), ("live", "m1", 5.0)],
+        "grp string, m string, v double",
+    )
+    out = {r["grp"] for r in group_concentration(df, "grp", "m", "v").collect()}
+    assert out == {"live"}
+
+
+def test_quantile_normalize_drops_null_values(spark):
+    from dbt_incremental_ci_spark.operators.robust import (
+        quantile_normalize,
+    )
+
+    rows = [("g", 1, 1.0), ("g", 2, None), ("g", 3, 3.0)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    assert len(out) == 2 and all(r["v"] is not None for r in out)
