@@ -263,6 +263,7 @@ EXTRA_QUERIES = [
     "q224_krippendorff_alpha",
     "q225_quantile_normalize",
     "q226_split_leakage",
+    "q227_cluster_size_profile",
 ]
 
 

@@ -735,3 +735,101 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("int").alias("label"),
     )
     return split_leakage_audit(ev, "user_id", "fold", "label")
+
+
+# =====================================================================
+# Dedup cluster-size profile (q227): the monitoring chart behind any
+# dedup sweep — component-size histogram + duplication rate over the
+# q52 near-dup components (size 1 = unique docs; heavy tails = boiler-
+# plate families). Composes minhash pairs -> connected components ->
+# two cardinality-sized aggregates.
+# =====================================================================
+_Q227_ORACLE = r"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM prs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sizes AS (
+      SELECT component, count(*) AS csize FROM assigned GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT component) AS BIGINT) AS n_clusters
+      FROM assigned
+    )
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters_of_size,
+           CAST(csize * count(*) AS BIGINT) AS n_docs_covered,
+           ROUND(CAST(csize * count(*) AS DOUBLE) / max(tot.n_docs), 6)
+             AS pct_docs,
+           ROUND(1 - CAST(max(tot.n_clusters) AS DOUBLE)
+                 / max(tot.n_docs), 6) AS corpus_dup_rate
+    FROM sizes CROSS JOIN tot
+    GROUP BY csize
+"""
+
+
+@q("q227_cluster_size_profile", _Q227_ORACLE)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import components as cc
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+    assigned = cc.dedup_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    sizes = assigned.groupBy("component").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    tot = sizes.agg(
+        F.sum("csize").cast("bigint").alias("__n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_clusters"),
+    )
+    prof = (
+        sizes.groupBy("csize")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters_of_size"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return prof.select(
+        F.col("csize").cast("bigint").alias("cluster_size"),
+        "n_clusters_of_size",
+        (F.col("csize") * F.col("n_clusters_of_size"))
+        .cast("bigint")
+        .alias("n_docs_covered"),
+        F.round(
+            (F.col("csize") * F.col("n_clusters_of_size"))
+            / F.col("__n_docs"),
+            6,
+        ).alias("pct_docs"),
+        F.round(
+            1 - F.col("__n_clusters") / F.col("__n_docs"), 6
+        ).alias("corpus_dup_rate"),
+    )

@@ -807,3 +807,17 @@ def test_quantile_normalize_drops_null_values(spark):
     df = spark.createDataFrame(rows, "g string, id int, v double")
     out = quantile_normalize(df, "g", "v", "id").collect()
     assert len(out) == 2 and all(r["v"] is not None for r in out)
+
+
+# ---------------------------------------------- cluster size profile
+def test_cluster_size_profile_shape(spark, sf_dir="/root/testdata/sf0.001"):
+    from dbt_incremental_ci_spark import workload
+
+    out = workload.QUERIES["q227_cluster_size_profile"](
+        spark, sf_dir
+    ).collect()
+    total_docs = sum(r["n_docs_covered"] for r in out)
+    assert total_docs > 0
+    assert abs(sum(r["pct_docs"] for r in out) - 1.0) < 1e-4
+    rates = {r["corpus_dup_rate"] for r in out}
+    assert len(rates) == 1 and 0 <= rates.pop() < 1

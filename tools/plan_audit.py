@@ -38,6 +38,7 @@ ONE_PART_NOTES = {
     "q223_dataset_card": "three 1-row report reduces (corpus core + two category-cardinality top-share frames, datasetcard.py)",
     "q224_krippendorff_alpha": "coincidence-matrix reduces: |categories|^2-sized frames to 1 row (evalmetrics.krippendorff_alpha_nominal)",
     "q225_quantile_normalize": "global reference rank = one total order (docstring points to ranks.py two-phase at corpus scale) + n_ref scalar",
+    "q227_cluster_size_profile": "cluster-size histogram: component-cardinality frames + 1-row totals broadcast",
     "q226_split_leakage": "leak totals: 1-row reduce broadcast onto the fold-cardinality report (featurehygiene.split_leakage_audit)",
     "q217_feature_hash_stats": "single-row bucket-load summary over the <=n_buckets frame (featurehygiene.feature_hash_stats)",
     "q202_skyline": "bucket prefix-max window: O(buckets) rows (skyline.py)",
