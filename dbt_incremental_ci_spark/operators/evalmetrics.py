@@ -1206,3 +1206,310 @@ def krippendorff_alpha_nominal_sql(
                  END, 9) AS alpha
     FROM totals CROSS JOIN de CROSS JOIN stats
     """
+
+
+def slice_ztest_bh(
+    df: DataFrame,
+    slice_col: str,
+    variant_col: str,
+    converted_col: str,
+    alpha: float = 0.05,
+    label_a: str = "A",
+    label_b: str = "B",
+) -> DataFrame:
+    """Per-slice two-proportion z-tests with Benjamini-Hochberg FDR
+    control (Benjamini & Hochberg 1995) — the "which segments did the
+    experiment actually move" readout that naive per-slice
+    significance testing gets wrong (testing 25 slices at p<0.05
+    expects ~1.25 false discoveries; BH caps the expected FALSE
+    DISCOVERY RATE at ``alpha`` instead).
+
+    Input is unit-level ``(slice, variant, converted)``. Per slice:
+    pooled-variance z (0 when an arm is missing or the pooled rate is
+    degenerate — those slices get p = 1 rather than being silently
+    dropped), two-sided p-value via the Bowling et al. (2009)
+    logistic approximation of the normal CDF
+    ``p = 2 / (1 + exp(0.070566*|z|^3 + 1.5976*|z|))`` (|error| <
+    1.5e-4 — ranking-grade, and pure float arithmetic both engines
+    evaluate identically). BH then ranks p ascending (slice-key
+    tiebreak), computes the step-up threshold ``rank*alpha/m``, finds
+    the largest passing rank k, and rejects ranks <= k.
+
+    Scale: one slice×variant hash aggregate over the corpus, then all
+    windows run on the slice-count-sized frame (bounded: segments,
+    not rows) — the deliberate tiny single-partition class.
+
+    Output per slice: ``(slice, n_a, c_a, n_b, c_b, z, p_value,
+    p_rank, bh_threshold, rejected)``.
+    """
+    per = (
+        df.groupBy(F.col(slice_col).alias("slice"))
+        .agg(
+            F.sum(F.when(F.col(variant_col) == label_a, 1).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(
+                F.when(
+                    (F.col(variant_col) == label_a) & F.col(converted_col), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("c_a"),
+            F.sum(F.when(F.col(variant_col) == label_b, 1).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.col(variant_col) == label_b) & F.col(converted_col), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("c_b"),
+        )
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z_raw = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+        (ca / na - cb / nb) / se,
+    ).otherwise(F.lit(0.0))
+    scored = per.withColumn("z", F.round(z_raw, 6))
+    az = F.abs(F.col("z"))
+    p = F.lit(2.0) / (
+        F.lit(1.0)
+        + F.exp(F.lit(0.070566) * az * az * az + F.lit(1.5976) * az)
+    )
+    scored = scored.withColumn("p_value", F.round(p, 10))
+    # slice-count-sized frame: tiny single-partition windows (bounded)
+    w_rank = Window.orderBy("p_value", "slice")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = scored.withColumn(
+        "p_rank", F.row_number().over(w_rank).cast("int")
+    ).withColumn("__m", F.count(F.lit(1)).over(w_all))
+    thresh = F.round(
+        F.col("p_rank").cast("double") * F.lit(alpha) / F.col("__m"), 10
+    )
+    flagged = ranked.withColumn("bh_threshold", thresh).withColumn(
+        "__pass_rank",
+        F.when(F.col("p_value") <= F.col("bh_threshold"), F.col("p_rank"))
+        .otherwise(F.lit(0)),
+    )
+    k = F.max("__pass_rank").over(w_all)
+    return flagged.select(
+        "slice", "n_a", "c_a", "n_b", "c_b", "z", "p_value", "p_rank",
+        "bh_threshold", (F.col("p_rank") <= k).alias("rejected"),
+    )
+
+
+def slice_ztest_bh_sql(
+    rows: str,
+    slice_col: str,
+    variant_col: str,
+    converted_col: str,
+    alpha: float = 0.05,
+    label_a: str = "A",
+    label_b: str = "B",
+) -> str:
+    """DuckDB twin of :func:`slice_ztest_bh`."""
+    return f"""
+    WITH per AS (
+      SELECT {slice_col} AS slice,
+             CAST(SUM(CASE WHEN {variant_col} = '{label_a}' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN {variant_col} = '{label_a}'
+                            AND {converted_col} THEN 1
+                      ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN {variant_col} = '{label_b}' THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN {variant_col} = '{label_b}'
+                            AND {converted_col} THEN 1
+                      ELSE 0 END) AS BIGINT) AS c_b
+      FROM {rows} GROUP BY 1
+    ),
+    zed AS (
+      SELECT *,
+        ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND
+               sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / n_a + 1.0 / n_b)) > 0
+          THEN (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / n_a + 1.0 / n_b))
+          ELSE 0.0 END, 6) AS z
+      FROM per
+    ),
+    pv AS (
+      SELECT *,
+        ROUND(2.0 / (1.0 + exp(0.070566 * abs(z) * abs(z) * abs(z)
+                               + 1.5976 * abs(z))), 10) AS p_value
+      FROM zed
+    ),
+    ranked AS (
+      SELECT *,
+        CAST(row_number() OVER (ORDER BY p_value, slice) AS INT)
+          AS p_rank,
+        COUNT(*) OVER () AS m
+      FROM pv
+    ),
+    flagged AS (
+      SELECT *,
+        ROUND(CAST(p_rank AS DOUBLE) * {alpha} / m, 10) AS bh_threshold
+      FROM ranked
+    )
+    SELECT slice, n_a, c_a, n_b, c_b, z, p_value, p_rank, bh_threshold,
+           p_rank <= MAX(CASE WHEN p_value <= bh_threshold THEN p_rank
+                              ELSE 0 END) OVER () AS rejected
+    FROM flagged
+    """
+
+
+def doubly_robust_eval(
+    df: DataFrame,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+) -> DataFrame:
+    """Doubly-robust off-policy evaluation (Dudik, Langford & Li
+    2011): grade the "play the empirically-best action per context"
+    target policy from bandit logs, combining the direct-method
+    reward model with an IPS correction — unbiased if EITHER the
+    reward model or the propensity model is right, and far lower
+    variance than plain IPS where the model fits.
+
+    Everything is estimated from the logs themselves: the logging
+    propensity p(a|x) as the empirical action share per context, the
+    reward model q(x,a) as the per-(context,action) mean reward
+    (rounded to 6 dp for cross-engine determinism), and the target
+    policy pi(x) = argmax_a q(x,a) (lexicographic-min action on
+    ties). Per-row DR term: ``q(x, pi(x)) + 1{a = pi(x)} * (r -
+    q(x,a)) / p(a|x)``.
+
+    Scale: two context(-action)-keyed aggregates (cardinality-sized,
+    AQE-broadcastable) joined back to the corpus; per-row terms are
+    rounded to 8 dp and summed as DECIMAL(38,8) (order-exact fold).
+    Output is ONE row ``(n, n_matched, ips, dr, ess)``.
+    """
+    ctx = F.col(context_col)
+    per_ca = df.groupBy(
+        ctx.alias("__ctx"), F.col(action_col).alias("__act")
+    ).agg(
+        F.count(F.lit(1)).alias("__n_ca"),
+        F.sum(
+            F.round(F.col(reward_col), 6).cast("decimal(38,6)")
+        ).alias("__sr"),
+    )
+    per_c = per_ca.groupBy("__ctx").agg(F.sum("__n_ca").alias("__n_c"))
+    stats = per_ca.join(per_c, "__ctx").select(
+        "__ctx",
+        "__act",
+        (F.col("__n_ca").cast("double") / F.col("__n_c")).alias("__p"),
+        F.round(
+            F.col("__sr").cast("double") / F.col("__n_ca"), 6
+        ).alias("__qhat"),
+    )
+    w_best = Window.partitionBy("__ctx").orderBy(
+        F.desc("__qhat"), F.asc("__act")
+    )
+    target = (
+        stats.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__ctx").alias("__tctx"),
+            F.col("__act").alias("__tact"),
+            F.col("__qhat").alias("__qt"),
+        )
+    )
+    j = df.join(
+        stats,
+        (ctx == F.col("__ctx")) & (F.col(action_col) == F.col("__act")),
+    ).join(target, ctx == F.col("__tctx"))
+    match = (F.col(action_col) == F.col("__tact")).cast("int")
+    wgt = match / F.col("__p")
+    dr_term = F.col("__qt") + wgt * (F.col(reward_col) - F.col("__qhat"))
+
+    def sdec(c: F.Column) -> F.Column:
+        return F.sum(F.round(c, 8).cast("decimal(38,8)")).cast("double")
+
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(match).cast("bigint").alias("n_matched"),
+        sdec(wgt * F.col(reward_col)).alias("__swr"),
+        sdec(wgt).alias("__sw"),
+        sdec(wgt * wgt).alias("__sw2"),
+        sdec(dr_term).alias("__sdr"),
+    )
+    return agg.select(
+        "n",
+        "n_matched",
+        F.round(F.col("__swr") / F.col("n"), 6).alias("ips"),
+        F.round(F.col("__sdr") / F.col("n"), 6).alias("dr"),
+        F.round(
+            F.when(
+                F.col("__sw2") > 0,
+                F.col("__sw") * F.col("__sw") / F.col("__sw2"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ess"),
+    )
+
+
+def doubly_robust_eval_sql(
+    rows: str,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+) -> str:
+    """DuckDB twin of :func:`doubly_robust_eval`."""
+    return f"""
+    WITH logs AS (SELECT * FROM {rows}),
+    per_ca AS (
+      SELECT {context_col} AS ctx, {action_col} AS act,
+             count(*) AS n_ca,
+             SUM(CAST(ROUND({reward_col}, 6) AS DECIMAL(38,6))) AS sr
+      FROM logs GROUP BY 1, 2
+    ),
+    per_c AS (
+      SELECT ctx, sum(n_ca) AS n_c FROM per_ca GROUP BY ctx
+    ),
+    stats AS (
+      SELECT per_ca.ctx, act,
+             CAST(n_ca AS DOUBLE) / n_c AS p,
+             ROUND(CAST(sr AS DOUBLE) / n_ca, 6) AS qhat
+      FROM per_ca JOIN per_c ON per_ca.ctx = per_c.ctx
+    ),
+    target AS (
+      SELECT ctx AS tctx, act AS tact, qhat AS qt FROM (
+        SELECT *, row_number() OVER (PARTITION BY ctx
+                    ORDER BY qhat DESC, act) AS rn
+        FROM stats
+      ) WHERE rn = 1
+    ),
+    wrow AS (
+      SELECT CAST((l.{action_col} = t.tact) AS INT) AS m,
+             CAST((l.{action_col} = t.tact) AS INT) / s.p AS w,
+             t.qt + CAST((l.{action_col} = t.tact) AS INT) / s.p
+                    * (l.{reward_col} - s.qhat) AS drt,
+             l.{reward_col} AS reward
+      FROM logs l
+      JOIN stats s ON l.{context_col} = s.ctx AND l.{action_col} = s.act
+      JOIN target t ON l.{context_col} = t.tctx
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(m) AS BIGINT) AS n_matched,
+             CAST(sum(CAST(ROUND(w * reward, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS swr,
+             CAST(sum(CAST(ROUND(w, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sw,
+             CAST(sum(CAST(ROUND(w * w, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sw2,
+             CAST(sum(CAST(ROUND(drt, 8) AS DECIMAL(38,8)))
+               AS DOUBLE) AS sdr
+      FROM wrow
+    )
+    SELECT n, n_matched,
+           ROUND(swr / n, 6) AS ips,
+           ROUND(sdr / n, 6) AS dr,
+           ROUND(CASE WHEN sw2 > 0 THEN sw * sw / sw2 ELSE 0.0 END, 6)
+             AS ess
+    FROM agg
+    """

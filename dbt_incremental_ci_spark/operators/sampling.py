@@ -760,3 +760,88 @@ def poisson_bootstrap_ci_sql(
            ROUND(ci_hi, 6) AS ci_hi
     FROM base JOIN ci ON base.g = ci.g
     """
+
+
+def group_snake_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Leakage-free, size-balanced k-fold assignment at GROUP
+    granularity (scikit-learn's GroupKFold problem): every row of a
+    group lands in the same fold — mandatory when rows within a group
+    are correlated (a user's events, a document's chunks) and
+    row-level splits would leak train signal into eval — while fold
+    ROW counts stay balanced even under skewed group sizes.
+
+    Exact balancing: groups sorted by (size desc, key) are dealt in a
+    snake / boustrophedon pattern (fold k-1 of one block is fold k-1
+    of the next block's start), the classic greedy LPT-style
+    approximation. The sort is a total order over the GROUP frame —
+    users/documents, not rows; at corpus scale where even the group
+    frame is huge, use ``hash_split`` (map-only, balanced in
+    expectation) instead and keep snake for bounded group frames.
+
+    Output, one row per fold: ``(fold, n_groups, n_rows,
+    row_share)`` — row_share rounded to 6 dp.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sizes = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows_g")
+    )
+    # group-frame total order (bounded: groups, not rows — see above)
+    w = Window.orderBy(F.desc("n_rows_g"), F.asc("grp"))
+    r = F.row_number().over(w) - 1
+    block, pos = (r / k).cast("int"), r % k
+    fold = F.when(block % 2 == 0, pos).otherwise(k - 1 - pos).cast("int")
+    per_fold = (
+        sizes.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_rows_g").cast("bigint").alias("n_rows"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_fold.select(
+        "fold",
+        "n_groups",
+        "n_rows",
+        F.round(
+            F.col("n_rows").cast("double") / F.sum("n_rows").over(w_all),
+            6,
+        ).alias("row_share"),
+    )
+
+
+def group_snake_kfold_sql(rows: str, group_col: str, k: int) -> str:
+    """DuckDB twin of :func:`group_snake_kfold`."""
+    return f"""
+    WITH sizes AS (
+      SELECT {group_col} AS grp, count(*) AS n_rows_g
+      FROM {rows} GROUP BY 1
+    ),
+    dealt AS (
+      SELECT *,
+        row_number() OVER (ORDER BY n_rows_g DESC, grp) - 1 AS r
+      FROM sizes
+    ),
+    folded AS (
+      SELECT *,
+        CAST(CASE WHEN (r // {k}) % 2 = 0 THEN r % {k}
+                  ELSE {k} - 1 - r % {k} END AS INT) AS fold
+      FROM dealt
+    ),
+    per AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n_rows_g) AS BIGINT) AS n_rows
+      FROM folded GROUP BY fold
+    )
+    SELECT fold, n_groups, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / SUM(n_rows) OVER (), 6)
+             AS row_share
+    FROM per
+    """

@@ -1,0 +1,267 @@
+"""q228+: round-6 additions — survival analysis (Kaplan-Meier),
+multiple-testing control (Benjamini-Hochberg FDR over slice
+experiments), doubly-robust off-policy evaluation, leakage-free
+group k-fold splits, Simpson's-paradox audits, and the round's
+graph / text / embedding batches.
+
+Split-module registration contract: see ``workload`` (the hub) and
+``workload_base`` (registries + determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.workload_base import (
+    d,
+    dec,
+    events_table,
+    q,
+    t,
+)
+
+# =====================================================================
+# Kaplan-Meier survival (q228): time-to-first-purchase per user with
+# right-censoring at the user's last observed event. One user-keyed
+# aggregate → integer day durations → the KM life table (bounded by
+# the observation window in days). survival.py for the estimator.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.survival import (  # noqa: E402
+    kaplan_meier,
+    kaplan_meier_sql,
+)
+
+_KM_SUBJECTS = """(
+  WITH per_user AS (
+    SELECT user_id,
+           min(epoch_us(ts)) AS t0,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS tp,
+           max(epoch_us(ts)) AS tl
+    FROM events GROUP BY 1
+  )
+  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+              ELSE (tl - t0) // 86400000000 END AS duration,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+)"""
+
+
+@q("q228_kaplan_meier", kaplan_meier_sql(_KM_SUBJECTS, "duration", "event"))
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts: bigint nanoseconds (contract)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    end = F.coalesce(F.col("tp"), F.col("tl"))
+    subjects = per_user.select(
+        F.expr(
+            "CAST((coalesce(tp, tl) - t0) DIV 86400000000000 AS BIGINT)"
+        ).alias("duration"),
+        F.col("tp").isNotNull().cast("int").alias("event"),
+    )
+    _ = end  # documented: ns → whole elapsed days by exact integer DIV
+    return kaplan_meier(subjects, "duration", "event")
+
+
+# =====================================================================
+# BH-FDR slice experiment readout (q229): per-nation two-proportion
+# z-tests (variant = orderkey parity, conversion = high-priority
+# order) with Benjamini-Hochberg step-up control across the 25
+# slices. evalmetrics.slice_ztest_bh for the estimator.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    doubly_robust_eval,
+    doubly_robust_eval_sql,
+    slice_ztest_bh,
+    slice_ztest_bh_sql,
+)
+
+_BH_UNITS = """(
+  SELECT n.n_name AS slice_nation,
+         CASE WHEN o.o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS converted
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)"""
+
+
+@q(
+    "q229_bh_fdr_slices",
+    slice_ztest_bh_sql(
+        _BH_UNITS, "slice_nation", "variant", "converted", alpha=0.2
+    ),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    units = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .select(
+            F.col("n_name").alias("slice_nation"),
+            F.when(F.col("o_orderkey") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("converted"),
+        )
+    )
+    return slice_ztest_bh(
+        units, "slice_nation", "variant", "converted", alpha=0.2
+    )
+
+
+# =====================================================================
+# Doubly-robust OPE (q230): grade the "best empirical event type per
+# user segment" policy from the event logs — IPS, DR, and effective
+# sample size in one row. evalmetrics.doubly_robust_eval.
+# =====================================================================
+_DR_LOGS = """(
+  SELECT CAST(user_id % 4 AS INT) AS segment,
+         event_type, value
+  FROM events
+)"""
+
+
+@q(
+    "q230_doubly_robust_ope",
+    doubly_robust_eval_sql(_DR_LOGS, "segment", "event_type", "value"),
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).cast("int").alias("segment"),
+        "event_type",
+        "value",
+    )
+    return doubly_robust_eval(ev, "segment", "event_type", "value")
+
+
+# =====================================================================
+# Group k-fold (q231): leakage-free user-level 5-fold split with
+# snake balancing over the events table. sampling.group_snake_kfold.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.sampling import (  # noqa: E402
+    group_snake_kfold,
+    group_snake_kfold_sql,
+)
+
+
+@q("q231_group_kfold", group_snake_kfold_sql("events", "user_id", k=5))
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return group_snake_kfold(ev, "user_id", k=5)
+
+
+# =====================================================================
+# Simpson's-paradox audit (q232): per-nation mean order value by
+# variant vs the pooled contrast — flags strata whose direction
+# disagrees with the pooled direction (the aggregation-reversal
+# trap; Simpson 1951). Pure two-level aggregate + broadcast of the
+# 1-row pooled frame.
+# =====================================================================
+@q(
+    "q232_simpson_audit",
+    """
+    WITH units AS (
+      SELECT n.n_name AS nation,
+             CASE WHEN o.o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END
+               AS variant,
+             o.o_totalprice AS val
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    strat AS (
+      SELECT nation,
+        CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        ROUND(CAST(SUM(CASE WHEN variant = 'A'
+                 THEN CAST(ROUND(val, 2) AS DECIMAL(18,2)) END)
+               AS DOUBLE)
+              / SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END), 6)
+          AS mean_a,
+        ROUND(CAST(SUM(CASE WHEN variant = 'B'
+                 THEN CAST(ROUND(val, 2) AS DECIMAL(18,2)) END)
+               AS DOUBLE)
+              / SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END), 6)
+          AS mean_b
+      FROM units GROUP BY nation
+    ),
+    pooled AS (
+      SELECT ROUND(
+        CAST(SUM(CASE WHEN variant = 'A'
+               THEN CAST(ROUND(val, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+          / SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        - CAST(SUM(CASE WHEN variant = 'B'
+               THEN CAST(ROUND(val, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+          / SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END), 6)
+        AS pooled_diff
+      FROM units
+    )
+    SELECT nation, n_a, n_b, mean_a, mean_b,
+           ROUND(mean_a - mean_b, 6) AS stratum_diff,
+           pooled_diff,
+           (mean_a - mean_b) * pooled_diff < 0 AS simpson_flip
+    FROM strat CROSS JOIN pooled
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    units = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("o_orderkey") % 2 == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            F.col("o_totalprice").alias("val"),
+        )
+    )
+    is_a = F.col("variant") == "A"
+    is_b = F.col("variant") == "B"
+    vdec = F.round(F.col("val"), 2).cast("decimal(18,2)")
+
+    def mean_of(flag: F.Column) -> F.Column:
+        return F.round(
+            F.sum(F.when(flag, vdec)).cast("double")
+            / F.sum(F.when(flag, 1).otherwise(0)),
+            6,
+        )
+
+    strat = units.groupBy("nation").agg(
+        F.sum(is_a.cast("int")).cast("bigint").alias("n_a"),
+        F.sum(is_b.cast("int")).cast("bigint").alias("n_b"),
+        mean_of(is_a).alias("mean_a"),
+        mean_of(is_b).alias("mean_b"),
+    )
+    pooled = units.agg(
+        F.round(mean_of(is_a) - mean_of(is_b), 6).alias("pooled_diff")
+    )
+    return strat.join(F.broadcast(pooled)).select(
+        "nation",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("stratum_diff"),
+        "pooled_diff",
+        (
+            (F.col("mean_a") - F.col("mean_b")) * F.col("pooled_diff") < 0
+        ).alias("simpson_flip"),
+    )
