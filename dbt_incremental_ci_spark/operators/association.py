@@ -119,3 +119,182 @@ def association_rules(
             6,
         ).alias("lift"),
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    max_basket_items: int | None = 10_000,
+) -> DataFrame:
+    """Apriori level 3: frequent item TRIPLES with support and the
+    (a,b) -> c rule metrics — the next Apriori rung above
+    :func:`association_rules` (Agrawal & Srikant, VLDB'94).
+
+    Downward closure does the heavy lifting: a triple with count >= k
+    implies all three member pairs have count >= k, so items are
+    first restricted to members of frequent (>= ``min_count``) pairs
+    — a lossless prune that shrinks the triple self-join's input
+    before any 3-way fan-out. Triple volume is then
+    sum over baskets of C(|basket ∩ frequent|, 3), with the same
+    enforceable ``max_basket_items`` guard as level 2.
+
+    Output: ``(item_a, item_b, item_c, triple_count, support,
+    conf_ab_to_c, lift_ab_to_c)`` with a < b < c, support over total
+    baskets, confidence = triples / pair(a,b) baskets, lift =
+    confidence / (baskets(c) / n).
+
+    Determinism: metrics are rounded to 6 dp IN INTEGER SPACE —
+    ``(2*num*10^6 + den) DIV (2*den)`` is the exact half-up rounding
+    of the true rational, immune to the double-rounding boundary
+    divergence ROUND(double, 6) has across engines (a sf0.01 lift of
+    exactly 641/640 = 1.0015625 split Spark/DuckDB before this). The
+    integer path assumes ``2e6 * triple_count * n_baskets < 2^63``
+    (holds through ~1e5 frequent triples x 1e7 baskets); beyond that
+    cast the micro arithmetic to DECIMAL(38,0).
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_items is not None:
+        sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__bsz"))
+        items = (
+            items.join(sizes, "__b")
+            .where(
+                F.assert_true(
+                    F.col("__bsz") <= max_basket_items,
+                    F.concat(
+                        F.lit("frequent_triples: basket "),
+                        F.col("__b").cast("string"),
+                        F.lit(" exceeds max_basket_items="),
+                        F.lit(str(max_basket_items)),
+                    ),
+                ).isNull()
+            )
+            .drop("__bsz")
+        )
+    n_baskets = items.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    supp = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    a = items.select("__b", F.col("__i").alias("__ia"))
+    b = items.select("__b", F.col("__i").alias("__ib"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).alias("__npair"))
+        .filter(F.col("__npair") >= min_count)
+    )
+    # lossless Apriori prune: only members of frequent pairs can be in
+    # a frequent triple
+    keep = (
+        pairs.select(F.col("__ia").alias("__i"))
+        .union(pairs.select(F.col("__ib").alias("__i")))
+        .distinct()
+    )
+    items_f = items.join(keep, "__i").select("__b", "__i")
+    ta = items_f.select("__b", F.col("__i").alias("item_a"))
+    tb = items_f.select("__b", F.col("__i").alias("item_b"))
+    tc = items_f.select("__b", F.col("__i").alias("item_c"))
+    triples = (
+        ta.join(tb, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(tc, "__b")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .filter(F.col("triple_count") >= min_count)
+    )
+    out = (
+        triples.join(
+            pairs.select(
+                F.col("__ia").alias("item_a"),
+                F.col("__ib").alias("item_b"),
+                F.col("__npair").alias("__nab"),
+            ),
+            ["item_a", "item_b"],
+        )
+        .join(
+            supp.select(
+                F.col("__i").alias("item_c"), F.col("__cnt").alias("__cc")
+            ),
+            "item_c",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    staged = out.select(
+        "item_a",
+        "item_b",
+        "item_c",
+        F.col("triple_count").cast("bigint").alias("triple_count"),
+        F.col("__n").cast("bigint").alias("__n"),
+        F.col("__nab").cast("bigint").alias("__nab"),
+        (F.col("triple_count") * F.col("__n"))
+        .cast("bigint")
+        .alias("__tn"),
+        (F.col("__nab") * F.col("__cc")).cast("bigint").alias("__nabcc"),
+    )
+
+    def micro(num: str, den: str) -> F.Column:
+        # exact half-up 6-dp rounding of num/den in integer space
+        return (
+            F.expr(
+                f"CAST(({num} * 2000000 + {den}) DIV ({den} * 2) "
+                f"AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        )
+
+    return staged.select(
+        "item_a",
+        "item_b",
+        "item_c",
+        "triple_count",
+        micro("triple_count", "__n").alias("support"),
+        micro("triple_count", "__nab").alias("conf_ab_to_c"),
+        micro("__tn", "__nabcc").alias("lift_ab_to_c"),
+    )
+
+
+def frequent_triples_sql(
+    rows: str, basket_col: str, item_col: str, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`frequent_triples` (no prune needed for
+    correctness — downward closure makes the Spark-side item
+    restriction lossless, so the direct 3-way join is the same
+    relation)."""
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {rows}
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n FROM items),
+    supp AS (SELECT i, count(*) AS cnt FROM items GROUP BY i),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS npair
+      FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= {min_count}
+    ),
+    triples AS (
+      SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+             count(*) AS triple_count
+      FROM items a
+      JOIN items b ON a.b = b.b AND a.i < b.i
+      JOIN items c ON b.b = c.b AND b.i < c.i
+      GROUP BY 1, 2, 3 HAVING count(*) >= {min_count}
+    )
+    SELECT t.item_a, t.item_b, t.item_c,
+           CAST(t.triple_count AS BIGINT) AS triple_count,
+           CAST((t.triple_count * 2000000 + nb.n) // (nb.n * 2)
+             AS DOUBLE) / 1000000.0 AS support,
+           CAST((t.triple_count * 2000000 + p.npair) // (p.npair * 2)
+             AS DOUBLE) / 1000000.0 AS conf_ab_to_c,
+           CAST((t.triple_count * nb.n * 2000000 + p.npair * sc.cnt)
+                // (p.npair * sc.cnt * 2)
+             AS DOUBLE) / 1000000.0 AS lift_ab_to_c
+    FROM triples t
+    JOIN pairs p ON p.ia = t.item_a AND p.ib = t.item_b
+    JOIN supp sc ON sc.i = t.item_c
+    CROSS JOIN nb
+    """

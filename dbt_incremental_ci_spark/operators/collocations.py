@@ -160,3 +160,141 @@ def chi_square_association(
         [(int(n), int(dof), round(chi2, 6), round(v, 6))],
         "n long, df_degrees long, chi2 double, cramers_v double",
     )
+
+
+def skipgram_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    min_pair_count: int = 5,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Windowed skip-gram co-occurrence PMI (the word2vec/GloVe
+    counting step, Church & Hanks 1990 association): unordered word
+    pairs within ``window`` token positions, scored
+    ``ln((n_pair/T) / (p(w1) p(w2)))`` where T is the total skip-gram
+    pair count and p(w) the corpus unigram share.
+
+    Shape: tokens posexplode to (doc, pos, w); co-occurrence is a
+    SELF-JOIN ON THE DOCUMENT KEY with the positional band
+    ``1 <= pos_b - pos_a <= window`` — pair volume is ~window x
+    tokens (linear, constant factor = window), never tokens². Pairs
+    canonicalize to (least, greatest) so both directions accumulate
+    into one row. T and the token total come from corpus-constant
+    1-row aggregates broadcast into the expression (no driver
+    collect).
+
+    Output: ``(w1, w2, n_pair, n_w1, n_w2, pmi)`` with
+    ``n_pair >= min_pair_count``, PMI rounded to 6 dp, optionally
+    top-k by (pmi desc, w1, w2).
+    """
+    toks = _toks(text_col)
+    pos = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(toks).alias("__p", "__w")
+    )
+    a = pos.select("__id", F.col("__p").alias("__pa"), F.col("__w").alias("__wa"))
+    b = pos.select("__id", F.col("__p").alias("__pb"), F.col("__w").alias("__wb"))
+    co = a.join(b, "__id").filter(
+        (F.col("__pb") - F.col("__pa") >= 1)
+        & (F.col("__pb") - F.col("__pa") <= window)
+    )
+    pairs_all = co.select(
+        F.least("__wa", "__wb").alias("w1"),
+        F.greatest("__wa", "__wb").alias("w2"),
+    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # T counts ALL skip-gram positions (pre-prune) — the probability
+    # denominator must not depend on the reporting threshold
+    totals_pair = pairs_all.agg(F.sum("n_pair").alias("__t"))
+    pairs = pairs_all.filter(F.col("n_pair") >= min_pair_count)
+    unigrams = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals_tok = df.select(F.sum(F.size(toks)).alias("__ntok"))
+    joined = (
+        pairs.join(
+            unigrams.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")),
+            "w1",
+        )
+        .join(
+            unigrams.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals_pair))
+        .crossJoin(F.broadcast(totals_tok))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("__t").cast("double"))
+            / (
+                (F.col("n_w1") / F.col("__ntok").cast("double"))
+                * (F.col("n_w2") / F.col("__ntok").cast("double"))
+            )
+        ),
+        6,
+    )
+    out = joined.select(
+        "w1", "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n_w1").cast("long").alias("n_w1"),
+        F.col("n_w2").cast("long").alias("n_w2"),
+        pmi.alias("pmi"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+    return out
+
+
+def skipgram_pmi_sql(
+    rows: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    min_pair_count: int = 5,
+    top_k: int | None = 50,
+) -> str:
+    """DuckDB twin of :func:`skipgram_pmi`."""
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return rf"""
+    WITH tk AS (
+      SELECT {id_col} AS id,
+             list_filter(string_split_regex(trim(lower({text_col})),
+                                            '\s+'),
+                         x -> x <> '') AS toks
+      FROM {rows}
+    ),
+    pos AS (
+      SELECT id, toks[i] AS w, i AS p
+      FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+    ),
+    co AS (
+      SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+      FROM pos a JOIN pos b
+        ON a.id = b.id AND b.p - a.p BETWEEN 1 AND {window}
+    ),
+    pairs_all AS (
+      SELECT w1, w2, count(*) AS n_pair FROM co GROUP BY 1, 2
+    ),
+    t AS (SELECT sum(n_pair) AS t FROM pairs_all),
+    uc AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    ntok AS (SELECT sum(len(toks)) AS n_tok FROM tk)
+    SELECT p.w1, p.w2,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(u1.n_w AS BIGINT) AS n_w1,
+           CAST(u2.n_w AS BIGINT) AS n_w2,
+           ROUND(ln((p.n_pair / CAST(t.t AS DOUBLE))
+                    / ((u1.n_w / CAST(ntok.n_tok AS DOUBLE))
+                       * (u2.n_w / CAST(ntok.n_tok AS DOUBLE)))), 6)
+             AS pmi
+    FROM pairs_all p
+    JOIN uc u1 ON u1.w = p.w1
+    JOIN uc u2 ON u2.w = p.w2
+    CROSS JOIN t CROSS JOIN ntok
+    WHERE p.n_pair >= {min_pair_count}
+    ORDER BY pmi DESC, p.w1, p.w2 {limit}
+    """

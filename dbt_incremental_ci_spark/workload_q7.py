@@ -265,3 +265,73 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_a") - F.col("mean_b")) * F.col("pooled_diff") < 0
         ).alias("simpson_flip"),
     )
+
+
+# =====================================================================
+# Apriori L3 (q233): frequent category triples over order baskets
+# with (a,b)->c confidence/lift — downward-closure-pruned 3-way
+# basket join (operators/association.frequent_triples).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.association import (  # noqa: E402
+    frequent_triples,
+    frequent_triples_sql,
+)
+
+_L3_ROWS = (
+    "(SELECT l_orderkey AS basket, l_partkey % 50 AS item FROM lineitem)"
+)
+
+
+@q(
+    "q233_frequent_triples",
+    frequent_triples_sql(_L3_ROWS, "basket", "item", min_count=5),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return frequent_triples(li, "basket", "item", min_count=5)
+
+
+# =====================================================================
+# Skip-gram windowed PMI (q234): word-association mining within a
+# ±3-token window — the word2vec/GloVe co-occurrence counting step
+# (operators/collocations.skipgram_pmi).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.collocations import (  # noqa: E402
+    skipgram_pmi,
+    skipgram_pmi_sql,
+)
+
+
+@q(
+    "q234_skipgram_pmi",
+    skipgram_pmi_sql(
+        "documents", "doc_id", "text", window=3, min_pair_count=20, top_k=50
+    ),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return skipgram_pmi(
+        docs, "doc_id", "text", window=3, min_pair_count=20, top_k=50
+    )
+
+
+# =====================================================================
+# RAKE keyword extraction (q235): stopword-delimited candidate
+# phrases scored deg/freq — corpus top-20 (operators/keywords).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.keywords import (  # noqa: E402
+    rake_keywords,
+    rake_keywords_sql,
+)
+
+
+@q(
+    "q235_rake_keywords",
+    rake_keywords_sql("documents", "doc_id", "text", min_freq=2, top_k=20),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", min_freq=2, top_k=20)
