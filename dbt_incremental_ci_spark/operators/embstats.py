@@ -1,0 +1,261 @@
+"""Embedding-column statistics and centroid classification — the
+"know your vector corpus" operators: per-dimension moments (collapsed
+/ dead / high-variance dims are the first thing to audit before ANN
+or quantization work) and nearest-class-centroid classification
+(Rocchio) with a confusion-matrix readout.
+
+Scale shape: everything is posexplode → hash aggregate. The dim
+profile reduces the corpus to a ``dim``-sized frame (64 rows) before
+any window; the centroid classifier joins the exploded corpus to a
+BROADCAST centroid relation (classes x dims rows — model-sized, not
+data-sized) with a fan-out of #classes per point, then reduces to
+(point, class) partial dot products. No data-sized sort or collect.
+
+Determinism: element values arrive as exact float→double widenings;
+per-element terms are rounded and summed as DECIMAL (order-exact
+folds); derived means/variances/cosines are single double expressions
+over those exact sums, rounded to 6 dp (workload_base rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_variance_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    top: int | None = None,
+) -> DataFrame:
+    """Per-dimension count / mean / population variance of an
+    embedding column; optionally only the ``top`` dimensions by
+    variance (descending, dim-ascending tiebreak).
+
+    Output: ``(dim, n, mean, variance, var_rank)``.
+    """
+    pts = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    per = pts.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("__v"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__s1"),
+        F.sum(
+            F.round(F.col("__v") * F.col("__v"), 10).cast("decimal(38,10)")
+        )
+        .cast("double")
+        .alias("__s2"),
+    )
+    prof = per.select(
+        "dim",
+        "n",
+        F.round(F.col("__s1") / F.col("n"), 6).alias("mean"),
+        F.round(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("n"))
+            / F.col("n"),
+            6,
+        ).alias("variance"),
+    )
+    # dim-sized frame (e.g. 64 rows): deliberate tiny 1-part window
+    w = Window.orderBy(F.desc("variance"), F.asc("dim"))
+    ranked = prof.withColumn(
+        "var_rank", F.row_number().over(w).cast("int")
+    )
+    if top is not None:
+        ranked = ranked.filter(F.col("var_rank") <= top)
+    return ranked
+
+
+def dim_variance_profile_sql(
+    rows: str, vec_col: str = "embedding", top: int | None = None
+) -> str:
+    """DuckDB twin of :func:`dim_variance_profile`."""
+    where = f"WHERE var_rank <= {top}" if top is not None else ""
+    return f"""
+    WITH pts AS (
+      SELECT i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS v
+      FROM {rows},
+           unnest(generate_series(1, len({vec_col}))) AS g(i)
+    ),
+    per AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS s1,
+             CAST(SUM(CAST(ROUND(v * v, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS s2
+      FROM pts GROUP BY dim
+    ),
+    prof AS (
+      SELECT dim, n,
+             ROUND(s1 / n, 6) AS mean,
+             ROUND((s2 - s1 * s1 / n) / n, 6) AS variance
+      FROM per
+    )
+    SELECT * FROM (
+      SELECT dim, n, mean, variance,
+             CAST(row_number() OVER (ORDER BY variance DESC, dim)
+               AS INT) AS var_rank
+      FROM prof
+    ) {where}
+    """
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Rocchio / nearest-class-centroid classification by cosine,
+    reported as a confusion matrix: fit per-class mean vectors,
+    assign every point to the most-cosine-similar centroid
+    (rounded-6 cosine, label-ascending tiebreak), count
+    (true, predicted) cells.
+
+    Output: ``(label_true, label_pred, n, share)`` — share of the
+    true class (6 dp).
+    """
+    pts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+    ).select(
+        "__id", "__lbl", "dim", F.col("__v").cast("double").alias("__v")
+    )
+    cent = pts.groupBy(F.col("__lbl").alias("__c"), "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("__v"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("__cv")
+    )
+    cnorm = cent.groupBy("__c").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__cv") * F.col("__cv"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+        ).alias("__cn")
+    )
+    vnorm = pts.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__v") * F.col("__v"), 12).cast(
+                    "decimal(38,12)"
+                )
+            ).cast("double")
+        ).alias("__vn")
+    )
+    dots = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("__id", "__lbl", "__c")
+        .agg(
+            F.sum(
+                F.round(F.col("__v") * F.col("__cv"), 10).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    scored = (
+        dots.join(F.broadcast(cnorm), "__c")
+        .join(vnorm, "__id")
+        .select(
+            "__id",
+            "__lbl",
+            "__c",
+            F.round(
+                F.col("__dot") / (F.col("__vn") * F.col("__cn")), 6
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("__cos"), F.asc("__c"))
+    pred = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__lbl", F.col("__c").alias("__pred"))
+    )
+    cells = pred.groupBy(
+        F.col("__lbl").alias("label_true"),
+        F.col("__pred").alias("label_pred"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_true = Window.partitionBy("label_true")
+    return cells.select(
+        "label_true",
+        "label_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_true), 6
+        ).alias("share"),
+    )
+
+
+def nearest_centroid_confusion_sql(
+    rows: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`nearest_centroid_confusion`."""
+    return f"""
+    WITH pts AS (
+      SELECT {id_col} AS id, {label_col} AS lbl,
+             i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS v
+      FROM {rows},
+           unnest(generate_series(1, len({vec_col}))) AS g(i)
+    ),
+    cent AS (
+      SELECT lbl AS c, dim,
+             ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                     AS DOUBLE) / count(*), 6) AS cv
+      FROM pts GROUP BY lbl, dim
+    ),
+    cnorm AS (
+      SELECT c,
+             sqrt(CAST(SUM(CAST(ROUND(cv * cv, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS cn
+      FROM cent GROUP BY c
+    ),
+    vnorm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS vn
+      FROM pts GROUP BY id
+    ),
+    dots AS (
+      SELECT p.id, p.lbl, c.c,
+             CAST(SUM(CAST(ROUND(p.v * c.cv, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS dt
+      FROM pts p JOIN cent c ON p.dim = c.dim
+      GROUP BY p.id, p.lbl, c.c
+    ),
+    scored AS (
+      SELECT d.id, d.lbl, d.c,
+             ROUND(d.dt / (v.vn * n.cn), 6) AS cos
+      FROM dots d
+      JOIN cnorm n ON d.c = n.c
+      JOIN vnorm v ON d.id = v.id
+    ),
+    pred AS (
+      SELECT id, lbl, c AS pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY id
+                    ORDER BY cos DESC, c) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT lbl AS label_true, pred AS label_pred,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT label_true, label_pred, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY label_true), 6) AS share
+    FROM cells
+    """

@@ -801,3 +801,55 @@ def scalar_quantize_8bit(
         "codes",
         F.round(mse, 9).alias("mse"),
     )
+
+
+def jl_sign_vector(dim: int, out_dim: int, seed: int = 1234567) -> list[float]:
+    """Deterministic Achlioptas ±1 row for Johnson-Lindenstrauss
+    random projection (Achlioptas 2001: database-friendly random
+    projections — ±1 entries preserve pairwise distances like
+    Gaussian ones). Same LCG-from-seed recipe as
+    :func:`_hyperplane` so the Spark plan and the DuckDB oracle can
+    embed the IDENTICAL literal matrix."""
+    x = (seed * 1_000_003 + out_dim * 7919) % 2147483647
+    row: list[float] = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % 2147483648
+        row.append(1.0 if (x >> 16) & 1 else -1.0)
+    return row
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 8,
+    seed: int = 1234567,
+) -> DataFrame:
+    """Project ``vec_col`` (array<float/double>, length ``dim``) to
+    ``out_dim`` dimensions with the ±1 JL matrix — appended as
+    ``proj`` (array<double>, the 1/sqrt(out_dim) scale folded in).
+
+    Map-only: one deterministic fold per output dimension over the
+    input array (O(1) expression nodes per dim — see the codegen
+    warning on :func:`dot`); no shuffle, no UDF. The classic scale
+    move for 100 TB ANN: cut vector bytes ~dim/out_dim before any
+    pairwise work.
+    """
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = [
+        (
+            dot(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in jl_sign_vector(dim, j, seed)]),
+            )
+            * F.lit(scale)
+        ).alias(f"__jl{j}")
+        for j in range(out_dim)
+    ]
+    staged = df.select("*", *comps)
+    return staged.select(
+        *df.columns,
+        F.array(*[F.col(f"__jl{j}") for j in range(out_dim)]).alias("proj"),
+    )

@@ -335,3 +335,138 @@ from dbt_incremental_ci_spark.operators.keywords import (  # noqa: E402
 def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return rake_keywords(docs, "doc_id", "text", min_freq=2, top_k=20)
+
+
+# =====================================================================
+# JL random-projection ANN (q236): project 64-dim embeddings to 8
+# dims with a deterministic ±1 Achlioptas matrix (map-only, no
+# shuffle), take exact top-5 cosine in the PROJECTED space, and
+# report recall against original-space top-5 — the quality gate for
+# trading vector bytes for candidate quality at 100 TB.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    jl_project,
+    jl_sign_vector,
+)
+
+
+def _q236_oracle() -> str:
+    import math
+
+    scale = 1.0 / math.sqrt(8)
+
+    def arr(row: list[float]) -> str:
+        return "[" + ",".join(repr(x) for x in row) + "]"
+
+    proj = (
+        "["
+        + ", ".join(
+            f"list_dot_product(embedding::DOUBLE[], {arr(jl_sign_vector(64, j))})"
+            f" * {scale!r}"
+            for j in range(8)
+        )
+        + "]"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ov, {proj} AS pv
+      FROM embeddings
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.ov, c.ov)
+                   / NULLIF(sqrt(list_dot_product(q.ov, q.ov))
+                            * sqrt(list_dot_product(c.ov, c.ov)), 0), 6)
+                 DESC, c.vec_id) AS rnk
+        FROM base q JOIN base c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND(list_dot_product(q.pv, c.pv)
+                   / NULLIF(sqrt(list_dot_product(q.pv, q.pv))
+                            * sqrt(list_dot_product(c.pv, c.pv)), 0), 6)
+                 DESC, c.vec_id) AS rnk
+        FROM base q JOIN base c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    )
+    SELECT b.query_id,
+           CAST(5 AS INT) AS k,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           ROUND(count(a.neighbor_id) / 5.0, 6) AS recall_at_k
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """
+
+
+@q("q236_jl_projection_recall", _q236_oracle())
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = brute_force_topk(emb, probes, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__bn")
+    )
+    projected = jl_project(emb, "embedding", dim=64, out_dim=8).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    pprobes = projected.filter(F.col("vec_id") < 10)
+    approx = brute_force_topk(projected, pprobes, k=5).select(
+        "query_id", F.col("neighbor_id").alias("__an")
+    )
+    joined = brute.join(
+        approx,
+        (brute["query_id"] == approx["query_id"])
+        & (brute["__bn"] == approx["__an"]),
+        "left",
+    ).select(brute["query_id"], approx["__an"])
+    return joined.groupBy("query_id").agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count("__an").cast("bigint").alias("hits"),
+        F.round(F.count("__an") / F.lit(5.0), 6).alias("recall_at_k"),
+    )
+
+
+# =====================================================================
+# Embedding dim-variance profile (q237): per-dimension moments of the
+# vector corpus, top-16 by variance — the pre-quantization audit.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.embstats import (  # noqa: E402
+    dim_variance_profile,
+    dim_variance_profile_sql,
+    nearest_centroid_confusion,
+    nearest_centroid_confusion_sql,
+)
+
+
+@q(
+    "q237_dim_variance",
+    dim_variance_profile_sql("embeddings", "embedding", top=16),
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return dim_variance_profile(emb, "embedding", top=16)
+
+
+# =====================================================================
+# Nearest-centroid confusion matrix (q238): Rocchio classification of
+# every embedding against per-label centroids (broadcast model join,
+# #classes fan-out), (true, pred) cells with per-class shares.
+# =====================================================================
+@q(
+    "q238_nearest_centroid",
+    nearest_centroid_confusion_sql(
+        "embeddings", "embedding", "vec_id", "label"
+    ),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return nearest_centroid_confusion(emb, "embedding", "vec_id", "label")
