@@ -328,3 +328,155 @@ def js_divergence_sql(
              AS js_distance
     FROM agg
     """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U / Wilcoxon rank-sum test — the
+    nonparametric "did this distribution move" answer when means are
+    the wrong lens (heavy tails, outliers, ordinal scores): tests
+    whether sample A stochastically dominates sample B, with the
+    standard tie-corrected normal approximation.
+
+    Shape (the ROC-AUC machinery — AUC IS U/(n_a·n_b)): values
+    quantize to ``decimals`` places, ONE hash aggregate to
+    (value → cnt, cnt_a) — distinct values, not rows — then
+    :func:`~.packing.global_cumsum` for partition-parallel rank
+    offsets. Rank arithmetic stays in integers
+    (2·avg_rank = 2·cum_before + cnt + 1) summed as DECIMAL(38,0);
+    the tie-correction term Σ(t³−t) likewise. Exactly the final
+    z / p are float.
+
+    p-value: two-sided via the Bowling et al. (2009) logistic
+    approximation (|err| < 1.5e-4; pure arithmetic both engines
+    evaluate identically). Degenerate cases (an empty side, or all
+    values tied so the variance is 0) report z = 0, p = 1.
+
+    Output ONE row: ``(n_a, n_b, u_a, z, p_value)`` — u_a is A's U
+    statistic (exact, from the 2U integer).
+    """
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+
+    v = F.round(F.col(value_col), decimals)
+    g = (
+        df.filter(F.col(group_col).isin(label_a, label_b))
+        .select(
+            v.alias("__v"),
+            (F.col(group_col) == label_a).cast("int").alias("__a"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum("__a").alias("__ca"),
+        )
+        .localCheckpoint(eager=False)  # cumsum branches re-read this
+    )
+    c = global_cumsum(g, "__v", "__cnt", out_col="__cum")
+    two_rank = 2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1
+    t3t = (
+        (F.col("__cnt") * F.col("__cnt") * F.col("__cnt") - F.col("__cnt"))
+        .cast("decimal(38,0)")
+    )
+    tot = c.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        (F.sum("__cnt") - F.sum("__ca")).cast("bigint").alias("n_b"),
+        F.sum((F.col("__ca") * two_rank).cast("decimal(38,0)")).alias("__2ra"),
+        F.sum(t3t).alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    two_u = (
+        F.col("__2ra").cast("double")
+        - na * (na + 1.0)
+    )
+    var_u = (
+        na * nb / 12.0
+        * ((n + 1.0) - F.col("__ties").cast("double") / (n * (n - 1.0)))
+    )
+    z_raw = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var_u > 0),
+        (two_u - na * nb) / (2.0 * F.sqrt(var_u)),
+    ).otherwise(F.lit(0.0))
+    z = F.round(z_raw, 6)
+    az = F.abs(z)
+    p = F.round(
+        F.lit(2.0)
+        / (
+            F.lit(1.0)
+            + F.exp(F.lit(0.070566) * az * az * az + F.lit(1.5976) * az)
+        ),
+        10,
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        F.round(two_u / 2.0, 1).alias("u_a"),
+        z.alias("z"),
+        p.alias("p_value"),
+    )
+
+
+def mann_whitney_u_sql(
+    rows: str,
+    value_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    decimals: int = 6,
+) -> str:
+    """DuckDB twin of :func:`mann_whitney_u` (plain window cumsum —
+    the oracle doesn't need the partition-parallel variant)."""
+    return f"""
+    WITH g AS (
+      SELECT ROUND({value_col}, {decimals}) AS v,
+             count(*) AS cnt,
+             SUM(CASE WHEN {group_col} = '{label_a}' THEN 1 ELSE 0 END)
+               AS ca
+      FROM {rows}
+      WHERE {group_col} IN ('{label_a}', '{label_b}')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT *,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cnt) - SUM(ca) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(ca * (2 * (cum - cnt) + cnt + 1)
+                           AS DECIMAL(38,0))) AS DOUBLE) AS r2a,
+             CAST(SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0)))
+               AS DOUBLE) AS ties
+      FROM c
+    ),
+    zed AS (
+      SELECT n_a, n_b,
+             r2a - CAST(n_a AS DOUBLE) * (n_a + 1.0) AS two_u,
+             CAST(n_a AS DOUBLE) * n_b / 12.0
+               * ((n_a + n_b + 1.0)
+                  - ties / (CAST(n_a + n_b AS DOUBLE)
+                            * (n_a + n_b - 1.0))) AS var_u
+      FROM tot
+    ),
+    fin AS (
+      SELECT n_a, n_b,
+             ROUND(two_u / 2.0, 1) AS u_a,
+             ROUND(CASE WHEN n_a > 0 AND n_b > 0 AND var_u > 0
+               THEN (two_u - CAST(n_a AS DOUBLE) * n_b)
+                    / (2.0 * sqrt(var_u))
+               ELSE 0.0 END, 6) AS z
+      FROM zed
+    )
+    SELECT n_a, n_b, u_a, z,
+           ROUND(2.0 / (1.0 + exp(0.070566 * abs(z) * abs(z) * abs(z)
+                                  + 1.5976 * abs(z))), 10) AS p_value
+    FROM fin
+    """

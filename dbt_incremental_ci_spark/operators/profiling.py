@@ -472,3 +472,76 @@ def mutual_information_sql(rows: str, x_col: str, y_col: str) -> str:
                  THEN mi / sqrt(hx * hy) END, 9) AS nmi
     FROM agg
     """
+
+
+def moments_merge_profile(
+    df: DataFrame,
+    value_col: str,
+    shard_col,
+    decimals: int = 2,
+) -> DataFrame:
+    """Shard-merge proof for the moments profile: accumulate the four
+    raw power sums PER SHARD, merge shards by plain addition (power
+    sums are the canonical mergeable moment state — Chan, Golub &
+    LeVeque 1983 generalizes the pairwise update; raw integer sums
+    need no update formula at all), and derive the same
+    ``(column, n, mean, variance, skewness, kurtosis_excess)`` row
+    :func:`moments_profile` computes directly.
+
+    Because the sums are exact DECIMAL(38,0) integers, merge ≡ direct
+    BIT-FOR-BIT — the property that makes the profile incrementally
+    maintainable at 100 TB (per-partition/day states, fold on read).
+    The workload query oracles this against the DIRECT SQL profile.
+    """
+    scale = 10 ** decimals
+    xc = (
+        F.round(F.col(value_col), decimals).cast(f"decimal(18,{decimals})")
+        * scale
+    ).cast("bigint")
+    pts = df.filter(F.col(value_col).isNotNull()).select(
+        shard_col.alias("__shard") if not isinstance(shard_col, str)
+        else F.col(shard_col).alias("__shard"),
+        xc.alias("__x"),
+    )
+    x = F.col("__x")
+    x2 = (x * x).cast("decimal(38,0)")
+    per_shard = pts.groupBy("__shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x2 * x).alias("s3"),
+        F.sum(x2 * x * x).alias("s4"),
+    )
+    merged = per_shard.agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2 = F.col("s2").cast("double") / nd - m1 * m1
+    m3 = (
+        F.col("s3").cast("double") / nd
+        - 3.0 * m1 * (F.col("s2").cast("double") / nd)
+        + 2.0 * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("s4").cast("double") / nd
+        - 4.0 * m1 * (F.col("s3").cast("double") / nd)
+        + 6.0 * m1 * m1 * (F.col("s2").cast("double") / nd)
+        - 3.0 * m1 * m1 * m1 * m1
+    )
+    return merged.select(
+        F.lit(value_col).alias("column"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m1 / scale, 6).alias("mean"),
+        F.round(m2 / (scale * scale), 6).alias("variance"),
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias(
+            "skewness"
+        ),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, 6)).alias(
+            "kurtosis_excess"
+        ),
+    )

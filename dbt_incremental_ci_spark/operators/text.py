@@ -525,3 +525,130 @@ def flesch_reading_ease(text: Column | str) -> Column:
         - F.lit(84.6) * (c["syllables"].cast("double") / words)
     )
     return F.when(c["words"] > 0, F.round(score, 3))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution:
+    OLS of ln(freq) on ln(rank) over the frequency-ranked vocabulary
+    — slope ≈ −1 for natural language (Zipf 1949); a corpus whose
+    slope drifts (template spam flattens it, deduplicated boilerplate
+    steepens it) fails the health check. The r² says how Zipfian the
+    corpus is at all.
+
+    Shape: one token hash-aggregate to the vocabulary (types, not
+    tokens), ranks from :func:`~.ranks.two_phase_row_number`
+    (partition-parallel — no vocabulary-sized single-task sort), and
+    one scalar OLS aggregate. Per-type ln terms are rounded to 10 dp
+    and summed as DECIMAL(38,10) — order-exact folds; the ~1e-15 ulp
+    wobble engines' ln() implementations allow is far inside the
+    1e-10 rounding grid, and the final stats round to 6 dp.
+
+    Output ONE row: ``(n_types, n_tokens, slope, intercept, r2)``.
+    """
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .filter(F.col("__f") >= min_freq)
+    )
+    ranked = two_phase_row_number(
+        vocab, [F.desc("__f"), F.asc("__w")], out_col="__r"
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__f").cast("double"))
+
+    def sdec(c: F.Column) -> F.Column:
+        return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("__f").cast("bigint").alias("n_tokens"),
+        sdec(x).alias("__sx"),
+        sdec(y).alias("__sy"),
+        sdec(x * y).alias("__sxy"),
+        sdec(x * x).alias("__sxx"),
+        sdec(y * y).alias("__syy"),
+    )
+    nd = F.col("n_types").cast("double")
+    cov = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    varx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov / varx
+    return agg.select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / nd, 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def zipf_fit_sql(rows: str, text_col: str = "text", min_freq: int = 2) -> str:
+    """DuckDB twin of :func:`zipf_fit`."""
+    return rf"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower({text_col})),
+                                            '\s+'),
+                         t -> t <> '') AS toks
+      FROM {rows}
+    ),
+    vocab AS (
+      SELECT w, count(*) AS f
+      FROM (SELECT unnest(toks) AS w FROM tk)
+      GROUP BY w HAVING count(*) >= {min_freq}
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      FROM vocab
+    ),
+    terms AS (
+      SELECT f, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    agg AS (
+      SELECT count(*) AS n_types,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(ROUND(x, 10) AS DECIMAL(38,10))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(ROUND(y, 10) AS DECIMAL(38,10))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS syy
+      FROM terms
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types, n_tokens,
+           ROUND((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx),
+                 6) AS slope,
+           ROUND((sy - (n_types * sxy - sx * sy)
+                        / (n_types * sxx - sx * sx) * sx)
+                 / n_types, 6) AS intercept,
+           ROUND(CASE WHEN (n_types * syy - sy * sy) > 0
+             THEN (n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)
+                  / ((n_types * sxx - sx * sx)
+                     * (n_types * syy - sy * sy))
+             ELSE 0.0 END, 6) AS r2
+    FROM agg
+    """

@@ -470,3 +470,64 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return nearest_centroid_confusion(emb, "embedding", "vec_id", "label")
+
+
+# =====================================================================
+# Mann-Whitney rank-sum drift test (q239): do 'purchase' event values
+# stochastically dominate 'click' values? — the nonparametric
+# distribution-shift test on the roc_auc two-phase rank machinery
+# (drift.mann_whitney_u).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.drift import (  # noqa: E402
+    mann_whitney_u,
+    mann_whitney_u_sql,
+)
+
+
+@q(
+    "q239_mann_whitney",
+    mann_whitney_u_sql("events", "value", "event_type", "purchase", "click"),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "purchase", "click")
+
+
+# =====================================================================
+# Mergeable moments (q240): per-shard power sums merged by addition
+# == the direct profile, bit-for-bit — the oracle runs the DIRECT
+# single-pass SQL, so a green hash PROVES shard-merge equivalence
+# (profiling.moments_merge_profile; q174's register-merge pattern).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.profiling import (  # noqa: E402
+    moments_merge_profile,
+    moments_profile_sql,
+)
+
+
+@q(
+    "q240_moments_merge",
+    moments_profile_sql("lineitem", ["l_extendedprice"]),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return moments_merge_profile(
+        li, "l_extendedprice", (F.col("l_orderkey") % 3)
+    )
+
+
+# =====================================================================
+# Zipf fit (q241): OLS slope/r² of ln(freq) vs ln(rank) over the
+# frequency-ranked vocabulary — corpus-health diagnostic
+# (text.zipf_fit; two-phase ranks, decimal-folded OLS terms).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.text import (  # noqa: E402
+    zipf_fit,
+    zipf_fit_sql,
+)
+
+
+@q("q241_zipf_fit", zipf_fit_sql("documents", "text", min_freq=2))
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", min_freq=2)
