@@ -140,3 +140,190 @@ def kaplan_meier_sql(rows: str, duration_col: str, event_col: str) -> str:
     FROM terms
     ORDER BY duration
     """
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) — "do these survival
+    curves differ", the companion hypothesis test to
+    :func:`kaplan_meier`: at each event time compare group A's
+    observed events to its hypergeometric expectation under the
+    shared-hazard null, chi-square with 1 df.
+
+    Same shape as the KM estimator: one hash aggregate to the
+    two-group life table (distinct-duration-sized, bounded), at-risk
+    counts from tiny windows over it, then one scalar aggregate.
+    E and V per time are fixed double expressions over exact integer
+    counts; their sums fold as rounded DECIMAL(38,10) (order-exact).
+    p-value via the Bowling logistic normal-CDF approximation on
+    z = sqrt(chi2) (two-sided — the chi2_1 tail identity).
+
+    Output ONE row: ``(n_a, n_b, events_a, events_b, expected_a,
+    chi2, p_value)``.
+    """
+    is_a = F.col(group_col) == label_a
+    life = (
+        df.filter(F.col(group_col).isin(label_a, label_b))
+        .select(
+            F.col(duration_col).cast("bigint").alias("duration"),
+            F.col(event_col).cast("int").alias("__e"),
+            is_a.cast("int").alias("__a"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum(F.col("__e") * F.col("__a")).alias("d_a"),
+            F.sum((1 - F.col("__e")) * F.col("__a")).alias("c_a"),
+            F.sum(F.col("__e") * (1 - F.col("__a"))).alias("d_b"),
+            F.sum((1 - F.col("__e")) * (1 - F.col("__a"))).alias("c_b"),
+        )
+    )
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot_a = F.sum(F.col("d_a") + F.col("c_a")).over(w_all)
+    tot_b = F.sum(F.col("d_b") + F.col("c_b")).over(w_all)
+    pri_a = F.coalesce(
+        F.sum(F.col("d_a") + F.col("c_a")).over(w_prior), F.lit(0)
+    )
+    pri_b = F.coalesce(
+        F.sum(F.col("d_b") + F.col("c_b")).over(w_prior), F.lit(0)
+    )
+    risk = life.select(
+        "duration",
+        "d_a",
+        "d_b",
+        (tot_a - pri_a).cast("bigint").alias("n_a_t"),
+        (tot_b - pri_b).cast("bigint").alias("n_b_t"),
+        tot_a.cast("bigint").alias("__na"),
+        tot_b.cast("bigint").alias("__nb"),
+    )
+    big_n = (F.col("n_a_t") + F.col("n_b_t")).cast("double")
+    big_d = (F.col("d_a") + F.col("d_b")).cast("double")
+    e_a = big_d * F.col("n_a_t").cast("double") / big_n
+    v = F.when(
+        big_n > 1,
+        big_d
+        * (F.col("n_a_t").cast("double") / big_n)
+        * (F.col("n_b_t").cast("double") / big_n)
+        * (big_n - big_d)
+        / (big_n - 1.0),
+    ).otherwise(F.lit(0.0))
+
+    def sdec(c: F.Column) -> F.Column:
+        return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
+
+    agg = risk.agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.sum("d_a").cast("bigint").alias("events_a"),
+        F.sum("d_b").cast("bigint").alias("events_b"),
+        sdec(e_a).alias("__ea"),
+        sdec(F.col("d_a").cast("double") - e_a).alias("__oe"),
+        sdec(v).alias("__v"),
+    )
+    chi2 = F.when(
+        F.col("__v") > 0,
+        F.col("__oe") * F.col("__oe") / F.col("__v"),
+    ).otherwise(F.lit(0.0))
+    z = F.sqrt(F.round(chi2, 6))
+    p = F.round(
+        F.lit(2.0)
+        / (
+            F.lit(1.0)
+            + F.exp(F.lit(0.070566) * z * z * z + F.lit(1.5976) * z)
+        ),
+        10,
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.round(F.col("__ea"), 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        p.alias("p_value"),
+    )
+
+
+def logrank_test_sql(
+    rows: str,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+) -> str:
+    """DuckDB twin of :func:`logrank_test`."""
+    return f"""
+    WITH life AS (
+      SELECT CAST({duration_col} AS BIGINT) AS duration,
+        SUM(CAST({event_col} AS INT)
+            * CASE WHEN {group_col} = '{label_a}' THEN 1 ELSE 0 END)
+          AS d_a,
+        SUM((1 - CAST({event_col} AS INT))
+            * CASE WHEN {group_col} = '{label_a}' THEN 1 ELSE 0 END)
+          AS c_a,
+        SUM(CAST({event_col} AS INT)
+            * CASE WHEN {group_col} = '{label_b}' THEN 1 ELSE 0 END)
+          AS d_b,
+        SUM((1 - CAST({event_col} AS INT))
+            * CASE WHEN {group_col} = '{label_b}' THEN 1 ELSE 0 END)
+          AS c_b
+      FROM {rows}
+      WHERE {group_col} IN ('{label_a}', '{label_b}')
+      GROUP BY 1
+    ),
+    risk AS (
+      SELECT duration, d_a, d_b,
+        CAST(SUM(d_a + c_a) OVER ()
+             - COALESCE(SUM(d_a + c_a) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS n_a_t,
+        CAST(SUM(d_b + c_b) OVER ()
+             - COALESCE(SUM(d_b + c_b) OVER (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS n_b_t,
+        CAST(SUM(d_a + c_a) OVER () AS BIGINT) AS na,
+        CAST(SUM(d_b + c_b) OVER () AS BIGINT) AS nb
+      FROM life
+    ),
+    terms AS (
+      SELECT *,
+        CAST(n_a_t + n_b_t AS DOUBLE) AS bn,
+        CAST(d_a + d_b AS DOUBLE) AS bd
+      FROM risk
+    ),
+    agg AS (
+      SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        CAST(SUM(d_a) AS BIGINT) AS events_a,
+        CAST(SUM(d_b) AS BIGINT) AS events_b,
+        CAST(SUM(CAST(ROUND(bd * n_a_t / bn, 10) AS DECIMAL(38,10)))
+          AS DOUBLE) AS ea,
+        CAST(SUM(CAST(ROUND(d_a - bd * n_a_t / bn, 10)
+          AS DECIMAL(38,10))) AS DOUBLE) AS oe,
+        CAST(SUM(CAST(ROUND(CASE WHEN bn > 1
+            THEN bd * (n_a_t / bn) * (n_b_t / bn) * (bn - bd)
+                 / (bn - 1.0)
+            ELSE 0.0 END, 10) AS DECIMAL(38,10))) AS DOUBLE) AS v
+      FROM terms
+    ),
+    fin AS (
+      SELECT n_a, n_b, events_a, events_b,
+        ROUND(ea, 6) AS expected_a,
+        ROUND(CASE WHEN v > 0 THEN oe * oe / v ELSE 0.0 END, 6) AS chi2
+      FROM agg
+    )
+    SELECT n_a, n_b, events_a, events_b, expected_a, chi2,
+      ROUND(2.0 / (1.0 + exp(0.070566 * pow(sqrt(chi2), 3)
+                             + 1.5976 * sqrt(chi2))), 10) AS p_value
+    FROM fin
+    """

@@ -8,7 +8,7 @@ shuffle except where an aggregate is requested.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal stopword lists for the n-gram/stopword language-ID heuristic.
@@ -651,4 +651,171 @@ def zipf_fit_sql(rows: str, text_col: str = "text", min_freq: int = 2) -> str:
                      * (n_types * syy - sy * sy))
              ELSE 0.0 END, 6) AS r2
     FROM agg
+    """
+
+
+def heaps_checkpoints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-type count at
+    ``checkpoints`` evenly spaced token-prefix sizes (documents
+    ordered by ``id_col``), plus the fitted Heaps exponent — V(n) ~
+    K·n^beta, beta ≈ 0.4-0.6 for natural language (Heaps 1978). A
+    corpus whose curve flattens early is template-dominated; one that
+    never flattens is noise/IDs — the companion diagnostic to
+    :func:`zipf_fit`.
+
+    Distributed shape: the classic sequential definition ("scan
+    tokens left to right, count new types") is rewritten as
+    FIRST-OCCURRENCE positions — per-doc token counts get global
+    offsets from :func:`~.packing.global_cumsum` (partition-parallel),
+    each token's global position is offset + in-doc position, a hash
+    aggregate takes min(position) per type, and each checkpoint's
+    vocabulary is a conditional count against a broadcast
+    #checkpoints-row spine. No sequential scan, no data-sized window.
+
+    Output, one row per checkpoint: ``(k, n_prefix, vocab, beta,
+    r2)`` (beta/r2 identical on every row — the OLS over the
+    checkpoint frame).
+    """
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    docs = df.select(
+        F.col(id_col).alias("__id"), toks.alias("__toks")
+    ).select("__id", "__toks", F.size("__toks").alias("__cnt"))
+    offs = global_cumsum(docs, "__id", "__cnt", out_col="__cum")
+    pos = offs.select(
+        (F.col("__cum") - F.col("__cnt")).alias("__off"),
+        F.posexplode("__toks").alias("__p", "__w"),
+    ).select(
+        (F.col("__off") + F.col("__p") + 1).alias("__gpos"), "__w"
+    )
+    first = pos.groupBy("__w").agg(F.min("__gpos").alias("__first"))
+    total = docs.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    spine = df.sparkSession.range(1, checkpoints + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    grid = F.broadcast(total.crossJoin(spine)).select(
+        "k",
+        F.expr(f"CAST((k * __n) DIV {checkpoints} AS BIGINT)").alias(
+            "n_prefix"
+        ),
+    )
+    cells = (
+        first.crossJoin(F.broadcast(grid))
+        .groupBy("k", "n_prefix")
+        .agg(
+            F.sum(
+                F.when(F.col("__first") <= F.col("n_prefix"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab")
+        )
+    )
+    # checkpoint-sized frame: OLS of ln(vocab) on ln(n_prefix) via
+    # ordered tiny windows (deterministic fold order)
+    w_all = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    x = F.log(F.col("n_prefix").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    nd = F.count(F.lit(1)).over(w_all).cast("double")
+    sx, sy = F.sum(x).over(w_all), F.sum(y).over(w_all)
+    sxy = F.sum(x * y).over(w_all)
+    sxx = F.sum(x * x).over(w_all)
+    syy = F.sum(y * y).over(w_all)
+    cov = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    return cells.select(
+        "k",
+        "n_prefix",
+        "vocab",
+        F.round(cov / varx, 6).alias("beta"),
+        F.round(
+            F.when(vary > 0, cov * cov / (varx * vary)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+def heaps_checkpoints_sql(
+    rows: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> str:
+    """DuckDB twin of :func:`heaps_checkpoints`."""
+    return rf"""
+    WITH docs AS (
+      SELECT {id_col} AS id,
+             list_filter(string_split_regex(trim(lower({text_col})),
+                                            '\s+'),
+                         t -> t <> '') AS toks
+      FROM {rows}
+    ),
+    offs AS (
+      SELECT id, toks,
+             SUM(len(toks)) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len(toks) AS off
+      FROM docs
+    ),
+    pos AS (
+      SELECT off + i AS gpos, toks[i] AS w
+      FROM offs, unnest(generate_series(1, len(toks))) AS g(i)
+    ),
+    first AS (
+      SELECT w, min(gpos) AS fst FROM pos GROUP BY w
+    ),
+    total AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM docs),
+    grid AS (
+      SELECT CAST(k AS INT) AS k,
+             CAST((k * n) // {checkpoints} AS BIGINT) AS n_prefix
+      FROM total, unnest(generate_series(1, {checkpoints})) AS g(k)
+    ),
+    cells AS (
+      SELECT g.k, g.n_prefix,
+             CAST(SUM(CASE WHEN f.fst <= g.n_prefix THEN 1 ELSE 0 END)
+               AS BIGINT) AS vocab
+      FROM first f CROSS JOIN grid g
+      GROUP BY g.k, g.n_prefix
+    ),
+    fit AS (
+      SELECT *,
+        COUNT(*) OVER () * 1.0 AS nd,
+        SUM(ln(CAST(n_prefix AS DOUBLE)))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS sx,
+        SUM(ln(CAST(vocab AS DOUBLE)))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS sy,
+        SUM(ln(CAST(n_prefix AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS sxy,
+        SUM(ln(CAST(n_prefix AS DOUBLE)) * ln(CAST(n_prefix AS DOUBLE)))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS sxx,
+        SUM(ln(CAST(vocab AS DOUBLE)) * ln(CAST(vocab AS DOUBLE)))
+          OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING) AS syy
+      FROM cells
+    )
+    SELECT k, n_prefix, vocab,
+           ROUND((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+             AS beta,
+           ROUND(CASE WHEN (nd * syy - sy * sy) > 0
+             THEN (nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                  / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+             ELSE 0.0 END, 6) AS r2
+    FROM fit
     """

@@ -531,3 +531,104 @@ from dbt_incremental_ci_spark.operators.text import (  # noqa: E402
 def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", min_freq=2)
+
+
+# =====================================================================
+# Decision stump (q242): best information-gain split of order value
+# against the high-priority label over a 9-threshold equal-width grid
+# (operators/stump; bounded candidate fan-out, no quantile sort).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.stump import (  # noqa: E402
+    decision_stump,
+    decision_stump_sql,
+)
+
+_STUMP_ROWS = (
+    "(SELECT o_totalprice, "
+    "o_orderpriority IN ('1-URGENT', '2-HIGH') AS hot FROM orders)"
+)
+
+
+@q(
+    "q242_decision_stump",
+    decision_stump_sql(_STUMP_ROWS, "o_totalprice", "hot", candidates=9),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hot"),
+    )
+    return decision_stump(orders, "o_totalprice", "hot", candidates=9)
+
+
+# =====================================================================
+# Log-rank test (q243): do even- and odd-user cohorts share the
+# time-to-first-purchase hazard? Same life-table machinery as q228
+# (operators/survival.logrank_test).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.survival import (  # noqa: E402
+    logrank_test,
+    logrank_test_sql,
+)
+
+_LR_SUBJECTS = """(
+  WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+           min(epoch_us(ts)) AS t0,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS tp,
+           max(epoch_us(ts)) AS tl
+    FROM events GROUP BY 1, 2
+  )
+  SELECT grp,
+         CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+              ELSE (tl - t0) // 86400000000 END AS duration,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+)"""
+
+
+@q(
+    "q243_logrank_test",
+    logrank_test_sql(_LR_SUBJECTS, "duration", "event", "grp", "even", "odd"),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    subjects = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "even")
+        .otherwise("odd")
+        .alias("grp"),
+        F.expr(
+            "CAST((coalesce(tp, tl) - t0) DIV 86400000000000 AS BIGINT)"
+        ).alias("duration"),
+        F.col("tp").isNotNull().cast("int").alias("event"),
+    )
+    return logrank_test(subjects, "duration", "event", "grp", "even", "odd")
+
+
+# =====================================================================
+# Heaps' law (q244): vocabulary growth at 10 token-prefix checkpoints
+# + fitted exponent — first-occurrence rewrite of the sequential
+# definition (operators/text.heaps_checkpoints).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.text import (  # noqa: E402
+    heaps_checkpoints,
+    heaps_checkpoints_sql,
+)
+
+
+@q(
+    "q244_heaps_law",
+    heaps_checkpoints_sql("documents", "doc_id", "text", checkpoints=10),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return heaps_checkpoints(docs, "doc_id", "text", checkpoints=10)
