@@ -264,6 +264,26 @@ EXTRA_QUERIES = [
     "q225_quantile_normalize",
     "q226_split_leakage",
     "q227_cluster_size_profile",
+    "q228_kaplan_meier",
+    "q229_bh_fdr_slices",
+    "q230_doubly_robust_ope",
+    "q231_group_kfold",
+    "q232_simpson_audit",
+    "q233_frequent_triples",
+    "q234_skipgram_pmi",
+    "q235_rake_keywords",
+    "q236_jl_projection_recall",
+    "q237_dim_variance",
+    "q238_nearest_centroid",
+    "q239_mann_whitney",
+    "q240_moments_merge",
+    "q241_zipf_fit",
+    "q242_decision_stump",
+    "q243_logrank_test",
+    "q244_heaps_law",
+    "q245_gtest_collocations",
+    "q246_covariate_balance",
+    "q247_cuped",
 ]
 
 

@@ -298,3 +298,134 @@ def skipgram_pmi_sql(
     WHERE p.n_pair >= {min_pair_count}
     ORDER BY pmi DESC, p.w1, p.w2 {limit}
     """
+
+
+def gtest_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Log-likelihood-ratio (G²) collocations — Dunning (1993)
+    "Accurate Methods for the Statistics of Surprise and
+    Coincidence": the bigram association test that, unlike PMI,
+    doesn't blow up on rare pairs, which is why production collocation
+    extraction ships G² rather than raw PMI.
+
+    Per adjacent bigram the 2x2 contingency is built from bigram
+    POSITION margins (first-word count, second-word count, total
+    positions); G² = 2·Σ O·ln(O/E) over the four cells (empty cells
+    contribute 0). Same count substrate as :func:`pmi_collocations`
+    — hash aggregates only; margins and the total are
+    vocabulary-/corpus-constant frames joined or broadcast back.
+
+    Output: ``(w1, w2, n_pair, n_w1_first, n_w2_second, g2)`` with
+    ``n_pair >= min_pair_count``, G² rounded to 6, optional top-k by
+    (g2 desc, w1, w2).
+    """
+    toks = _toks(text_col)
+    bigrams = df.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, shifted_ngram_arrays(toks, 2))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("__bg")
+    ).select(
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("__bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    pairs = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    row_m = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    col_m = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    total = bigrams.agg(F.count(F.lit(1)).alias("__n"))
+    j = (
+        pairs.join(row_m, "w1")
+        .join(col_m, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    o11 = F.col("n_pair").cast("double")
+    o12 = (F.col("n1") - F.col("n_pair")).cast("double")
+    o21 = (F.col("n2") - F.col("n_pair")).cast("double")
+    o22 = (
+        F.col("__n") - F.col("n1") - F.col("n2") + F.col("n_pair")
+    ).cast("double")
+    n = F.col("__n").cast("double")
+    r1, r2 = o11 + o12, o21 + o22
+    c1, c2 = o11 + o21, o12 + o22
+
+    def term(o: F.Column, e: F.Column) -> F.Column:
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    g2 = F.lit(2.0) * (
+        term(o11, r1 * c1 / n)
+        + term(o12, r1 * c2 / n)
+        + term(o21, r2 * c1 / n)
+        + term(o22, r2 * c2 / n)
+    )
+    out = j.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.col("n1").cast("bigint").alias("n_w1_first"),
+        F.col("n2").cast("bigint").alias("n_w2_second"),
+        F.round(g2, 6).alias("g2"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("g2"), "w1", "w2").limit(top_k)
+    return out
+
+
+def gtest_collocations_sql(
+    rows: str,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_k: int | None = 50,
+) -> str:
+    """DuckDB twin of :func:`gtest_collocations`."""
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return rf"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower({text_col})),
+                                            '\s+'),
+                         x -> x <> '') AS toks
+      FROM {rows}
+    ),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM tk, unnest(generate_series(1, greatest(0, len(toks) - 1)))
+           AS g(i)
+    ),
+    pairs AS (
+      SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2
+      HAVING count(*) >= {min_pair_count}
+    ),
+    rm AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    cm AS (SELECT w2, count(*) AS n2 FROM bg GROUP BY w2),
+    tot AS (SELECT count(*) AS n FROM bg),
+    cells AS (
+      SELECT p.w1, p.w2, p.n_pair, rm.n1, cm.n2, tot.n,
+             CAST(p.n_pair AS DOUBLE) AS o11,
+             CAST(rm.n1 - p.n_pair AS DOUBLE) AS o12,
+             CAST(cm.n2 - p.n_pair AS DOUBLE) AS o21,
+             CAST(tot.n - rm.n1 - cm.n2 + p.n_pair AS DOUBLE) AS o22
+      FROM pairs p
+      JOIN rm ON rm.w1 = p.w1
+      JOIN cm ON cm.w2 = p.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n1 AS BIGINT) AS n_w1_first,
+           CAST(n2 AS BIGINT) AS n_w2_second,
+           ROUND(2.0 * (
+             CASE WHEN o11 > 0 THEN o11 * ln(o11 / ((o11+o12)*(o11+o21)/n)) ELSE 0 END
+           + CASE WHEN o12 > 0 THEN o12 * ln(o12 / ((o11+o12)*(o12+o22)/n)) ELSE 0 END
+           + CASE WHEN o21 > 0 THEN o21 * ln(o21 / ((o21+o22)*(o11+o21)/n)) ELSE 0 END
+           + CASE WHEN o22 > 0 THEN o22 * ln(o22 / ((o21+o22)*(o12+o22)/n)) ELSE 0 END
+           ), 6) AS g2
+    FROM cells
+    ORDER BY g2 DESC, w1, w2 {limit}
+    """

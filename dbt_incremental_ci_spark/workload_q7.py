@@ -632,3 +632,134 @@ from dbt_incremental_ci_spark.operators.text import (  # noqa: E402
 def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return heaps_checkpoints(docs, "doc_id", "text", checkpoints=10)
+
+
+# =====================================================================
+# G² collocations (q245): Dunning log-likelihood-ratio bigram
+# association — the rare-pair-robust alternative to PMI on the same
+# count substrate (collocations.gtest_collocations).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.collocations import (  # noqa: E402
+    gtest_collocations,
+    gtest_collocations_sql,
+)
+
+
+@q(
+    "q245_gtest_collocations",
+    gtest_collocations_sql("documents", "text", min_pair_count=20, top_k=50),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return gtest_collocations(docs, "text", min_pair_count=20, top_k=50)
+
+
+# =====================================================================
+# Covariate balance (q246): per-covariate standardized mean
+# difference between experiment arms — the randomization sanity
+# check before reading any lift (causal.covariate_balance).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.causal import (  # noqa: E402
+    covariate_balance,
+    covariate_balance_sql,
+    cuped,
+    cuped_sql,
+)
+
+_BAL_ROWS = """(
+  SELECT CASE WHEN o.o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END
+           AS variant,
+         o.o_totalprice,
+         c.c_acctbal,
+         CAST(c.c_mktsegment = 'BUILDING' AS INT) AS is_building
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)"""
+
+
+@q(
+    "q246_covariate_balance",
+    covariate_balance_sql(
+        _BAL_ROWS, "variant", ["o_totalprice", "c_acctbal", "is_building"]
+    ),
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rows = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "o_totalprice",
+        "c_acctbal",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias(
+            "is_building"
+        ),
+    )
+    return covariate_balance(
+        rows, "variant", ["o_totalprice", "c_acctbal", "is_building"]
+    )
+
+
+# =====================================================================
+# CUPED (q247): pre-period activity as the control variate for the
+# post-period metric — theta, variance reduction, raw vs adjusted
+# lift between user-parity arms (causal.cuped).
+# =====================================================================
+_CUPED_UNITS = """(
+  WITH mid AS (
+    SELECT (min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2 AS m
+    FROM events
+  ),
+  per_user AS (
+    SELECT user_id,
+      CAST(SUM(CASE WHEN epoch_ns(ts) < mid.m
+           THEN CAST(ROUND(value, 6) AS DECIMAL(38,6)) ELSE 0 END)
+        AS DOUBLE) AS pre,
+      CAST(SUM(CASE WHEN epoch_ns(ts) >= mid.m
+           THEN CAST(ROUND(value, 6) AS DECIMAL(38,6)) ELSE 0 END)
+        AS DOUBLE) AS post
+    FROM events CROSS JOIN mid
+    GROUP BY user_id
+  )
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         pre, post
+  FROM per_user
+)"""
+
+
+@q(
+    "q247_cuped",
+    cuped_sql(_CUPED_UNITS, "user_id", "pre", "post", "variant"),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts: bigint ns
+    # integer DIV — (min+max) ~3.4e18 exceeds double's exact range, a
+    # float halving would diverge from DuckDB's // on the last bits
+    mid = ev.agg(
+        F.min("ts").alias("__mn"), F.max("ts").alias("__mx")
+    ).select(F.expr("CAST((__mn + __mx) DIV 2 AS BIGINT)").alias("__m"))
+    vdec = F.round(F.col("value"), 6).cast("decimal(38,6)")
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("__m"), vdec).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("__m"), vdec).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("post"),
+        )
+    )
+    units = per_user.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        "pre",
+        "post",
+    )
+    return cuped(units, "user_id", "pre", "post", "variant")

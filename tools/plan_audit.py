@@ -112,6 +112,25 @@ ONE_PART_NOTES = {
     "q177_srm_check": "|variants|-row frame + 1-row total (evalmetrics.srm_check)",
     "q179_expectation_suite": "five 1-row check aggregates unioned (expectations.py)",
     "q184_association_rules": "1-row basket-count scalar broadcast back (association.py)",
+    "q228_kaplan_meier": "KM life table: distinct-duration-sized frame (bounded by the day window), survival.py",
+    "q229_bh_fdr_slices": "BH rank/threshold windows over the slice frame (|nations|=25 rows), evalmetrics.slice_ztest_bh",
+    "q230_doubly_robust_ope": "1-row DR/IPS/ESS reduce + per-context argmax over the context x action frame (evalmetrics.doubly_robust_eval)",
+    "q231_group_kfold": "snake deal: group-frame total order (users, not rows; docstring points to hash_split at corpus scale) + k-row share window (sampling.group_snake_kfold)",
+    "q232_simpson_audit": "pooled contrast: 1-row agg broadcast back (W7 pattern)",
+    "q233_frequent_triples": "1-row basket-count scalar broadcast back (association.frequent_triples)",
+    "q234_skipgram_pmi": "pair/token totals: two 1-row reduces broadcast back; final top-k is TakeOrdered (collocations.skipgram_pmi)",
+    "q235_rake_keywords": "final top-20 TakeOrdered merge (keywords.rake_keywords)",
+    "q236_jl_projection_recall": "per-query top-5 windows: probe-set-sized frames (similarity.jl_project + brute_force_topk)",
+    "q237_dim_variance": "variance rank window over the DIM-row frame (64 rows), embstats.dim_variance_profile",
+    "q239_mann_whitney": "cumsum offsets O(partitions) + 1-row U/z scalar (drift.mann_whitney_u)",
+    "q240_moments_merge": "shard power-sum merge: O(#shards) rows to 1 (profiling.moments_merge_profile)",
+    "q241_zipf_fit": "two-phase rank offsets O(partitions) + 1-row OLS reduce (text.zipf_fit)",
+    "q242_decision_stump": "candidate grid: 1-row bounds agg + 9-row gain-rank window (stump.decision_stump)",
+    "q243_logrank_test": "two-group life table: distinct-duration-sized frame + 1-row chi2 reduce (survival.logrank_test)",
+    "q244_heaps_law": "doc-offset cumsum O(partitions) + 1-row total + 10-row checkpoint OLS window (text.heaps_checkpoints)",
+    "q245_gtest_collocations": "bigram-total scalar broadcast back; final top-k TakeOrdered (collocations.gtest_collocations)",
+    "q246_covariate_balance": "three 1-row SMD power-sum reduces unioned (causal.covariate_balance)",
+    "q247_cuped": "1-row mid-ts scalar broadcast + 1-row CUPED moment reduce (causal.cuped)",
 }
 
 
