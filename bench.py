@@ -284,6 +284,9 @@ EXTRA_QUERIES = [
     "q245_gtest_collocations",
     "q246_covariate_balance",
     "q247_cuped",
+    "q248_tfidf_cosine_pairs",
+    "q249_dedup_threshold_curve",
+    "q250_markov_accuracy",
 ]
 
 

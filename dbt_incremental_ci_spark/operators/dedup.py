@@ -916,3 +916,134 @@ def minhash_signatures_pandas(
     id_type = df.schema[id_col].dataType.simpleString()
     src = ensure_min_parallelism(df.select(id_col, text_col))
     return src.mapInPandas(run, schema=f"__id {id_type}, __sig array<long>")
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Duplicate-rate curve: how many document pairs exceed each
+    Jaccard threshold — the tuning readout that tells you where to
+    set the dedup cutoff BEFORE running the full MinHash pipeline
+    (threshold too low = over-merging; too high = residual dupes).
+
+    Exact char-``shingle_k`` Jaccard over ALL pairs of the input —
+    the caller must pass a FIXED audit slice (the §6o
+    fixed-eval-set rule, q221's precedent): the production corpus
+    goes through ``minhash_dedup_pairs``; this operator grades
+    thresholds on a bounded sample. The pair computation is the
+    distributed shingle-posting join (pair volume = Σ_shingles df²),
+    not an array cross join.
+
+    Output, one row per threshold: ``(threshold, n_pairs_over,
+    dup_rate)`` — dup_rate over C(n_docs, 2), rounded 6.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_shingles(text_col, k=shingle_k)).alias("__s"),
+    ).distinct()
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__s")
+    b = sh.select(F.col("__id").alias("id_b"), "__s")
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = (
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            F.round(
+                F.col("__i").cast("double")
+                / (F.col("__sa") + F.col("__sb") - F.col("__i")),
+                6,
+            ).alias("__j")
+        )
+    )
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    cells = (
+        jac.crossJoin(F.broadcast(spine))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("__j") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs_over")
+        )
+    )
+    # thresholds with zero pairs must still appear
+    full = spine.join(cells, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs_over", F.lit(0)).cast("bigint").alias(
+            "n_pairs_over"
+        ),
+    )
+    return full.crossJoin(F.broadcast(n_docs)).select(
+        "threshold",
+        "n_pairs_over",
+        F.round(
+            F.col("n_pairs_over").cast("double")
+            / (F.col("__n") * (F.col("__n") - 1) / 2).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def jaccard_threshold_curve_sql(
+    rows: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> str:
+    """DuckDB twin of :func:`jaccard_threshold_curve` (array-set
+    brute force — the oracle side is slice-bounded by construction)."""
+    tlist = ", ".join(f"({float(t)!r})" for t in thresholds)
+    return f"""
+    WITH grams AS (
+      SELECT {id_col} AS id,
+             CASE WHEN length(lower({text_col})) >= {shingle_k}
+               THEN list_distinct(list_transform(
+                 generate_series(1, length(lower({text_col}))
+                                    - {shingle_k} + 1),
+                 i -> substring(lower({text_col}), i, {shingle_k})))
+               ELSE [lower({text_col})] END AS gset
+      FROM {rows}
+    ),
+    jac AS (
+      SELECT ROUND(CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+               / NULLIF(len(list_distinct(
+                   list_concat(a.gset, b.gset))), 0), 6) AS j
+      FROM grams a JOIN grams b ON a.id < b.id
+    ),
+    nd AS (SELECT count(*) AS n FROM grams),
+    spine(threshold) AS (VALUES {tlist})
+    SELECT s.threshold,
+           CAST(COALESCE(SUM(CASE WHEN jac.j >= s.threshold
+                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_pairs_over,
+           ROUND(COALESCE(SUM(CASE WHEN jac.j >= s.threshold
+                              THEN 1 ELSE 0 END), 0)
+                 / (CAST(any_value(nd.n) AS DOUBLE)
+                    * (any_value(nd.n) - 1) / 2), 6) AS dup_rate
+    FROM spine s CROSS JOIN nd LEFT JOIN jac ON TRUE
+    GROUP BY s.threshold
+    """

@@ -349,3 +349,165 @@ def phrase_search_sql(
 {joins}
     GROUP BY t0.d
     """
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cosine: float = 0.3,
+    df_cap: int | None = 100,
+) -> DataFrame:
+    """All-pairs TF-IDF cosine similarity via the inverted index —
+    the content-based near-duplicate/related-document join (Salton's
+    vector space model; the sparse-join formulation is Bayardo et
+    al., WWW'07 "Scaling Up All Pairs Similarity Search").
+
+    Shape: postings → per-(token, doc) weight tf·ln(N/df) → pair dot
+    products from the TOKEN-KEYED SELF-JOIN (pair volume =
+    Σ_tokens df², never docs²). ``df_cap`` drops tokens whose
+    document frequency exceeds the cap before the join — the
+    winnow/setsim df-cap precedent: hot (stopword-like) tokens
+    contribute ~0 idf weight but quadratic join volume, so capping
+    bounds fan-out at Σ min(df, cap)² with negligible score impact
+    (and identically on both engines — the oracle applies the same
+    cap, so this is a DEFINED operator semantic, not an
+    approximation gap).
+
+    Determinism: idf = ln(N/df) rounded 8, weights rounded 6, pair
+    dots and norms are rounded-term DECIMAL folds; cosine rounds
+    to 6.
+
+    Output: ``(id_a, id_b, cosine)`` for pairs with
+    ``cosine >= min_cosine``, id_a < id_b.
+    """
+    posts = postings(df, id_col, text_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = posts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    if df_cap is not None:
+        dfreq = dfreq.filter(F.col("__df") <= df_cap)
+    weighted = (
+        posts.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.col(id_col).alias("__id"),
+            F.round(
+                F.col("tf")
+                * F.round(
+                    F.log(
+                        F.col("__n").cast("double")
+                        / F.col("__df").cast("double")
+                    ),
+                    8,
+                ),
+                6,
+            ).alias("__w"),
+        )
+    )
+    norms = weighted.groupBy("__id").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("__w") * F.col("__w"), 10).cast(
+                    "decimal(38,10)"
+                )
+            ).cast("double")
+        ).alias("__norm")
+    )
+    a = weighted.select(
+        "token", F.col("__id").alias("id_a"), F.col("__w").alias("__wa")
+    )
+    b = weighted.select(
+        "token", F.col("__id").alias("id_b"), F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.round(F.col("__wa") * F.col("__wb"), 10).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("double")
+            .alias("__dot")
+        )
+    )
+    return (
+        dots.join(
+            norms.select(
+                F.col("__id").alias("id_a"), F.col("__norm").alias("__na")
+            ),
+            "id_a",
+        )
+        .join(
+            norms.select(
+                F.col("__id").alias("id_b"), F.col("__norm").alias("__nb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    rows: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cosine: float = 0.3,
+    df_cap: int | None = 100,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs`."""
+    cap = f"HAVING count(*) <= {df_cap}" if df_cap is not None else ""
+    return rf"""
+    WITH posts AS (
+      SELECT {id_col} AS id, w AS token, count(*) AS tf
+      FROM (
+        SELECT {id_col},
+               unnest(list_filter(
+                 string_split_regex(lower({text_col}), '\s+'),
+                 x -> x <> '')) AS w
+        FROM {rows}
+      ) GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(*) AS n FROM {rows}),
+    dfreq AS (
+      SELECT token, count(*) AS dfr FROM posts GROUP BY token {cap}
+    ),
+    weighted AS (
+      SELECT p.token, p.id,
+             ROUND(p.tf * ROUND(ln(CAST(nd.n AS DOUBLE) / dfr), 8), 6)
+               AS w
+      FROM posts p JOIN dfreq USING (token) CROSS JOIN nd
+    ),
+    norms AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(ROUND(w * w, 10) AS DECIMAL(38,10)))
+               AS DOUBLE)) AS nrm
+      FROM weighted GROUP BY id
+    ),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(SUM(CAST(ROUND(a.w * b.w, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS dt
+      FROM weighted a JOIN weighted b
+        ON a.token = b.token AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dt / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.id = d.id_a
+    JOIN norms nb ON nb.id = d.id_b
+    WHERE ROUND(d.dt / (na.nrm * nb.nrm), 6) >= {min_cosine}
+    """

@@ -763,3 +763,77 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post",
     )
     return cuped(units, "user_id", "pre", "post", "variant")
+
+
+# =====================================================================
+# TF-IDF all-pairs cosine (q248): content-similarity join via the
+# inverted index with a df-cap on hot tokens — pair volume
+# Σ min(df, cap)², never docs² (retrieval.tfidf_cosine_pairs).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.retrieval import (  # noqa: E402
+    tfidf_cosine_pairs,
+    tfidf_cosine_pairs_sql,
+)
+
+
+@q(
+    "q248_tfidf_cosine_pairs",
+    tfidf_cosine_pairs_sql(
+        "documents", "doc_id", "text", min_cosine=0.25, df_cap=100
+    ),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, "doc_id", "text", min_cosine=0.25, df_cap=100
+    )
+
+
+# =====================================================================
+# Jaccard dedup-threshold curve (q249): exact pair-similarity curve
+# on a FIXED audit slice (§6o rule) — where to set the MinHash
+# cutoff (dedup.jaccard_threshold_curve).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.dedup import (  # noqa: E402
+    jaccard_threshold_curve,
+    jaccard_threshold_curve_sql,
+)
+
+
+@q(
+    "q249_dedup_threshold_curve",
+    jaccard_threshold_curve_sql(
+        "(SELECT * FROM documents WHERE doc_id < 200)", "doc_id", "text"
+    ),
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_threshold_curve(docs, "doc_id", "text")
+
+
+# =====================================================================
+# Markov top-1 accuracy (q250): grade the transition-matrix baseline
+# on its own stream — per-state argmax prediction accuracy
+# (sequences.markov_top1_accuracy).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.sequences import (  # noqa: E402
+    markov_top1_accuracy,
+    markov_top1_accuracy_sql,
+)
+
+
+@q(
+    "q250_markov_accuracy",
+    markov_top1_accuracy_sql(
+        "(SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type "
+        "FROM events)",
+        "user_id",
+        ["tsn", "event_id"],
+        "event_type",
+    ),
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return markov_top1_accuracy(
+        ev, "user_id", ["ts", "event_id"], "event_type"
+    )

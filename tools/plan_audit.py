@@ -131,6 +131,9 @@ ONE_PART_NOTES = {
     "q245_gtest_collocations": "bigram-total scalar broadcast back; final top-k TakeOrdered (collocations.gtest_collocations)",
     "q246_covariate_balance": "three 1-row SMD power-sum reduces unioned (causal.covariate_balance)",
     "q247_cuped": "1-row mid-ts scalar broadcast + 1-row CUPED moment reduce (causal.cuped)",
+    "q248_tfidf_cosine_pairs": "1-row corpus-count scalar broadcast back (retrieval.tfidf_cosine_pairs)",
+    "q249_dedup_threshold_curve": "1-row slice-count scalar + threshold spine (5 rows) broadcast (dedup.jaccard_threshold_curve)",
+    "q250_markov_accuracy": "|states|^2 pair-matrix frames; per-state argmax windows (sequences.markov_top1_accuracy)",
 }
 
 
