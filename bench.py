@@ -287,6 +287,9 @@ EXTRA_QUERIES = [
     "q248_tfidf_cosine_pairs",
     "q249_dedup_threshold_curve",
     "q250_markov_accuracy",
+    "q251_reshard_audit",
+    "q252_cms_topk_accuracy",
+    "q253_two_hop_neighbors",
 ]
 
 

@@ -837,3 +837,177 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_top1_accuracy(
         ev, "user_id", ["ts", "event_id"], "event_type"
     )
+
+
+# =====================================================================
+# Consistent-hash reshard audit (q251): data movement growing 10 → 12
+# shards, ring-with-vnodes vs static range sharding — the scale-out
+# rewrite-cost readout (operators/sharding; ring broadcast as ONE
+# sorted-array row, per-key assignment a pure codegen array fold).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.sharding import (  # noqa: E402
+    reshard_movement_audit,
+    reshard_movement_audit_sql,
+)
+
+
+@q(
+    "q251_reshard_audit",
+    reshard_movement_audit_sql(
+        "customer", "c_custkey", shards_before=10, shards_after=12
+    ),
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return reshard_movement_audit(
+        cust, "c_custkey", shards_before=10, shards_after=12
+    )
+
+
+# =====================================================================
+# Count-min top-k accuracy (q252): grade the CMS point estimates
+# against exact counts on the true top-20 tokens — the one-sided
+# error the sketch trades for O(d·w) state (operators/countmin).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.countmin import (  # noqa: E402
+    _bucket_sql,
+    countmin_build,
+    countmin_estimate,
+    countmin_sketch_sql,
+)
+
+
+def _q252_oracle() -> str:
+    d, w, salt = 4, 512, "acc"
+    stream = (
+        r"(SELECT unnest(list_filter(string_split_regex(trim(lower(text)),"
+        r" '\s+'), x -> x <> '')) AS tok FROM documents)"
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT tok, {r} AS r, {_bucket_sql('tok', r, w, salt)} AS b "
+        "FROM top20"
+        for r in range(d)
+    )
+    return f"""
+    WITH stream AS (SELECT * FROM {stream}),
+    sketch AS ({countmin_sketch_sql("stream", "tok", d, w, salt)}),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+      FROM stream GROUP BY tok
+    ),
+    top20 AS (
+      SELECT * FROM exact ORDER BY exact_n DESC, tok LIMIT 20
+    ),
+    probes AS ({probes}),
+    est AS (
+      SELECT p.tok, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cm_est
+      FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.b = s.b
+      GROUP BY p.tok
+    )
+    SELECT t.tok AS token, t.exact_n, e.cm_est,
+           CAST(e.cm_est - t.exact_n AS BIGINT) AS overestimate,
+           ROUND(CAST(e.cm_est - t.exact_n AS DOUBLE) / t.exact_n, 6)
+             AS rel_err
+    FROM top20 t JOIN est e ON t.tok = e.tok
+    """
+
+
+@q("q252_cms_topk_accuracy", _q252_oracle())
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, w, salt = 4, 512, "acc"
+    docs = t(spark, sf_dir, "documents")
+    stream = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    sketch = countmin_build(stream, "tok", depth=d, width=w, salt=salt)
+    exact = stream.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    top20 = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
+    est = countmin_estimate(
+        sketch, top20.select("tok"), "tok", depth=d, width=w, salt=salt
+    )
+    return (
+        top20.join(est, "tok")
+        .select(
+            F.col("tok").alias("token"),
+            "exact_n",
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+            F.round(
+                (F.col("cm_est") - F.col("exact_n")).cast("double")
+                / F.col("exact_n"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+# =====================================================================
+# Two-hop neighborhoods (q253): distinct co-suppliers per supplier
+# through shared parts, with a part-degree cap bounding pair volume
+# at Σ min(deg, cap)² — the graph-feature-engineering staple.
+# =====================================================================
+@q(
+    "q253_two_hop_neighbors",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem
+    ),
+    deg AS (
+      SELECT part, count(*) AS d FROM edges GROUP BY part
+    ),
+    kept AS (
+      SELECT e.part, e.supp FROM edges e JOIN deg ON e.part = deg.part
+      WHERE deg.d <= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT a.supp AS s, b.supp AS co
+      FROM kept a JOIN kept b ON a.part = b.part AND a.supp <> b.supp
+    ),
+    parts_per AS (
+      SELECT supp AS s, CAST(count(*) AS BIGINT) AS n_parts FROM kept
+      GROUP BY supp
+    )
+    SELECT p.s AS supp, p.n_parts,
+           CAST(count(pr.co) AS BIGINT) AS n_co_suppliers
+    FROM parts_per p LEFT JOIN pairs pr ON p.s = pr.s
+    GROUP BY p.s, p.n_parts
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("__d"))
+    # part-degree cap: a hub part supplied by everyone contributes
+    # deg² pairs and ~0 signal — dropped identically in the oracle
+    kept = edges.join(deg, "part").filter(F.col("__d") <= 40).select(
+        "part", "supp"
+    )
+    a = kept.select("part", F.col("supp").alias("s"))
+    b = kept.select("part", F.col("supp").alias("co"))
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("s") != F.col("co"))
+        .select("s", "co")
+        .distinct()
+    )
+    parts_per = kept.groupBy(F.col("supp").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    return (
+        parts_per.join(pairs, "s", "left")
+        .groupBy("s", "n_parts")
+        .agg(F.count("co").cast("bigint").alias("n_co_suppliers"))
+        .select(F.col("s").alias("supp"), "n_parts", "n_co_suppliers")
+    )

@@ -134,6 +134,9 @@ ONE_PART_NOTES = {
     "q248_tfidf_cosine_pairs": "1-row corpus-count scalar broadcast back (retrieval.tfidf_cosine_pairs)",
     "q249_dedup_threshold_curve": "1-row slice-count scalar + threshold spine (5 rows) broadcast (dedup.jaccard_threshold_curve)",
     "q250_markov_accuracy": "|states|^2 pair-matrix frames; per-state argmax windows (sequences.markov_top1_accuracy)",
+    "q251_reshard_audit": "two 1-row ring-array builds (vnode-sized) broadcast; two 1-row movement reduces (sharding.reshard_movement_audit)",
+    "q252_cms_topk_accuracy": "top-20 TakeOrdered + d*w-bounded sketch broadcast (countmin.py)",
+    "q253_two_hop_neighbors": "part-degree frame join; pair volume bounded by deg-cap (docstring)",
 }
 
 
