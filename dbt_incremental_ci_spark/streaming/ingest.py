@@ -154,3 +154,52 @@ def minhash_register_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def countmin_cell_stream(
+    stream_df: DataFrame,
+    sketch_table: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+    checkpoint_dir: str | None = None,
+) -> DataStreamWriter:
+    """Incrementally-maintained count-min sketch: each micro-batch
+    sketches to (r, b, cnt) cells and folds into the stored table by
+    cell-wise ADDITION — counters are the simplest mergeable state of
+    all (plain commutative sums), so stream-apply ≡ batch rebuild
+    exactly, with per-batch work bounded by the batch plus the d·w
+    cell table. The frequency/heavy-hitter monitor for an ingest
+    firehose: no key history is ever rescanned, and the point-query
+    side (``countmin.countmin_estimate``) reads the same table the
+    stream maintains.
+
+    Oracle (test_streaming.py): after streaming N batches,
+    ``sketch_table`` equals ``countmin_build`` over the concatenated
+    input.
+    """
+    from dbt_incremental_ci_spark.operators.countmin import countmin_build
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cells_new = countmin_build(
+            batch_df, key_col, depth=depth, width=width, salt=salt
+        )
+        if spark.catalog.tableExists(sketch_table):
+            cells_new = (
+                spark.table(sketch_table)
+                .unionByName(cells_new)
+                .groupBy("r", "b")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        _two_phase_overwrite(spark, sketch_table, cells_new, None)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

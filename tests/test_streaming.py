@@ -536,3 +536,56 @@ def test_minhash_register_stream_equals_batch_rebuild(spark, tmp_path):
     }
     got = {tuple(r) for r in spark.table("t_mh.regs").collect()}
     assert got == want  # register-EXACT across the batch split
+
+
+def test_countmin_cell_stream_equals_batch_rebuild(spark, tmp_path):
+    """Streaming count-min maintenance: cell-wise additive folds per
+    micro-batch must equal countmin_build over the concatenated
+    input — counters are plainly mergeable state, so the equality is
+    exact cell-for-cell."""
+    from dbt_incremental_ci_spark.operators.countmin import countmin_build
+    from dbt_incremental_ci_spark.streaming.ingest import (
+        countmin_cell_stream,
+    )
+
+    src = str(tmp_path / "cms_src")
+    ckpt = str(tmp_path / "cms_ckpt")
+    schema = "tok string"
+    batch1 = [(f"k{i % 17}",) for i in range(400)]
+    batch2 = [(f"k{i % 23}",) for i in range(300)] + [("rare",)]
+    spark.sql("CREATE DATABASE IF NOT EXISTS t_cms")
+    spark.sql("DROP TABLE IF EXISTS t_cms.cells")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            countmin_cell_stream(
+                stream, "t_cms.cells", "tok", depth=3, width=32,
+                salt="t", checkpoint_dir=ckpt,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+
+    streamed = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in spark.table("t_cms.cells").collect()
+    }
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    direct = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in countmin_build(
+            full, "tok", depth=3, width=32, salt="t"
+        ).collect()
+    }
+    assert streamed == direct
