@@ -436,12 +436,20 @@ def main() -> None:
     # round-over-round, not run-over-run.
     round_n = os.environ.get("SPARK_GRAFT_ROUND")
     if round_n is None:
-        _nums = [
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ]
+        # consider BENCH_FULL_r too: the driver skipped recording
+        # BENCH_r05, so deriving only from BENCH_r would re-number the
+        # next local run r05 and clobber the committed round-5 artifact
+        # (happened once — restored from git)
+        _nums = []
+        for f in os.listdir(here):
+            if not f.endswith(".json"):
+                continue
+            for pre in ("BENCH_FULL_r", "BENCH_r"):
+                if f.startswith(pre):
+                    digits = f[len(pre):-len(".json")]
+                    if digits.isdigit():
+                        _nums.append(int(digits))
+                    break
         round_n = str(max(_nums) + 1 if _nums else 1)
 
     # BENCH_FULL_r{N} (complete, written by this script since r05) is
