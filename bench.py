@@ -290,6 +290,9 @@ EXTRA_QUERIES = [
     "q251_reshard_audit",
     "q252_cms_topk_accuracy",
     "q253_two_hop_neighbors",
+    "q254_hll_overlap_matrix",
+    "q255_dau_wau",
+    "q256_sorted_neighborhood",
 ]
 
 

@@ -373,3 +373,150 @@ def hll_cardinality_sql(
            ROUND((e - exact_distinct) / exact_distinct, 6) AS rel_error
     FROM est CROSS JOIN ex
     """
+
+
+def hll_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    m: int = 128,
+    salt: str = "hll",
+) -> DataFrame:
+    """Pairwise set-overlap matrix across groups from ONE register
+    pass — "how much do these N segments' audiences overlap": the
+    corpus is sketched once per group (:func:`hll_registers_by`),
+    then every pairwise union/intersection/Jaccard estimate is
+    computed from the REGISTER TABLE alone (groups² pairs × ≤ m
+    register rows) — the sketch-algebra reuse that makes an N-way
+    overlap study O(corpus + N²·m) instead of N² corpus scans.
+
+    Output, one row per unordered group pair (a < b):
+    ``(group_a, group_b, est_a, est_b, est_union, est_intersection,
+    jaccard_est)`` — estimates at 3 dp, Jaccard at 6 (the
+    :func:`hll_set_ops` contract).
+    """
+    regs = hll_registers_by(df, key_col, [group_col], m, salt)
+    g = F.col(group_col)
+    groups = regs.select(g.alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"))
+        .join(
+            groups.select(F.col("__g").alias("group_b")),
+            F.col("group_a") < F.col("group_b"),
+        )
+    )
+    est_g = hll_estimate_by(regs, [group_col], m).select(
+        g.alias("__eg"), F.col("estimate").alias("__est")
+    )
+    tag_a = regs.join(
+        pairs, g == F.col("group_a")
+    ).select("group_a", "group_b", "__b", "__m")
+    tag_b = regs.join(
+        pairs, g == F.col("group_b")
+    ).select("group_a", "group_b", "__b", "__m")
+    uregs = (
+        tag_a.unionByName(tag_b)
+        .groupBy("group_a", "group_b", "__b")
+        .agg(F.max("__m").alias("__m"))
+    )
+    est_u = hll_estimate_by(uregs, ["group_a", "group_b"], m).select(
+        "group_a", "group_b", F.col("estimate").alias("est_union")
+    )
+    out = (
+        est_u.join(
+            est_g.select(
+                F.col("__eg").alias("group_a"), F.col("__est").alias("est_a")
+            ),
+            "group_a",
+        )
+        .join(
+            est_g.select(
+                F.col("__eg").alias("group_b"), F.col("__est").alias("est_b")
+            ),
+            "group_b",
+        )
+    )
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 3),
+        F.lit(0.0),
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0, F.round(inter / F.col("est_union"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
+    )
+
+
+def hll_overlap_matrix_sql(
+    rows: str,
+    key_expr: str,
+    group_expr: str,
+    m: int = 128,
+    salt: str = "hll",
+) -> str:
+    """DuckDB twin of :func:`hll_overlap_matrix`."""
+    ub = _u32_sql("k", salt + ":b")
+    ur = _u32_sql("k", salt + ":r")
+    alpha = _alpha(m)
+    est = (
+        f"CASE WHEN (CAST({alpha!r} AS DOUBLE) * {m} * {m})"
+        f" / (inv + ({m} - n_active)) <= 2.5 * {m} AND n_active < {m}"
+        f" THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_active))"
+        f" ELSE (CAST({alpha!r} AS DOUBLE) * {m} * {m})"
+        f" / (inv + ({m} - n_active)) END"
+    )
+    return f"""
+    WITH rows_in AS (
+      SELECT {group_expr} AS g, {key_expr} AS k FROM {rows}
+    ),
+    hashed AS (
+      SELECT g, ({ub}) % {m} AS b,
+             CASE WHEN ({ur}) = 0 THEN 33
+                  ELSE 32 - CAST(floor(log2({ur})) AS INT) END AS r
+      FROM rows_in
+    ),
+    regs AS (SELECT g, b, max(r) AS mr FROM hashed GROUP BY g, b),
+    est_g AS (
+      SELECT g, ROUND({est}, 3) AS estimate FROM (
+        SELECT g, count(*) AS n_active, sum(pow(2.0, -mr)) AS inv
+        FROM regs GROUP BY g
+      )
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM regs) a
+      JOIN (SELECT DISTINCT g FROM regs) b ON a.g < b.g
+    ),
+    uregs AS (
+      SELECT p.ga, p.gb, r.b, max(r.mr) AS mr
+      FROM pairs p JOIN regs r ON r.g = p.ga OR r.g = p.gb
+      GROUP BY p.ga, p.gb, r.b
+    ),
+    est_u AS (
+      SELECT ga, gb, ROUND({est}, 3) AS est_union FROM (
+        SELECT ga, gb, count(*) AS n_active,
+               sum(pow(2.0, -mr)) AS inv
+        FROM uregs GROUP BY ga, gb
+      )
+    )
+    SELECT u.ga AS group_a, u.gb AS group_b,
+           ea.estimate AS est_a, eb.estimate AS est_b, u.est_union,
+           GREATEST(ROUND(ea.estimate + eb.estimate - u.est_union, 3),
+                    0.0) AS est_intersection,
+           CASE WHEN u.est_union > 0
+                THEN ROUND(GREATEST(ROUND(ea.estimate + eb.estimate
+                                          - u.est_union, 3), 0.0)
+                           / u.est_union, 6)
+                ELSE 0.0 END AS jaccard_est
+    FROM est_u u
+    JOIN est_g ea ON ea.g = u.ga
+    JOIN est_g eb ON eb.g = u.gb
+    """

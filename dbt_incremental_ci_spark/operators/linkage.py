@@ -176,3 +176,65 @@ def classify(
         .when(F.col("fs_weight") <= lower, F.lit("non_link"))
         .otherwise(F.lit("possible")),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    id_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD'95):
+    candidate pairs are records within ``window`` positions of each
+    other in ``sort_col`` order — the classic alternative to key
+    blocking when near-matches share a PREFIX/ordering rather than an
+    exact key (names, addresses).
+
+    Distributed shape: the global rank comes from
+    :func:`~.ranks.two_phase_row_number` (partition-parallel); the
+    neighborhood theta-join (0 < rank_b − rank_a ≤ w) is rewritten as
+    an EQUI-join on rank + an exploded 1..w offset — candidate volume
+    is EXACTLY n·w, never n².
+
+    Output: ``(id_a, id_b, rank_gap)`` with id_a at the lower rank.
+    """
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+
+    ranked = two_phase_row_number(
+        df.select(
+            F.col(sort_col).alias("__sk"), F.col(id_col).alias("__id")
+        ),
+        [F.asc("__sk"), F.asc("__id")],
+        out_col="__rn",
+    ).localCheckpoint(eager=False)  # both join sides branch from this
+    offs = F.array(*[F.lit(i) for i in range(1, window + 1)])
+    probes = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__rn").alias("__ra"),
+        F.explode(offs).alias("__gap"),
+    ).select("id_a", "__gap", (F.col("__ra") + F.col("__gap")).alias("__rn"))
+    return probes.join(
+        ranked.select(F.col("__id").alias("id_b"), "__rn"), "__rn"
+    ).select("id_a", "id_b", F.col("__gap").cast("int").alias("rank_gap"))
+
+
+def sorted_neighborhood_pairs_sql(
+    rows: str, sort_col: str, id_col: str, window: int = 3
+) -> str:
+    """DuckDB twin of :func:`sorted_neighborhood_pairs`."""
+    return f"""
+    WITH ranked AS (
+      SELECT {id_col} AS id,
+             row_number() OVER (ORDER BY {sort_col}, {id_col}) AS rn
+      FROM {rows}
+    ),
+    probes AS (
+      SELECT r.id AS id_a, o.gap, r.rn + o.gap AS rn
+      FROM ranked r,
+           (SELECT unnest(generate_series(1, {window})) AS gap) o
+    )
+    SELECT p.id_a, b.id AS id_b, CAST(p.gap AS INT) AS rank_gap
+    FROM probes p JOIN ranked b ON p.rn = b.rn
+    """

@@ -347,3 +347,81 @@ def cusum_changepoints_sql(
              AS flagged
     FROM cus
     """
+
+
+def dau_wau_stickiness(
+    df: DataFrame,
+    user_col: str,
+    day_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per day — the product-health
+    ratio (DAU/WAU ~ "days per week a user shows up", Facebook's
+    classic engagement metric).
+
+    Exact trailing distinct counts without a distinct-over-window
+    (which no engine does exactly): activity collapses to distinct
+    (user, day) once, then each activity row joins the day spine via
+    a ±window band rewritten as an EQUI-join on an exploded 0..w-1
+    offset spine — volume exactly activity × window, no theta join,
+    no data-sized window. Day frames are calendar-bounded.
+
+    Output per day: ``(day, dau, wau, stickiness)`` — stickiness
+    rounded 6; the first window_days-1 days report the partial
+    window honestly.
+    """
+    activity = df.select(
+        F.col(user_col).alias("__u"), F.col(day_col).alias("__d")
+    ).distinct()
+    dau = activity.groupBy(F.col("__d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    offs = F.array(*[F.lit(i) for i in range(window_days)])
+    # each activity day is visible to spine days d .. d+w-1
+    visible = activity.select(
+        "__u", "__d", F.explode(offs).alias("__off")
+    ).select("__u", (F.col("__d") + F.col("__off")).alias("day"))
+    wau = (
+        visible.join(
+            dau.select("day"), "day"
+        )  # only emit days that exist in the spine
+        .groupBy("day")
+        .agg(F.count_distinct(F.col("__u")).cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+def dau_wau_stickiness_sql(
+    rows: str, user_col: str, day_col: str, window_days: int = 7
+) -> str:
+    """DuckDB twin of :func:`dau_wau_stickiness`."""
+    return f"""
+    WITH activity AS (
+      SELECT DISTINCT {user_col} AS u, {day_col} AS d FROM {rows}
+    ),
+    dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+      FROM activity GROUP BY d
+    ),
+    visible AS (
+      SELECT a.u, a.d + o.off AS day
+      FROM activity a,
+           (SELECT unnest(generate_series(0, {window_days - 1}))
+              AS off) o
+    ),
+    wau AS (
+      SELECT v.day, CAST(count(DISTINCT v.u) AS BIGINT) AS wau
+      FROM visible v JOIN dau ON v.day = dau.day
+      GROUP BY v.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """

@@ -1011,3 +1011,102 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("co").cast("bigint").alias("n_co_suppliers"))
         .select(F.col("s").alias("supp"), "n_parts", "n_co_suppliers")
     )
+
+
+# =====================================================================
+# HLL overlap matrix (q254): pairwise audience overlap across the 5
+# event types from ONE register pass — sketch-algebra reuse: unions /
+# intersections / Jaccard computed from the register table, never
+# rescanning the corpus (operators/hll.hll_overlap_matrix).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.hll import (  # noqa: E402
+    hll_overlap_matrix,
+    hll_overlap_matrix_sql,
+)
+
+
+@q(
+    "q254_hll_overlap_matrix",
+    hll_overlap_matrix_sql(
+        "events", "user_id", "event_type", m=64, salt="ovl"
+    ),
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return hll_overlap_matrix(ev, "user_id", "event_type", m=64, salt="ovl")
+
+
+# =====================================================================
+# DAU / WAU stickiness (q255): exact trailing-7-day distinct users
+# per day via the offset-spine equi-join rewrite — no distinct-over-
+# window (operators/timeseries.dau_wau_stickiness).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.timeseries import (  # noqa: E402
+    dau_wau_stickiness,
+    dau_wau_stickiness_sql,
+)
+
+_DAU_ROWS = (
+    "(SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events)"
+)
+
+
+@q(
+    "q255_dau_wau",
+    dau_wau_stickiness_sql(_DAU_ROWS, "user_id", "day", window_days=7),
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts bigint ns
+    rows = ev.select(
+        "user_id",
+        F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day"),
+    )
+    return dau_wau_stickiness(rows, "user_id", "day", window_days=7)
+
+
+# =====================================================================
+# Sorted-neighborhood blocking (q256): rank-banded candidate pairs
+# over customer names joined with a cheap agreement feature — the
+# SIGMOD'95 ER blocking alternative to key blocking; candidate volume
+# exactly n·w (operators/linkage.sorted_neighborhood_pairs).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.linkage import (  # noqa: E402
+    sorted_neighborhood_pairs,
+    sorted_neighborhood_pairs_sql,
+)
+
+
+def _q256_oracle() -> str:
+    pairs = sorted_neighborhood_pairs_sql(
+        "supplier", "s_name", "s_suppkey", window=3
+    )
+    return f"""
+    WITH cand AS ({pairs})
+    SELECT c.id_a, c.id_b, c.rank_gap,
+           a.s_nationkey = b.s_nationkey AS same_nation
+    FROM cand c
+    JOIN supplier a ON a.s_suppkey = c.id_a
+    JOIN supplier b ON b.s_suppkey = c.id_b
+    """
+
+
+@q("q256_sorted_neighborhood", _q256_oracle())
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = t(spark, sf_dir, "supplier")
+    cand = sorted_neighborhood_pairs(sup, "s_name", "s_suppkey", window=3)
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_nationkey").alias("__na")
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_nationkey").alias("__nb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "rank_gap",
+            (F.col("__na") == F.col("__nb")).alias("same_nation"),
+        )
+    )

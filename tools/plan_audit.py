@@ -137,6 +137,9 @@ ONE_PART_NOTES = {
     "q251_reshard_audit": "two 1-row ring-array builds (vnode-sized) broadcast; two 1-row movement reduces (sharding.reshard_movement_audit)",
     "q252_cms_topk_accuracy": "top-20 TakeOrdered + d*w-bounded sketch broadcast (countmin.py)",
     "q253_two_hop_neighbors": "part-degree frame join; pair volume bounded by deg-cap (docstring)",
+    "q254_hll_overlap_matrix": "groups^2 x <=m register frames; per-pair estimate reduces (hll.hll_overlap_matrix)",
+    "q255_dau_wau": "calendar-bounded day frames (dau/wau joins on the day spine)",
+    "q256_sorted_neighborhood": "two-phase rank offsets O(partitions) (linkage.sorted_neighborhood_pairs)",
 }
 
 
