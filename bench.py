@@ -293,6 +293,9 @@ EXTRA_QUERIES = [
     "q254_hll_overlap_matrix",
     "q255_dau_wau",
     "q256_sorted_neighborhood",
+    "q257_degree_assortativity",
+    "q258_fano_burstiness",
+    "q259_rank_agreement",
 ]
 
 

@@ -511,3 +511,128 @@ def tfidf_cosine_pairs_sql(
     JOIN norms nb ON nb.id = d.id_b
     WHERE ROUND(d.dt / (na.nrm * nb.nrm), 6) >= {min_cosine}
     """
+
+
+def rank_agreement(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Agreement between two top-k rankings per query: overlap@k,
+    Jaccard@k, and truncated rank-biased overlap RBO@k (Webber,
+    Moffat & Zobel 2010) — top-weighted, so swapping ranks 1-2
+    matters more than 9-10. The ranker-regression diagnostic: "did
+    retraining / re-parameterizing actually change what users see".
+
+    Shape: one (query, id) equi-join of the two k-row-per-query
+    lists, then every depth-d prefix overlap comes from a broadcast
+    1..k depth spine against that joined frame (volume = matches × k,
+    both bounded by k) — no re-scoring, no corpus access. RBO@k =
+    (1-p) Σ_d p^(d-1)·X_d/d over the truncated prefix (reported as
+    the truncated sum, not extrapolated).
+
+    Output per query: ``(query, overlap_at_k, jaccard_at_k, rbo)``
+    rounded 6.
+    """
+    a = list_a.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__ra"),
+    ).filter(F.col("__ra") <= k)
+    b = list_b.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).alias("__rb"),
+    ).filter(F.col("__rb") <= k)
+    j = a.join(b, ["query", "__id"])
+    spine = list_a.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("__d")
+    )
+    per_depth = (
+        j.crossJoin(F.broadcast(spine))
+        .groupBy("query", "__d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("__ra") <= F.col("__d"))
+                    & (F.col("__rb") <= F.col("__d")),
+                    1,
+                ).otherwise(0)
+            ).alias("__x")
+        )
+    )
+    w = F.lit(1.0 - p) * F.pow(F.lit(p), F.col("__d") - 1)
+    per_query = per_depth.groupBy("query").agg(
+        F.max(
+            F.when(F.col("__d") == k, F.col("__x")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.round(
+            F.sum(
+                F.round(
+                    w * F.col("__x") / F.col("__d").cast("double"), 10
+                ).cast("decimal(38,10)")
+            ).cast("double"),
+            6,
+        ).alias("rbo"),
+    )
+    return per_query.select(
+        "query",
+        "overlap_at_k",
+        F.round(
+            F.col("overlap_at_k").cast("double")
+            / (2 * k - F.col("overlap_at_k")),
+            6,
+        ).alias("jaccard_at_k"),
+        "rbo",
+    )
+
+
+def rank_agreement_sql(
+    list_a_sql: str,
+    list_b_sql: str,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 10,
+    p: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`rank_agreement`; the list args are
+    SELECTs producing (query_col, id_col, rank_col)."""
+    return f"""
+    WITH la AS (SELECT * FROM ({list_a_sql}) WHERE {rank_col} <= {k}),
+    lb AS (SELECT * FROM ({list_b_sql}) WHERE {rank_col} <= {k}),
+    j AS (
+      SELECT la.{query_col} AS query, la.{rank_col} AS ra,
+             lb.{rank_col} AS rb
+      FROM la JOIN lb ON la.{query_col} = lb.{query_col}
+                     AND la.{id_col} = lb.{id_col}
+    ),
+    spine AS (SELECT unnest(generate_series(1, {k})) AS d),
+    per_depth AS (
+      SELECT j.query, s.d,
+             SUM(CASE WHEN j.ra <= s.d AND j.rb <= s.d THEN 1
+                 ELSE 0 END) AS x
+      FROM j CROSS JOIN spine s
+      GROUP BY j.query, s.d
+    ),
+    per_query AS (
+      SELECT query,
+        CAST(MAX(CASE WHEN d = {k} THEN x ELSE 0 END) AS BIGINT)
+          AS overlap_at_k,
+        ROUND(CAST(SUM(CAST(ROUND((1.0 - {p}) * pow({p}, d - 1)
+              * x / CAST(d AS DOUBLE), 10) AS DECIMAL(38,10)))
+          AS DOUBLE), 6) AS rbo
+      FROM per_depth GROUP BY query
+    )
+    SELECT query, overlap_at_k,
+           ROUND(CAST(overlap_at_k AS DOUBLE)
+                 / (2 * {k} - overlap_at_k), 6) AS jaccard_at_k,
+           rbo
+    FROM per_query
+    """

@@ -425,3 +425,113 @@ def dau_wau_stickiness_sql(
            ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day
     """
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    bucket_ns: int = 3_600_000_000_000,
+    threshold: float = 1.5,
+) -> DataFrame:
+    """Index of dispersion (Fano factor) per key over fixed time
+    buckets: var(count)/mean(count) — 1 for a Poisson arrival stream,
+    ≫ 1 for bursty traffic (bots, incident retries, thundering
+    herds). The cheap first-line bot/burst detector.
+
+    The bucket spine spans min..max bucket per key INCLUDING empty
+    buckets (a burst is only a burst relative to silence), built by a
+    per-key sequence — calendar-bounded, never row-scaled. Counts are
+    exact ints; mean/var one double expression; Fano rounded 6.
+
+    Output per key: ``(key, n_buckets, n_events, mean_rate, fano,
+    bursty)``.
+    """
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(
+            f"CAST({time_col} DIV {bucket_ns} AS BIGINT)"
+        ).alias("__b"),
+    )
+    per_bucket = b.groupBy("key", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    spans = per_bucket.groupBy("key").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    spine = spans.select(
+        "key", F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    filled = spine.join(per_bucket, ["key", "__b"], "left").select(
+        "key", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+    agg = filled.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("__c").cast("bigint").alias("n_events"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__s2"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    mean = F.col("n_events").cast("double") / nd
+    var = F.col("__s2").cast("double") / nd - mean * mean
+    fano = F.when(mean > 0, F.round(var / mean, 6))
+    return agg.select(
+        "key",
+        "n_buckets",
+        "n_events",
+        F.round(mean, 6).alias("mean_rate"),
+        fano.alias("fano"),
+        F.coalesce(fano > threshold, F.lit(False)).alias("bursty"),
+    )
+
+
+def fano_burstiness_sql(
+    rows: str,
+    key_col: str,
+    time_col: str,
+    bucket_ns: int = 3_600_000_000_000,
+    threshold: float = 1.5,
+) -> str:
+    """DuckDB twin of :func:`fano_burstiness`."""
+    return f"""
+    WITH b AS (
+      SELECT {key_col} AS key,
+             CAST({time_col} // {bucket_ns} AS BIGINT) AS bk
+      FROM {rows}
+    ),
+    per_bucket AS (
+      SELECT key, bk, count(*) AS c FROM b GROUP BY key, bk
+    ),
+    spans AS (
+      SELECT key, min(bk) AS lo, max(bk) AS hi
+      FROM per_bucket GROUP BY key
+    ),
+    spine AS (
+      SELECT key, unnest(generate_series(lo, hi)) AS bk FROM spans
+    ),
+    filled AS (
+      SELECT s.key, COALESCE(p.c, 0) AS c
+      FROM spine s LEFT JOIN per_bucket p
+        ON s.key = p.key AND s.bk = p.bk
+    ),
+    agg AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             sum(c * c) AS s2
+      FROM filled GROUP BY key
+    )
+    SELECT key, n_buckets, n_events,
+           ROUND(CAST(n_events AS DOUBLE) / n_buckets, 6) AS mean_rate,
+           CASE WHEN n_events > 0
+                THEN ROUND((CAST(s2 AS DOUBLE) / n_buckets
+                            - (CAST(n_events AS DOUBLE) / n_buckets)
+                              * (CAST(n_events AS DOUBLE) / n_buckets))
+                           / (CAST(n_events AS DOUBLE) / n_buckets), 6)
+           END AS fano,
+           COALESCE(CASE WHEN n_events > 0
+                THEN ROUND((CAST(s2 AS DOUBLE) / n_buckets
+                            - (CAST(n_events AS DOUBLE) / n_buckets)
+                              * (CAST(n_events AS DOUBLE) / n_buckets))
+                           / (CAST(n_events AS DOUBLE) / n_buckets), 6)
+           END > {threshold}, FALSE) AS bursty
+    FROM agg
+    """

@@ -150,3 +150,96 @@ def node_triangle_stats(
         ),
     ).otherwise(F.lit(0.0))
     return out.withColumn("lcc", lcc)
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over edges — positive means hubs
+    link to hubs (social nets), negative means hub-spoke (web,
+    near-dup star clusters). The one-number structure check before
+    trusting component/PageRank outputs.
+
+    Shape: degrees from one hash aggregate; each undirected edge
+    contributes BOTH orientations (the standard symmetric estimator);
+    all five correlation sums are EXACT integer bigint folds (degrees
+    are ints) with one final double expression — bit-identical on any
+    partitioning/engine. Output ONE row: ``(n_nodes, n_edges,
+    assortativity)`` (6 dp; NULL when degenerate variance).
+    """
+    canon = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = degrees(canon)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("__dv"))
+    oriented = canon.select("u", "v").unionAll(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pairs = oriented.join(du, "u").join(dv, "v")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__du").alias("__sx"),
+        F.sum("__dv").alias("__sy"),
+        F.sum(F.col("__du") * F.col("__dv")).alias("__sxy"),
+        F.sum(F.col("__du") * F.col("__du")).alias("__sxx"),
+        F.sum(F.col("__dv") * F.col("__dv")).alias("__syy"),
+    )
+    n_nodes = deg.count()  # driver-bound: 1 scalar (node count)
+    nd = F.col("__n").cast("double")
+    cov = nd * F.col("__sxy") - (F.col("__sx") * F.col("__sy")).cast("double")
+    vx = nd * F.col("__sxx") - (F.col("__sx") * F.col("__sx")).cast("double")
+    vy = nd * F.col("__syy") - (F.col("__sy") * F.col("__sy")).cast("double")
+    return agg.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        (F.col("__n") / 2).cast("bigint").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 6),
+        ).alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(
+    edges_rows: str, src: str = "id_a", dst: str = "id_b"
+) -> str:
+    """DuckDB twin of :func:`degree_assortativity`. ``edges_rows`` is
+    a FROM-able relation of (possibly unordered/duplicated) edges."""
+    return f"""
+    WITH raw AS (
+      SELECT LEAST({src}, {dst}) AS u, GREATEST({src}, {dst}) AS v
+      FROM {edges_rows} WHERE {src} <> {dst}
+    ),
+    canon AS (SELECT DISTINCT u, v FROM raw),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM canon
+        UNION ALL SELECT v AS node FROM canon
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT u, v FROM canon UNION ALL SELECT v AS u, u AS v FROM canon
+    ),
+    pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM oriented o
+      JOIN deg du ON du.node = o.u
+      JOIN deg dv ON dv.node = o.v
+    ),
+    agg AS (
+      SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+             sum(dy * dy) AS syy
+      FROM pairs
+    ),
+    nn AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           CAST(agg.n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN (agg.n * agg.sxx - agg.sx * agg.sx) > 0
+                 AND (agg.n * agg.syy - agg.sy * agg.sy) > 0
+                THEN ROUND((agg.n * agg.sxy - agg.sx * agg.sy)
+                  / sqrt(CAST(agg.n * agg.sxx - agg.sx * agg.sx
+                         AS DOUBLE)
+                         * (agg.n * agg.syy - agg.sy * agg.sy)), 6)
+           END AS assortativity
+    FROM agg CROSS JOIN nn
+    """

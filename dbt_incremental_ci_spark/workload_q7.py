@@ -1110,3 +1110,150 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__na") == F.col("__nb")).alias("same_nation"),
         )
     )
+
+
+# =====================================================================
+# Degree assortativity (q257): hub-to-hub vs hub-to-spoke structure
+# of the co-supplier graph — exact integer correlation sums
+# (operators/triangles.degree_assortativity).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.triangles import (  # noqa: E402
+    degree_assortativity,
+    degree_assortativity_sql,
+)
+
+_COSUPP_EDGES = """(
+  WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+             FROM lineitem),
+  deg AS (SELECT part, count(*) AS d FROM e GROUP BY part),
+  kept AS (SELECT e.part, e.supp FROM e JOIN deg ON e.part = deg.part
+           WHERE deg.d <= 40)
+  SELECT DISTINCT a.supp AS id_a, b.supp AS id_b
+  FROM kept a JOIN kept b ON a.part = b.part AND a.supp <> b.supp
+)"""
+
+
+@q(
+    "q257_degree_assortativity",
+    degree_assortativity_sql(_COSUPP_EDGES, "id_a", "id_b"),
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    deg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("__d"))
+    kept = edges.join(deg, "part").filter(F.col("__d") <= 40).select(
+        "part", "supp"
+    )
+    a = kept.select("part", F.col("supp").alias("id_a"))
+    b = kept.select("part", F.col("supp").alias("id_b"))
+    pairs = (
+        a.join(b, "part")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return degree_assortativity(pairs, "id_a", "id_b")
+
+
+# =====================================================================
+# Fano-factor burstiness (q258): per-event-type index of dispersion
+# over hourly buckets INCLUDING empty hours — the Poisson-baseline
+# bot/burst detector (operators/timeseries.fano_burstiness).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.timeseries import (  # noqa: E402
+    fano_burstiness,
+    fano_burstiness_sql,
+)
+
+_FANO_ROWS = "(SELECT event_type, epoch_ns(ts) AS tsn FROM events)"
+
+
+@q(
+    "q258_fano_burstiness",
+    fano_burstiness_sql(_FANO_ROWS, "event_type", "tsn"),
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts bigint ns
+    return fano_burstiness(ev, "event_type", "ts")
+
+
+# =====================================================================
+# Ranker agreement (q259): overlap@10 / Jaccard@10 / RBO@10 between
+# two BM25 parameterizations over the q117 query set — the "did the
+# retrain change what users see" regression diagnostic
+# (operators/retrieval.rank_agreement).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk,
+    rank_agreement,
+    rank_agreement_sql,
+)
+from dbt_incremental_ci_spark.workload_q3 import (  # noqa: E402
+    _BM25_QUERIES,
+)
+
+
+def _bm25_list_sql(k1: float, b: float, k: int) -> str:
+    vals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    return rf"""
+    WITH q(query_id, qtext) AS (VALUES {vals}),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    post AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    dftbl AS (SELECT token, count(DISTINCT doc_id) AS df_t
+              FROM post GROUP BY 1),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(string_split_regex(lower(qtext), '\s+'),
+                                x -> x <> '')) AS token
+      FROM q
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * {k1 + 1.0!r})
+               / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))
+             AS DECIMAL(18,10))) AS DOUBLE), 6) AS score
+      FROM qt
+      JOIN post USING (token)
+      JOIN dl USING (doc_id)
+      JOIN dftbl USING (token)
+      CROSS JOIN stats
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rnk FROM (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@q(
+    "q259_rank_agreement",
+    rank_agreement_sql(
+        _bm25_list_sql(1.2, 0.75, 10),
+        _bm25_list_sql(2.0, 0.0, 10),
+        k=10,
+    ),
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"])
+    la = bm25_topk(docs, queries, k=10, k1=1.2, b=0.75)
+    lb = bm25_topk(docs, queries, k=10, k1=2.0, b=0.0)
+    return rank_agreement(la, lb, k=10)

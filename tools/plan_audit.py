@@ -140,6 +140,9 @@ ONE_PART_NOTES = {
     "q254_hll_overlap_matrix": "groups^2 x <=m register frames; per-pair estimate reduces (hll.hll_overlap_matrix)",
     "q255_dau_wau": "calendar-bounded day frames (dau/wau joins on the day spine)",
     "q256_sorted_neighborhood": "two-phase rank offsets O(partitions) (linkage.sorted_neighborhood_pairs)",
+    "q257_degree_assortativity": "1-row integer correlation reduce (triangles.degree_assortativity)",
+    "q258_fano_burstiness": "per-key calendar-bounded bucket spines; |keys|-row report",
+    "q259_rank_agreement": "k-bounded list join + k-row depth spine per query (retrieval.rank_agreement)",
 }
 
 
