@@ -296,6 +296,8 @@ EXTRA_QUERIES = [
     "q257_degree_assortativity",
     "q258_fano_burstiness",
     "q259_rank_agreement",
+    "q260_best_threshold",
+    "q261_dedup_impact",
 ]
 
 

@@ -1513,3 +1513,77 @@ def doubly_robust_eval_sql(
              AS ess
     FROM agg
     """
+
+
+def best_threshold(
+    pr: DataFrame,
+    cost_fp: float = 1.0,
+    cost_fn: float = 5.0,
+) -> DataFrame:
+    """Operating-point selection from a :func:`binned_pr_curve`
+    frame: the max-F1 threshold and the min-expected-cost threshold
+    (asymmetric FP/FN costs — the production question is rarely
+    "best F1", it's "FN costs 5x FP") — the deploy-time decision
+    every threshold-gated filter needs.
+
+    Pure O(bins) arithmetic over the already-tiny curve frame:
+    expected cost = cost_fp·fp + cost_fn·fn (exact integer counts ×
+    literal costs), argmax/argmin via a bins-sized window with
+    bin-ascending tiebreak. Output 2 rows: ``(criterion, bin,
+    threshold, precision, recall, f1, expected_cost)``.
+    """
+    cost = F.round(
+        F.col("fp") * F.lit(cost_fp) + F.col("fn") * F.lit(cost_fn), 6
+    )
+    staged = pr.select(
+        "bin", "threshold", "precision", "recall", "f1",
+        cost.alias("expected_cost"),
+    )
+    w_f1 = Window.orderBy(
+        F.desc_nulls_last("f1"), F.asc("bin")
+    )
+    w_cost = Window.orderBy(F.asc("expected_cost"), F.asc("bin"))
+    best_f1 = (
+        staged.withColumn("__rn", F.row_number().over(w_f1))
+        .filter(F.col("__rn") == 1)
+        .select(F.lit("max_f1").alias("criterion"), *staged.columns)
+    )
+    best_cost = (
+        staged.withColumn("__rn", F.row_number().over(w_cost))
+        .filter(F.col("__rn") == 1)
+        .select(F.lit("min_cost").alias("criterion"), *staged.columns)
+    )
+    return best_f1.unionByName(best_cost)
+
+
+def best_threshold_sql(
+    pr_sql: str, cost_fp: float = 1.0, cost_fn: float = 5.0
+) -> str:
+    """DuckDB twin of :func:`best_threshold`; ``pr_sql`` is a SELECT
+    producing the binned_pr_curve columns."""
+    return f"""
+    WITH pr AS ({pr_sql}),
+    staged AS (
+      SELECT bin, threshold, precision, recall, f1,
+             ROUND(fp * {cost_fp!r} + fn * {cost_fn!r}, 6)
+               AS expected_cost
+      FROM pr
+    ),
+    bf AS (
+      SELECT 'max_f1' AS criterion, * FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY f1 DESC NULLS LAST, bin) AS rn
+        FROM staged
+      ) WHERE rn = 1
+    ),
+    bc AS (
+      SELECT 'min_cost' AS criterion, * FROM (
+        SELECT *, row_number() OVER (
+          ORDER BY expected_cost, bin) AS rn
+        FROM staged
+      ) WHERE rn = 1
+    )
+    SELECT criterion, bin, threshold, precision, recall, f1,
+           expected_cost
+    FROM (SELECT * FROM bf UNION ALL SELECT * FROM bc)
+    """

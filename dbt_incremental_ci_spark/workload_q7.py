@@ -1257,3 +1257,109 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     la = bm25_topk(docs, queries, k=10, k1=1.2, b=0.75)
     lb = bm25_topk(docs, queries, k=10, k1=2.0, b=0.0)
     return rank_agreement(la, lb, k=10)
+
+
+# =====================================================================
+# Operating-point selection (q260): max-F1 and min-expected-cost
+# thresholds off the q151 classifier PR curve — the deploy decision
+# (evalmetrics.best_threshold on the bins frame).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.evalmetrics import (  # noqa: E402
+    best_threshold,
+    best_threshold_sql,
+    binned_pr_curve,
+)
+from dbt_incremental_ci_spark.workload_q4 import _q151_oracle  # noqa: E402
+
+
+@q(
+    "q260_best_threshold",
+    best_threshold_sql(_q151_oracle(), cost_fp=1.0, cost_fn=5.0),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import classifier
+
+    docs = t(spark, sf_dir, "documents").select("text", "lang")
+    raw = F.round(
+        classifier.linear_score(
+            "text", classifier.default_weights(64, "qc"), 0.0, "qc"
+        ),
+        6,
+    )
+    scored = docs.select(
+        F.round(classifier.sigmoid(raw), 6).alias("prob"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    pr = binned_pr_curve(scored, "prob", "y", bins=20)
+    return best_threshold(pr, cost_fp=1.0, cost_fn=5.0)
+
+
+# =====================================================================
+# Exact-dup removal impact (q261): what keep-first-per-fingerprint
+# dedup actually deletes — doc/token/char deltas in ONE report row
+# (q26's md5 cluster machinery + token counting).
+# =====================================================================
+@q(
+    "q261_dedup_impact",
+    r"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             len(list_filter(string_split_regex(trim(lower(text)),
+                                                '\s+'),
+                             x -> x <> '')) AS n_tok,
+             length(text) AS n_chr
+      FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+    tagged AS (
+      SELECT d.*, d.doc_id = k.keep_id AS kept
+      FROM d JOIN keep k ON d.fp = k.fp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           ROUND(CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS DOUBLE)
+                 / count(*), 6) AS pct_removed,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST(SUM(n_chr) AS BIGINT) AS chars_before,
+           CAST(SUM(CASE WHEN kept THEN n_chr ELSE 0 END) AS BIGINT)
+             AS chars_after
+    FROM tagged
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    d = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    tagged = d.join(keep, "fp").withColumn(
+        "kept", F.col("doc_id") == F.col("keep_id")
+    )
+    kept_i = F.col("kept").cast("int")
+    return tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept_i).cast("bigint").alias("n_unique"),
+        F.sum(1 - kept_i).cast("bigint").alias("n_removed"),
+        F.round(
+            F.sum(1 - kept_i).cast("double") / F.count(F.lit(1)), 6
+        ).alias("pct_removed"),
+        F.sum("n_tok").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_after"),
+        F.sum("n_chr").cast("bigint").alias("chars_before"),
+        F.sum(F.when(F.col("kept"), F.col("n_chr")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_after"),
+    )

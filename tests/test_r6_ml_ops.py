@@ -80,3 +80,22 @@ def test_heaps_checkpoints_monotone_and_exact_total(spark):
     assert vocabs[-1] == 11  # a..k distinct types
     # prefix of 4 tokens = doc 1 exactly -> 4 types
     assert out[0]["n_prefix"] == 4 and vocabs[0] == 4
+
+
+def test_best_threshold_picks_separating_bin(spark):
+    """Scores perfectly separate at 0.5: max-F1 threshold must sit in
+    (0, 0.5] band with F1 = 1; min-cost picks the same with cost 0."""
+    from dbt_incremental_ci_spark.operators.evalmetrics import (
+        best_threshold,
+        binned_pr_curve,
+    )
+
+    rows = [(0.1 + 0.01 * i, False) for i in range(10)] + [
+        (0.8 + 0.01 * i, True) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "prob double, y boolean")
+    pr = binned_pr_curve(df, "prob", "y", bins=10)
+    out = {r["criterion"]: r for r in best_threshold(pr).collect()}
+    assert out["max_f1"]["f1"] == 1.0
+    assert 0.2 <= out["max_f1"]["threshold"] <= 0.8
+    assert out["min_cost"]["expected_cost"] == 0.0

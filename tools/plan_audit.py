@@ -143,6 +143,8 @@ ONE_PART_NOTES = {
     "q257_degree_assortativity": "1-row integer correlation reduce (triangles.degree_assortativity)",
     "q258_fano_burstiness": "per-key calendar-bounded bucket spines; |keys|-row report",
     "q259_rank_agreement": "k-bounded list join + k-row depth spine per query (retrieval.rank_agreement)",
+    "q260_best_threshold": "O(bins) curve frame + 2 argmax windows (evalmetrics.best_threshold)",
+    "q261_dedup_impact": "1-row impact reduce over the fingerprint-clustered frame",
 }
 
 
