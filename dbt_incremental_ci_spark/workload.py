@@ -16,15 +16,24 @@ the original single module had grown past 9k lines):
   attribution variants, histogram quantiles, readability, moments,
   phrase search, CUSUM, confusion matrix, bitemporal as-of,
   categorical drift, skyline, peak concurrency)
-- ``workload_q6`` — q204+ (ranking eval NDCG/MAP/lift, IPS off-policy
+- ``workload_q6`` — q204-q227 (ranking eval NDCG/MAP/lift, IPS off-policy
   eval, concentration/Gini, JS divergence, mutual information,
   trimmed stats, zone-map pruning, power analysis, weighted
   quantiles, rare-collapse, n-gram novelty, feature-hash stats,
   Wilson slice metrics, Poisson bootstrap, mergeable MinHash +
   LSH-banding QA, HITS, dataset card, Krippendorff alpha, quantile
   normalization, split-leakage audit)
+- ``workload_q7`` — q228+ (round-6 additions: survival analysis +
+  log-rank, BH-FDR, doubly-robust OPE, group k-fold, Simpson audit,
+  Apriori L3, skip-gram PMI + G² collocations, RAKE, JL projection,
+  embedding dim profile, nearest-centroid, Mann-Whitney, mergeable
+  moments, Zipf/Heaps fits, decision stump, CUPED/SMD, TF-IDF pair
+  join, dedup threshold curve, Markov accuracy, reshard audit, CMS
+  accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
+  blocking, assortativity, burstiness, RBO rank agreement, operating
+  point, dedup impact)
 
-Importing this module imports all six, which registers every query
+Importing this module imports all seven, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
