@@ -379,10 +379,10 @@ def mann_whitney_u(
     )
     c = global_cumsum(g, "__v", "__cnt", out_col="__cum")
     two_rank = 2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1
-    t3t = (
-        (F.col("__cnt") * F.col("__cnt") * F.col("__cnt") - F.col("__cnt"))
-        .cast("decimal(38,0)")
-    )
+    # cube in DECIMAL so a mega-tie group (cnt³ > 2^63 at cnt ≥ 2.1e6)
+    # cannot overflow under ANSI mode (the q257 gate lesson)
+    cnt_dec = F.col("__cnt").cast("decimal(38,0)")
+    t3t = cnt_dec * cnt_dec * cnt_dec - cnt_dec
     tot = c.agg(
         F.sum("__ca").cast("bigint").alias("n_a"),
         (F.sum("__cnt") - F.sum("__ca")).cast("bigint").alias("n_b"),
@@ -453,7 +453,7 @@ def mann_whitney_u_sql(
              CAST(SUM(cnt) - SUM(ca) AS BIGINT) AS n_b,
              CAST(SUM(CAST(ca * (2 * (cum - cnt) + cnt + 1)
                            AS DECIMAL(38,0))) AS DOUBLE) AS r2a,
-             CAST(SUM(CAST(cnt * cnt * cnt - cnt AS DECIMAL(38,0)))
+             CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
                AS DOUBLE) AS ties
       FROM c
     ),

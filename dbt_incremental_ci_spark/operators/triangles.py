@@ -185,10 +185,26 @@ def degree_assortativity(
         F.sum(F.col("__dv") * F.col("__dv")).alias("__syy"),
     )
     n_nodes = deg.count()  # driver-bound: 1 scalar (node count)
-    nd = F.col("__n").cast("double")
-    cov = nd * F.col("__sxy") - (F.col("__sx") * F.col("__sy")).cast("double")
-    vx = nd * F.col("__sxx") - (F.col("__sx") * F.col("__sx")).cast("double")
-    vy = nd * F.col("__syy") - (F.col("__sy") * F.col("__sy")).cast("double")
+
+    # n·Σxy − Σx·Σy overflows BIGINT at sf1 (Σx·Σy ~ 1e20 > 2^63 —
+    # caught by the 10x gate under ANSI mode); compute the exact
+    # products in DECIMAL(38,0) (DuckDB promotes to HUGEINT, same
+    # exact-then-widen path) and widen to double only at the end.
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    cov = (
+        dec(F.col("__n")) * dec(F.col("__sxy"))
+        - dec(F.col("__sx")) * dec(F.col("__sy"))
+    ).cast("double")
+    vx = (
+        dec(F.col("__n")) * dec(F.col("__sxx"))
+        - dec(F.col("__sx")) * dec(F.col("__sx"))
+    ).cast("double")
+    vy = (
+        dec(F.col("__n")) * dec(F.col("__syy"))
+        - dec(F.col("__sy")) * dec(F.col("__sy"))
+    ).cast("double")
     return agg.select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         (F.col("__n") / 2).cast("bigint").alias("n_edges"),
@@ -226,9 +242,14 @@ def degree_assortativity_sql(
       JOIN deg dv ON dv.node = o.v
     ),
     agg AS (
-      SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
-             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
-             sum(dy * dy) AS syy
+      -- HUGEINT sums/products: exact, mirroring Spark's DECIMAL(38,0)
+      -- path (plain BIGINT products overflow at 10x scale)
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(dx) AS HUGEINT) AS sx,
+             CAST(sum(dy) AS HUGEINT) AS sy,
+             CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+             CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+             CAST(sum(dy * dy) AS HUGEINT) AS syy
       FROM pairs
     ),
     nn AS (SELECT count(*) AS n_nodes FROM deg)
@@ -236,10 +257,12 @@ def degree_assortativity_sql(
            CAST(agg.n / 2 AS BIGINT) AS n_edges,
            CASE WHEN (agg.n * agg.sxx - agg.sx * agg.sx) > 0
                  AND (agg.n * agg.syy - agg.sy * agg.sy) > 0
-                THEN ROUND((agg.n * agg.sxy - agg.sx * agg.sy)
+                THEN ROUND(CAST(agg.n * agg.sxy - agg.sx * agg.sy
+                           AS DOUBLE)
                   / sqrt(CAST(agg.n * agg.sxx - agg.sx * agg.sx
                          AS DOUBLE)
-                         * (agg.n * agg.syy - agg.sy * agg.sy)), 6)
+                         * CAST(agg.n * agg.syy - agg.sy * agg.sy
+                           AS DOUBLE)), 6)
            END AS assortativity
     FROM agg CROSS JOIN nn
     """
