@@ -535,3 +535,221 @@ def fano_burstiness_sql(
            END > {threshold}, FALSE) AS bursty
     FROM agg
     """
+
+
+def acf(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function per key: Pearson correlation of
+    (x_t, x_{t−L}) over the overlapping index pairs, for L = 1..max_lag
+    — the seasonality/memory fingerprint read before picking window
+    sizes, anomaly baselines, or forecast lags.
+
+    Inputs must be INTEGER-valued (counts, cents — quantize upstream)
+    at integer time indexes; pairs come from ONE equi-self-join on
+    (key, t+L) after exploding the lag spine (a lags-sized constant
+    fan-out, the q242 budgeted-fan-out class — one corpus pass), and
+    all five correlation sums fold exactly in DECIMAL(38,0) (the
+    `degree_assortativity` pattern), so the single final double
+    expression is bit-identical on any partitioning. Per-key series
+    length is frame-bounded (days per key), never corpus-scaled.
+
+    Output: ``(key, lag, n_pairs, acf)`` — acf 6 dp, NULL when a side
+    is constant (zero variance).
+    """
+    s = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(t_col).cast("bigint").alias("__t"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    ).localCheckpoint(eager=False)  # both join sides read it
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(max_lag))
+    ).alias("lag")
+    left = s.select("__k", "__t", F.col("__x").alias("__xa"), lags)
+    right = s.select(
+        "__k",
+        F.col("__t").alias("__tr"),
+        F.col("__x").alias("__xb"),
+    )
+    pairs = left.join(
+        right,
+        (left["__k"] == right["__k"])
+        & (right["__tr"] == left["__t"] - F.col("lag")),
+    ).select(left["__k"], "lag", "__xa", "__xb")
+
+    def dd(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    agg = pairs.groupBy("__k", "lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dd(F.col("__xa"))).alias("__sx"),
+        F.sum(dd(F.col("__xb"))).alias("__sy"),
+        F.sum(dd(F.col("__xa") * F.col("__xb"))).alias("__sxy"),
+        F.sum(dd(F.col("__xa") * F.col("__xa"))).alias("__sxx"),
+        F.sum(dd(F.col("__xb") * F.col("__xb"))).alias("__syy"),
+    )
+    cov = (dd(F.col("__n")) * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (dd(F.col("__n")) * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (dd(F.col("__n")) * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("__n").cast("bigint").alias("n_pairs"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "acf"
+        ),
+    )
+
+
+def acf_sql(
+    series_rows: str,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> str:
+    """DuckDB twin of :func:`acf` (HUGEINT exact sums)."""
+    return f"""
+    WITH s AS (
+      SELECT {key_col} AS k, CAST({t_col} AS BIGINT) AS t,
+             CAST({x_col} AS BIGINT) AS x
+      FROM {series_rows}
+    ),
+    pairs AS (
+      SELECT a.k, l.lag, a.x AS xa, b.x AS xb
+      FROM s a
+      CROSS JOIN (SELECT unnest(generate_series(1, {max_lag})) AS lag) l
+      JOIN s b ON b.k = a.k AND b.t = a.t - l.lag
+    ),
+    agg AS (
+      SELECT k, lag, CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(xa) AS HUGEINT) AS sx,
+             CAST(SUM(xb) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(xa AS HUGEINT) * xb) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(xa AS HUGEINT) * xa) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(xb AS HUGEINT) * xb) AS HUGEINT) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT k AS {key_col}, CAST(lag AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS acf
+    FROM agg
+    """
+
+
+def page_hinkley(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    delta: int = 0,
+    lam: int = 50,
+) -> DataFrame:
+    """Page-Hinkley change detection per key (Page 1954; Hinkley
+    1971): flags the first time the cumulative positive deviation of
+    an INTEGER series from its own mean exceeds ``lam`` — the
+    sequential "did the level shift upward" monitor for ingest
+    volumes and metric streams.
+
+    Exact-integer trick: the textbook statistic divides by n to use
+    the running mean; multiplying through by n_k (points in the key's
+    series) keeps EVERYTHING integral — M_t·n_k = Σ(x_i·n_k − T_k −
+    δ·n_k) with T_k the key's exact total — so the detection
+    comparison (M_t − min M) > λ·n_k is exact integer arithmetic,
+    bit-identical on both engines; only the reported ``max_ph``
+    descales to double. (This is the batch/offline PH variant: the
+    reference mean is the full-series mean, the standard form for
+    retrospective changepoint audits.)
+
+    Per-key windows are frame-bounded (series length), cumulative sum
+    + running min in one pass. Output: ``(key, n_points, detected,
+    first_detect_t, max_ph)``.
+    """
+    s = series.select(
+        F.col(key_col).alias("__k"),
+        F.col(t_col).cast("bigint").alias("__t"),
+        F.col(x_col).cast("bigint").alias("__x"),
+    )
+    tot = s.groupBy("__k").agg(
+        F.sum("__x").alias("__tk"), F.count(F.lit(1)).alias("__nk")
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = s.join(tot, "__k").withColumn(
+        "__m",
+        F.sum(
+            F.col("__x") * F.col("__nk")
+            - F.col("__tk")
+            - F.lit(delta) * F.col("__nk")
+        ).over(w),
+    )
+    stepped = stepped.withColumn("__mn", F.min("__m").over(w)).withColumn(
+        "__ph", F.col("__m") - F.col("__mn")
+    )
+    return stepped.groupBy("__k", "__nk").agg(
+        F.max(F.col("__ph") > F.lit(lam) * F.col("__nk")).alias("detected"),
+        F.min(
+            F.when(
+                F.col("__ph") > F.lit(lam) * F.col("__nk"), F.col("__t")
+            )
+        ).alias("first_detect_t"),
+        F.round(
+            F.max("__ph").cast("double") / F.col("__nk").cast("double"), 6
+        ).alias("max_ph"),
+    ).select(
+        F.col("__k").alias(key_col),
+        F.col("__nk").cast("bigint").alias("n_points"),
+        "detected",
+        "first_detect_t",
+        "max_ph",
+    )
+
+
+def page_hinkley_sql(
+    series_rows: str,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    delta: int = 0,
+    lam: int = 50,
+) -> str:
+    """DuckDB twin of :func:`page_hinkley`."""
+    return f"""
+    WITH s AS (
+      SELECT {key_col} AS k, CAST({t_col} AS BIGINT) AS t,
+             CAST({x_col} AS BIGINT) AS x
+      FROM {series_rows}
+    ),
+    tot AS (SELECT k, SUM(x) AS tk, count(*) AS nk FROM s GROUP BY k),
+    stepped AS (
+      SELECT s.k, s.t, tot.nk,
+             SUM(s.x * tot.nk - tot.tk - {delta} * tot.nk)
+               OVER (PARTITION BY s.k ORDER BY s.t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m
+      FROM s JOIN tot ON s.k = tot.k
+    ),
+    ph AS (
+      SELECT k, t, nk,
+             m - MIN(m) OVER (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph
+      FROM stepped
+    )
+    SELECT k AS {key_col}, CAST(nk AS BIGINT) AS n_points,
+           MAX(ph > {lam} * nk) AS detected,
+           MIN(CASE WHEN ph > {lam} * nk THEN t END) AS first_detect_t,
+           ROUND(CAST(MAX(ph) AS DOUBLE) / nk, 6) AS max_ph
+    FROM ph
+    GROUP BY k, nk
+    """

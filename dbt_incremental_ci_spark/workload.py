@@ -64,3 +64,4 @@ from dbt_incremental_ci_spark import workload_q4  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q5  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q6  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q7  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q8  # noqa: F401,E402

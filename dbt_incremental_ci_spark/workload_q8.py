@@ -1,0 +1,647 @@
+"""q262+: round-7 additions — link prediction (common-neighbor /
+resource-allocation / Adamic-Adar), item-item co-occurrence cosine
+(bipartite projection), Kruskal-Wallis, one-way ANOVA +
+Brown-Forsythe, effect sizes (Cohen's d / Hedges' g / Cliff's delta),
+Spearman rank correlation, and the round's time-series / text / data-
+quality batches.
+
+Split-module registration contract: see ``workload`` (the hub) and
+``workload_base`` (registries + determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.workload_base import (
+    events_table,
+    q,
+    t,
+)
+
+# =====================================================================
+# Link prediction on the co-purchase part graph (q262): parts
+# repeatedly co-ordered (support ≥ 2) form a sparse undirected graph;
+# common-neighbor / resource-allocation / Adamic-Adar scores rank the
+# NON-edges most likely to be real associations. operators/linkpred.
+# Pair volume: Σ C(|order basket|,2) for edge building (baskets are
+# order-sized, ≤ 7 in TPC-H), then Σ min(deg,cap)² for wedges.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.linkpred import (  # noqa: E402
+    item_cooccurrence_cosine,
+    item_cooccurrence_cosine_sql,
+    neighbor_overlap_scores,
+    neighbor_overlap_scores_sql,
+)
+
+_COORDER_EDGES = """(
+  WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+               FROM lineitem),
+  pairs AS (
+    SELECT a.p AS id_a, b.p AS id_b, count(*) AS c
+    FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b FROM pairs WHERE c >= 2
+)"""
+
+
+def _coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    inc = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = inc.select("o", F.col("p").alias("id_a"))
+    b = inc.select("o", F.col("p").alias("id_b"))
+    return (
+        a.join(b, "o")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("id_a", "id_b")
+    )
+
+
+@q(
+    "q262_link_prediction",
+    neighbor_overlap_scores_sql(
+        _COORDER_EDGES, "id_a", "id_b", max_degree=64, top_k=50
+    ),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighbor_overlap_scores(
+        _coorder_edges(spark, sf_dir),
+        "id_a",
+        "id_b",
+        max_degree=64,
+        top_k=50,
+    )
+
+
+# =====================================================================
+# Item-item co-occurrence cosine (q263): bipartite customer×part
+# incidence projected to an item-item similarity — the co-purchase
+# recommender's first model. Basket-size cap bounds Σ C(|basket|,2).
+# =====================================================================
+_CUSTPART_BASKETS = """(
+  SELECT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)"""
+
+
+@q(
+    "q263_item_cooccurrence",
+    item_cooccurrence_cosine_sql(
+        _CUSTPART_BASKETS,
+        "cust",
+        "part",
+        max_basket_items=128,
+        min_support=2,
+        top_k=100,
+    ),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    baskets = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+    return item_cooccurrence_cosine(
+        baskets,
+        "cust",
+        "part",
+        max_basket_items=128,
+        min_support=2,
+        top_k=100,
+    )
+
+
+# =====================================================================
+# Kruskal-Wallis H (q264): did order value distributions move across
+# the 5 priority classes — the k-sample Mann-Whitney. Exact integer
+# rank arithmetic via the distinct-value cumsum machinery;
+# chi2_crit = 95th pct of chi-square(df=4). operators/stattests.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.stattests import (  # noqa: E402
+    anova_oneway,
+    anova_oneway_sql,
+    effect_sizes,
+    effect_sizes_sql,
+    kruskal_wallis,
+    kruskal_wallis_sql,
+    spearman_rho,
+    spearman_rho_sql,
+)
+
+_CHI2_CRIT_DF4 = 9.487729036781154
+
+
+@q(
+    "q264_kruskal_wallis",
+    kruskal_wallis_sql(
+        "orders",
+        "o_totalprice",
+        "o_orderpriority",
+        decimals=2,
+        chi2_crit=_CHI2_CRIT_DF4,
+    ),
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kruskal_wallis(
+        t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        decimals=2,
+        chi2_crit=_CHI2_CRIT_DF4,
+    )
+
+
+# =====================================================================
+# One-way ANOVA F (q265): the parametric twin of q264 — between/within
+# variance decomposition of order value across priority classes from
+# ONE per-group (n, Σx, Σx²) fold.
+# =====================================================================
+@q(
+    "q265_anova_f",
+    anova_oneway_sql("orders", "o_totalprice", "o_orderpriority", scale=2),
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anova_oneway(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority", scale=2
+    )
+
+
+# =====================================================================
+# Brown-Forsythe / Levene variance homogeneity (q266): ANOVA's
+# precondition check — one-way ANOVA on |x − group median|. The group
+# medians are a groups-sized frame joined back (exact interpolated
+# percentile on identically-rounded doubles in both engines).
+# =====================================================================
+_BF_ROWS = """(
+  WITH med AS (
+    SELECT o_orderpriority AS g,
+           median(ROUND(o_totalprice, 2)) AS m
+    FROM orders GROUP BY 1
+  )
+  SELECT o.o_orderpriority AS grp,
+         ABS(ROUND(o.o_totalprice, 2) - med.m) AS zdev
+  FROM orders o JOIN med ON o.o_orderpriority = med.g
+)"""
+
+
+@q("q266_levene_bf", anova_oneway_sql(_BF_ROWS, "zdev", "grp", scale=3))
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round("o_totalprice", 2).alias("__x"),
+    )
+    med = o.groupBy("grp").agg(
+        F.percentile("__x", F.lit(0.5)).alias("__m")
+    )
+    rows = o.join(med, "grp").select(
+        "grp", F.abs(F.col("__x") - F.col("__m")).alias("zdev")
+    )
+    return anova_oneway(rows, "zdev", "grp", scale=3)
+
+
+# =====================================================================
+# Effect sizes (q267): Cohen's d / Hedges' g / Cliff's delta for
+# purchase-vs-view event values — the "how big, not how significant"
+# readout. Moments from exact decimal folds; Cliff's delta from the
+# exact Mann-Whitney 2U integer, rounded in integer space.
+# =====================================================================
+@q(
+    "q267_effect_sizes",
+    effect_sizes_sql(
+        "events", "value", "event_type", "purchase", "view", decimals=2
+    ),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return effect_sizes(
+        events_table(spark, sf_dir),
+        "value",
+        "event_type",
+        "purchase",
+        "view",
+        decimals=2,
+    )
+
+
+# =====================================================================
+# Spearman rank correlation (q268): monotone association between a
+# customer's order count and total spend (integer cents) — midranks
+# via distinct-value cumsum, correlation on exact DECIMAL sums.
+# =====================================================================
+_SPEND_ROWS = """(
+  SELECT o_custkey,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY 1
+)"""
+
+
+@q(
+    "q268_spearman",
+    spearman_rho_sql(_SPEND_ROWS, "n_orders", "spend_cents"),
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    return spearman_rho(per_cust, "n_orders", "spend_cents")
+
+
+# =====================================================================
+# Daily-count autocorrelation (q269): ACF at lags 1..7 of per-type
+# daily event counts — the seasonality fingerprint. Lag spine is a
+# constant fan-out; correlation sums are exact DECIMAL folds
+# (operators/timeseries.acf).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.timeseries import (  # noqa: E402
+    acf,
+    acf_sql,
+    page_hinkley,
+    page_hinkley_sql,
+)
+
+_DAILY_COUNTS = """(
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+)"""
+
+
+@q(
+    "q269_acf",
+    acf_sql(_DAILY_COUNTS, "event_type", "day", "c", max_lag=7),
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return acf(daily, "event_type", "day", "c", max_lag=7)
+
+
+# =====================================================================
+# Good-Turing frequency smoothing (q270): freq-of-freqs over word-
+# TRIGRAM counts, adjusted counts r* = (r+1)·N_{r+1}/N_r for r ≤ 10 —
+# the classical unseen-mass estimate (Good 1953) behind Katz backoff.
+# Trigrams, not unigrams: the synthetic corpus has a 31-word
+# vocabulary where every unigram count exceeds 10; trigram types give
+# the singleton/doubleton tail Good-Turing exists for. Corpus reduces
+# to type counts then a COUNTS-OF-COUNTS table (bounded by max
+# count); r* rounds half-up in integer space.
+# =====================================================================
+@q(
+    "q270_good_turing",
+    """
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    toks AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS tok
+      FROM tk WHERE len(toks) >= 3
+    ),
+    counts AS (SELECT tok, count(*) AS r FROM toks GROUP BY tok),
+    fof AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r)
+    SELECT a.r, CAST(a.n_r AS BIGINT) AS n_r,
+           CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+           CASE WHEN b.n_r IS NOT NULL THEN
+             CAST(((a.r + 1) * b.n_r * 2000000 + a.n_r)
+                  // (a.n_r * 2) AS BIGINT) / 1000000.0
+           END AS r_star
+    FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+    WHERE a.r <= 10
+    ORDER BY a.r
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.ngrams import positional_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(positional_ngrams(F.lower(F.col("text")), 3)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    fof = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("__nn")
+    )
+    out = (
+        fof.join(nxt, "r", "left")
+        .filter(F.col("r") <= 10)
+        .select(
+            "r",
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.coalesce(F.col("__nn"), F.lit(0))
+            .cast("bigint")
+            .alias("n_r_next"),
+            F.when(
+                F.col("__nn").isNotNull(),
+                F.expr(
+                    "CAST(((r + 1) * __nn * 2000000 + n_r) "
+                    "DIV (n_r * 2) AS BIGINT)"
+                ).cast("double")
+                / 1_000_000.0,
+            ).alias("r_star"),
+        )
+        .orderBy("r")
+    )
+    return out
+
+
+# =====================================================================
+# Sequential patterns with gaps (q271): top length-3 event-type
+# sequences where each step follows within ≤ 2 positions — the
+# PrefixSpan-lite "what do journeys look like" mine. Pair volume is
+# per-user activity × gap², both bounded; rn windows are user-keyed.
+# =====================================================================
+@q(
+    "q271_seq_patterns",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    triples AS (
+      SELECT a.user_id,
+             a.event_type AS e1, b.event_type AS e2, c.event_type AS e3
+      FROM ordered a
+      JOIN ordered b ON b.user_id = a.user_id
+        AND b.rn > a.rn AND b.rn <= a.rn + 2
+      JOIN ordered c ON c.user_id = b.user_id
+        AND c.rn > b.rn AND c.rn <= b.rn + 2
+    )
+    SELECT e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM triples
+    GROUP BY 1, 2, 3
+    ORDER BY n_occurrences DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)  # three join branches read it
+    a = ordered.select(
+        "user_id", F.col("event_type").alias("e1"), F.col("rn").alias("r1")
+    )
+    b = ordered.select(
+        "user_id", F.col("event_type").alias("e2"), F.col("rn").alias("r2")
+    )
+    c = ordered.select(
+        "user_id", F.col("event_type").alias("e3"), F.col("rn").alias("r3")
+    )
+    triples = (
+        a.join(b, "user_id")
+        .filter((F.col("r2") > F.col("r1")) & (F.col("r2") <= F.col("r1") + 2))
+        .join(c, "user_id")
+        .filter((F.col("r3") > F.col("r2")) & (F.col("r3") <= F.col("r2") + 2))
+    )
+    return (
+        triples.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Seasonal-naive forecast error / MASE (q272): per-region daily
+# revenue, lag-7 seasonal-naive forecast graded against the lag-1
+# naive baseline — MASE < 1 means weekly seasonality carries signal.
+# Day frames per region are calendar-bounded; cents arithmetic exact.
+# =====================================================================
+@q(
+    "q272_mase",
+    """
+    WITH daily AS (
+      SELECT r.r_name AS region,
+             epoch_ns(o.o_orderdate) // 86400000000000 AS day,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    errs AS (
+      SELECT region,
+             ABS(cents - lag(cents, 1) OVER w) AS e1,
+             ABS(cents - lag(cents, 7) OVER w) AS e7
+      FROM daily
+      WINDOW w AS (PARTITION BY region ORDER BY day)
+    ),
+    agg AS (
+      SELECT region,
+             CAST(count(e1) AS BIGINT) AS n1, CAST(SUM(e1) AS BIGINT) AS s1,
+             CAST(count(e7) AS BIGINT) AS n7, CAST(SUM(e7) AS BIGINT) AS s7
+      FROM errs GROUP BY region
+    )
+    SELECT region,
+           ROUND(CAST(s1 AS DOUBLE) / n1, 6) AS mae_naive,
+           ROUND(CAST(s7 AS DOUBLE) / n7, 6) AS mae_seasonal,
+           ROUND((CAST(s7 AS DOUBLE) * n1) / (CAST(s1 AS DOUBLE) * n7), 6)
+             AS mase
+    FROM agg
+    ORDER BY region
+    """,
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cst = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    daily = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .join(n, cst["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 "
+                "DIV 86400000000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("day")
+    errs = daily.select(
+        "region",
+        F.abs(F.col("cents") - F.lag("cents", 1).over(w)).alias("e1"),
+        F.abs(F.col("cents") - F.lag("cents", 7).over(w)).alias("e7"),
+    )
+    agg = errs.groupBy("region").agg(
+        F.count("e1").cast("bigint").alias("n1"),
+        F.sum("e1").cast("bigint").alias("s1"),
+        F.count("e7").cast("bigint").alias("n7"),
+        F.sum("e7").cast("bigint").alias("s7"),
+    )
+    return agg.select(
+        "region",
+        F.round(F.col("s1").cast("double") / F.col("n1"), 6).alias(
+            "mae_naive"
+        ),
+        F.round(F.col("s7").cast("double") / F.col("n7"), 6).alias(
+            "mae_seasonal"
+        ),
+        F.round(
+            (F.col("s7").cast("double") * F.col("n1"))
+            / (F.col("s1").cast("double") * F.col("n7")),
+            6,
+        ).alias("mase"),
+    ).orderBy("region")
+
+
+# =====================================================================
+# Unary inclusion-dependency discovery (q273): which column value
+# sets are subsets of which — the FK-candidate profiler (Bell &
+# Brockhausen 1995). Each candidate is a distinct-projection
+# anti-join (count of src values missing from dst); the candidate
+# list is schema-sized, each check one hash-distinct + one hash join.
+# Includes a deliberate "spurious IND" pair (suppkey ⊆ partkey holds
+# numerically because both are dense 1..N ranges — the classic
+# false-positive the profiler must surface for human review).
+# =====================================================================
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("supplier", "s_suppkey", "part", "p_partkey"),
+]
+
+
+def _ind_oracle() -> str:
+    parts = []
+    for st, sc, dt, dc in _IND_CANDIDATES:
+        parts.append(f"""
+    SELECT '{st}' AS src_table, '{sc}' AS src_col,
+           '{dt}' AS dst_table, '{dc}' AS dst_col,
+           (SELECT CAST(count(DISTINCT {sc}) AS BIGINT) FROM {st})
+             AS n_src_distinct,
+           (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT {sc} AS v FROM {st}) s
+              ANTI JOIN (SELECT DISTINCT {dc} AS v FROM {dt}) d
+              ON s.v = d.v) AS n_violations""")
+    inner = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT *, n_violations = 0 AS is_ind FROM ({inner})
+    ORDER BY src_table, src_col, dst_table, dst_col
+    """
+
+
+@q("q273_ind_discovery", _ind_oracle())
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for st, sc, dt, dc in _IND_CANDIDATES:
+        s = t(spark, sf_dir, st).select(F.col(sc).alias("v")).distinct()
+        dd = t(spark, sf_dir, dt).select(F.col(dc).alias("v")).distinct()
+        viol = s.join(dd, "v", "left_anti")
+        row = s.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src_distinct")
+        ).crossJoin(
+            viol.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_violations")
+            )
+        ).select(
+            F.lit(st).alias("src_table"),
+            F.lit(sc).alias("src_col"),
+            F.lit(dt).alias("dst_table"),
+            F.lit(dc).alias("dst_col"),
+            "n_src_distinct",
+            "n_violations",
+        )
+        outs.append(row)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.withColumn("is_ind", F.col("n_violations") == 0).orderBy(
+        "src_table", "src_col", "dst_table", "dst_col"
+    )
+
+
+# =====================================================================
+# Candidate-key discovery (q274): uniqueness check over a fixed
+# schema-sized combo list — count(distinct combo) vs count(*) per
+# candidate, one hash aggregate each (Huhtala TANE's level-1, the
+# practical 80% of key profiling).
+# =====================================================================
+_KEY_CANDIDATES = [
+    ("orders", ["o_orderkey"]),
+    ("orders", ["o_custkey"]),
+    ("orders", ["o_custkey", "o_orderdate"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("lineitem", ["l_partkey", "l_suppkey"]),
+]
+
+
+def _key_oracle() -> str:
+    parts = []
+    for tb, cols in _KEY_CANDIDATES:
+        cl = ", ".join(cols)
+        parts.append(f"""
+    SELECT '{tb}' AS table_name, '{cl}' AS columns,
+           (SELECT CAST(count(*) AS BIGINT) FROM {tb}) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT {cl} FROM {tb})) AS n_distinct""")
+    inner = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT *, n_distinct = n_rows AS is_key FROM ({inner})
+    ORDER BY table_name, columns
+    """
+
+
+@q("q274_key_discovery", _key_oracle())
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for tb, cols in _KEY_CANDIDATES:
+        df = t(spark, sf_dir, tb)
+        row = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(*[F.col(c) for c in cols])
+            .cast("bigint")
+            .alias("n_distinct"),
+        ).select(
+            F.lit(tb).alias("table_name"),
+            F.lit(", ".join(cols)).alias("columns"),
+            "n_rows",
+            "n_distinct",
+        )
+        outs.append(row)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.withColumn("is_key", F.col("n_distinct") == F.col("n_rows")).orderBy(
+        "table_name", "columns"
+    )
