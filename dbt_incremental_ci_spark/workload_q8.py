@@ -645,3 +645,285 @@ def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.withColumn("is_key", F.col("n_distinct") == F.col("n_rows")).orderBy(
         "table_name", "columns"
     )
+
+
+# =====================================================================
+# Page-Hinkley level-shift detection (q275): per-type daily event
+# counts monitored for upward mean shifts — exact integer statistic
+# (multiplied through by the series length), frame-bounded per-key
+# windows (operators/timeseries.page_hinkley).
+# =====================================================================
+@q(
+    "q275_page_hinkley",
+    page_hinkley_sql(
+        _DAILY_COUNTS, "event_type", "day", "c", delta=0, lam=25
+    ),
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return page_hinkley(daily, "event_type", "day", "c", delta=0, lam=25)
+
+
+# =====================================================================
+# Embedding covariance profile (q276): exact covariance of the first
+# 16 embedding dimensions (120 dim pairs) — the redundancy check
+# before whitening / PCA. Inputs quantize to DECIMAL(18,6), all sums
+# exact; at production scale the same partial (n, Σx, Σy, Σxy) shards
+# merge associatively (the moments-merge class), and widening to all
+# d²/2 pairs is a budget knob, not a shape change.
+# =====================================================================
+_Q276_DIMS = 16
+
+
+def _q276_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, i,
+             CAST(ROUND(v[i], 6) AS DECIMAL(18,6)) AS xi
+      FROM e, (SELECT unnest(generate_series(1, {_Q276_DIMS})) AS i)
+      WHERE len(v) >= {_Q276_DIMS}
+    ),
+    pairs AS (
+      SELECT a.i AS dim_i, b.i AS dim_j,
+             count(*) AS n,
+             SUM(a.xi) AS sx, SUM(b.xi) AS sy,
+             SUM(CAST(a.xi * b.xi AS DECIMAL(37,12))) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+             CAST(n AS BIGINT) AS n,
+             ROUND(CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n),
+                   6) AS cov
+      FROM pairs
+    )
+    SELECT dim_i, dim_j, n, cov, ABS(cov) AS abs_cov
+    FROM cov
+    ORDER BY abs_cov DESC, dim_i, dim_j
+    LIMIT 20
+    """
+
+
+@q("q276_emb_covariance", _q276_oracle())
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.filter(F.size("embedding") >= _Q276_DIMS).select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, _Q276_DIMS)).alias(
+            "__p", "__val"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("__p") + 1).alias("i"),
+        F.round(F.col("__val").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("xi"),
+    ).localCheckpoint(eager=False)  # both pair sides read it
+    a = x.select("vec_id", F.col("i").alias("dim_i"), F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("dim_j"), F.col("xi").alias("xb"))
+    pairs = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") < F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum((F.col("xa") * F.col("xb")).cast("decimal(37,12)")).alias(
+                "sxy"
+            ),
+        )
+    )
+    nd = F.col("n").cast("double")
+    cov = F.round(
+        F.col("sxy").cast("double") / nd
+        - (F.col("sx").cast("double") / nd)
+        * (F.col("sy").cast("double") / nd),
+        6,
+    )
+    return (
+        pairs.select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            F.col("n").cast("bigint").alias("n"),
+            cov.alias("cov"),
+        )
+        .withColumn("abs_cov", F.abs(F.col("cov")))
+        .orderBy(F.desc("abs_cov"), "dim_i", "dim_j")
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Reciprocal best match (q277): mutual 1-NN by cosine between a FIXED
+# probe shard (vec_id < 200 — the §6o fixed-eval-set rule: probe sets
+# are audit-sized, they don't grow with the corpus) and the rest —
+# the translation-pair / duplicate-pair mining primitive. One
+# probes×corpus score pass feeds BOTH argmax directions; ranking on
+# ROUNDED cosine + id tiebreak (house rule).
+# =====================================================================
+@q(
+    "q277_reciprocal_best_match",
+    """
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200),
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id >= 200),
+    scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_dot_product(a.v, b.v)
+                   / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 0), 6)
+               AS cosine
+      FROM a CROSS JOIN b
+    ),
+    best_a AS (
+      SELECT a_id, b_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cosine DESC, b_id) AS rn FROM scored) WHERE rn = 1
+    ),
+    best_b AS (
+      SELECT a_id, b_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY b_id
+          ORDER BY cosine DESC, a_id) AS rn FROM scored) WHERE rn = 1
+    )
+    SELECT ba.a_id, ba.b_id, ba.cosine
+    FROM best_a ba JOIN best_b bb
+      ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+    ORDER BY ba.a_id
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") >= 200).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+    )
+    scored = (
+        F.broadcast(a)
+        .crossJoin(b)  # driver-bound fan-out: |probes| fixed at 200
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / F.nullif(
+                    F.sqrt(similarity.dot(F.col("va"), F.col("va")))
+                    * F.sqrt(similarity.dot(F.col("vb"), F.col("vb"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .localCheckpoint(eager=False)  # both argmax directions read it
+    )
+    wa = Window.partitionBy("a_id").orderBy(F.desc("cosine"), "b_id")
+    wb = Window.partitionBy("b_id").orderBy(F.desc("cosine"), "a_id")
+    best_a = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    best_b = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    return best_a.join(best_b, ["a_id", "b_id"]).orderBy("a_id")
+
+
+# =====================================================================
+# Theil-Sen robust trend (q278): median-of-pairwise-slopes on the
+# DAILY revenue series — the outlier-proof regression line. The pair
+# frame is days², calendar-bounded (never corpus-scaled: the corpus
+# reduces to one row per day first); slopes are IEEE divisions of
+# exact integer cents/days, medians interpolate identically in both
+# engines.
+# =====================================================================
+@q(
+    "q278_theil_sen",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(o_orderdate) // 86400000000000 AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.cents - a.cents) * 1.0 / (b.day - a.day) AS s
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    sl AS (SELECT median(s) AS slope FROM slopes),
+    icept AS (
+      SELECT median(d.cents - sl.slope * d.day) AS intercept
+      FROM daily d, sl
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+           ROUND(sl.slope, 6) AS slope,
+           ROUND(icept.intercept, 6) AS intercept
+    FROM sl, icept
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 "
+            "DIV 86400000000000 AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).localCheckpoint(eager=False)  # pair sides + intercept read it
+    a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("s")
+        )
+        .localCheckpoint(eager=False)  # median + count read it
+    )
+    sl = slopes.agg(F.percentile("s", F.lit(0.5)).alias("slope"))
+    icept = daily.crossJoin(F.broadcast(sl)).agg(
+        F.percentile(
+            F.col("cents").cast("double") - F.col("slope") * F.col("day"),
+            F.lit(0.5),
+        ).alias("intercept")
+    )
+    counts = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    ).crossJoin(
+        slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(icept))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )

@@ -211,3 +211,53 @@ def test_item_cooccurrence_basket_cap(spark):
     # only basket 2 survives: a single (i0,i1) pair with n_i = 1 each
     assert [(r["item_a"], r["item_b"], r["c_ij"], r["cosine"])
             for r in out] == [("i0", "i1", 1, 1.0)]
+
+
+# ------------------------------------------------------------- ACF
+def test_acf_alternating_series(spark):
+    """x = 1,2,1,2,1,2: lag-1 pairs perfectly anti-correlate (-1),
+    lag-2 pairs perfectly correlate (+1)."""
+    from dbt_incremental_ci_spark.operators.timeseries import acf
+
+    rows = [("k", tt, 1 if tt % 2 else 2) for tt in range(1, 7)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {r["lag"]: (r["n_pairs"], r["acf"])
+           for r in acf(df, "k", "t", "x", max_lag=2).collect()}
+    assert out[1] == (5, -1.0)
+    assert out[2] == (4, 1.0)
+
+
+def test_acf_constant_is_null(spark):
+    from dbt_incremental_ci_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame(
+        [("k", tt, 5) for tt in range(1, 5)], "k string, t long, x long"
+    )
+    for r in acf(df, "k", "t", "x", max_lag=1).collect():
+        assert r["acf"] is None
+
+
+# ---------------------------------------------------- Page-Hinkley
+def test_page_hinkley_step_detection(spark):
+    """5 points at 0 then 5 at 100 (mean 50): PH exceeds lam=60 first
+    at t=7 (cumulative +100 over the running min), max_ph = 250."""
+    from dbt_incremental_ci_spark.operators.timeseries import page_hinkley
+
+    rows = [("k", tt, 0) for tt in range(1, 6)] + [
+        ("k", tt, 100) for tt in range(6, 11)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = page_hinkley(df, "k", "t", "x", delta=0, lam=60).collect()[0]
+    assert bool(r["detected"]) is True
+    assert r["first_detect_t"] == 7
+    assert r["max_ph"] == 250.0
+
+
+def test_page_hinkley_stationary_no_detect(spark):
+    from dbt_incremental_ci_spark.operators.timeseries import page_hinkley
+
+    rows = [("k", tt, 10 + (tt % 2)) for tt in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    r = page_hinkley(df, "k", "t", "x", delta=0, lam=50).collect()[0]
+    assert bool(r["detected"]) is False
+    assert r["first_detect_t"] is None
