@@ -103,3 +103,229 @@ def global_percent_rank(
         )
         .drop("__rn", "__rank", "__n")
     )
+
+
+def exact_quantiles(
+    df: DataFrame, value_col: str, qs: list[float]
+) -> DataFrame:
+    """Exact linearly-interpolated quantiles (the ``quantile_cont`` /
+    ``F.percentile`` definition: position k = (n−1)·q over the sorted
+    values, interpolating between the two adjacent order statistics)
+    WITHOUT the single-task sort.
+
+    ``F.percentile`` is an ObjectHashAggregate that ships every value
+    into one task and sorts there — fine on a bounded frame, fatal on
+    a corpus (the q77 plan at 100 TB). The scalable exact shape is the
+    Mann-Whitney machinery: ONE map-side-combinable aggregate to
+    distinct-value counts, :func:`~.packing.global_cumsum` for rank
+    offsets, then each requested quantile probes the cumulative table
+    for its two bracketing order statistics (a constant-size spine ×
+    distinct-values range join — Catalyst broadcasts the spine).
+
+    Determinism: the target position is computed in integer micro
+    space (k_micro = (n−1)·round(q,6)·10⁶, exact bigint), so
+    floor/frac can't ulp-flip across engines; the interpolation
+    ``vlo + frac·(vhi−vlo)`` is one IEEE expression over identical
+    doubles. Output: ``(q, n, quantile)`` — quantile UNROUNDED
+    (callers round to their grid).
+    """
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+
+    g = (
+        df.select(F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)  # cumsum + total both read it
+    )
+    c = global_cumsum(g, "__v", "__cnt", out_col="__cum").localCheckpoint(
+        eager=False  # probed once per bracketing side
+    )
+    tot = g.agg(F.sum("__cnt").alias("__n"))
+    spine = df.sparkSession.createDataFrame(
+        [(float(x),) for x in qs], "q double"
+    )
+    tq = spine.crossJoin(F.broadcast(tot)).select(
+        "q",
+        "__n",
+        F.expr(
+            "CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
+            " * (__n - 1)"
+        ).alias("__km"),
+    )
+    tq = tq.select(
+        "q",
+        "__n",
+        F.expr("__km DIV 1000000").alias("__kf"),
+        ((F.col("__km") % 1_000_000).cast("double") / 1_000_000.0).alias(
+            "__frac"
+        ),
+    )
+    lo_rank = F.col("__kf") + 1
+    hi_rank = lo_rank + F.when(F.col("__frac") > 0, 1).otherwise(0)
+
+    def bracket(rank_expr: F.Column, out: str) -> DataFrame:
+        probe = tq.select("q", rank_expr.alias("__r"))
+        return (
+            probe.join(c, c["__cum"] >= probe["__r"])
+            .groupBy("q")
+            .agg(F.min("__v").alias(out))
+        )
+
+    vlo = bracket(lo_rank, "__vlo")
+    vhi = bracket(hi_rank, "__vhi")
+    return (
+        tq.join(vlo, "q")
+        .join(vhi, "q")
+        .select(
+            "q",
+            F.col("__n").cast("bigint").alias("n"),
+            (
+                F.col("__vlo")
+                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("quantile"),
+        )
+    )
+
+
+def exact_quantiles_sql(
+    rows: str, value_expr: str, qs: list[float]
+) -> str:
+    """DuckDB twin of :func:`exact_quantiles` (plain window cumsum +
+    the same integer-micro position arithmetic)."""
+    spine = " UNION ALL ".join(f"SELECT {float(x)!r} AS q" for x in qs)
+    return f"""
+    WITH g AS (
+      SELECT CAST({value_expr} AS DOUBLE) AS v, count(*) AS cnt
+      FROM {rows} WHERE {value_expr} IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT *, SUM(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM g
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM g),
+    spine AS ({spine}),
+    tq AS (
+      SELECT q, n,
+             (CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+              * (n - 1)) // 1000000 AS kf,
+             CAST((CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000
+                        AS BIGINT) * (n - 1)) % 1000000 AS DOUBLE)
+               / 1000000.0 AS frac
+      FROM spine, tot
+    ),
+    vlo AS (
+      SELECT tq.q, MIN(c.v) AS vlo FROM tq JOIN c ON c.cum >= tq.kf + 1
+      GROUP BY tq.q
+    ),
+    vhi AS (
+      SELECT tq.q, MIN(c.v) AS vhi FROM tq
+      JOIN c ON c.cum >= tq.kf + 1 + CASE WHEN tq.frac > 0 THEN 1 ELSE 0 END
+      GROUP BY tq.q
+    )
+    SELECT tq.q, CAST(tq.n AS BIGINT) AS n,
+           vlo.vlo + tq.frac * (vhi.vhi - vlo.vlo) AS quantile
+    FROM tq JOIN vlo ON tq.q = vlo.q JOIN vhi ON tq.q = vhi.q
+    """
+
+
+def exact_quantiles_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Per-group exact interpolated quantiles without per-group
+    value-buffer aggregates.
+
+    ``F.percentile`` grouped by a key still collects EVERY group row
+    into one task's buffer — per-group corpus-sized state at scale.
+    This reduces to distinct (key, value) COUNTS first (map-side
+    combinable; the frame is value-grid-bounded — a 2-dp price column
+    has at most 10² · range distinct values no matter how many rows),
+    then a per-key window cumsum whose task state is the group's
+    DISTINCT-value count, then the same integer-micro bracketing as
+    :func:`exact_quantiles`, fanned out by a constant quantile spine.
+
+    Output: ``(key…, q, n, quantile)`` — quantile unrounded,
+    bit-equal to ``F.percentile`` (unit-tested).
+    """
+    keys = [F.col(k) for k in key_cols]
+    g = (
+        df.select(*keys, F.col(value_col).cast("double").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*key_cols, "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)  # cumsum + totals both read it
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("__cum", F.sum("__cnt").over(w)).localCheckpoint(
+        eager=False  # probed once per bracketing side
+    )
+    tot = g.groupBy(*key_cols).agg(F.sum("__cnt").alias("__n"))
+    qlits = F.array(*[F.lit(float(x)) for x in qs])
+    tq = tot.select(
+        *key_cols,
+        "__n",
+        F.explode(qlits).alias("q"),
+    ).select(
+        *key_cols,
+        "q",
+        "__n",
+        F.expr(
+            "CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
+            " * (__n - 1)"
+        ).alias("__km"),
+    )
+    tq = tq.select(
+        *key_cols,
+        "q",
+        "__n",
+        F.expr("__km DIV 1000000").alias("__kf"),
+        ((F.col("__km") % 1_000_000).cast("double") / 1_000_000.0).alias(
+            "__frac"
+        ),
+    )
+    lo_rank = F.col("__kf") + 1
+    hi_rank = lo_rank + F.when(F.col("__frac") > 0, 1).otherwise(0)
+
+    # rename the cumulative table's columns before probing: probe and
+    # c share lineage through g, and same-name join conditions trip
+    # Spark's ambiguous-self-join analyzer
+    c2 = c.select(
+        *[F.col(k).alias(f"__ck_{i}") for i, k in enumerate(key_cols)],
+        F.col("__v").alias("__cv"),
+        F.col("__cum").alias("__ccum"),
+    )
+
+    def bracket(rank_expr: F.Column, out: str) -> DataFrame:
+        probe = tq.select(*key_cols, "q", rank_expr.alias("__r"))
+        cond = [
+            probe[k] == c2[f"__ck_{i}"] for i, k in enumerate(key_cols)
+        ] + [c2["__ccum"] >= probe["__r"]]
+        joined = probe.join(c2, cond)
+        return joined.groupBy(*key_cols, "q").agg(
+            F.min("__cv").alias(out)
+        )
+
+    vlo = bracket(lo_rank, "__vlo")
+    vhi = bracket(hi_rank, "__vhi")
+    on = [*key_cols, "q"]
+    return (
+        tq.join(vlo, on)
+        .join(vhi, on)
+        .select(
+            *key_cols,
+            "q",
+            F.col("__n").cast("bigint").alias("n"),
+            (
+                F.col("__vlo")
+                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("quantile"),
+        )
+    )

@@ -7,7 +7,11 @@ This is the exact-stats complement to the engine's mergeable-sketch
 path (GK/approx_percentile in q46/q49): exact percentiles shuffle each
 group's values once per pass, which is the right trade for audit-grade
 numbers on grouped slices; pipelines that only need screening cutoffs
-at 100 TB should use the sketch route instead. Two passes are
+at 100 TB should use the sketch route instead, and corpus-sized groups
+should use ``ranks.exact_quantiles_by_key`` (distinct-value cumsum —
+identical output, unit-tested; measured SLOWER at gate scale where the
+per-group buffer fits in one task, so this module keeps the buffer
+form — docs/SCALE.md §6u records the measured trade). Two passes are
 inherent (MAD needs the median joined back); both are plain shuffled
 aggregates with map-side combine, and the per-group stats table that
 joins back onto rows is GROUP-cardinality-sized — broadcastable via

@@ -1157,21 +1157,26 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # Equi-depth (quantile) binning — the stats/optimizer histogram dual
-# of q63's equal-width bins: exact global quartiles (one aggregate),
-# broadcast back as a 1-row cross join, pure CASE bucketing. At scale
-# the quantile pass would use q49's GK sketch; the exact path keeps
-# the driver gate bit-deterministic (q46 proved percentile ≡
-# quantile_cont, rounded). Boundary comparison uses the ROUNDED
-# quantiles on both sides so the bucket edges are engine-identical.
+# of q63's equal-width bins: exact global quartiles via the SCALABLE
+# quantile_cont path (operators/ranks.exact_quantiles: distinct-value
+# counts + partition-parallel cumsum + constant-spine probes — never
+# F.percentile's single-task ObjectHashAggregate sort, which was both
+# ~5 s of this query's sf0.1 runtime and the one corpus-sized
+# single-task stage in its 100 TB plan), broadcast back as a 1-row
+# cross join, pure CASE bucketing. Boundary comparison uses the
+# ROUNDED quantiles on both sides so bucket edges are
+# engine-identical; a unit test pins exact_quantiles ≡ F.percentile.
 # =====================================================================
-@q(
-    "q77_equidepth_bins",
-    """
+def _q77_oracle() -> str:
+    from dbt_incremental_ci_spark.operators.ranks import exact_quantiles_sql
+
+    eq = exact_quantiles_sql("lineitem", "l_extendedprice", [0.25, 0.5, 0.75])
+    return f"""
     WITH q AS (
-      SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS q1,
-             ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS q2,
-             ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS q3
-      FROM lineitem
+      SELECT ROUND(MAX(CASE WHEN q = 0.25 THEN quantile END), 4) AS q1,
+             ROUND(MAX(CASE WHEN q = 0.50 THEN quantile END), 4) AS q2,
+             ROUND(MAX(CASE WHEN q = 0.75 THEN quantile END), 4) AS q3
+      FROM ({eq})
     ),
     b AS (
       SELECT CASE WHEN l_extendedprice < q.q1 THEN 0
@@ -1184,15 +1189,25 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(price) AS DOUBLE) AS total
     FROM b GROUP BY bucket
-    """,
-)
+    """
+
+
+@q("q77_equidepth_bins", _q77_oracle())
 def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.ranks import exact_quantiles
+
     li = t(spark, sf_dir, "lineitem")
-    price = F.col("l_extendedprice").cast("double")
-    qs = li.agg(
-        F.round(F.percentile(price, F.lit(0.25)), 4).alias("q1"),
-        F.round(F.percentile(price, F.lit(0.50)), 4).alias("q2"),
-        F.round(F.percentile(price, F.lit(0.75)), 4).alias("q3"),
+    eq = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    qs = eq.agg(
+        F.round(
+            F.max(F.when(F.col("q") == 0.25, F.col("quantile"))), 4
+        ).alias("q1"),
+        F.round(
+            F.max(F.when(F.col("q") == 0.50, F.col("quantile"))), 4
+        ).alias("q2"),
+        F.round(
+            F.max(F.when(F.col("q") == 0.75, F.col("quantile"))), 4
+        ).alias("q3"),
     )
     bucket = (
         F.when(F.col("l_extendedprice") < F.col("q1"), 0)

@@ -261,3 +261,54 @@ def test_page_hinkley_stationary_no_detect(spark):
     r = page_hinkley(df, "k", "t", "x", delta=0, lam=50).collect()[0]
     assert bool(r["detected"]) is False
     assert r["first_detect_t"] is None
+
+
+# -------------------------------------------------- exact quantiles
+def test_exact_quantiles_matches_percentile(spark):
+    """exact_quantiles (distinct-value cumsum path) must reproduce
+    F.percentile's interpolated quantile_cont bit-for-bit, ties and
+    fractional positions included."""
+    from dbt_incremental_ci_spark.operators.ranks import exact_quantiles
+
+    vals = [1.0, 1.0, 2.5, 3.0, 7.25, 7.25, 7.25, 10.0, 42.0, 100.5, -3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = {
+        r["q"]: (r["n"], r["quantile"])
+        for r in exact_quantiles(df, "x", qs).collect()
+    }
+    ref = df.agg(
+        *[F.percentile("x", F.lit(q)).alias(f"p{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    for i, q in enumerate(qs):
+        assert got[q] == (len(vals), ref[f"p{i}"]), q
+
+
+def test_exact_quantiles_single_value(spark):
+    from dbt_incremental_ci_spark.operators.ranks import exact_quantiles
+
+    df = spark.createDataFrame([(5.0,)], "x double")
+    for r in exact_quantiles(df, "x", [0.25, 0.5, 0.75]).collect():
+        assert r["quantile"] == 5.0 and r["n"] == 1
+
+
+def test_exact_quantiles_by_key_matches_percentile(spark):
+    from dbt_incremental_ci_spark.operators.ranks import (
+        exact_quantiles_by_key,
+    )
+
+    rows = [("a", v) for v in [1.0, 2.0, 2.0, 5.5, 9.0]] + [
+        ("b", v) for v in [10.0, 20.0, 30.0, 40.0]
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        (r["k"], r["q"]): r["quantile"]
+        for r in exact_quantiles_by_key(df, ["k"], "x", qs).collect()
+    }
+    ref = df.groupBy("k").agg(
+        *[F.percentile("x", F.lit(q)).alias(f"p{i}") for i, q in enumerate(qs)]
+    )
+    for r in ref.collect():
+        for i, q in enumerate(qs):
+            assert got[(r["k"], q)] == r[f"p{i}"], (r["k"], q)
