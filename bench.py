@@ -298,6 +298,27 @@ EXTRA_QUERIES = [
     "q259_rank_agreement",
     "q260_best_threshold",
     "q261_dedup_impact",
+    "q262_link_prediction",
+    "q263_item_cooccurrence",
+    "q264_kruskal_wallis",
+    "q265_anova_f",
+    "q266_levene_bf",
+    "q267_effect_sizes",
+    "q268_spearman",
+    "q269_acf",
+    "q270_good_turing",
+    "q271_seq_patterns",
+    "q272_mase",
+    "q273_ind_discovery",
+    "q274_key_discovery",
+    "q275_page_hinkley",
+    "q276_emb_covariance",
+    "q277_reciprocal_best_match",
+    "q278_theil_sen",
+    "q279_kendall_tau",
+    "q280_rec_coverage",
+    "q281_popularity_hitrate",
+    "q282_diversity_index",
 ]
 
 

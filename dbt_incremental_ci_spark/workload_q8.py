@@ -927,3 +927,435 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+# =====================================================================
+# Kendall tau-b (q279): concordance of daily order volume vs daily
+# revenue — the rank-correlation that handles ties head-on. The pair
+# frame is days² (calendar-bounded, the Theil-Sen class); tie terms
+# come from value-count aggregates, never the pair join; everything
+# is exact integers until the one final double expression.
+# =====================================================================
+@q(
+    "q279_kendall_tau",
+    """
+    WITH daily AS (
+      SELECT epoch_ns(o_orderdate) // 86400000000000 AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.x < b.x AND a.y > b.y)
+                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc
+      FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    cd AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS c, CAST(SUM(disc) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM pairs
+    ),
+    tx AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS tsum FROM
+        (SELECT count(*) AS t FROM daily GROUP BY x)
+    ),
+    ty AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS tsum FROM
+        (SELECT count(*) AS t FROM daily GROUP BY y)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           cd.n0 AS n_pairs, cd.c AS concordant, cd.d AS discordant,
+           ROUND((cd.c - cd.d)
+                 / sqrt(CAST(cd.n0 - tx.tsum AS DOUBLE)
+                        * CAST(cd.n0 - ty.tsum AS DOUBLE)), 6) AS tau_b
+    FROM cd, tx, ty
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 "
+            "DIV 86400000000000 AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=False)  # pair sides + tie margins read it
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("int")
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("int")
+    cd = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(conc).cast("bigint").alias("c"),
+            F.sum(disc).cast("bigint").alias("d"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    tx = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) DIV 2")).cast("bigint").alias("txs")
+        )
+    )
+    ty = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.expr("t * (t - 1) DIV 2")).cast("bigint").alias("tys")
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    tau = F.round(
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt(
+            (F.col("n0") - F.col("txs")).cast("double")
+            * (F.col("n0") - F.col("tys")).cast("double")
+        ),
+        6,
+    )
+    return (
+        nd.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            "n_days",
+            F.col("n0").alias("n_pairs"),
+            F.col("c").alias("concordant"),
+            F.col("d").alias("discordant"),
+            tau.alias("tau_b"),
+        )
+    )
+
+
+# =====================================================================
+# Recommendation coverage & novelty (q280): grade the q263 co-
+# occurrence recommender's top-3 lists — catalog coverage (share of
+# items ever recommended) and mean novelty (−log₂ popularity share of
+# recommended items, Vargas & Castells 2011). Rec lists come from the
+# pair frame both ways (item-keyed windows); novelty terms are
+# ROUND-9 into DECIMAL before the sum (srm rule).
+# =====================================================================
+@q(
+    "q280_rec_coverage",
+    """
+    WITH inc AS (
+      SELECT DISTINCT o.o_custkey AS b, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sizes AS (SELECT b, count(*) AS sz FROM inc GROUP BY b),
+    kept AS (
+      SELECT inc.b, inc.i FROM inc JOIN sizes USING (b)
+      WHERE sizes.sz <= 128
+    ),
+    n_i AS (SELECT i, count(*) AS n FROM kept GROUP BY i),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM kept),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS c
+      FROM kept a JOIN kept b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT ia AS src, ib AS dst,
+             ROUND(c / sqrt(CAST(na.n * nd.n AS DOUBLE)), 6) AS cosine
+      FROM pairs JOIN n_i na ON pairs.ia = na.i
+                 JOIN n_i nd ON pairs.ib = nd.i
+      UNION ALL
+      SELECT ib AS src, ia AS dst,
+             ROUND(c / sqrt(CAST(na.n * nd.n AS DOUBLE)), 6) AS cosine
+      FROM pairs JOIN n_i na ON pairs.ia = na.i
+                 JOIN n_i nd ON pairs.ib = nd.i
+    ),
+    recs AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src
+          ORDER BY cosine DESC, dst) AS rn FROM directed) WHERE rn <= 3
+    ),
+    nov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recs,
+             CAST(SUM(CAST(ROUND(-log2(CAST(n_i.n AS DOUBLE)
+                                       / nb.n_baskets), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS novsum
+      FROM recs JOIN n_i ON recs.dst = n_i.i, nb
+    ),
+    cov AS (
+      SELECT CAST(count(DISTINCT dst) AS BIGINT) AS n_recommended,
+             (SELECT CAST(count(*) AS BIGINT) FROM n_i) AS n_items
+      FROM recs
+    )
+    SELECT cov.n_items, cov.n_recommended,
+           CAST((cov.n_recommended * 2000000 + cov.n_items)
+                // (cov.n_items * 2) AS BIGINT) / 1000000.0 AS coverage,
+           nov.n_recs,
+           ROUND(nov.novsum / nov.n_recs, 6) AS mean_novelty
+    FROM cov, nov
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    inc = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("b"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    sizes = inc.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    kept = (
+        inc.join(sizes, "b")
+        .filter(F.col("sz") <= 128)
+        .select("b", "i")
+        .localCheckpoint(eager=False)
+    )
+    n_i = kept.groupBy("i").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=False
+    )
+    nb = kept.agg(F.countDistinct("b").alias("n_baskets"))
+    a = kept.select("b", F.col("i").alias("ia"))
+    bb = kept.select("b", F.col("i").alias("ib"))
+    pairs = (
+        a.join(bb, "b")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    na = n_i.select(F.col("i").alias("ia"), F.col("n").alias("na"))
+    ndm = n_i.select(F.col("i").alias("ib"), F.col("n").alias("ndn"))
+    scored = pairs.join(na, "ia").join(ndm, "ib").select(
+        "ia",
+        "ib",
+        F.round(
+            F.col("c").cast("double")
+            / F.sqrt((F.col("na") * F.col("ndn")).cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+    directed = scored.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst"), "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("ib").alias("src"), F.col("ia").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    recs = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)  # coverage + novelty read it
+    )
+    nov = (
+        recs.join(n_i.withColumnRenamed("i", "dst"), "dst")
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_recs"),
+            F.sum(
+                F.round(
+                    -F.log2(
+                        F.col("n").cast("double") / F.col("n_baskets")
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("novsum"),
+        )
+    )
+    cov = recs.agg(
+        F.countDistinct("dst").cast("bigint").alias("n_recommended")
+    ).crossJoin(
+        F.broadcast(n_i.agg(F.count(F.lit(1)).cast("bigint").alias("n_items")))
+    )
+    coverage = (
+        F.expr(
+            "CAST((n_recommended * 2000000 + n_items) "
+            "DIV (n_items * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        cov.crossJoin(F.broadcast(nov))
+        .select(
+            "n_items",
+            "n_recommended",
+            coverage.alias("coverage"),
+            "n_recs",
+            F.round(F.col("novsum") / F.col("n_recs"), 6).alias(
+                "mean_novelty"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Popularity-baseline hit rate (q281): leave-last-order-out eval of
+# the "recommend the global top-20 parts" baseline — the sanity floor
+# every recommender must beat. Split is per-customer windows (last
+# order = test, tiebreak orderkey); top-20 from TRAIN popularity only
+# (no leakage); hit rate rounds in integer space.
+# =====================================================================
+@q(
+    "q281_popularity_hitrate",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    ),
+    eligible AS (SELECT * FROM ranked WHERE n_orders >= 2),
+    test_orders AS (SELECT o_orderkey, o_custkey FROM eligible
+                    WHERE rn = 1),
+    train_orders AS (SELECT o_orderkey FROM eligible WHERE rn > 1),
+    top20 AS (
+      SELECT l.l_partkey FROM lineitem l
+      SEMI JOIN train_orders tr ON l.l_orderkey = tr.o_orderkey
+      GROUP BY 1 ORDER BY count(*) DESC, l.l_partkey LIMIT 20
+    ),
+    test_parts AS (
+      SELECT DISTINCT t.o_custkey, l.l_partkey
+      FROM test_orders t JOIN lineitem l ON l.l_orderkey = t.o_orderkey
+    ),
+    hits AS (
+      SELECT DISTINCT tp.o_custkey
+      FROM test_parts tp SEMI JOIN top20 ON tp.l_partkey = top20.l_partkey
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM test_orders)
+             AS n_eval_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           CAST(((SELECT count(*) FROM hits) * 2000000
+                 + (SELECT count(*) FROM test_orders))
+                // ((SELECT count(*) FROM test_orders) * 2) AS BIGINT)
+             / 1000000.0 AS hit_rate
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    wc = Window.partitionBy("o_custkey")
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_orders"),
+    ).filter(F.col("n_orders") >= 2).localCheckpoint(eager=False)
+    test_orders = ranked.filter(F.col("rn") == 1).select(
+        "o_orderkey", "o_custkey"
+    ).localCheckpoint(eager=False)
+    train_orders = ranked.filter(F.col("rn") > 1).select("o_orderkey")
+    top20 = (
+        li.join(train_orders, li["l_orderkey"] == train_orders["o_orderkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    test_parts = (
+        test_orders.join(li, test_orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    hits = test_parts.join(
+        F.broadcast(top20), "l_partkey", "left_semi"
+    ).select("o_custkey").distinct()
+    ne = test_orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_users")
+    )
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    rate = (
+        F.expr(
+            "CAST((n_hits * 2000000 + n_eval_users) "
+            "DIV (n_eval_users * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        ne.crossJoin(F.broadcast(nh))
+        .select("n_eval_users", "n_hits", rate.alias("hit_rate"))
+    )
+
+
+# =====================================================================
+# Shannon diversity / evenness per source (q282): language diversity
+# audit of each corpus slice — H = ln n − (Σ c·ln c)/n over the
+# per-source language counts, evenness = H/ln k (Pielou 1966). The
+# corpus reduces to a (source × lang)-sized count frame; ln terms
+# round-9 into DECIMAL before the per-source sum (srm rule).
+# =====================================================================
+@q(
+    "q282_diversity_index",
+    """
+    WITH counts AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS clnc
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           ROUND(ln(CAST(n_docs AS DOUBLE)) - clnc / n_docs, 6)
+             AS shannon_h,
+           CASE WHEN n_langs > 1 THEN
+             ROUND((ln(CAST(n_docs AS DOUBLE)) - clnc / n_docs)
+                   / ln(CAST(n_langs AS DOUBLE)), 6)
+           END AS evenness
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(
+            F.round(
+                F.col("c") * F.log(F.col("c").cast("double")), 9
+            ).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    h = F.log(F.col("n_docs").cast("double")) - F.col("clnc") / F.col(
+        "n_docs"
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(h, 6).alias("shannon_h"),
+        F.when(
+            F.col("n_langs") > 1,
+            F.round(h / F.log(F.col("n_langs").cast("double")), 6),
+        ).alias("evenness"),
+    ).orderBy("source")
