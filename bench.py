@@ -319,6 +319,10 @@ EXTRA_QUERIES = [
     "q280_rec_coverage",
     "q281_popularity_hitrate",
     "q282_diversity_index",
+    "q283_audience_overlap",
+    "q284_gini_gain",
+    "q285_time_to_convert",
+    "q286_key_skew_audit",
 ]
 
 

@@ -1359,3 +1359,328 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h / F.log(F.col("n_langs").cast("double")), 6),
         ).alias("evenness"),
     ).orderBy("source")
+
+
+# =====================================================================
+# Day-over-day audience overlap (q283): EXACT Jaccard of adjacent
+# days' active-user sets — the retention/churn curve at day grain
+# (the exact twin of q254's HLL overlap: per-day sets are day-bounded,
+# so exactness is affordable; the sketch path takes over when a
+# window's set no longer fits a join). One distinct pass + one
+# self-join on (user, day+1); Jaccard rounds in integer space.
+# =====================================================================
+@q(
+    "q283_audience_overlap",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+      FROM events
+    ),
+    sizes AS (SELECT day, count(*) AS n FROM du GROUP BY day),
+    inter AS (
+      SELECT a.day AS day, count(*) AS ix
+      FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+      GROUP BY a.day
+    )
+    SELECT s1.day, CAST(s1.n AS BIGINT) AS n_day,
+           CAST(s2.n AS BIGINT) AS n_next,
+           CAST(COALESCE(i.ix, 0) AS BIGINT) AS n_overlap,
+           CAST((COALESCE(i.ix, 0) * 2000000
+                 + (s1.n + s2.n - COALESCE(i.ix, 0)))
+                // ((s1.n + s2.n - COALESCE(i.ix, 0)) * 2) AS BIGINT)
+             / 1000000.0 AS jaccard
+    FROM sizes s1
+    JOIN sizes s2 ON s2.day = s1.day + 1
+    LEFT JOIN inter i ON i.day = s1.day
+    ORDER BY s1.day
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    du = ev.select(
+        "user_id",
+        F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day"),
+    ).distinct().localCheckpoint(eager=False)  # sizes + both join sides
+    sizes = du.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select("user_id", F.col("day").alias("da"))
+    b = du.select("user_id", (F.col("day") - 1).alias("da"))
+    inter = (
+        a.join(b, ["user_id", "da"])
+        .groupBy("da")
+        .agg(F.count(F.lit(1)).alias("ix"))
+    )
+    s1 = sizes.select(F.col("day"), F.col("n").alias("n_day"))
+    s2 = sizes.select(
+        (F.col("day") - 1).alias("day"), F.col("n").alias("n_next")
+    )
+    joined = (
+        s1.join(s2, "day")
+        .join(inter.withColumnRenamed("da", "day"), "day", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("ix"), F.lit(0)))
+    )
+    jac = (
+        F.expr(
+            "CAST((n_overlap * 2000000 + (n_day + n_next - n_overlap)) "
+            "DIV ((n_day + n_next - n_overlap) * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return joined.select(
+        "day",
+        F.col("n_day").cast("bigint").alias("n_day"),
+        F.col("n_next").cast("bigint").alias("n_next"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        jac.alias("jaccard"),
+    ).orderBy("day")
+
+
+# =====================================================================
+# Categorical information gain via Gini (q284): which categorical
+# feature best splits urgent-vs-rest orders — the categorical
+# counterpart of q242's threshold stump (CART, Breiman 1984). Gini is
+# RATIONAL in the class counts ((n²−Σc²)/n²), so the parent impurity
+# is exact; per-value terms widen through exact DECIMAL squares and
+# take ONE double division each, cast (never ROUND) into DECIMAL
+# before the value sum (the q265 cast rule). Count frames are
+# (feature × value)-sized.
+# =====================================================================
+def _q284_oracle() -> str:
+    feats = [
+        ("o_orderstatus", "o.o_orderstatus"),
+        ("order_year", "CAST(year(o.o_orderdate) AS VARCHAR)"),
+        ("cust_nation", "n.n_name"),
+    ]
+    parts = []
+    for name, expr in feats:
+        parts.append(f"""
+    SELECT '{name}' AS feature, v, n_v, pos FROM (
+      SELECT {expr} AS v, count(*) AS n_v,
+             SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS pos
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )""")
+    vals = "\nUNION ALL".join(parts)
+    return f"""
+    WITH vals AS ({vals}),
+    terms AS (
+      SELECT feature, v, n_v, pos,
+             CAST(CAST(CAST(n_v AS HUGEINT) * n_v
+                       - (CAST(pos AS HUGEINT) * pos
+                          + CAST(n_v - pos AS HUGEINT) * (n_v - pos))
+                       AS DOUBLE) / n_v AS DECIMAL(38,6)) AS term
+      FROM vals
+    ),
+    per_feat AS (
+      SELECT feature, CAST(count(*) AS BIGINT) AS n_values,
+             CAST(SUM(n_v) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS npos,
+             CAST(SUM(term) AS DOUBLE) AS wsum
+      FROM terms GROUP BY feature
+    )
+    SELECT feature, n_values,
+           ROUND(wsum / n, 6) AS weighted_gini,
+           ROUND(CAST(CAST(n AS HUGEINT) * n
+                      - (CAST(npos AS HUGEINT) * npos
+                         + CAST(n - npos AS HUGEINT) * (n - npos))
+                      AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                 - wsum / n, 6) AS gini_gain
+    FROM per_feat
+    ORDER BY gini_gain DESC, feature
+    """
+
+
+@q("q284_gini_gain", _q284_oracle())
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cst = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    base = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .join(F.broadcast(n), cst["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("o_orderstatus").alias("f_status"),
+            F.year("o_orderdate").cast("string").alias("f_year"),
+            F.col("n_name").alias("f_nation"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=False)  # three per-feature aggs read it
+    )
+    feats = [("o_orderstatus", "f_status"), ("order_year", "f_year"),
+             ("cust_nation", "f_nation")]
+    outs = []
+    d380 = "decimal(38,0)"
+    for name, col in feats:
+        vals = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("pos")
+        )
+        nvd = F.col("n_v").cast(d380)
+        pd_ = F.col("pos").cast(d380)
+        qd = (F.col("n_v") - F.col("pos")).cast(d380)
+        term = (
+            (nvd * nvd - (pd_ * pd_ + qd * qd)).cast("double")
+            / F.col("n_v")
+        ).cast("decimal(38,6)")
+        per = vals.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum("n_v").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("npos"),
+            F.sum(term).cast("double").alias("wsum"),
+        ).select(F.lit(name).alias("feature"), "n_values", "n", "npos", "wsum")
+        outs.append(per)
+    u = outs[0]
+    for x in outs[1:]:
+        u = u.unionAll(x)
+    nd = F.col("n").cast(d380)
+    posd = F.col("npos").cast(d380)
+    negd = (F.col("n") - F.col("npos")).cast(d380)
+    parent = (nd * nd - (posd * posd + negd * negd)).cast("double") / (
+        F.col("n").cast("double") * F.col("n")
+    )
+    return u.select(
+        "feature",
+        "n_values",
+        F.round(F.col("wsum") / F.col("n"), 6).alias("weighted_gini"),
+        F.round(parent - F.col("wsum") / F.col("n"), 6).alias("gini_gain"),
+    ).orderBy(F.desc("gini_gain"), "feature")
+
+
+# =====================================================================
+# Time-to-convert percentiles (q285): seconds from a user's first
+# view to their first later purchase, at p50/p90/p99 — funnel latency
+# SLOs. Reuses the scalable exact-quantile path end to end (the q77
+# operator both sides: no single-task sort anywhere).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.ranks import (  # noqa: E402
+    exact_quantiles,
+    exact_quantiles_sql,
+)
+
+_TTC_ROWS = """(
+  WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS tv,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+             AS tp
+    FROM events GROUP BY 1
+  )
+  SELECT (tp - tv) // 1000000000 AS delta_sec
+  FROM per_user WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+)"""
+
+
+@q(
+    "q285_time_to_convert",
+    f"""
+    SELECT q, n, ROUND(quantile, 3) AS quantile_sec
+    FROM ({exact_quantiles_sql(_TTC_ROWS, "delta_sec", [0.5, 0.9, 0.99])})
+    ORDER BY q
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    deltas = per_user.filter(
+        F.col("tv").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tp") > F.col("tv"))
+    ).select(
+        F.expr("CAST((tp - tv) DIV 1000000000 AS BIGINT)").alias("delta_sec")
+    )
+    return (
+        exact_quantiles(deltas, "delta_sec", [0.5, 0.9, 0.99])
+        .select("q", "n", F.round("quantile", 3).alias("quantile_sec"))
+        .orderBy("q")
+    )
+
+
+# =====================================================================
+# Join-key skew audit (q286): the pre-shuffle planning readout —
+# per-key row counts reduced to max / median / hot-key share, the
+# numbers that decide salting (q50) vs AQE skew-join. Median of the
+# count-of-counts via the scalable exact-quantile path.
+# =====================================================================
+@q(
+    "q286_key_skew_audit",
+    f"""
+    WITH kc AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    med AS (
+      SELECT quantile AS p50 FROM
+        ({exact_quantiles_sql("kc", "c", [0.5])})
+    ),
+    top1 AS (
+      SELECT max_by(k, lpad(CAST(c AS VARCHAR), 20, '0')
+                       || '|' || lpad(CAST(-k + 99999999 AS VARCHAR),
+                                      20, '0')) AS hot_key,
+             max(c) AS max_cnt
+      FROM kc
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows FROM kc)
+    SELECT tot.n_keys, tot.n_rows,
+           CAST(top1.max_cnt AS BIGINT) AS max_cnt,
+           med.p50 AS p50_cnt,
+           ROUND(top1.max_cnt / med.p50, 6) AS skew_factor,
+           CAST((top1.max_cnt * 2000000 + tot.n_rows)
+                // (tot.n_rows * 2) AS BIGINT) / 1000000.0 AS top1_share
+    FROM tot, top1, med
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)  # totals + median + argmax read it
+    med = exact_quantiles(kc, "c", [0.5]).select(
+        F.col("quantile").alias("p50_cnt")
+    )
+    # max_by tiebreak: highest count, then LOWEST key — mirrored via
+    # the zero-padded (count | inverted-key) varchar in the oracle
+    key = F.concat(
+        F.lpad(F.col("c").cast("string"), 20, "0"),
+        F.lit("|"),
+        F.lpad((-F.col("k") + 99999999).cast("string"), 20, "0"),
+    )
+    top1 = kc.agg(
+        F.max_by(F.col("k"), key).alias("hot_key"),
+        F.max("c").alias("max_cnt"),
+    )
+    tot = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+    )
+    share = (
+        F.expr(
+            "CAST((max_cnt * 2000000 + n_rows) DIV (n_rows * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        tot.crossJoin(F.broadcast(top1))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.col("max_cnt").cast("bigint").alias("max_cnt"),
+            "p50_cnt",
+            F.round(
+                F.col("max_cnt").cast("double") / F.col("p50_cnt"), 6
+            ).alias("skew_factor"),
+            share.alias("top1_share"),
+        )
+    )
