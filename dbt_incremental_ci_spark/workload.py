@@ -1,6 +1,6 @@
 """The engine's query workload — registration hub.
 
-The queries live in six band modules (split round 5, verdict item 8;
+The queries live in eight band modules (split round 5, verdict item 8;
 the original single module had grown past 9k lines):
 
 - ``workload_q1`` — q01-q50 (reference-parity relational band + first
@@ -32,8 +32,16 @@ the original single module had grown past 9k lines):
   accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
   blocking, assortativity, burstiness, RBO rank agreement, operating
   point, dedup impact)
+- ``workload_q8`` — q262+ (round-7 additions: link prediction CN/RA/AA,
+  item-item co-occurrence cosine, Kruskal-Wallis, one-way ANOVA +
+  Brown-Forsythe, effect sizes d/g/Cliff's δ, Spearman, ACF,
+  Good-Turing, sequential patterns, seasonal-naive MASE, IND / key
+  discovery, Page-Hinkley, embedding covariance, reciprocal best
+  match, Theil-Sen, Kendall tau-b, rec coverage/novelty, popularity
+  hit rate, Shannon diversity, audience-overlap Jaccard, Gini gain,
+  time-to-convert percentiles, key-skew audit)
 
-Importing this module imports all seven, which registers every query
+Importing this module imports all eight, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
