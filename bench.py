@@ -323,6 +323,9 @@ EXTRA_QUERIES = [
     "q284_gini_gain",
     "q285_time_to_convert",
     "q286_key_skew_audit",
+    "q287_entropy_rate",
+    "q288_grid_density_clusters",
+    "q289_join_size_estimate",
 ]
 
 

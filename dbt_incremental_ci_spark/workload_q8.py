@@ -1684,3 +1684,284 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
             share.alias("top1_share"),
         )
     )
+
+
+# =====================================================================
+# Markov entropy rate (q287): conditional entropy H(next|prev) of the
+# event-type chain vs its ln(k) ceiling — how predictable user
+# behavior is (the q144/q250 transition matrix graded as information).
+# H = (Σ_x c_x ln c_x − Σ_xy c_xy ln c_xy)/N over the states²-sized
+# count frame; ln terms ROUND-9 into DECIMAL (srm rule).
+# =====================================================================
+@q(
+    "q287_entropy_rate",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    tr AS (
+      SELECT prev, event_type AS cur, count(*) AS c
+      FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    margins AS (SELECT prev, SUM(c) AS cx FROM tr GROUP BY prev),
+    sums AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM tr) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM margins) AS k,
+             (SELECT CAST(SUM(CAST(ROUND(cx * ln(CAST(cx AS DOUBLE)), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE)
+              FROM margins) AS a,
+             (SELECT CAST(SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE)
+              FROM tr) AS b
+    )
+    SELECT n AS n_transitions, k AS n_states,
+           ROUND((a - b) / n, 6) AS entropy_rate,
+           ROUND(ln(CAST(k AS DOUBLE)), 6) AS max_entropy,
+           CASE WHEN k > 1 THEN
+             ROUND(((a - b) / n) / ln(CAST(k AS DOUBLE)), 6)
+           END AS efficiency
+    FROM sums
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # margins + sums both read it
+    )
+    margins = tr.groupBy("prev").agg(F.sum("c").alias("cx"))
+
+    def lnfold(col: str) -> F.Column:
+        return (
+            F.sum(
+                F.round(
+                    F.col(col) * F.log(F.col(col).cast("double")), 9
+                ).cast("decimal(28,9)")
+            )
+            .cast("double")
+        )
+
+    a = margins.agg(
+        lnfold("cx").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    b = tr.agg(
+        lnfold("c").alias("b"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    h = (F.col("a") - F.col("b")) / F.col("n")
+    lnk = F.log(F.col("k").cast("double"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            F.col("n").alias("n_transitions"),
+            F.col("k").alias("n_states"),
+            F.round(h, 6).alias("entropy_rate"),
+            F.round(lnk, 6).alias("max_entropy"),
+            F.when(F.col("k") > 1, F.round(h / lnk, 6)).alias(
+                "efficiency"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Grid-density clustering / DBSCAN-lite (q288): JL-project embeddings
+# to 2-D (shared ±1 literal matrix, the q236 recipe), bucket into
+# fixed cells, keep cells ≥ minpts, merge 8-adjacent dense cells with
+# the O(log n) components operator. The scalable density-clustering
+# shape: the corpus reduces to an occupied-CELL frame before any
+# graph work; adjacency is a 9-offset equi-join, never a range join.
+# =====================================================================
+# cell width / density floor sized to the embeddings' projection
+# spread (unit-normalized vectors project to ~N(0, 0.7²)): h = 0.2
+# gives ~100 occupied cells and a multi-cluster dense structure at
+# sf0.01 (4 clusters); coarser grids collapse to one blob
+_Q288_H = 0.2
+_Q288_MINPTS = 3
+
+
+def _q288_oracle() -> str:
+    import math
+
+    from dbt_incremental_ci_spark.operators.similarity import jl_sign_vector
+
+    scale = 1.0 / math.sqrt(2)
+
+    def arr(row):
+        return "[" + ",".join(repr(x) for x in row) + "]"
+
+    px = (
+        f"list_dot_product(embedding::DOUBLE[], {arr(jl_sign_vector(64, 0))})"
+        f" * {scale!r}"
+    )
+    py = (
+        f"list_dot_product(embedding::DOUBLE[], {arr(jl_sign_vector(64, 1))})"
+        f" * {scale!r}"
+    )
+    return f"""
+    WITH RECURSIVE
+    cells AS (
+      SELECT CAST(floor(ROUND({px}, 6) / {_Q288_H!r}) AS BIGINT) AS cx,
+             CAST(floor(ROUND({py}, 6) / {_Q288_H!r}) AS BIGINT) AS cy
+      FROM embeddings
+    ),
+    counts AS (SELECT cx, cy, count(*) AS c FROM cells GROUP BY 1, 2),
+    dense AS (
+      SELECT cx, cy, c, (cx + 1000) * 1000000 + (cy + 1000) AS node
+      FROM counts WHERE c >= {_Q288_MINPTS}
+    ),
+    edges AS (
+      SELECT a.node AS u, b.node AS v
+      FROM dense a
+      JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox ON TRUE
+      JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy ON TRUE
+      JOIN dense b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+      WHERE a.node <> b.node
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT COALESCE(comp.component, dense.node) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(SUM(dense.c) AS BIGINT) AS n_points
+    FROM dense LEFT JOIN comp ON dense.node = comp.node
+    GROUP BY 1
+    ORDER BY n_points DESC, cluster_id
+    """
+
+
+@q("q288_grid_density_clusters", _q288_oracle())
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import components as cc
+    from dbt_incremental_ci_spark.operators.similarity import jl_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, "embedding", dim=64, out_dim=2)
+    cells = proj.select(
+        F.floor(
+            F.round(F.col("proj")[0], 6) / F.lit(_Q288_H)
+        ).cast("bigint").alias("cx"),
+        F.floor(
+            F.round(F.col("proj")[1], 6) / F.lit(_Q288_H)
+        ).cast("bigint").alias("cy"),
+    )
+    dense = (
+        cells.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _Q288_MINPTS)
+        .withColumn(
+            "node", (F.col("cx") + 1000) * 1000000 + (F.col("cy") + 1000)
+        )
+        .localCheckpoint(eager=False)  # edge sides + final agg read it
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    probes = dense.select(
+        F.col("node").alias("u"), "cx", "cy", offs.alias("o")
+    ).select(
+        "u",
+        (F.col("cx") + F.col("o.dx")).alias("nx"),
+        (F.col("cy") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = dense.select(
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("ny"),
+        F.col("node").alias("v"),
+    )
+    edges = (
+        probes.join(nbr, ["nx", "ny"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    comp = cc.connected_components_logn(edges, "u", "v")
+    out = (
+        dense.join(
+            comp.withColumnRenamed("node", "node_id"),
+            dense["node"] == F.col("node_id"),
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("component"), F.col("node"))
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("c").cast("bigint").alias("n_points"),
+        )
+    )
+    return out.orderBy(F.desc("n_points"), "cluster_id")
+
+
+# =====================================================================
+# Join-size estimation (q289): predicted output rows of the
+# l_partkey self-join from per-key counts (Σ c² — exact, the number
+# the optimizer needs before picking a similarity-join strategy) plus
+# the hot key's share — q286's skew audit taken to pair space.
+# =====================================================================
+@q(
+    "q289_join_size_estimate",
+    """
+    WITH kc AS (
+      SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS est_join_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_rows
+      FROM kc
+    )
+    SELECT n_keys, n_rows, est_join_rows, max_key_rows,
+           CAST((max_key_rows * max_key_rows * 2000000 + est_join_rows)
+                // (est_join_rows * 2) AS BIGINT) / 1000000.0
+             AS top1_share
+    FROM agg
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("est_join_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+    )
+    share = (
+        F.expr(
+            "CAST((max_key_rows * max_key_rows * 2000000 + est_join_rows)"
+            " DIV (est_join_rows * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "est_join_rows",
+        "max_key_rows",
+        share.alias("top1_share"),
+    )
