@@ -1965,3 +1965,241 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_key_rows",
         share.alias("top1_share"),
     )
+
+
+# =====================================================================
+# TextRank keywords (q290): PageRank on the word-adjacency graph
+# (Mihalcea & Tarau 2004) — the graph-centrality complement of RAKE
+# (q235). Vocabulary ids come from one alphabetical rank over the
+# vocab frame (vocabulary-bounded); the rank loop is the q112 integer
+# fixed-point operator; the oracle recomputes the WHOLE iteration
+# independently in pure Python and inlines it as VALUES.
+# =====================================================================
+def _q290_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    import os as _os
+
+    from dbt_incremental_ci_spark.operators.pagerank import pagerank_replica
+
+    dp = _os.path.join(sf_dir, "documents.parquet")
+    if not _os.path.exists(dp):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    pairs = con.execute(
+        f"""
+        WITH tk AS (
+          SELECT list_filter(string_split_regex(trim(lower(text)),
+                                                '\\s+'),
+                             x -> x <> '') AS toks
+          FROM read_parquet('{dp}')
+        ),
+        bi AS (
+          SELECT DISTINCT t.toks[i] AS w1, t.toks[i+1] AS w2
+          FROM tk t, (SELECT unnest(generate_series(1, 10000)) AS i)
+          WHERE i < len(t.toks) AND t.toks[i] <> t.toks[i+1]
+        )
+        SELECT w1, w2 FROM bi
+        """
+    ).fetchall()
+    vocab = sorted({w for p in pairs for w in p})
+    wid = {w: i + 1 for i, w in enumerate(vocab)}
+    edges = [(wid[a], wid[b]) for a, b in pairs] + [
+        (wid[b], wid[a]) for a, b in pairs
+    ]
+    ranks = pagerank_replica(edges, iterations=6)
+    con.close()
+    rows = ",\n      ".join(
+        f"('{w}', {ranks.get(wid[w], 0)})" for w in vocab
+    )
+    return f"""
+    SELECT word, CAST(rank_fp AS BIGINT) AS rank_fp,
+           rank_fp / 1000000000000.0 AS rank
+    FROM (VALUES
+      {rows}
+    ) t(word, rank_fp)
+    ORDER BY rank_fp DESC, word
+    """
+
+
+from dbt_incremental_ci_spark.workload_base import _LAZY_ORACLES  # noqa: E402
+
+_LAZY_ORACLES["q290_textrank"] = _q290_oracle
+
+
+@q("q290_textrank")
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.ngrams import (
+        shifted_ngram_arrays,
+    )
+    from dbt_incremental_ci_spark.operators.pagerank import pagerank
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bi = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2, shifted_ngram_arrays(toks, 2)
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bg")
+        )
+        .select(
+            F.split(F.col("bg"), " ")[0].alias("w1"),
+            F.split(F.col("bg"), " ")[1].alias("w2"),
+        )
+        .filter(F.col("w1") != F.col("w2"))
+        .distinct()
+        .localCheckpoint(eager=False)  # vocab + both edge dirs read it
+    )
+    vocab = (
+        bi.select(F.col("w1").alias("word"))
+        .unionAll(bi.select(F.col("w2").alias("word")))
+        .distinct()
+    )
+    # vocabulary-bounded global window (31 words in this corpus) —
+    # the documented bounded-frame total order class
+    wv = Window.orderBy("word")
+    vocab = vocab.withColumn(
+        "wid", F.row_number().over(wv).cast("bigint")
+    ).localCheckpoint(eager=False)
+    v1 = vocab.select(F.col("word").alias("w1"), F.col("wid").alias("id1"))
+    v2 = vocab.select(F.col("word").alias("w2"), F.col("wid").alias("id2"))
+    directed = bi.join(v1, "w1").join(v2, "w2")
+    edges = directed.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionAll(
+        directed.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=6)
+    return (
+        vocab.join(ranks, vocab["wid"] == ranks["node"])
+        .select(
+            "word",
+            F.col("rank_fp").cast("bigint").alias("rank_fp"),
+            (F.col("rank_fp") / F.lit(1_000_000_000_000.0)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "word")
+    )
+
+
+# =====================================================================
+# HLL accuracy curve (q291): the sketch-tuning readout — estimate vs
+# exact distinct users at m ∈ {16, 64, 256} registers, one row per m.
+# Each estimate is one register pass (mergeable); exact is the
+# self-grading column hll_cardinality already carries.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.hll import (  # noqa: E402
+    hll_cardinality,
+    hll_cardinality_sql,
+)
+
+
+def _q291_oracle() -> str:
+    parts = [
+        f"SELECT * FROM ({hll_cardinality_sql('FROM events', 'user_id', m=m, salt='acc')})"
+        for m in (16, 64, 256)
+    ]
+    inner = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM ({inner}) ORDER BY m"
+
+
+@q("q291_hll_accuracy_curve", _q291_oracle())
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    outs = [
+        hll_cardinality(ev, "user_id", m=m, salt="acc")
+        for m in (16, 64, 256)
+    ]
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.orderBy("m")
+
+
+# =====================================================================
+# LSH parameter planner (q292): the analytic S-curve — candidate
+# probability 1−(1−s^r)^b for every (bands, rows) split of a 64-perm
+# MinHash signature × similarity grid, plus the ~(1/b)^(1/r)
+# threshold. Pure expression spine (no corpus): r and b are powers of
+# two, so s^r, (1−x)^b and the root all evaluate by REPEATED
+# SQUARING / sqrt — every op IEEE-pinned, no pow()/exp() divergence.
+# =====================================================================
+def _sq_chain_sql(base: str, log2n: int) -> str:
+    e = base
+    for _ in range(log2n):
+        e = f"(({e}) * ({e}))"
+    return e
+
+
+def _sqrt_chain_sql(base: str, log2n: int) -> str:
+    e = base
+    for _ in range(log2n):
+        e = f"sqrt({e})"
+    return e
+
+
+def _q292_oracle() -> str:
+    import math
+
+    combos = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]
+    rows = []
+    for b, r in combos:
+        lr = int(math.log2(r))
+        lb = int(math.log2(b))
+        sr = _sq_chain_sql("s", lr)
+        p = f"1.0 - {_sq_chain_sql(f'(1.0 - {sr})', lb)}"
+        thr = _sqrt_chain_sql(f"(1.0 / {b})", lr)
+        rows.append(
+            f"""
+    SELECT {b} AS bands, {r} AS rows_per_band, s AS similarity,
+           ROUND({p}, 6) AS p_candidate,
+           ROUND({thr}, 6) AS threshold_est
+    FROM (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS s)"""
+        )
+    inner = "\nUNION ALL".join(rows)
+    return f"""
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           similarity, p_candidate, threshold_est
+    FROM ({inner})
+    ORDER BY bands DESC, similarity
+    """
+
+
+@q("q292_lsh_parameter_planner", _q292_oracle())
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    combos = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]
+    sims = [0.1, 0.3, 0.5, 0.7, 0.9]
+    outs = []
+    for b, r in combos:
+        lr = int(math.log2(r))
+        lb = int(math.log2(b))
+        spine = spark.createDataFrame([(float(s),) for s in sims], "s double")
+        sr = F.col("s")
+        for _ in range(lr):
+            sr = sr * sr
+        one_minus = F.lit(1.0) - sr
+        p = one_minus
+        for _ in range(lb):
+            p = p * p
+        thr = F.lit(1.0 / b)
+        for _ in range(lr):
+            thr = F.sqrt(thr)
+        outs.append(
+            spine.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.col("s").alias("similarity"),
+                F.round(F.lit(1.0) - p, 6).alias("p_candidate"),
+                F.round(thr, 6).alias("threshold_est"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u.orderBy(F.desc("bands"), "similarity")
