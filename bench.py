@@ -326,6 +326,9 @@ EXTRA_QUERIES = [
     "q287_entropy_rate",
     "q288_grid_density_clusters",
     "q289_join_size_estimate",
+    "q290_textrank",
+    "q291_hll_accuracy_curve",
+    "q292_lsh_parameter_planner",
 ]
 
 
