@@ -806,14 +806,23 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import similarity
 
+    # norms fold ONCE per vector (n + 200 rows), not once per pair —
+    # the pair pass then runs a single dot fold per candidate
     emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(similarity.dot(F.col("v"), F.col("v")))
     )
     a = emb.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va")
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = emb.filter(F.col("vec_id") >= 200).select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb")
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     scored = (
         F.broadcast(a)
@@ -823,11 +832,7 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             F.round(
                 similarity.dot(F.col("va"), F.col("vb"))
-                / F.nullif(
-                    F.sqrt(similarity.dot(F.col("va"), F.col("va")))
-                    * F.sqrt(similarity.dot(F.col("vb"), F.col("vb"))),
-                    F.lit(0.0),
-                ),
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 6,
             ).alias("cosine"),
         )
@@ -875,7 +880,8 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d, sl
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
-           (SELECT CAST(count(*) AS BIGINT) FROM slopes) AS n_pairs,
+           (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+            FROM daily) AS n_pairs,
            ROUND(sl.slope, 6) AS slope,
            ROUND(icept.intercept, 6) AS intercept
     FROM sl, icept
@@ -895,17 +901,44 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # pair sides + intercept read it
     a = daily.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
-    slopes = (
-        a.join(b, F.col("db") > F.col("da"))
-        .select(
-            (
-                (F.col("cb") - F.col("ca")).cast("double")
-                / (F.col("db") - F.col("da")).cast("double")
-            ).alias("s")
-        )
-        .localCheckpoint(eager=False)  # median + count read it
+    # slopes are consumed by exactly ONE aggregate (the median):
+    # n_pairs = n_days·(n_days−1)/2 by construction, so no second
+    # pass / checkpoint materialization of the days² frame is needed
+    # the WHEN guard is load-bearing under ANSI: exact_quantiles'
+    # isNotNull filter gets merged into the BNL join condition AHEAD
+    # of db > da, so an unguarded division evaluates on the da == db
+    # diagonal and throws DIVIDE_BY_ZERO
+    slopes = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(
+            F.col("db") != F.col("da"),
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("db") - F.col("da")).cast("double"),
+        ).alias("s")
     )
-    sl = slopes.agg(F.percentile("s", F.lit(0.5)).alias("slope"))
+    # median of 2.9M mostly-DISTINCT doubles: F.percentile's
+    # single-task object buffer measured 9.8 s and the distinct-value
+    # cumsum (exact_quantiles) is no better when nothing deduplicates
+    # — the right shape here is a partition-parallel range sort +
+    # two-phase row_number, picking the two middle order statistics
+    # directly (~2 s; identical value: avg of middle two = the
+    # quantile_cont 0.5 interpolation)
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+
+    ranked = two_phase_row_number(
+        slopes.localCheckpoint(eager=False), [F.col("s")], out_col="__rn"
+    )
+    npairs_lit = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    sl = (
+        ranked.crossJoin(F.broadcast(npairs_lit))
+        .filter(
+            (F.col("__rn") * 2 == F.col("__n") + 1)  # odd n: middle
+            | (F.col("__rn") * 2 == F.col("__n"))  # even n: lower mid
+            | (F.col("__rn") * 2 == F.col("__n") + 2)  # even n: upper
+        )
+        .agg(F.avg("s").alias("slope"))
+    )
     icept = daily.crossJoin(F.broadcast(sl)).agg(
         F.percentile(
             F.col("cents").cast("double") - F.col("slope") * F.col("day"),
@@ -914,8 +947,9 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days")
-    ).crossJoin(
-        slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ).withColumn(
+        "n_pairs",
+        F.expr("n_days * (n_days - 1) DIV 2").cast("bigint"),
     )
     return (
         counts.crossJoin(F.broadcast(sl))
