@@ -824,6 +824,10 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    # probes×corpus dots on the Arrow einsum path: the interpreted
+    # aggregate fold was ~90% of the sf1 gate wall (40.5 s, ratio
+    # 11.1×); round-6 absorbs the einsum-vs-fold ulp (the dot_arrow
+    # contract, validated against the DuckDB oracles)
     scored = (
         F.broadcast(a)
         .crossJoin(b)  # driver-bound fan-out: |probes| fixed at 200
@@ -831,7 +835,7 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_id",
             "b_id",
             F.round(
-                similarity.dot(F.col("va"), F.col("vb"))
+                similarity.dot_arrow()(F.col("va"), F.col("vb"))
                 / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
                 6,
             ).alias("cosine"),
