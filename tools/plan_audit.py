@@ -25,6 +25,23 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q264_kruskal_wallis": "1-row H reduce + tie-sum reduce + global_cumsum partition-offset frame (stattests.kruskal_wallis)",
+    "q265_anova_f": "k-group (5) term frame reduced to 1 row (stattests.anova_oneway)",
+    "q266_levene_bf": "k-group term reduce + 5-row group-median frame (stattests.anova_oneway on |x-med|)",
+    "q267_effect_sizes": "1-row moments+2U reduce + cumsum offsets (stattests.effect_sizes)",
+    "q268_spearman": "two midrank cumsum offset frames (O(partitions) rows each) + 1-row correlation reduce (stattests.spearman_rho)",
+    "q273_ind_discovery": "8 schema-sized candidate checks, each a 1-row (n_distinct, n_violations) scalar reduce",
+    "q274_key_discovery": "5 candidate checks, each a 1-row (n_rows, n_distinct) scalar reduce",
+    "q278_theil_sen": "two-phase row_number offset frames (O(partitions) rows) + middle-order-stat picks + 1-row slope/intercept/count reduces; pair frame is days^2-bounded",
+    "q279_kendall_tau": "1-row concordance reduce + two tie-margin reduces + 1-row day count (all scalar)",
+    "q280_rec_coverage": "1-row coverage + 1-row novelty reduces over the rec-list frame",
+    "q281_popularity_hitrate": "1-row hit-rate reduces + top-20 popularity limit (20 rows)",
+    "q284_gini_gain": "three per-feature 1-row (n, npos, term-sum) reduces (feature-value frames are category-sized)",
+    "q285_time_to_convert": "exact_quantiles: O(#quantiles) spine probes + cumsum offset frames (ranks.exact_quantiles)",
+    "q286_key_skew_audit": "1-row audit reduce + exact_quantiles median spine over the key-count frame",
+    "q287_entropy_rate": "two 1-row ln-term reduces over the states^2 transition frame",
+    "q289_join_size_estimate": "1-row (n_keys, n_rows, sum c^2, max) scalar reduce",
+    "q291_hll_accuracy_curve": "three register reduces (<=256 registers each) + exact-distinct scalar per m (hll.hll_cardinality)",
     "q201_categorical_drift": "category-frame totals: 1-row reduce broadcast back (drift.categorical_drift)",
     "q207_js_divergence": "category-sized divergence terms reduce to 1 row (drift.js_divergence)",
     "q208_mutual_information": "margins/total windows + final reduce run over the |X|x|Y| contingency frame (profiling.mutual_information)",
