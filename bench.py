@@ -329,6 +329,10 @@ EXTRA_QUERIES = [
     "q290_textrank",
     "q291_hll_accuracy_curve",
     "q292_lsh_parameter_planner",
+    "q293_cem_att",
+    "q294_dow_hour_profile",
+    "q295_dedup_pair_report",
+    "q296_group_conformal_coverage",
 ]
 
 

@@ -2241,3 +2241,344 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         u = u.unionAll(o)
     return u.orderBy(F.desc("bands"), "similarity")
+
+
+# =====================================================================
+# Coarsened exact matching ATT (q293): Iacus-King-Porro CEM — strata
+# on coarsened covariates (order year × customer nation), keep strata
+# with both arms, treated-weighted mean outcome contrast. Everything
+# reduces to a strata-sized frame of exact decimal sums; the one
+# division per stratum casts (never ROUNDs) into DECIMAL before the
+# cross-stratum fold (q265 rule).
+# =====================================================================
+@q(
+    "q293_cem_att",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             c.c_nationkey AS nat,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS tr,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    strata AS (
+      SELECT yr, nat,
+             SUM(tr) AS n1, COUNT(*) - SUM(tr) AS n0,
+             SUM(CASE WHEN tr = 1 THEN y
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS t1,
+             SUM(CASE WHEN tr = 0 THEN y
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS t0
+      FROM base GROUP BY 1, 2
+    ),
+    matched AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(SUM(n1) AS BIGINT) AS n_treated,
+             CAST(SUM(n0) AS BIGINT) AS n_control,
+             CAST(SUM(t1) AS DOUBLE) AS t1sum,
+             CAST(SUM(CAST(n1 * (CAST(t0 AS DOUBLE) / n0)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS ctrl_w
+      FROM matched
+    ),
+    tot AS (SELECT CAST(SUM(tr) AS BIGINT) AS n_treated_all FROM base)
+    SELECT agg.n_strata, agg.n_treated, agg.n_control,
+           ROUND((agg.t1sum - agg.ctrl_w) / agg.n_treated, 6) AS att,
+           CAST((agg.n_treated * 2000000 + tot.n_treated_all)
+                // (tot.n_treated_all * 2) AS BIGINT) / 1000000.0
+             AS treated_match_rate
+    FROM agg, tot
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cst = t(spark, sf_dir, "customer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    base = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("c_nationkey").alias("nat"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("tr"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # strata + total both read it
+    )
+    strata = base.groupBy("yr", "nat").agg(
+        F.sum("tr").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("tr")).alias("n0"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(zero)).alias(
+            "t1"
+        ),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(zero)).alias(
+            "t0"
+        ),
+    )
+    matched = strata.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    ctrl_term = (
+        F.col("n1") * (F.col("t0").cast("double") / F.col("n0"))
+    ).cast("decimal(38,6)")
+    agg = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("n1").cast("bigint").alias("n_treated"),
+        F.sum("n0").cast("bigint").alias("n_control"),
+        F.sum("t1").cast("double").alias("t1sum"),
+        F.sum(ctrl_term).cast("double").alias("ctrl_w"),
+    )
+    tot = base.agg(F.sum("tr").cast("bigint").alias("n_treated_all"))
+    rate = (
+        F.expr(
+            "CAST((n_treated * 2000000 + n_treated_all) "
+            "DIV (n_treated_all * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "n_strata",
+            "n_treated",
+            "n_control",
+            F.round(
+                (F.col("t1sum") - F.col("ctrl_w")) / F.col("n_treated"), 6
+            ).alias("att"),
+            rate.alias("treated_match_rate"),
+        )
+    )
+
+
+# =====================================================================
+# Day-of-week × hour activity profile (q294): the seasonal traffic
+# matrix capacity planning reads. DOW from epoch days in PURE integer
+# arithmetic ((days+4) % 7, 1970-01-01 = Thursday) — no calendar
+# function divergence; shares round in integer space.
+# =====================================================================
+@q(
+    "q294_dow_hour_profile",
+    """
+    WITH ticks AS (
+      SELECT (epoch_ns(ts) // 86400000000000 + 4) % 7 AS dow,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hour
+      FROM events
+    ),
+    counts AS (
+      SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+      FROM ticks GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour, n,
+           CAST((n * 2000000 + tot.total) // (tot.total * 2) AS BIGINT)
+             / 1000000.0 AS share
+    FROM counts, tot
+    ORDER BY dow, hour
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    counts = ev.select(
+        ((F.expr("ts DIV 86400000000000") + 4) % 7).alias("dow"),
+        (F.expr("ts DIV 3600000000000") % 24).alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    share = (
+        F.expr(
+            "CAST((n * 2000000 + total) DIV (total * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hour").cast("int").alias("hour"),
+            "n",
+            share.alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+# =====================================================================
+# Dedup pair explanation report (q295): for the near-dup candidate
+# pairs, the human-reviewable WHY — exact shingle overlap, asymmetric
+# diffs, containment, and length delta per pair. Array ops on the two
+# joined documents; volume = candidate pairs (already banded/bounded
+# upstream), never all-pairs.
+# =====================================================================
+@q(
+    "q295_dedup_pair_report",
+    """
+    WITH sh AS (
+      SELECT doc_id, length(text) AS n_chr,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb,
+             a.n_chr AS ca, b.n_chr AS cb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.7
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS BIGINT) AS n_common,
+           CAST(na - inter AS BIGINT) AS only_a,
+           CAST(nb - inter AS BIGINT) AS only_b,
+           CAST((inter * 2000000 + (na + nb - inter))
+                // ((na + nb - inter) * 2) AS BIGINT) / 1000000.0
+             AS jaccard,
+           CAST((inter * 2000000 + LEAST(na, nb))
+                // (LEAST(na, nb) * 2) AS BIGINT) / 1000000.0
+             AS containment,
+           CAST(ABS(ca - cb) AS BIGINT) AS char_delta
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 50
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    ).select("id_a", "id_b")
+    sh = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chr"),
+        dedup.char_shingles("text", k=5, distinct=True).alias("s"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chr").alias("ca"),
+        F.col("s").alias("sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chr").alias("cb"),
+        F.col("s").alias("sb"),
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    na, nb = F.size("sa"), F.size("sb")
+    out = joined.select(
+        "id_a",
+        "id_b",
+        inter.cast("bigint").alias("n_common"),
+        (na - inter).cast("bigint").alias("only_a"),
+        (nb - inter).cast("bigint").alias("only_b"),
+        (
+            F.expr(
+                "CAST((size(array_intersect(sa, sb)) * 2000000 "
+                "+ (size(sa) + size(sb) - size(array_intersect(sa, sb)))) "
+                "DIV ((size(sa) + size(sb) "
+                "- size(array_intersect(sa, sb))) * 2) AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("jaccard"),
+        (
+            F.expr(
+                "CAST((size(array_intersect(sa, sb)) * 2000000 "
+                "+ LEAST(size(sa), size(sb))) "
+                "DIV (LEAST(size(sa), size(sb)) * 2) AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("containment"),
+        F.abs(F.col("ca") - F.col("cb")).cast("bigint").alias("char_delta"),
+    )
+    return out.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(50)
+
+
+# =====================================================================
+# Group-conditional conformal coverage (q296): the fairness audit on
+# top of q188 — calibrate per-group thresholds on the calibration
+# split, then measure EMPIRICAL coverage per group on the held-out
+# split (expected ≥ 1−α up to finite-sample noise). Threshold frame
+# is group-sized; coverage is one keyed join + exact integer rates.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.conformal import (  # noqa: E402
+    conformal_thresholds,
+    conformal_thresholds_sql,
+)
+
+_Q296_CAL = """(
+  SELECT l_returnflag, l_discount,
+         l_orderkey * 8 + l_linenumber AS __id
+  FROM lineitem WHERE l_orderkey < 1000
+)"""
+
+
+@q(
+    "q296_group_conformal_coverage",
+    f"""
+    WITH thr AS ({conformal_thresholds_sql(_Q296_CAL, "l_returnflag",
+                                           "l_discount", "__id",
+                                           alpha=0.1)}),
+    test AS (
+      SELECT l_returnflag AS grp, l_discount AS s
+      FROM lineitem WHERE l_orderkey >= 1000
+    ),
+    cov AS (
+      SELECT t.grp,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.s <= thr.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered
+      FROM test t JOIN thr ON t.grp = thr.grp
+      WHERE thr.covered
+      GROUP BY t.grp
+    )
+    SELECT grp, n_test, n_covered,
+           CAST((n_covered * 2000000 + n_test) // (n_test * 2) AS BIGINT)
+             / 1000000.0 AS coverage,
+           CAST((n_covered * 2000000 + n_test) // (n_test * 2) AS BIGINT)
+             / 1000000.0 >= 0.9 AS meets_alpha
+    FROM cov
+    ORDER BY grp
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cal = li.filter(F.col("l_orderkey") < 1000).withColumn(
+        "__id", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    thr = conformal_thresholds(
+        cal, "l_returnflag", "l_discount", "__id", alpha=0.1
+    ).filter(F.col("covered"))
+    test = li.filter(F.col("l_orderkey") >= 1000).select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_discount").alias("s"),
+    )
+    cov = (
+        test.join(F.broadcast(thr), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                (F.col("s") <= F.col("threshold")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    coverage = (
+        F.expr(
+            "CAST((n_covered * 2000000 + n_test) DIV (n_test * 2) "
+            "AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return cov.select(
+        "grp",
+        "n_test",
+        "n_covered",
+        coverage.alias("coverage"),
+        (coverage >= 0.9).alias("meets_alpha"),
+    ).orderBy("grp")
