@@ -333,6 +333,10 @@ EXTRA_QUERIES = [
     "q294_dow_hour_profile",
     "q295_dedup_pair_report",
     "q296_group_conformal_coverage",
+    "q297_rich_club",
+    "q298_interevent_burstiness",
+    "q299_twap",
+    "q300_waterfill_mix",
 ]
 
 

@@ -2582,3 +2582,373 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         coverage.alias("coverage"),
         (coverage >= 0.9).alias("meets_alpha"),
     ).orderBy("grp")
+
+
+# =====================================================================
+# Rich-club coefficient (q297): φ(k) = density among nodes of degree
+# > k on the co-order part graph (Zhou & Mondragón 2004) — do hubs
+# preferentially interconnect. Degree frame + a constant k-spine of
+# semi-joined edge counts; φ rounds in integer space.
+# =====================================================================
+@q(
+    "q297_rich_club",
+    f"""
+    WITH edges AS (SELECT id_a AS u, id_b AS v FROM {_COORDER_EDGES}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+    rich AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM rich
+           GROUP BY k),
+    ek AS (
+      SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+      FROM edges e
+      JOIN rich r1 ON r1.node = e.u
+      JOIN rich r2 ON r2.k = r1.k AND r2.node = e.v
+      GROUP BY r1.k
+    )
+    SELECT nk.k, nk.n_rich, COALESCE(ek.e_rich, 0) AS e_rich,
+           CASE WHEN nk.n_rich >= 2 THEN
+             CAST((COALESCE(ek.e_rich, 0) * 2 * 2000000
+                   + nk.n_rich * (nk.n_rich - 1))
+                  // (nk.n_rich * (nk.n_rich - 1) * 2) AS BIGINT)
+               / 1000000.0
+           END AS phi
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    ORDER BY nk.k
+    """,
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _coorder_edges(spark, sf_dir).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).localCheckpoint(eager=False)  # degrees + both semi joins read it
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(1,), (2,), (4,), (8,)], "k int")
+    rich = (
+        F.broadcast(ks)
+        .join(deg, deg["d"] > F.col("k"))
+        .select("k", "node")
+        .localCheckpoint(eager=False)
+    )
+    nk = rich.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("node").alias("u"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("node").alias("v"))
+    ek = (
+        edges.join(r1, "u")
+        .join(r2, (F.col("k2") == F.col("k")) & (r2["v"] == edges["v"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+    )
+    joined = nk.join(ek, "k", "left").withColumn(
+        "e_rich", F.coalesce(F.col("e_rich"), F.lit(0)).cast("bigint")
+    )
+    phi = F.when(
+        F.col("n_rich") >= 2,
+        F.expr(
+            "CAST((e_rich * 2 * 2000000 + n_rich * (n_rich - 1)) "
+            "DIV (n_rich * (n_rich - 1) * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0,
+    )
+    return joined.select("k", "n_rich", "e_rich", phi.alias("phi")).orderBy(
+        "k"
+    )
+
+
+# =====================================================================
+# Inter-event burstiness (q298): Goh-Barabási B = (σ−μ)/(σ+μ) of each
+# user's inter-event gaps — bursty (B→1) vs Poisson (B→0) vs regular
+# (B→−1) behavior. Per-user lag gaps (keyed frames), exact DECIMAL
+# moment folds; the corpus rolls up to one row.
+# =====================================================================
+@q(
+    "q298_interevent_burstiness",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_ns(ts) - lag(epoch_ns(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, count(*) AS n,
+             SUM(CAST(g AS HUGEINT)) AS s,
+             SUM(CAST(g AS HUGEINT) * g) AS q
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+      HAVING count(*) >= 5
+    ),
+    b AS (
+      SELECT user_id,
+             ROUND(
+               (sqrt(GREATEST((CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n) / (n - 1), 0))
+                - CAST(s AS DOUBLE) / n)
+               / NULLIF(sqrt(GREATEST((CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) * s / n) / (n - 1), 0))
+                        + CAST(s AS DOUBLE) / n, 0), 6) AS bu
+      FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(bu AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_burstiness,
+           CAST((SUM(CASE WHEN bu > 0.2 THEN 1 ELSE 0 END) * 2000000
+                 + count(*)) // (count(*) * 2) AS BIGINT) / 1000000.0
+             AS pct_bursty
+    FROM b
+    """,
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("ts") - F.lag("ts").over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    d380 = "decimal(38,0)"
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("g").cast(d380)).alias("s"),
+            F.sum(F.col("g").cast(d380) * F.col("g").cast(d380)).alias("q"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = F.greatest(
+        (F.col("q").cast("double") - F.col("s").cast("double") * mu)
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    sd = F.sqrt(var)
+    bu = F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 6)
+    b = per_user.select(bu.alias("bu"))
+    pct = (
+        F.expr(
+            "CAST((npos * 2000000 + n_users) DIV (n_users * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        b.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("bu").cast("decimal(18,6)")).alias("__bs"),
+            F.sum((F.col("bu") > 0.2).cast("int")).alias("npos"),
+        )
+        .select(
+            "n_users",
+            F.round(
+                F.col("__bs").cast("double") / F.col("n_users"), 6
+            ).alias("mean_burstiness"),
+            pct.alias("pct_bursty"),
+        )
+    )
+
+
+# =====================================================================
+# Time-weighted average value / TWAP (q299): per event type, the mean
+# of `value` weighted by each observation's holding duration (lead
+# gap) — the right average for irregularly-sampled series. Duration ×
+# cent products fold in DECIMAL(38,0); the last observation per key
+# carries no duration (standard TWAP convention).
+# =====================================================================
+@q(
+    "q299_twap",
+    """
+    WITH spans AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)
+               - epoch_ns(ts) AS dur
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             SUM(CAST(dur AS HUGEINT)) AS total_dur,
+             SUM(CAST(cents AS HUGEINT) * dur) AS wsum
+      FROM spans WHERE dur IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_spans,
+           ROUND(CAST(wsum AS DOUBLE) / CAST(total_dur AS DOUBLE)
+                 / 100.0, 6) AS twap,
+           CAST(total_dur // 1000000000 AS BIGINT) AS window_sec
+    FROM agg ORDER BY event_type
+    """,
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    spans = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.lead("ts").over(w) - F.col("ts")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    d380 = "decimal(38,0)"
+    agg = spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("dur").cast(d380)).alias("total_dur"),
+        F.sum((F.col("cents") * F.col("dur")).cast(d380)).alias("wsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_spans",
+        F.round(
+            F.col("wsum").cast("double")
+            / F.col("total_dur").cast("double")
+            / 100.0,
+            6,
+        ).alias("twap"),
+        F.expr("CAST(total_dur DIV 1000000000 AS BIGINT)").alias(
+            "window_sec"
+        ),
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Token-budget waterfilling (q300): the mix planner — find the
+# per-source cap λ such that Σ min(tokens_i, λ) exactly equals the
+# training budget (here: half the corpus), fill small sources fully
+# and cap the rest at λ, distributing the integer remainder
+# deterministically. The closed-form level selection runs entirely on
+# the SOURCE-cardinality frame (one window cumsum + exact integer
+# cross-multiplications — no iteration, no floats), i.e. the corpus
+# is touched once for token counts no matter how many sources.
+# =====================================================================
+@q(
+    "q300_waterfill_mix",
+    """
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(lower(text)),
+                                                         '\\s+'),
+                          x -> x <> ''))) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(c) AS total, SUM(c) // 2 AS b,
+                   count(*) AS k FROM src),
+    ranked AS (
+      SELECT source, c,
+             row_number() OVER (ORDER BY c, source) AS rn,
+             SUM(c) OVER (ORDER BY c, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+      FROM src
+    ),
+    feasible AS (
+      -- rn can be filled fully iff level >= c_rn:
+      -- csum_{rn-1} + c_rn * (k - rn + 1) <= B
+      SELECT ranked.*, tot.b, tot.k,
+             (csum - c) + c * (k - rn + 1) <= tot.b AS full_ok
+      FROM ranked, tot
+    ),
+    jstar AS (
+      SELECT COALESCE(MAX(CASE WHEN full_ok THEN rn END), 0) AS j
+      FROM feasible
+    ),
+    lvl AS (
+      SELECT j,
+             CASE WHEN j < k THEN
+               (b - COALESCE((SELECT csum FROM ranked WHERE rn = j), 0))
+                 // (k - j) END AS lam,
+             CASE WHEN j < k THEN
+               (b - COALESCE((SELECT csum FROM ranked WHERE rn = j), 0))
+                 % (k - j) END AS rem
+      FROM jstar, tot
+    )
+    SELECT f.source, f.c AS available,
+           CAST(CASE WHEN f.rn <= lvl.j THEN f.c
+                ELSE lvl.lam + CASE WHEN f.rn - lvl.j <= lvl.rem
+                                    THEN 1 ELSE 0 END
+           END AS BIGINT) AS allocated,
+           f.rn > lvl.j AS capped
+    FROM feasible f, lvl
+    ORDER BY f.source
+    """,
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    src = docs.groupBy("source").agg(
+        F.sum(toks).cast("bigint").alias("c")
+    )
+    tot = src.agg(
+        F.sum("c").alias("total"),
+        F.expr("SUM(c) DIV 2").alias("b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    wr = Window.orderBy("c", "source")  # source-cardinality frame
+    ranked = src.select(
+        "source",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("c")
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("csum"),
+    ).crossJoin(F.broadcast(tot)).localCheckpoint(eager=False)
+    feasible = ranked.withColumn(
+        "full_ok",
+        (F.col("csum") - F.col("c"))
+        + F.col("c") * (F.col("k") - F.col("rn") + 1)
+        <= F.col("b"),
+    )
+    jstar = feasible.agg(
+        F.coalesce(
+            F.max(F.when(F.col("full_ok"), F.col("rn"))), F.lit(0)
+        ).alias("j")
+    )
+    csum_j = (
+        feasible.join(F.broadcast(jstar), F.col("rn") == F.col("j"))
+        .select(F.col("csum").alias("csj"))
+    )
+    lvl = (
+        jstar.crossJoin(F.broadcast(tot))
+        .crossJoin(
+            F.broadcast(
+                csum_j.agg(
+                    F.coalesce(F.max("csj"), F.lit(0)).alias("csj")
+                )
+            )
+        )
+        .select(
+            "j",
+            F.when(
+                F.col("j") < F.col("k"),
+                F.expr("(b - csj) DIV (k - j)"),
+            ).alias("lam"),
+            F.when(
+                F.col("j") < F.col("k"), F.expr("(b - csj) % (k - j)")
+            ).alias("rem"),
+        )
+    )
+    out = feasible.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("c").alias("available"),
+        F.when(F.col("rn") <= F.col("j"), F.col("c"))
+        .otherwise(
+            F.col("lam")
+            + F.when(
+                F.col("rn") - F.col("j") <= F.col("rem"), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("allocated"),
+        (F.col("rn") > F.col("j")).alias("capped"),
+    )
+    return out.orderBy("source")

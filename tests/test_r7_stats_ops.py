@@ -312,3 +312,39 @@ def test_exact_quantiles_by_key_matches_percentile(spark):
     for r in ref.collect():
         for i, q in enumerate(qs):
             assert got[(r["k"], q)] == r[f"p{i}"], (r["k"], q)
+
+
+# ------------------------------------------------- waterfilling (q300)
+def test_waterfill_allocations_hit_budget_exactly(spark):
+    """The q300 closed-form level selection must satisfy
+    sum(allocated) == budget and min(available, lam) semantics on a
+    hand-checkable fixture: sources 10/20/100/200, budget 165
+    (= total 330 // 2): fill 10+20 fully, cap the rest at the level
+    that spends the remaining 135 -> 67/68 with the remainder going
+    to the earlier uncapped source."""
+    from dbt_incremental_ci_spark.workload_q8 import q300
+
+    # drive through a temp parquet dir shaped like the testdata
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = []
+        for src, n in (("a", 10), ("b", 20), ("c", 100), ("d", 200)):
+            rows.append((src, " ".join(["w"] * n)))
+        spark.createDataFrame(
+            [(i, txt, "en", src, len(txt)) for i, (src, txt)
+             in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: (r["available"], r["allocated"],
+                             bool(r["capped"]))
+               for r in q300(spark, d).collect()}
+    assert out["a"] == (10, 10, False)
+    assert out["b"] == (20, 20, False)
+    # remaining budget 135 over two capped sources: lam=67, rem=1 ->
+    # the earlier capped source (c) takes the extra unit
+    assert out["c"] == (100, 68, True)
+    assert out["d"] == (200, 67, True)
+    assert sum(v[1] for v in out.values()) == 165
