@@ -39,7 +39,11 @@ the original single module had grown past 9k lines):
   discovery, Page-Hinkley, embedding covariance, reciprocal best
   match, Theil-Sen, Kendall tau-b, rec coverage/novelty, popularity
   hit rate, Shannon diversity, audience-overlap Jaccard, Gini gain,
-  time-to-convert percentiles, key-skew audit)
+  time-to-convert percentiles, key-skew audit, entropy rate,
+  grid-density clustering, join-size estimation, TextRank, HLL
+  accuracy curve, LSH parameter planner, CEM ATT, dow-hour profile,
+  dedup pair explanations, group conformal coverage, rich club,
+  inter-event burstiness, TWAP, token-budget waterfilling)
 
 Importing this module imports all eight, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in

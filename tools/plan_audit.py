@@ -25,6 +25,14 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q293_cem_att": "1-row ATT reduce over the strata-sized matched frame + 1-row treated total",
+    "q294_dow_hour_profile": "1-row grand-total reduce broadcast back over the 7x24 count frame",
+    "q295_dedup_pair_report": "top-50 LIMIT over the banded candidate-pair frame (TakeOrdered)",
+    "q296_group_conformal_coverage": "group-sized (3 returnflags) threshold frame broadcast + per-group coverage reduce",
+    "q297_rich_club": "constant k-spine (4 rows) + per-k scalar density reduces over the degree-filtered frame",
+    "q298_interevent_burstiness": "1-row corpus rollup of per-user burstiness (user frame is key-sized)",
+    "q299_twap": "ORDER BY over the event-type-sized (5-row) TWAP frame",
+    "q300_waterfill_mix": "source-cardinality (metadata-sized) window cumsum + 1-row level/remainder scalars — the waterfilling frame never scales with the corpus",
     "q264_kruskal_wallis": "1-row H reduce + tie-sum reduce + global_cumsum partition-offset frame (stattests.kruskal_wallis)",
     "q265_anova_f": "k-group (5) term frame reduced to 1 row (stattests.anova_oneway)",
     "q266_levene_bf": "k-group term reduce + 5-row group-median frame (stattests.anova_oneway on |x-med|)",
