@@ -470,6 +470,23 @@ def main() -> None:
         "r01/r02 used count(), which pruned projection-only columns — "
         "method-change deltas on map-only queries are expected once)",
     }
+    # stamp the commit so a rerun on identical code can be recognized
+    # (same-code deltas are drift by definition — SCALE.md 6s)
+    try:
+        import subprocess
+
+        out["git_head"] = (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001 — stamping is best-effort
+        out["git_head"] = None
 
     # Round-over-round tracking: report per-query deltas vs the most
     # recent USABLE driver-recorded BENCH_r{N}.json — walk backwards
@@ -565,8 +582,28 @@ def main() -> None:
                 for n in out["regressions"]
                 if n in REGRESSION_TRIAGE
             }
+            # same-code rerun: when the comparison base was produced by
+            # the IDENTICAL commit, every delta is machine drift by
+            # definition (docs/SCALE.md 6s — two same-code runs 30 min
+            # apart flagged DISJOINT sets in round 7). Auto-triage so a
+            # driver rerun after the round's own full bench doesn't
+            # manufacture phantom regressions.
+            same_code = (
+                out.get("git_head") is not None
+                and prev.get("git_head") == out.get("git_head")
+            )
+            if same_code:
+                for n in out["regressions"]:
+                    out["regression_triage"].setdefault(
+                        n,
+                        "same-code rerun (identical git head as the "
+                        "comparison base) — delta is shared-box drift "
+                        "by definition (SCALE.md 6s)",
+                    )
             out["regressions_unexplained"] = [
-                n for n in out["regressions"] if n not in REGRESSION_TRIAGE
+                n
+                for n in out["regressions"]
+                if n not in out["regression_triage"]
             ]
         except (OSError, ValueError):
             pass
