@@ -337,6 +337,9 @@ EXTRA_QUERIES = [
     "q298_interevent_burstiness",
     "q299_twap",
     "q300_waterfill_mix",
+    "q301_watermark_lateness",
+    "q302_design_effect",
+    "q303_abc_classification",
 ]
 
 

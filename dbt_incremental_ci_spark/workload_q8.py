@@ -2952,3 +2952,251 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") > F.col("j")).alias("capped"),
     )
     return out.orderBy("source")
+
+
+# =====================================================================
+# Watermark lateness audit (q301): the out-of-orderness profile that
+# PICKS the streaming watermark — per event type, how far events
+# arrive behind the running max event time (ingest order ≈ event_id),
+# as exceedance shares at 1m / 10m / 1h plus the worst case. Keyed
+# running-max windows (never a global order); shares in integer space.
+# =====================================================================
+@q(
+    "q301_watermark_lateness",
+    """
+    WITH lat AS (
+      SELECT event_type,
+             MAX(epoch_ns(ts)) OVER (PARTITION BY event_type
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - epoch_ns(ts) AS l
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l > 60000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_1m,
+             CAST(SUM(CASE WHEN l > 600000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_10m,
+             CAST(SUM(CASE WHEN l > 3600000000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_1h,
+             CAST(MAX(l) // 1000000000 AS BIGINT) AS max_late_sec
+      FROM lat GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST((n_1m * 2000000 + n) // (n * 2) AS BIGINT) / 1000000.0
+             AS pct_late_1m,
+           CAST((n_10m * 2000000 + n) // (n * 2) AS BIGINT) / 1000000.0
+             AS pct_late_10m,
+           CAST((n_1h * 2000000 + n) // (n * 2) AS BIGINT) / 1000000.0
+             AS pct_late_1h,
+           max_late_sec
+    FROM agg ORDER BY event_type
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = ev.select(
+        "event_type", (F.max("ts").over(w) - F.col("ts")).alias("l")
+    )
+    agg = lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("l") > 60_000_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_1m"),
+        F.sum((F.col("l") > 600_000_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_10m"),
+        F.sum((F.col("l") > 3_600_000_000_000).cast("int"))
+        .cast("bigint")
+        .alias("n_1h"),
+        F.expr("CAST(MAX(l) DIV 1000000000 AS BIGINT)").alias(
+            "max_late_sec"
+        ),
+    )
+
+    def pct(col: str) -> F.Column:
+        return (
+            F.expr(
+                f"CAST(({col} * 2000000 + n) DIV (n * 2) AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        )
+
+    return agg.select(
+        "event_type",
+        "n",
+        pct("n_1m").alias("pct_late_1m"),
+        pct("n_10m").alias("pct_late_10m"),
+        pct("n_1h").alias("pct_late_1h"),
+        "max_late_sec",
+    ).orderBy("event_type")
+
+
+# =====================================================================
+# Survey design effect (q302): DEFF = Σ(n_h/n)s_h² / s² — how much
+# variance proportionate nation-stratified sampling of order values
+# saves vs SRS (Kish 1965); the eval twin of Neyman allocation
+# (q164). Per-stratum moment folds in exact DECIMAL; stratum terms
+# CAST into DECIMAL before the cross-stratum sum (q265 rule).
+# =====================================================================
+@q(
+    "q302_design_effect",
+    """
+    WITH base AS (
+      SELECT c.c_nationkey AS h,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_h AS (
+      SELECT h, count(*) AS nh, SUM(y) AS th,
+             SUM(CAST(y * y AS DECIMAL(37,4))) AS qh
+      FROM base GROUP BY h
+    ),
+    terms AS (
+      SELECT nh, th, qh,
+             CAST(nh * ((CAST(qh AS DOUBLE)
+                         - CAST(th AS DOUBLE) * th / nh) / (nh - 1))
+                  AS DECIMAL(38,6)) AS wterm
+      FROM per_h WHERE nh >= 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(nh) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(SUM(th) AS DOUBLE) AS t,
+             CAST(SUM(CAST(qh AS DECIMAL(38,4))) AS DOUBLE) AS q,
+             CAST(SUM(wterm) AS DOUBLE) AS w
+      FROM terms
+    )
+    SELECT n, n_strata,
+           ROUND((q - t * t / n) / (n - 1), 4) AS overall_var,
+           ROUND(w / n, 4) AS within_var,
+           ROUND((w / n) / ((q - t * t / n) / (n - 1)), 6) AS deff
+    FROM tot
+    """,
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cst = t(spark, sf_dir, "customer")
+    base = o.join(cst, o["o_custkey"] == cst["c_custkey"]).select(
+        F.col("c_nationkey").alias("h"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+    )
+    per_h = base.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("y").alias("th"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(37,4)")).alias("qh"),
+    ).filter(F.col("nh") >= 2)
+    th_d = F.col("th").cast("double")
+    var_h = (
+        F.col("qh").cast("double") - th_d * th_d / F.col("nh")
+    ) / (F.col("nh") - 1)
+    wterm = (F.col("nh") * var_h).cast("decimal(38,6)")
+    tot = per_h.agg(
+        F.sum("nh").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("th").cast("double").alias("t"),
+        F.sum(F.col("qh").cast("decimal(38,4)")).cast("double").alias("q"),
+        F.sum(wterm).cast("double").alias("w"),
+    )
+    overall = (F.col("q") - F.col("t") * F.col("t") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    within = F.col("w") / F.col("n")
+    return tot.select(
+        "n",
+        "n_strata",
+        F.round(overall, 4).alias("overall_var"),
+        F.round(within, 4).alias("within_var"),
+        F.round(within / overall, 6).alias("deff"),
+    )
+
+
+# =====================================================================
+# ABC / Pareto classification (q303): parts by cumulative revenue
+# share into A (≤80%), B (≤95%), C — the inventory-curation workhorse.
+# Ranking via the two-phase row_number + partition-parallel cumsum
+# (never a global window); class boundaries compare IN INTEGER SPACE
+# (5·cum ≤ 4·total etc.), so no share rounding can flip a class.
+# =====================================================================
+@q(
+    "q303_abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey AS part,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT part, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM pr
+    ),
+    tot AS (SELECT SUM(cents) AS total FROM pr),
+    classed AS (
+      SELECT part, cents,
+             CASE WHEN 5 * cum <= 4 * tot.total THEN 'A'
+                  WHEN 20 * cum <= 19 * tot.total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked, tot
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST((SUM(cents) * 2000000 + tot.total) // (tot.total * 2)
+                AS BIGINT) / 1000000.0 AS revenue_share
+    FROM classed, tot
+    GROUP BY abc, tot.total
+    ORDER BY abc
+    """,
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.packing import global_cumsum
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = two_phase_row_number(
+        pr, [F.col("cents").desc(), F.col("part").asc()], out_col="__rn"
+    )
+    cum = global_cumsum(ranked, "__rn", "cents", out_col="__cum")
+    tot = pr.agg(F.sum("cents").alias("total"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "part",
+        "cents",
+        "total",
+        F.when(5 * F.col("__cum") <= 4 * F.col("total"), "A")
+        .when(20 * F.col("__cum") <= 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    share = (
+        F.expr(
+            "CAST((revenue_cents * 2000000 + total) DIV (total * 2) "
+            "AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        classed.groupBy("abc", "total")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "abc", "n_parts", "revenue_cents", share.alias("revenue_share")
+        )
+        .orderBy("abc")
+    )
