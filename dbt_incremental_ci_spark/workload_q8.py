@@ -3149,8 +3149,9 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
            CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-           CAST((SUM(cents) * 2000000 + tot.total) // (tot.total * 2)
-                AS BIGINT) / 1000000.0 AS revenue_share
+           CAST((CAST(SUM(cents) AS HUGEINT) * 2000000 + tot.total)
+                // (tot.total * 2) AS BIGINT) / 1000000.0
+             AS revenue_share
     FROM classed, tot
     GROUP BY abc, tot.total
     ORDER BY abc
@@ -3183,9 +3184,11 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("abc"),
     )
     share = (
+        # DECIMAL widening is load-bearing: class revenue cents x 2e6
+        # overflows BIGINT at the 10x replica (caught by the sf1 gate)
         F.expr(
-            "CAST((revenue_cents * 2000000 + total) DIV (total * 2) "
-            "AS BIGINT)"
+            "CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 2000000 "
+            "+ total) DIV (total * 2) AS BIGINT)"
         ).cast("double")
         / 1_000_000.0
     )
