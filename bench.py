@@ -340,6 +340,9 @@ EXTRA_QUERIES = [
     "q301_watermark_lateness",
     "q302_design_effect",
     "q303_abc_classification",
+    "q304_cohort_ltv",
+    "q305_ship_lag_sla",
+    "q306_metric_trends",
 ]
 
 

@@ -3203,3 +3203,266 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# =====================================================================
+# Cohort LTV curve (q304): cumulative revenue per first-order-month
+# cohort by age-in-months — the money twin of q183's retention
+# counts. Cohort-keyed month frames (calendar-bounded windows); LTV
+# per customer rounds half-up in integer space with DECIMAL widening.
+# =====================================================================
+@q(
+    "q304_cohort_ltv",
+    """
+    WITH orders_m AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    cohorts AS (
+      SELECT o_custkey, min(m) AS cohort_m FROM orders_m GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS n_customers
+      FROM cohorts GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_m, o.m - c.cohort_m AS age,
+             SUM(o.cents) AS cents
+      FROM orders_m o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_m, age,
+             SUM(cents) OVER (PARTITION BY cohort_m ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT cum.cohort_m AS cohort_month, CAST(cum.age AS INT) AS age_months,
+           sizes.n_customers,
+           CAST(cum.cum_cents AS BIGINT) AS cum_revenue_cents,
+           CAST((CAST(cum.cum_cents AS HUGEINT) * 2000000
+                 + sizes.n_customers * 100)
+                // (sizes.n_customers * 100 * 2) AS BIGINT) / 1000000.0
+             AS ltv_per_customer
+    FROM cum JOIN sizes ON cum.cohort_m = sizes.cohort_m
+    WHERE cum.age <= 12
+    ORDER BY cohort_month, age_months
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "m"
+        ),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    ).localCheckpoint(eager=False)  # cohorts + revenue both read it
+    cohorts = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = cohorts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        om.join(cohorts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w)).filter(
+        F.col("age") <= 12
+    )
+    ltv = (
+        F.expr(
+            "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 2000000 "
+            "+ n_customers * 100) DIV (n_customers * 100 * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        cum.join(sizes, "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            F.col("age").cast("int").alias("age_months"),
+            "n_customers",
+            F.col("cum_cents").cast("bigint").alias("cum_revenue_cents"),
+            ltv.alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+# =====================================================================
+# Ship-lag SLA percentiles (q305): order-to-ship latency p50/p90/p99
+# per priority class plus the 30-day SLA attainment — fulfillment-ops
+# reporting on the scalable keyed exact-quantile path (lag days are
+# grid-bounded integers, the by-key cumsum's best case).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.ranks import (  # noqa: E402
+    exact_quantiles_by_key,
+)
+
+_Q305_ROWS = """(
+  SELECT o.o_orderpriority AS prio,
+         epoch_ns(l.l_shipdate) // 86400000000000
+           - epoch_ns(o.o_orderdate) // 86400000000000 AS lag_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)"""
+
+
+@q(
+    "q305_ship_lag_sla",
+    f"""
+    WITH rows_in AS {_Q305_ROWS},
+    qs AS (
+      SELECT prio,
+             ROUND(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 3)
+               AS p50,
+             ROUND(quantile_cont(CAST(lag_days AS DOUBLE), 0.9), 3)
+               AS p90,
+             ROUND(quantile_cont(CAST(lag_days AS DOUBLE), 0.99), 3)
+               AS p99
+      FROM rows_in GROUP BY prio
+    ),
+    sla AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ok
+      FROM rows_in GROUP BY prio
+    )
+    SELECT qs.prio, sla.n, qs.p50, qs.p90, qs.p99,
+           CAST((sla.n_ok * 2000000 + sla.n) // (sla.n * 2) AS BIGINT)
+             / 1000000.0 AS sla_30d
+    FROM qs JOIN sla ON qs.prio = sla.prio
+    ORDER BY qs.prio
+    """,
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rows = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("prio"),
+        (
+            F.expr(
+                "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) * 1000 "
+                "DIV 86400000000000 AS BIGINT)"
+            )
+            - F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) * 1000 "
+                "DIV 86400000000000 AS BIGINT)"
+            )
+        ).alias("lag_days"),
+    ).localCheckpoint(eager=False)  # quantiles + SLA both read it
+    eq = exact_quantiles_by_key(rows, ["prio"], "lag_days", [0.5, 0.9, 0.99])
+
+    def at(p: float, name: str) -> F.Column:
+        return F.round(
+            F.max(F.when(F.col("q") == p, F.col("quantile"))), 3
+        ).alias(name)
+
+    qs = eq.groupBy("prio").agg(
+        at(0.5, "p50"), at(0.9, "p90"), at(0.99, "p99")
+    )
+    sla = rows.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("lag_days") <= 30).cast("int"))
+        .cast("bigint")
+        .alias("n_ok"),
+    )
+    rate = (
+        F.expr(
+            "CAST((n_ok * 2000000 + n) DIV (n * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return (
+        qs.join(sla, "prio")
+        .select("prio", "n", "p50", "p90", "p99", rate.alias("sla_30d"))
+        .orderBy("prio")
+    )
+
+
+# =====================================================================
+# Per-key metric trend mining (q306): OLS slope / intercept / R² of
+# each event type's daily count series — the "which metrics are
+# drifting" sweep over every series at once. Exact integer sums per
+# key (x = day index, y = count), one double expression per key — the
+# assortativity DECIMAL pattern applied per key.
+# =====================================================================
+@q(
+    "q306_metric_trends",
+    """
+    WITH daily AS (
+      SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             count(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(day) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(day AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(day AS HUGEINT) * day) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept,
+           CASE WHEN (n * syy - sy * sy) > 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM agg ORDER BY event_type
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts DIV 86400000000000 AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d380 = "decimal(38,0)"
+
+    def dd(c: F.Column) -> F.Column:
+        return c.cast(d380)
+
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd(F.col("day"))).alias("sx"),
+        F.sum(dd(F.col("y"))).alias("sy"),
+        F.sum(dd(F.col("day")) * dd(F.col("y"))).alias("sxy"),
+        F.sum(dd(F.col("day")) * dd(F.col("day"))).alias("sxx"),
+        F.sum(dd(F.col("y")) * dd(F.col("y"))).alias("syy"),
+    )
+    nd = dd(F.col("n"))
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = cov / vx
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.when(vy > 0, F.round(cov * cov / (vx * vy), 6)).alias("r2"),
+    ).orderBy("event_type")
