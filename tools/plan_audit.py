@@ -25,6 +25,12 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q301_watermark_lateness": "ORDER BY over the event-type-sized (5-row) lateness report",
+    "q302_design_effect": "1-row DEFF reduce over the nation-sized stratum frame",
+    "q303_abc_classification": "two-phase rank / cumsum offset frames (O(partitions) rows) + 1-row revenue total + 3-row class report sort",
+    "q304_cohort_ltv": "cohort-month-sized size frame + calendar-bounded report sort",
+    "q305_ship_lag_sla": "priority-sized (5-row) quantile/SLA frames + exact_quantiles_by_key spine probes",
+    "q306_metric_trends": "event-type-sized (5-row) trend reduce + report sort",
     "q293_cem_att": "1-row ATT reduce over the strata-sized matched frame + 1-row treated total",
     "q294_dow_hour_profile": "1-row grand-total reduce broadcast back over the 7x24 count frame",
     "q295_dedup_pair_report": "top-50 LIMIT over the banded candidate-pair frame (TakeOrdered)",
