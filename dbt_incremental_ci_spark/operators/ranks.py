@@ -122,12 +122,15 @@ def exact_quantiles(
     for its two bracketing order statistics (a constant-size spine ×
     distinct-values range join — Catalyst broadcasts the spine).
 
-    Determinism: the target position is computed in integer micro
-    space (k_micro = (n−1)·round(q,6)·10⁶, exact bigint), so
-    floor/frac can't ulp-flip across engines; the interpolation
-    ``vlo + frac·(vhi−vlo)`` is one IEEE expression over identical
-    doubles. Output: ``(q, n, quantile)`` — quantile UNROUNDED
-    (callers round to their grid).
+    Determinism: the target position is computed in DOUBLE exactly
+    as both engines' own implementations do (pos = (n−1)·q —
+    identical IEEE expression, identical rounding); the interpolation is
+    ``vlo·(1−frac) + vhi·frac`` — the exact expression form BOTH
+    Spark's percentile and DuckDB's quantile_cont evaluate (the
+    algebraically-equal ``vlo + frac·(vhi−vlo)`` rounds one ulp
+    differently on extreme magnitudes; hypothesis-found). Output:
+    ``(q, n, quantile)`` — quantile UNROUNDED (callers round to
+    their grid).
     """
     from dbt_incremental_ci_spark.operators.packing import global_cumsum
 
@@ -145,21 +148,18 @@ def exact_quantiles(
     spine = df.sparkSession.createDataFrame(
         [(float(x),) for x in qs], "q double"
     )
+    # position in DOUBLE, exactly as both engines' implementations do:
+    # pos = (n-1)*q, kf = floor(pos), frac = pos - kf. An integer-micro
+    # "exact" position was tried and DIVERGES from F.percentile /
+    # quantile_cont whenever (n-1)*q rounds (e.g. 3*0.1 — hypothesis-
+    # found); matching the engines' own IEEE expression IS the
+    # deterministic choice.
+    pos = (F.col("__n") - 1).cast("double") * F.col("q")
     tq = spine.crossJoin(F.broadcast(tot)).select(
         "q",
         "__n",
-        F.expr(
-            "CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
-            " * (__n - 1)"
-        ).alias("__km"),
-    )
-    tq = tq.select(
-        "q",
-        "__n",
-        F.expr("__km DIV 1000000").alias("__kf"),
-        ((F.col("__km") % 1_000_000).cast("double") / 1_000_000.0).alias(
-            "__frac"
-        ),
+        F.floor(pos).cast("bigint").alias("__kf"),
+        (pos - F.floor(pos)).alias("__frac"),
     )
     lo_rank = F.col("__kf") + 1
     hi_rank = lo_rank + F.when(F.col("__frac") > 0, 1).otherwise(0)
@@ -180,9 +180,13 @@ def exact_quantiles(
         .select(
             "q",
             F.col("__n").cast("bigint").alias("n"),
+            # lo*(1-d) + hi*d — the EXACT expression form BOTH
+            # Spark's percentile and DuckDB's quantile_cont evaluate;
+            # lo + d*(hi-lo) is mathematically equal but rounds one
+            # ulp differently on extreme magnitudes (hypothesis-found)
             (
-                F.col("__vlo")
-                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+                F.col("__vlo") * (F.lit(1.0) - F.col("__frac"))
+                + F.col("__vhi") * F.col("__frac")
             ).alias("quantile"),
         )
     )
@@ -208,11 +212,9 @@ def exact_quantiles_sql(
     spine AS ({spine}),
     tq AS (
       SELECT q, n,
-             (CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)
-              * (n - 1)) // 1000000 AS kf,
-             CAST((CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000
-                        AS BIGINT) * (n - 1)) % 1000000 AS DOUBLE)
-               / 1000000.0 AS frac
+             CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) AS kf,
+             CAST(n - 1 AS DOUBLE) * q
+               - floor(CAST(n - 1 AS DOUBLE) * q) AS frac
       FROM spine, tot
     ),
     vlo AS (
@@ -225,7 +227,7 @@ def exact_quantiles_sql(
       GROUP BY tq.q
     )
     SELECT tq.q, CAST(tq.n AS BIGINT) AS n,
-           vlo.vlo + tq.frac * (vhi.vhi - vlo.vlo) AS quantile
+           vlo.vlo * (1.0 - tq.frac) + vhi.vhi * tq.frac AS quantile
     FROM tq JOIN vlo ON tq.q = vlo.q JOIN vhi ON tq.q = vhi.q
     """
 
@@ -269,6 +271,7 @@ def exact_quantiles_by_key(
     )
     tot = g.groupBy(*key_cols).agg(F.sum("__cnt").alias("__n"))
     qlits = F.array(*[F.lit(float(x)) for x in qs])
+    pos = (F.col("__n") - 1).cast("double") * F.col("q")
     tq = tot.select(
         *key_cols,
         "__n",
@@ -277,19 +280,9 @@ def exact_quantiles_by_key(
         *key_cols,
         "q",
         "__n",
-        F.expr(
-            "CAST(CAST(ROUND(q, 6) AS DECIMAL(9,6)) * 1000000 AS BIGINT)"
-            " * (__n - 1)"
-        ).alias("__km"),
-    )
-    tq = tq.select(
-        *key_cols,
-        "q",
-        "__n",
-        F.expr("__km DIV 1000000").alias("__kf"),
-        ((F.col("__km") % 1_000_000).cast("double") / 1_000_000.0).alias(
-            "__frac"
-        ),
+        # engines' own double position arithmetic — see exact_quantiles
+        F.floor(pos).cast("bigint").alias("__kf"),
+        (pos - F.floor(pos)).alias("__frac"),
     )
     lo_rank = F.col("__kf") + 1
     hi_rank = lo_rank + F.when(F.col("__frac") > 0, 1).otherwise(0)
@@ -323,9 +316,13 @@ def exact_quantiles_by_key(
             *key_cols,
             "q",
             F.col("__n").cast("bigint").alias("n"),
+            # lo*(1-d) + hi*d — the EXACT expression form BOTH
+            # Spark's percentile and DuckDB's quantile_cont evaluate;
+            # lo + d*(hi-lo) is mathematically equal but rounds one
+            # ulp differently on extreme magnitudes (hypothesis-found)
             (
-                F.col("__vlo")
-                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+                F.col("__vlo") * (F.lit(1.0) - F.col("__frac"))
+                + F.col("__vhi") * F.col("__frac")
             ).alias("quantile"),
         )
     )
