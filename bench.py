@@ -343,6 +343,9 @@ EXTRA_QUERIES = [
     "q304_cohort_ltv",
     "q305_ship_lag_sla",
     "q306_metric_trends",
+    "q307_dedup_tokens_by_source",
+    "q308_hellinger_distance",
+    "q309_truncation_impact",
 ]
 
 

@@ -3466,3 +3466,238 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.when(vy > 0, F.round(cov * cov / (vx * vy), 6)).alias("r2"),
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Dedup-weighted token budget by source (q307): tokens before/after
+# keep-first exact dedup PER SOURCE — which slices are template-heavy
+# (q261's corpus report sliced to where the curation decision is
+# made). One fingerprint aggregate + one source rollup.
+# =====================================================================
+@q(
+    "q307_dedup_tokens_by_source",
+    """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             len(list_filter(string_split_regex(trim(lower(text)),
+                                                '\\s+'),
+                 x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp),
+    tagged AS (
+      SELECT d.source, d.n_tok, d.doc_id = k.keep_id AS kept
+      FROM d JOIN keep k ON d.fp = k.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           CAST((SUM(CASE WHEN kept THEN 0 ELSE n_tok END) * 2000000
+                 + SUM(n_tok)) // (SUM(n_tok) * 2) AS BIGINT) / 1000000.0
+             AS token_loss_share
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    d = docs.select(
+        "doc_id", "source", F.md5("text").alias("fp"), toks.alias("n_tok")
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    tagged = d.join(keep, "fp").select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )
+    agg = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_after"),
+        F.sum(F.when(~F.col("kept"), F.col("n_tok")).otherwise(0)).alias(
+            "__lost"
+        ),
+    )
+    share = (
+        F.expr(
+            "CAST((__lost * 2000000 + tokens_before) "
+            "DIV (tokens_before * 2) AS BIGINT)"
+        ).cast("double")
+        / 1_000_000.0
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tokens_before",
+        "tokens_after",
+        share.alias("token_loss_share"),
+    ).orderBy("source")
+
+
+# =====================================================================
+# Hellinger distance between source vocabularies (q308): H² = 1 −
+# Σ√(p_i·q_i) over word distributions of two corpus slices — the
+# bounded-metric sibling of q207's JS divergence (Hellinger is a true
+# metric; JS isn't without the sqrt). √ terms ROUND-9 into DECIMAL.
+# =====================================================================
+@q(
+    "q308_hellinger_distance",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN source <= 'src15' THEN 'a' ELSE 'b' END AS side,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts),
+    terms AS (
+      SELECT CAST(ROUND(sqrt((CAST(ca AS DOUBLE) / tot.na)
+                             * (CAST(cb AS DOUBLE) / tot.nb)), 9)
+                  AS DECIMAL(28,9)) AS bc_term
+      FROM counts, tot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM counts) AS n_vocab,
+           ROUND(CAST(SUM(bc_term) AS DOUBLE), 6)
+             AS bhattacharyya_coef,
+           ROUND(sqrt(GREATEST(1.0 - CAST(SUM(bc_term) AS DOUBLE), 0.0)),
+                 6) AS hellinger
+    FROM terms
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("source") <= "src15", "a").otherwise("b").alias(
+            "side"
+        ),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum((F.col("side") == "a").cast("int")).alias("ca"),
+        F.sum((F.col("side") == "b").cast("int")).alias("cb"),
+    ).localCheckpoint(eager=False)  # totals + terms both read it
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    term = F.round(
+        F.sqrt(
+            (F.col("ca").cast("double") / F.col("na"))
+            * (F.col("cb").cast("double") / F.col("nb"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    agg = counts.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum(term).cast("double").alias("bc"),
+    )
+    return agg.select(
+        "n_vocab",
+        F.round(F.col("bc"), 6).alias("bhattacharyya_coef"),
+        F.round(
+            F.sqrt(F.greatest(1.0 - F.col("bc"), F.lit(0.0))), 6
+        ).alias("hellinger"),
+    )
+
+
+# =====================================================================
+# Context-limit truncation impact (q309): at limits {128, 512, 2048}
+# tokens, how many docs truncate and what share of tokens is lost —
+# the context-window planning readout before packing (q42). Constant
+# limit spine × one token-count pass; shares in integer space.
+# =====================================================================
+@q(
+    "q309_truncation_impact",
+    """
+    WITH d AS (
+      SELECT len(list_filter(string_split_regex(trim(lower(text)),
+                                                '\\s+'),
+                 x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    lims AS (SELECT unnest([128, 512, 2048]) AS lim),
+    agg AS (
+      SELECT lim,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_tok > lim THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(CASE WHEN n_tok > lim THEN n_tok - lim ELSE 0 END)
+                  AS BIGINT) AS tokens_lost
+      FROM d, lims GROUP BY lim
+    )
+    SELECT CAST(lim AS INT) AS context_limit, n_docs, n_truncated,
+           CAST((n_truncated * 2000000 + n_docs) // (n_docs * 2)
+                AS BIGINT) / 1000000.0 AS pct_docs_truncated,
+           CAST((CAST(tokens_lost AS HUGEINT) * 2000000 + tokens_total)
+                // (tokens_total * 2) AS BIGINT) / 1000000.0
+             AS pct_tokens_lost
+    FROM agg ORDER BY context_limit
+    """,
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    d = docs.select(toks.alias("n_tok"))
+    lims = F.explode(F.array(F.lit(128), F.lit(512), F.lit(2048)))
+    agg = d.select("n_tok", lims.alias("lim")).groupBy("lim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_tok") > F.col("lim")).cast("int"))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+        F.sum(
+            F.when(
+                F.col("n_tok") > F.col("lim"),
+                F.col("n_tok") - F.col("lim"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tokens_lost"),
+    )
+    return agg.select(
+        F.col("lim").cast("int").alias("context_limit"),
+        "n_docs",
+        "n_truncated",
+        (
+            F.expr(
+                "CAST((n_truncated * 2000000 + n_docs) DIV (n_docs * 2) "
+                "AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("pct_docs_truncated"),
+        (
+            F.expr(
+                "CAST((CAST(tokens_lost AS DECIMAL(38,0)) * 2000000 "
+                "+ tokens_total) DIV (tokens_total * 2) AS BIGINT)"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("pct_tokens_lost"),
+    ).orderBy("context_limit")
