@@ -25,6 +25,9 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    "q307_dedup_tokens_by_source": "source-sized (20-row) report sort",
+    "q308_hellinger_distance": "1-row vocabulary-total + 1-row BC reduce over the vocab-sized count frame",
+    "q309_truncation_impact": "3-row limit-spine report (constant fan-out) + sort",
     "q301_watermark_lateness": "ORDER BY over the event-type-sized (5-row) lateness report",
     "q302_design_effect": "1-row DEFF reduce over the nation-sized stratum frame",
     "q303_abc_classification": "two-phase rank / cumsum offset frames (O(partitions) rows) + 1-row revenue total + 3-row class report sort",
