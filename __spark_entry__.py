@@ -30,25 +30,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered by driver-verification need: the driver's CORRECTNESS
     window records the first 50 entries. Driver-recorded so far:
     q01–q50 (r02), q96–q145 (r03), q146–q184 + q51–q61 (r04),
-    q185–q227 + q62–q68 (r05 window: 43 round-5 additions + the
-    first 7 of the never-recorded band). Round 6 leads with the
-    round-6 additions (q228+), then the still-never-recorded
-    q69–q95; the already-driver-green bands trail. The committed
-    CORRECTNESS_LOCAL_r06 artifact covers every query regardless of
-    the window."""
+    q185–q227 + q62–q68 (r05), q228–q277 (r06). Round 7 leads with
+    the two never-driver-recorded bands — q278–q310 (33) + q69–q86
+    (17) = exactly 50 — per the round-6 judge's item 2; q87–q95 and
+    any round-7 additions queue next for the round-8 window. The
+    committed CORRECTNESS_LOCAL_r* artifacts cover every query
+    regardless of the window."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    new_r6 = [(k, v) for k, v in items if num(k) >= 228]
-    never = [(k, v) for k, v in items if 69 <= num(k) <= 95]
-    r5band = [(k, v) for k, v in items if 185 <= num(k) <= 227]
-    r4band = [(k, v) for k, v in items if 146 <= num(k) <= 184]
-    r3band = [(k, v) for k, v in items if 96 <= num(k) <= 145]
-    front = [(k, v) for k, v in items if num(k) <= 68]
-    return dict(new_r6 + never + r5band + r4band + r3band + front)
+    lead = [(k, v) for k, v in items if 278 <= num(k) <= 310]
+    lead += [(k, v) for k, v in items if 69 <= num(k) <= 86]
+    nextup = [(k, v) for k, v in items if 87 <= num(k) <= 95]
+    nextup += [(k, v) for k, v in items if num(k) >= 311]
+    seen = {k for k, _ in lead} | {k for k, _ in nextup}
+    rest = [(k, v) for k, v in items if k not in seen]
+    return dict(lead + nextup + rest)
 
 
 def oracle_sql() -> dict[str, str]:
