@@ -391,6 +391,42 @@ REGRESSION_TRIAGE = {
         "count() 0.23s ~= r02 -> NO plan regression; noop "
         "materializes the bitmap payloads."
     ),
+    # Round-7 (judge-triaged in VERDICT r06 "What's wrong" item 1):
+    # BENCH_FULL_r08 showed 5.144s, judge re-measured isolated at
+    # sf0.1: 6.64s cold, 1.43/1.08s warm — cold-first-run artifact
+    # (JVM/JIT + localCheckpoint(eager=False) materializing on first
+    # touch), plan unchanged (category-sized frames, 3 bounded 1-row
+    # reduces; sf1 step ratio 0.67). The re-measure pass below now
+    # retimes any flagged name after its first (cold) run.
+    "q284_gini_gain": (
+        "cold-first-run artifact: judge-measured 6.6s cold / 1.1-1.4s "
+        "warm at sf0.1, plan unchanged (sf1 ratio 0.67); flagged "
+        "names are now re-measured warm before the artifact is cut."
+    ),
+}
+
+# Round-7 (VERDICT r06 item 3): per-query ACCEPTED baselines. q36/q50
+# have re-flagged with identical explanations since r04 whenever the
+# shared box drifted them above the prior round's (fast-drift) sample.
+# A name whose current best-of is within its accepted envelope is a
+# KNOWN-accepted delta, not new information: it is dropped from
+# `regressions` entirely (recorded under `regressions_accepted`), so
+# the regressions list only ever carries new findings.
+# accepted_sec = the slowest judge/self-triaged measurement on record
+# at sf0.1 under the noop sink (q36: 3.995s r05, banded-LSH trade-off;
+# q50: 1.898s r05, salting method cost) + the box's ±30% drift is
+# handled by the envelope multiplier in the check below.
+ACCEPTED_BASELINES = {
+    "q36_embedding_near_dups": (
+        4.0,
+        "banded adaptive-plane LSH rewrite: ~1s REAL plan cost at "
+        "sf0.1 accepted for sub-linear sf1 scaling (triaged r04/r05)",
+    ),
+    "q50_salted_join": (
+        1.9,
+        "salting method cost under the noop sink (triaged r04/r05: "
+        "count() unchanged vs r02 -> no plan regression)",
+    ),
 }
 
 
@@ -484,18 +520,32 @@ def main() -> None:
     try:
         import subprocess
 
+        _cwd = os.path.dirname(os.path.abspath(__file__))
         out["git_head"] = (
             subprocess.run(
                 ["git", "rev-parse", "HEAD"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
+                cwd=_cwd,
                 capture_output=True,
                 text=True,
                 timeout=10,
             ).stdout.strip()
             or None
         )
+        # dirty flag: uncommitted edits change code under the same
+        # HEAD, which must disable the same-code drift auto-triage
+        out["git_dirty"] = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain"],
+                cwd=_cwd,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+        )
     except Exception:  # noqa: BLE001 — stamping is best-effort
         out["git_head"] = None
+        out["git_dirty"] = True
+    out["reps"] = reps
 
     # Round-over-round tracking: report per-query deltas vs the most
     # recent USABLE driver-recorded BENCH_r{N}.json — walk backwards
@@ -575,15 +625,74 @@ def main() -> None:
                 for name in extra
                 if name in prev_x
             }
-            out["regressions"] = sorted(
-                name
-                for group, deltas in (
-                    (timings, out["delta"]),
-                    (extra, out["delta_extra"]),
+            def _flagged() -> list[str]:
+                return sorted(
+                    name
+                    for group, deltas in (
+                        (timings, out["delta"]),
+                        (extra, out["delta_extra"]),
+                    )
+                    for name, d in deltas.items()
+                    if d > 0.5 and d > 0.25 * (group[name] - d)
                 )
-                for name, d in deltas.items()
-                if d > 0.5 and d > 0.25 * (group[name] - d)
-            )
+
+            out["regressions"] = _flagged()
+
+            # Cold-run re-measure (round-6 verdict item 1): the first
+            # timed run of a query in a fresh JVM can pay one-time
+            # JIT/code-cache/localCheckpoint costs that best-of-reps
+            # inside that same cold window does not amortize (r08's
+            # q284: 5.1s in-artifact vs 1.1-1.4s warm). Every flagged
+            # name has already executed above, so re-timing it NOW is
+            # a warm measurement; take the min. Genuine plan
+            # regressions survive (warm re-runs reproduce them);
+            # cold-start artifacts evaporate.
+            if out["regressions"]:
+                remeasured = {}
+                for name in out["regressions"]:
+                    group = timings if name in timings else extra
+                    warm = best_of(name)
+                    if warm is not None and warm < group[name]:
+                        remeasured[name] = {
+                            "first": group[name], "warm": warm
+                        }
+                        group[name] = warm
+                if remeasured:
+                    out["remeasured_warm"] = remeasured
+                    out["value"] = round(sum(timings.values()), 3)
+                    out["delta"] = {
+                        name: round(timings[name] - prev_q[name], 3)
+                        for name in timings
+                        if name in prev_q
+                    }
+                    out["delta_extra"] = {
+                        name: round(extra[name] - prev_x[name], 3)
+                        for name in extra
+                        if name in prev_x
+                    }
+                    out["regressions"] = _flagged()
+
+            # Accepted-baseline filter (round-6 verdict item 3): a
+            # flagged name whose current time is inside its pinned
+            # accepted envelope (accepted_sec x 1.3 drift band) is a
+            # previously-triaged, accepted delta — record it under
+            # regressions_accepted and keep `regressions` for new
+            # information only.
+            accepted = {}
+            still = []
+            for name in out["regressions"]:
+                group = timings if name in timings else extra
+                pin = ACCEPTED_BASELINES.get(name)
+                if pin is not None and group[name] <= 1.3 * pin[0]:
+                    accepted[name] = (
+                        f"{group[name]}s <= accepted {pin[0]}s x1.3 "
+                        f"drift band: {pin[1]}"
+                    )
+                else:
+                    still.append(name)
+            out["regressions"] = still
+            if accepted:
+                out["regressions_accepted"] = accepted
             # attach triage notes for names already root-caused; only
             # UN-annotated regressions need next-round attention
             out["regression_triage"] = {
@@ -597,9 +706,13 @@ def main() -> None:
             # apart flagged DISJOINT sets in round 7). Auto-triage so a
             # driver rerun after the round's own full bench doesn't
             # manufacture phantom regressions.
+            # A dirty working tree keeps the same HEAD while changing
+            # code, so the same-HEAD shortcut only applies when the
+            # tree is clean (round-6 ADVICE item 2).
             same_code = (
                 out.get("git_head") is not None
                 and prev.get("git_head") == out.get("git_head")
+                and not out.get("git_dirty", True)
             )
             if same_code:
                 for n in out["regressions"]:

@@ -196,7 +196,9 @@ def exact_quantiles_sql(
     rows: str, value_expr: str, qs: list[float]
 ) -> str:
     """DuckDB twin of :func:`exact_quantiles` (plain window cumsum +
-    the same integer-micro position arithmetic)."""
+    the same DOUBLE position arithmetic: pos = (n-1)*q in IEEE double,
+    matching F.percentile / quantile_cont — see the inline note in
+    :func:`exact_quantiles` on why integer-micro positions diverge)."""
     spine = " UNION ALL ".join(f"SELECT {float(x)!r} AS q" for x in qs)
     return f"""
     WITH g AS (
@@ -247,8 +249,10 @@ def exact_quantiles_by_key(
     combinable; the frame is value-grid-bounded — a 2-dp price column
     has at most 10² · range distinct values no matter how many rows),
     then a per-key window cumsum whose task state is the group's
-    DISTINCT-value count, then the same integer-micro bracketing as
-    :func:`exact_quantiles`, fanned out by a constant quantile spine.
+    DISTINCT-value count, then the same DOUBLE position bracketing as
+    :func:`exact_quantiles` (pos = (n-1)*q in IEEE double, matching
+    F.percentile / quantile_cont), fanned out by a constant quantile
+    spine.
 
     Output: ``(key…, q, n, quantile)`` — quantile unrounded,
     bit-equal to ``F.percentile`` (unit-tested).
