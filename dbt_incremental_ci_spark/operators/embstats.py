@@ -19,7 +19,7 @@ over those exact sums, rounded to 6 dp (workload_base rules).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -141,49 +141,101 @@ def nearest_centroid_confusion(
             ).cast("double")
         ).alias("__cn")
     )
-    vnorm = pts.groupBy("__id").agg(
-        F.sqrt(
-            F.sum(
-                F.round(F.col("__v") * F.col("__v"), 12).cast(
-                    "decimal(38,12)"
-                )
+    # The fitted model is #classes × dims values — driver-bound by the
+    # same convention as the IVF trained centroids (similarity.py):
+    # collect it once and score MAP-ONLY via array expressions. The
+    # r06 shape joined the exploded n×d frame against the centroids
+    # and re-aggregated (an n×d×k shuffle plus an n×k argmax window,
+    # all linear in the corpus); the only shuffles left now are the
+    # centroid fit (n×d → k×d, map-side combinable) and the k²-cell
+    # confusion aggregate. Numerics are unchanged: identical per-term
+    # rounding, DECIMAL sums (order-independent), rounded-6 cosine,
+    # label-ascending tiebreak.
+    # driver-bound: #classes × dims rows (the fitted model)
+    cent_rows = cent.join(cnorm, "__c").collect()
+    model: dict = {}
+    norms: dict = {}
+    for r in cent_rows:
+        model.setdefault(r["__c"], {})[r["dim"]] = r["__cv"]
+        norms[r["__c"]] = r["__cn"]
+    classes = sorted(model)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Exact sums WITHOUT per-element BigDecimal work: each rounded
+    # term is lifted onto its integer micro-grid (round(x,s)*10^s is
+    # within ~1e-4 of an integer for unit-scale embeddings, so
+    # round(.,0) recovers it EXACTLY while |term|*10^s < 2^53), summed
+    # as plain longs (exact, order-free; |sum| < 2^53 so the double
+    # cast is exact), divided back by 10^s in one correctly-rounded
+    # double op — bit-equal to the DECIMAL-sum cast the oracle
+    # computes. The higher-order fold runs interpreted per element,
+    # but long ops there are ~3x cheaper than BigDecimal ones; a
+    # fully-unrolled flat Add chain (no lambdas, codegen-able) was
+    # also tried and planned 10x SLOWER — Catalyst analysis + codegen
+    # of the 640-term tree cost ~16s per build at ANY data size.
+    vn = F.sqrt(
+        F.aggregate(
+            F.transform(
+                vec_d,
+                lambda v: F.round(F.round(v * v, 12) * 1e12, 0).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e12)
+    )
+
+    def cos_for(c) -> Column:
+        cv = F.array(
+            *[
+                F.lit(float(model[c][d])) for d in range(len(model[c]))
+            ]
+        )
+        dot = (
+            F.aggregate(
+                F.zip_with(
+                    vec_d,
+                    cv,
+                    lambda v, w: F.round(
+                        F.round(v * w, 10) * 1e10, 0
+                    ).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
             ).cast("double")
-        ).alias("__vn")
-    )
-    dots = (
-        pts.join(F.broadcast(cent), "dim")
-        .groupBy("__id", "__lbl", "__c")
-        .agg(
-            F.sum(
-                F.round(F.col("__v") * F.col("__cv"), 10).cast(
-                    "decimal(38,10)"
-                )
-            )
-            .cast("double")
-            .alias("__dot")
+            / F.lit(1e10)
         )
-    )
-    scored = (
-        dots.join(F.broadcast(cnorm), "__c")
-        .join(vnorm, "__id")
-        .select(
-            "__id",
-            "__lbl",
-            "__c",
-            F.round(
-                F.col("__dot") / (F.col("__vn") * F.col("__cn")), 6
-            ).alias("__cos"),
-        )
-    )
-    w = Window.partitionBy("__id").orderBy(F.desc("__cos"), F.asc("__c"))
+        return F.round(dot / (F.col("__vn") * F.lit(float(norms[c]))), 6)
+
+    # argmax by (cosine desc, label asc) via struct array_max: ties on
+    # the rounded cosine resolve to the LARGEST -c = smallest label
     pred = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__lbl", F.col("__c").alias("__pred"))
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(label_col).alias("__lbl"),
+            F.col(vec_col).alias(vec_col),
+            vn.alias("__vn"),
+        )
+        .select(
+            "__lbl",
+            F.array_max(
+                F.array(
+                    *[
+                        F.struct(
+                            cos_for(c).alias("cos"),
+                            F.lit(-int(c)).alias("negc"),
+                        )
+                        for c in classes
+                    ]
+                )
+            ).alias("__best"),
+        )
+        .select("__lbl", (-F.col("__best")["negc"]).alias("__pred"))
     )
     cells = pred.groupBy(
         F.col("__lbl").alias("label_true"),
-        F.col("__pred").alias("label_pred"),
+        F.col("__pred").cast("int").alias("label_pred"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w_true = Window.partitionBy("label_true")
     return cells.select(
