@@ -346,6 +346,7 @@ EXTRA_QUERIES = [
     "q307_dedup_tokens_by_source",
     "q308_hellinger_distance",
     "q309_truncation_impact",
+    "q310_image_decode_stats",
 ]
 
 

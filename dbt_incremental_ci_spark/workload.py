@@ -45,7 +45,7 @@ the original single module had grown past 9k lines):
   dedup pair explanations, group conformal coverage, rich club,
   inter-event burstiness, TWAP, token-budget waterfilling)
 
-Importing this module imports all eight, which registers every query
+Importing this module imports all nine, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -77,3 +77,4 @@ from dbt_incremental_ci_spark import workload_q5  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q6  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q7  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q8  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q9  # noqa: F401,E402

@@ -1,6 +1,7 @@
 """Multimodal plumbing: binary columns + mapInPandas feature/frame ops.
-Decode is stubbed (no codec libs in container); the Spark-side schema,
-batching, and fan-out shapes are real and verified here."""
+Image decode is REAL for uncompressed formats (BMP 24-bit / PPM P6,
+pure numpy); compressed codecs raise per payload. Feature extraction
+keeps its digest stub (no vision model in container)."""
 
 import pytest
 
@@ -46,6 +47,76 @@ def test_sample_frames_fanout(spark):
     )
 
 
-def test_resize_is_marked_stub(spark):
+def _gradient(h, w, seed=0):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    r = (seed + 7 * x + 13 * y) % 256
+    g = (3 * seed + 5 * x + y) % 256
+    b = (x * y + seed) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    for h, w in [(3, 4), (5, 7), (1, 1), (2, 6)]:  # odd widths hit padding
+        arr = _gradient(h, w, seed=h * 31 + w)
+        out = mm.decode_image(mm.encode_bmp(arr))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, arr)
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    for h, w in [(3, 4), (5, 7), (1, 1)]:
+        arr = _gradient(h, w, seed=h + w)
+        out = mm.decode_image(mm.encode_ppm(arr))
+        assert np.array_equal(out, arr)
+
+
+def test_decode_rejects_compressed_only():
     with pytest.raises(NotImplementedError):
-        mm.resize_images(media_df(spark), 64, 64)
+        mm.decode_image(b"\x89PNG\r\n\x1a\nfake")
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\xff\xd8\xffjpegfake")
+
+
+def test_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    src = _gradient(2, 2, seed=9)
+    rows = [
+        (1, "image", bytes(mm.encode_bmp(src)), (2, 2, None, None)),
+        (2, "image", b"\x89PNGfake", (None, None, None, None)),  # undecodable
+        (3, "audio", b"RIFFfake", (None, None, 16000, 10)),  # filtered out
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resize_images(df, 4, 4).collect()}
+    assert set(out) == {1, 2}  # image rows only; audio filtered
+    assert out[2]["content"] is None  # compressed → NULL, no crash
+    up = mm.decode_image(bytes(out[1]["content"]))
+    # nearest-neighbor 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    expect = src[np.array([0, 0, 1, 1])][:, np.array([0, 0, 1, 1])]
+    assert np.array_equal(up, expect)
+
+
+def test_pixel_stats_exact(spark):
+    import numpy as np
+
+    arr = _gradient(3, 5, seed=2)
+    rows = [
+        (1, "image", bytes(mm.encode_bmp(arr)), (5, 3, None, None)),
+        (2, "image", bytes(mm.encode_ppm(arr)), (5, 3, None, None)),
+        (3, "image", b"\xff\xd8jpeg", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_pixel_stats(df).collect()}
+    sr, sg, sb = (int(arr[:, :, i].astype(np.int64).sum()) for i in range(3))
+    for mid, fmt in [(1, "bmp"), (2, "ppm")]:
+        r = got[mid]
+        assert (r["fmt"], r["width"], r["height"], r["n_pixels"]) == (fmt, 5, 3, 15)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
+        assert r["checksum"] == 3 * sr + 5 * sg + 7 * sb
+    assert got[3]["fmt"] == "unsupported" and got[3]["n_pixels"] is None
