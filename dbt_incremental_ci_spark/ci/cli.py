@@ -135,7 +135,11 @@ def main(argv: list[str] | None = None) -> int:
             line += f"  ({c.error})"
         print(line)
         if c.status == "dry_run" and c.sql:
+            print("    -- spark dialect")
             print("    " + c.sql.replace("\n", "\n    "))
+            if c.sql_duckdb:
+                print("    -- duckdb dialect")
+                print("    " + c.sql_duckdb.replace("\n", "\n    "))
     return 0 if result.ok else 1
 
 
