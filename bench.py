@@ -347,6 +347,9 @@ EXTRA_QUERIES = [
     "q308_hellinger_distance",
     "q309_truncation_impact",
     "q310_image_decode_stats",
+    "q311_image_resize_stats",
+    "q312_image_pixel_dedup",
+    "q313_channel_histogram",
 ]
 
 
