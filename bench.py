@@ -350,6 +350,8 @@ EXTRA_QUERIES = [
     "q311_image_resize_stats",
     "q312_image_pixel_dedup",
     "q313_channel_histogram",
+    "q314_cochran_armitage",
+    "q315_mantel_haenszel",
 ]
 
 

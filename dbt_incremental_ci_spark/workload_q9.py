@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.workload_base import (
+    events_table,
     q,
     t,
 )
@@ -368,4 +369,62 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.groupBy("channel", "bin")
         .agg(F.sum("n").cast("bigint").alias("n"))
         .orderBy("channel", "bin")
+    )
+
+
+# =====================================================================
+# Cochran-Armitage trend (q314): is the return rate linearly trending
+# across the ordered quantity scores 1..50? One per-score hash agg →
+# 5 exact DECIMAL(38) sums → one closed-form z. The variance product
+# R(N-R)(NC-B²) reaches ~8e29 at sf1 — DECIMAL(38,0)/HUGEINT, the
+# q303 overflow rule.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.epitests import (  # noqa: E402
+    cochran_armitage_trend,
+    cochran_armitage_trend_sql,
+    mantel_haenszel_or,
+    mantel_haenszel_or_sql,
+)
+
+
+@q(
+    "q314_cochran_armitage",
+    cochran_armitage_trend_sql(
+        "lineitem", "l_quantity", "l_returnflag = 'R'"
+    ),
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return cochran_armitage_trend(
+        li, "l_quantity", F.col("l_returnflag") == "R"
+    )
+
+
+# =====================================================================
+# Mantel-Haenszel pooled odds ratio (q315): purchase odds for the
+# even-user cohort vs odd, stratified by the JSON prop k-quintile —
+# crude OR next to the MH-pooled OR is the standard confounding
+# readout (q232's Simpson audit at the odds-ratio level). Strata come
+# through get_json_object, so the JSON path is exercised inside an
+# inference query. Per-stratum rational terms ROUND-9 into
+# DECIMAL(38,9) before the exact sum (srm rule).
+# =====================================================================
+@q(
+    "q315_mantel_haenszel",
+    mantel_haenszel_or_sql(
+        "events",
+        "CAST(json_extract(props, '$.k') AS BIGINT) // 20",
+        "user_id % 2 = 0",
+        "event_type = 'purchase'",
+    ),
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return mantel_haenszel_or(
+        ev,
+        (
+            F.get_json_object("props", "$.k").cast("bigint") / 20
+        ).cast("bigint"),
+        F.col("user_id") % 2 == 0,
+        F.col("event_type") == "purchase",
     )
