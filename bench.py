@@ -352,6 +352,11 @@ EXTRA_QUERIES = [
     "q313_channel_histogram",
     "q314_cochran_armitage",
     "q315_mantel_haenszel",
+    "q316_ipf_raking",
+    "q317_chao1_richness",
+    "q318_quantile_reg_grid",
+    "q319_loso_source_value",
+    "q320_cross_source_dups",
 ]
 
 

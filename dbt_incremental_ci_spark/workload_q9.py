@@ -428,3 +428,387 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 2 == 0,
         F.col("event_type") == "purchase",
     )
+
+
+# =====================================================================
+# IPF raking (q316): calibrate per-document weights so the corpus
+# (source × lang) mix hits UNIFORM margins — reweight-don't-drop
+# curation (Deming-Stephan iterative proportional fitting, 3 fixed
+# iterations, weights ROUND-9 DECIMAL between scalings so both
+# engines walk identical numbers). Cell frame is category-bounded;
+# the corpus is touched exactly once.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.raking import (  # noqa: E402
+    ipf_rake,
+    ipf_rake_sql,
+)
+
+
+@q(
+    "q316_ipf_raking",
+    ipf_rake_sql("documents", "source", "lang", iterations=3),
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ipf_rake(docs, "source", "lang", iterations=3)
+
+
+# =====================================================================
+# Chao1 vocabulary richness (q317): nonparametric "how many types
+# does the corpus REALLY have" estimate from the frequency-of-
+# frequencies — V + F1(F1−1)/(2(F2+1)) (bias-corrected Chao 1984),
+# next to singleton/doubleton counts and observed coverage
+# (Turing's 1 − F1/N). The token-count frame is vocab-sized, the
+# freq-of-freq frame is tiny; everything map-side combinable. Exact
+# integer inputs; two ROUND-6 ratios composed identically.
+# =====================================================================
+@q(
+    "q317_chao1_richness",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ff AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tc
+    )
+    SELECT n AS n_tokens, v AS n_types, f1 AS singletons,
+           f2 AS doubletons,
+           ROUND(CAST(v AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE)
+                   / CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1,
+           ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS coverage
+    FROM ff
+    """,
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ff = tc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+    )
+    return ff.select(
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("n_types"),
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        F.round(
+            F.col("v").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double"),
+            6,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0) - F.col("f1").cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+# =====================================================================
+# Distributed quantile-regression grid (q318): fit y = b·x through
+# the origin for τ ∈ {0.5, 0.9} by exact pinball-loss evaluation of a
+# FIXED 21-slope grid — the "hyperparameter scan as one Spark job"
+# shape: broadcast (slope × τ) spine fan-out, per-row loss terms
+# ROUND-4 into DECIMAL for exact order-free sums (srm rule), tiny
+# per-τ argmin window (21 rows) with slope-asc tiebreak. Volume =
+# 42 × corpus, all map-side-combinable into 42 partial sums.
+# =====================================================================
+_Q318_GRID = list(range(500, 2501, 100))
+_Q318_TAUS = [0.5, 0.9]
+
+
+@q(
+    "q318_quantile_reg_grid",
+    f"""
+    WITH grid AS (
+      SELECT b, tau FROM
+        (SELECT unnest({_Q318_GRID}) AS b),
+        (SELECT unnest({_Q318_TAUS}) AS tau)
+    ),
+    terms AS (
+      SELECT g.tau, g.b,
+             CAST(ROUND(
+               CASE WHEN r >= 0 THEN g.tau * r
+                    ELSE (g.tau - 1.0) * r END, 4)
+               AS DECIMAL(38,4)) AS term
+      FROM (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS y,
+               CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem
+      ) li, grid g,
+      LATERAL (SELECT li.y - g.b * li.x AS r) rr
+    ),
+    losses AS (
+      SELECT tau, b, sum(term) AS loss, CAST(count(*) AS BIGINT) AS n
+      FROM terms GROUP BY tau, b
+    ),
+    ranked AS (
+      SELECT tau, b, loss, n,
+             row_number() OVER (PARTITION BY tau ORDER BY loss, b) AS rk
+      FROM losses
+    )
+    SELECT tau, CAST(b AS BIGINT) AS best_slope,
+           ROUND(CAST(loss AS DOUBLE), 2) AS pinball_loss, n
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("y"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    grid = spark.createDataFrame(
+        [(b, tau) for b in _Q318_GRID for tau in _Q318_TAUS],
+        "b bigint, tau double",
+    )
+    r = F.col("y") - F.col("b") * F.col("x")
+    term = F.round(
+        F.when(r >= 0, F.col("tau") * r).otherwise(
+            (F.col("tau") - 1.0) * r
+        ),
+        4,
+    ).cast("decimal(38,4)")
+    losses = (
+        li.crossJoin(F.broadcast(grid))
+        .select("tau", "b", term.alias("term"))
+        .groupBy("tau", "b")
+        .agg(
+            F.sum("term").alias("loss"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    w = Window.partitionBy("tau").orderBy("loss", "b")
+    return (
+        losses.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "tau",
+            F.col("b").alias("best_slope"),
+            F.round(F.col("loss").cast("double"), 2).alias("pinball_loss"),
+            "n",
+        )
+    )
+
+
+# =====================================================================
+# Leave-one-source-out valuation (q319): what happens to the corpus
+# language-mix entropy and mean document length if source s is
+# dropped? Computed EXACTLY for every source simultaneously from the
+# bounded (source × lang) cell frame — global counts minus the
+# source's counts — never re-scanning the corpus per source (the
+# additive-sufficient-statistics trick; same family as q307's
+# dedup-weighted budgets). Entropy terms p·ln p ROUND-9 into DECIMAL
+# before the sum (the ln rule); output ratios ROUND-6.
+# =====================================================================
+@q(
+    "q319_loso_source_value",
+    """
+    WITH cell AS (
+      SELECT source, lang, count(*) AS c, sum(n_chars) AS ch
+      FROM documents GROUP BY 1, 2
+    ),
+    per_src AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+             CAST(sum(ch) AS BIGINT) AS ch_s
+      FROM cell GROUP BY 1
+    ),
+    per_lang AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n_l FROM cell GROUP BY 1
+    ),
+    gtot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(ch) AS BIGINT) AS ch
+      FROM cell
+    ),
+    loso AS (
+      SELECT s.source, l.lang,
+             l.n_l - COALESCE(x.c, 0) AS c_rem,
+             g.n - s.n_s AS n_rem
+      FROM per_src s
+      CROSS JOIN per_lang l
+      CROSS JOIN gtot g
+      LEFT JOIN (SELECT source, lang, c FROM cell) x
+        ON x.source = s.source AND x.lang = l.lang
+    ),
+    terms AS (
+      SELECT source, n_rem,
+             CAST(ROUND((CAST(c_rem AS DOUBLE) / CAST(n_rem AS DOUBLE))
+                        * ln(CAST(c_rem AS DOUBLE)
+                             / CAST(n_rem AS DOUBLE)), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM loso WHERE c_rem > 0
+    )
+    SELECT t.source,
+           s.n_s AS n_docs,
+           ROUND(-CAST(sum(t.term) AS DOUBLE), 6) AS lang_entropy_loso,
+           ROUND(CAST(g.ch - s.ch_s AS DOUBLE)
+                 / CAST(g.n - s.n_s AS DOUBLE), 6) AS mean_chars_loso
+    FROM terms t
+    JOIN per_src s ON s.source = t.source
+    CROSS JOIN gtot g
+    GROUP BY t.source, s.n_s, s.ch_s, g.ch, g.n
+    """,
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cell = (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("n_chars").alias("ch"),
+        )
+        .localCheckpoint(eager=False)  # bounded; 4 downstream consumers
+    )
+    per_src = cell.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.sum("ch").cast("bigint").alias("ch_s"),
+    )
+    per_lang = cell.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_l")
+    )
+    glob = cell.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("ch").cast("bigint").alias("ch"),
+    )
+    loso = (
+        per_src.crossJoin(F.broadcast(per_lang))
+        .crossJoin(F.broadcast(glob))
+        .join(
+            F.broadcast(cell.select("source", "lang", "c")),
+            ["source", "lang"],
+            "left",
+        )
+        .select(
+            "source",
+            "n_s",
+            "ch_s",
+            "n",
+            "ch",
+            (F.col("n_l") - F.coalesce(F.col("c"), F.lit(0))).alias("c_rem"),
+            (F.col("n") - F.col("n_s")).alias("n_rem"),
+        )
+    )
+    p = F.col("c_rem").cast("double") / F.col("n_rem").cast("double")
+    term = F.round(p * F.log(p), 9).cast("decimal(20,9)")
+    return (
+        loso.where(F.col("c_rem") > 0)
+        .groupBy("source", "n_s", "ch_s", "n", "ch")
+        .agg(F.sum(term.alias("term")).alias("ent"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(-F.col("ent").cast("double"), 6).alias(
+                "lang_entropy_loso"
+            ),
+            F.round(
+                (F.col("ch") - F.col("ch_s")).cast("double")
+                / (F.col("n") - F.col("n_s")).cast("double"),
+                6,
+            ).alias("mean_chars_loso"),
+        )
+    )
+
+
+# =====================================================================
+# Cross-source duplication matrix (q320): WHERE does near-duplication
+# come from — the q295 near-dup pair set (LSH-banded candidates,
+# exact char-5-shingle Jaccard >= 0.7; same probabilistic-recall
+# oracle convention as q32/q295, see the q295 header) rolled up to
+# unordered (source, source) cells with pair counts and share. The
+# matrix is the curation readout that decides which source pairs get
+# a cross-dedup pass. Volume = banded candidate pairs only.
+# =====================================================================
+@q(
+    "q320_cross_source_dups",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.7
+    ),
+    cells AS (
+      SELECT LEAST(sa, sb) AS source_x, GREATEST(sa, sb) AS source_y,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT source_x, source_y, n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE)
+                 / CAST((SELECT sum(n_pairs) FROM cells) AS DOUBLE), 6)
+             AS share
+    FROM cells
+    """,
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    cells = (
+        # no broadcast HINT on the doc->source map: it is corpus-sized
+        # (AQE still broadcasts it at small SF by measured size)
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("sb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .localCheckpoint(eager=False)  # cells + total both read it
+    )
+    tot = cells.agg(F.sum("n_pairs").cast("double").alias("__t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source_x",
+        "source_y",
+        "n_pairs",
+        F.round(F.col("n_pairs").cast("double") / F.col("__t"), 6).alias(
+            "share"
+        ),
+    )
