@@ -357,6 +357,9 @@ EXTRA_QUERIES = [
     "q318_quantile_reg_grid",
     "q319_loso_source_value",
     "q320_cross_source_dups",
+    "q321_brier_decomposition",
+    "q322_quantile_treatment_effect",
+    "q323_ams_f2_joinsize",
 ]
 
 

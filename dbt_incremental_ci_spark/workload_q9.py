@@ -812,3 +812,316 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# =====================================================================
+# Murphy decomposition of the Brier score (q321): REL − RES + UNC
+# over the fixed 10-bin forecast grid (forecast = props.k/100, the
+# q315 JSON path; outcome = purchase). Per-bin exact counts from ONE
+# hash agg; every component a ratio/square of exact integers composed
+# identically in both engines (micro-grid rounding on the three
+# summed per-bin terms, then ROUND-6 readouts).
+# =====================================================================
+@q(
+    "q321_brier_decomposition",
+    """
+    WITH rows_f AS (
+      SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS bin,
+             CAST(json_extract(props, '$.k') AS DOUBLE) / 100.0 AS f,
+             CAST(event_type = 'purchase' AS INT) AS y
+      FROM events
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(CAST(ROUND(f, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               AS fsum
+      FROM rows_f GROUP BY bin
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss
+      FROM per_bin
+    ),
+    comps AS (
+      SELECT
+        sum(CAST(ROUND(CAST(n AS DOUBLE)
+              * pow(fsum / n - CAST(s AS DOUBLE) / n, 2), 9)
+            AS DECIMAL(20,9))) AS rel_sum,
+        sum(CAST(ROUND(CAST(n AS DOUBLE)
+              * pow(CAST(s AS DOUBLE) / n
+                    - CAST((SELECT ss FROM g) AS DOUBLE)
+                      / (SELECT nn FROM g), 2), 9)
+            AS DECIMAL(20,9))) AS res_sum
+      FROM per_bin
+    )
+    SELECT g.nn AS n_rows,
+           ROUND(CAST(c.rel_sum AS DOUBLE) / g.nn, 6) AS reliability,
+           ROUND(CAST(c.res_sum AS DOUBLE) / g.nn, 6) AS resolution,
+           ROUND(CAST(g.ss AS DOUBLE) / g.nn
+                 * (1.0 - CAST(g.ss AS DOUBLE) / g.nn), 6)
+             AS uncertainty,
+           ROUND(CAST(c.rel_sum AS DOUBLE) / g.nn
+                 - CAST(c.res_sum AS DOUBLE) / g.nn
+                 + CAST(g.ss AS DOUBLE) / g.nn
+                   * (1.0 - CAST(g.ss AS DOUBLE) / g.nn), 6)
+             AS brier_decomposed
+    FROM comps c, g
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    rows_f = ev.select(
+        (k / 10).cast("bigint").alias("bin"),
+        (k.cast("double") / 100.0).alias("f"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    per_bin = rows_f.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.round(F.col("f"), 6).cast("decimal(20,6)"))
+        .cast("double")
+        .alias("fsum"),
+    ).localCheckpoint(eager=False)  # bin-bounded; two consumers
+    g = per_bin.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("ss"),
+    )
+    wb = per_bin.crossJoin(F.broadcast(g))
+    obar = F.col("ss").cast("double") / F.col("nn")
+    rel_t = F.round(
+        F.col("n").cast("double")
+        * F.pow(
+            F.col("fsum") / F.col("n")
+            - F.col("s").cast("double") / F.col("n"),
+            2,
+        ),
+        9,
+    ).cast("decimal(20,9)")
+    res_t = F.round(
+        F.col("n").cast("double")
+        * F.pow(F.col("s").cast("double") / F.col("n") - obar, 2),
+        9,
+    ).cast("decimal(20,9)")
+    comps = wb.agg(
+        F.sum(rel_t).alias("rel_sum"),
+        F.sum(res_t).alias("res_sum"),
+        F.max("nn").alias("nn"),
+        F.max("ss").alias("ss"),
+    )
+    ob = F.col("ss").cast("double") / F.col("nn")
+    return comps.select(
+        F.col("nn").alias("n_rows"),
+        F.round(F.col("rel_sum").cast("double") / F.col("nn"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_sum").cast("double") / F.col("nn"), 6).alias(
+            "resolution"
+        ),
+        F.round(ob * (F.lit(1.0) - ob), 6).alias("uncertainty"),
+        F.round(
+            F.col("rel_sum").cast("double") / F.col("nn")
+            - F.col("res_sum").cast("double") / F.col("nn")
+            + ob * (F.lit(1.0) - ob),
+            6,
+        ).alias("brier_decomposed"),
+    )
+
+
+# =====================================================================
+# Quantile treatment effects (q322): purchase-vs-click value
+# distributions compared at τ ∈ {0.25, 0.5, 0.75, 0.9} — the
+# distributional upgrade over the mean-difference A/B readout (q168):
+# where in the distribution does the effect live? Per-group quantiles
+# via the scalable exact path (distinct-value cumsum, ranks.py — no
+# per-group value buffers); oracle = quantile_cont, which that path
+# matches bit-for-bit (§6w).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.ranks import (  # noqa: E402
+    exact_quantiles_by_key,
+)
+
+_Q322_TAUS = [0.25, 0.5, 0.75, 0.9]
+
+
+def _q322_oracle() -> str:
+    taus = _Q322_TAUS
+    p_cols = ", ".join(
+        f"ROUND(quantile_cont(CAST(value AS DOUBLE), {t}), 6) AS v{i}"
+        for i, t in enumerate(taus)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS q, p.n AS n_purchase, c.n AS n_click, "
+        f"p.v{i} AS q_purchase, c.v{i} AS q_click FROM p, c"
+        for i, t in enumerate(taus)
+    )
+    return f"""
+    WITH p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, {p_cols}
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, {p_cols}
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    )
+    SELECT q, n_purchase, n_click, q_purchase, q_click,
+           ROUND(q_purchase - q_click, 6) AS qte
+    FROM ({rows})
+    """
+
+
+@q("q322_quantile_treatment_effect", _q322_oracle())
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    eq = exact_quantiles_by_key(ev, ["event_type"], "value", _Q322_TAUS)
+    p = eq.where(F.col("event_type") == "purchase").select(
+        "q",
+        F.col("n").alias("n_purchase"),
+        F.round("quantile", 6).alias("q_purchase"),
+    )
+    c = eq.where(F.col("event_type") == "click").select(
+        "q",
+        F.col("n").alias("n_click"),
+        F.round("quantile", 6).alias("q_click"),
+    )
+    return p.join(c, "q").select(
+        "q",
+        "n_purchase",
+        "n_click",
+        "q_purchase",
+        "q_click",
+        F.round(F.col("q_purchase") - F.col("q_click"), 6).alias("qte"),
+    )
+
+
+# =====================================================================
+# AMS F2 join-size estimation (q323): estimate the self-join size
+# Σ c_k² of lineitem on l_partkey with a 15-counter Tug-of-War (AMS)
+# sketch — ±1 signs from the house md5 variate, ONE map-side-
+# combinable pass of 15 sign-sums (mergeable registers, the CMS/HLL
+# family) — next to the exact value from the per-key count frame.
+# Median-of-means (3 groups × 5): deterministic closed form; the
+# oracle replays the identical md5-derived signs, so the hash match
+# proves the whole estimator, not just the arithmetic. Join-size
+# estimation is what a CBO does before picking a join strategy.
+# =====================================================================
+_Q323_S = 15  # estimators: 3 groups of 5
+
+
+def _q323_sign_sql(j: int) -> str:
+    return (
+        "(1 - 2 * (('0x' || substr(md5(CAST(l_partkey AS VARCHAR) "
+        f"|| ':{j}:ams'), 1, 8))::BIGINT % 2))"
+    )
+
+
+def _q323_oracle() -> str:
+    sums = ",\n             ".join(
+        f"CAST(sum({_q323_sign_sql(j)}) AS BIGINT) AS x{j}"
+        for j in range(_Q323_S)
+    )
+    ests = ", ".join(
+        f"CAST(x{j} AS DOUBLE) * x{j}" for j in range(_Q323_S)
+    )
+    means = ", ".join(
+        "(" + " + ".join(f"e[{g * 5 + i + 1}]" for i in range(5)) + ") / 5.0"
+        for g in range(3)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows, {sums}
+      FROM lineitem
+    ),
+    exact AS (
+      SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+      FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+    ),
+    est AS (
+      SELECT n_rows, [{ests}] AS e FROM sk
+    ),
+    mm AS (
+      SELECT n_rows, [{means}] AS gm FROM est
+    )
+    SELECT n_rows,
+           CAST((SELECT f2 FROM exact) AS BIGINT) AS f2_exact,
+           ROUND(list_sort(gm)[2], 1) AS f2_estimate,
+           ROUND(ABS(list_sort(gm)[2]
+                     - CAST((SELECT f2 FROM exact) AS DOUBLE))
+                 / CAST((SELECT f2 FROM exact) AS DOUBLE), 6)
+             AS rel_error
+    FROM mm
+    """
+
+
+@q("q323_ams_f2_joinsize", _q323_oracle())
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def sign(j: int):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_partkey").cast("string"),
+                        F.lit(f":{j}:ams"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.lit(1) - F.lit(2) * (h % 2)
+
+    sk = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(sign(j)).cast("bigint").alias(f"x{j}")
+            for j in range(_Q323_S)
+        ],
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("bigint")
+            .alias("f2")
+        )
+    )
+    ests = F.array(
+        *[
+            (F.col(f"x{j}").cast("double") * F.col(f"x{j}"))
+            for j in range(_Q323_S)
+        ]
+    )
+    means = F.array(
+        *[
+            sum(
+                [F.col("e").getItem(g * 5 + i) for i in range(5)],
+                F.lit(0.0),
+            )
+            / 5.0
+            for g in range(3)
+        ]
+    )
+    med = F.array_sort(F.col("gm")).getItem(1)
+    return (
+        sk.withColumn("e", ests)
+        .withColumn("gm", means)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_rows",
+            F.col("f2").alias("f2_exact"),
+            F.round(med, 1).alias("f2_estimate"),
+            F.round(
+                F.abs(med - F.col("f2").cast("double"))
+                / F.col("f2").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
