@@ -360,6 +360,9 @@ EXTRA_QUERIES = [
     "q321_brier_decomposition",
     "q322_quantile_treatment_effect",
     "q323_ams_f2_joinsize",
+    "q324_eb_rate_shrinkage",
+    "q325_hill_tail_index",
+    "q326_wasserstein_drift",
 ]
 
 

@@ -1125,3 +1125,286 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# =====================================================================
+# Empirical-Bayes rate shrinkage (q324): per-brand return rates
+# shrunk toward the corpus prior with a method-of-moments
+# beta-binomial fit — the small-n correction that stops a 3-row brand
+# from topping the "worst return rate" ranking. Two bounded
+# aggregates (brand cells → moment fit) + one closed-form column;
+# rates and moments are rounded ratios of exact ints (DIV-half-up /
+# ROUND-9 DECIMAL terms, srm rules).
+# =====================================================================
+@q(
+    "q324_eb_rate_shrinkage",
+    """
+    WITH cells AS (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    rated AS (
+      SELECT *, CAST((x * 2000000 + n) // (n * 2) AS BIGINT)
+                  / 1000000.0 AS rate
+      FROM cells
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(ROUND(rate, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(ROUND(rate * rate, 9) AS DECIMAL(20,9)))
+                  AS DOUBLE) AS s2
+      FROM rated
+    ),
+    fit AS (
+      SELECT k, s1 / k AS m,
+             (s2 - s1 * s1 / k) / k AS v
+      FROM mom
+    ),
+    ab AS (
+      SELECT CASE WHEN v > 0 AND m * (1.0 - m) / v > 1.0
+                  THEN m * (m * (1.0 - m) / v - 1.0) ELSE 1.0 END AS alpha,
+             CASE WHEN v > 0 AND m * (1.0 - m) / v > 1.0
+                  THEN (1.0 - m) * (m * (1.0 - m) / v - 1.0)
+                  ELSE 1.0 END AS beta
+      FROM fit
+    )
+    SELECT r.brand, r.n, r.rate AS rate_raw,
+           ROUND((r.x + ab.alpha) / (r.n + ab.alpha + ab.beta), 6)
+             AS rate_shrunk,
+           ROUND(ab.alpha, 6) AS alpha,
+           ROUND(ab.beta, 6) AS beta
+    FROM rated r, ab
+    """,
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    pt = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    rated = cells.withColumn(
+        "rate",
+        F.expr("CAST((x * 2000000 + n) DIV (n * 2) AS BIGINT)") / 1e6,
+    ).localCheckpoint(eager=False)  # brand-bounded; fit + output read it
+    mom = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(F.col("rate"), 9).cast("decimal(20,9)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("rate") * F.col("rate"), 9).cast("decimal(20,9)")
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    m = F.col("s1") / F.col("k")
+    v = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / F.col("k")
+    strength = m * (F.lit(1.0) - m) / v
+    ab = mom.select(
+        F.when((v > 0) & (strength > 1.0), m * (strength - 1.0))
+        .otherwise(F.lit(1.0))
+        .alias("alpha"),
+        F.when(
+            (v > 0) & (strength > 1.0), (F.lit(1.0) - m) * (strength - 1.0)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("beta"),
+    )
+    return rated.crossJoin(F.broadcast(ab)).select(
+        "brand",
+        "n",
+        F.col("rate").alias("rate_raw"),
+        F.round(
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta")),
+            6,
+        ).alias("rate_shrunk"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+
+# =====================================================================
+# Hill tail-index (q325): how heavy is the document-length tail —
+# α̂ = 1 / (mean over the top-k order statistics of ln(x_i / x_k)),
+# k = 500 fixed. The top-k frame comes from the two-phase global rank
+# (ranks.two_phase_row_number — no data-sized single-partition sort);
+# ln terms ROUND-9 into DECIMAL before the exact sum (ln rule).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.ranks import (  # noqa: E402
+    two_phase_row_number,
+)
+
+_Q325_K = 500
+
+
+@q(
+    "q325_hill_tail_index",
+    f"""
+    WITH topk AS (
+      SELECT CAST(n_chars AS DOUBLE) AS x
+      FROM documents
+      ORDER BY n_chars DESC, doc_id
+      LIMIT {_Q325_K}
+    ),
+    xk AS (
+      SELECT min(x) AS xmin FROM topk
+    ),
+    terms AS (
+      SELECT CAST(ROUND(ln(x / (SELECT xmin FROM xk)), 9)
+                  AS DECIMAL(20,9)) AS term
+      FROM topk
+    )
+    SELECT CAST({_Q325_K} AS BIGINT) AS k,
+           ROUND((SELECT xmin FROM xk), 1) AS x_k,
+           ROUND(CAST(sum(term) AS DOUBLE) / {_Q325_K}, 6)
+             AS hill_mean_log,
+           ROUND({_Q325_K} / CAST(sum(term) AS DOUBLE), 6)
+             AS tail_index
+    FROM terms
+    """,
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = two_phase_row_number(
+        docs,
+        [F.desc("n_chars"), F.asc("doc_id")],
+        out_col="__rn",
+    )
+    topk = ranked.where(F.col("__rn") <= _Q325_K).select(
+        F.col("n_chars").cast("double").alias("x")
+    ).localCheckpoint(eager=False)  # k-bounded; min + terms read it
+    xk = topk.agg(F.min("x").alias("xmin"))
+    terms = topk.crossJoin(F.broadcast(xk)).select(
+        F.round(F.log(F.col("x") / F.col("xmin")), 9)
+        .cast("decimal(20,9)")
+        .alias("term"),
+        "xmin",
+    )
+    return terms.groupBy("xmin").agg(
+        F.sum("term").alias("ssum")
+    ).select(
+        F.lit(_Q325_K).cast("bigint").alias("k"),
+        F.round(F.col("xmin"), 1).alias("x_k"),
+        F.round(F.col("ssum").cast("double") / _Q325_K, 6).alias(
+            "hill_mean_log"
+        ),
+        F.round(
+            F.lit(float(_Q325_K)) / F.col("ssum").cast("double"), 6
+        ).alias("tail_index"),
+    )
+
+
+# =====================================================================
+# Wasserstein-1 drift (q326): earth-mover distance between the
+# purchase and click value distributions — ∫|F_a − F_b| dv over the
+# 2-dp value grid (the KS statistic q136 integrates the SUP; W1
+# integrates the AREA, so it sees magnitude, not just the worst
+# point). The grid frame is value-range-bounded (≤ 10⁴ cells for a
+# 2-dp column in [0,100]) — the cumsum/lead windows there are the
+# deliberate tiny 1-part pattern, never data-sized. CDF ratios are
+# exact-int doubles; |ΔF|·gap terms ROUND-9 DECIMAL, sum exact.
+# =====================================================================
+@q(
+    "q326_wasserstein_drift",
+    """
+    WITH grid AS (
+      SELECT ROUND(CAST(value AS DOUBLE), 2) AS v,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM grid
+    ),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cca,
+             sum(cb) OVER (ORDER BY v) AS ccb,
+             lead(v) OVER (ORDER BY v) AS vnext
+      FROM grid
+    ),
+    terms AS (
+      SELECT CAST(ROUND(
+               ABS(CAST(cca AS DOUBLE) / (SELECT na FROM tot)
+                   - CAST(ccb AS DOUBLE) / (SELECT nb FROM tot))
+               * (vnext - v), 9) AS DECIMAL(20,9)) AS term
+      FROM cum WHERE vnext IS NOT NULL
+    )
+    SELECT (SELECT na FROM tot) AS n_a,
+           (SELECT nb FROM tot) AS n_b,
+           CAST((SELECT count(*) FROM grid) AS BIGINT) AS n_grid,
+           ROUND(CAST(sum(term) AS DOUBLE), 6) AS wasserstein1
+    FROM terms
+    """,
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    grid = (
+        ev.groupBy(F.round(F.col("value").cast("double"), 2).alias("v"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # grid-bounded; totals + cum read it
+    )
+    tot = grid.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    n_grid = grid.agg(F.count(F.lit(1)).cast("bigint").alias("n_grid"))
+    # value-grid-bounded frame: deliberate tiny 1-part window
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    cum = grid.select(
+        "v",
+        F.sum("ca").over(w).alias("cca"),
+        F.sum("cb").over(w).alias("ccb"),
+        F.lead("v").over(wl).alias("vnext"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("cca").cast("double") / F.col("na")
+            - F.col("ccb").cast("double") / F.col("nb")
+        )
+        * (F.col("vnext") - F.col("v")),
+        9,
+    ).cast("decimal(20,9)")
+    return (
+        cum.where(F.col("vnext").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(term).alias("w1"), F.max("na").alias("na"), F.max("nb").alias("nb"))
+        .crossJoin(F.broadcast(n_grid))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "n_grid",
+            F.round(F.col("w1").cast("double"), 6).alias("wasserstein1"),
+        )
+    )
