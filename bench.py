@@ -363,6 +363,9 @@ EXTRA_QUERIES = [
     "q324_eb_rate_shrinkage",
     "q325_hill_tail_index",
     "q326_wasserstein_drift",
+    "q327_compression_filter",
+    "q328_segmented_trend",
+    "q329_overdispersion",
 ]
 
 

@@ -1408,3 +1408,277 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w1").cast("double"), 6).alias("wasserstein1"),
         )
     )
+
+
+# =====================================================================
+# Compression-ratio quality filter (q327): zlib-compressed bytes per
+# raw byte, per document — the classic "too compressible = boilerplate
+# / repetitive spam, too incompressible = random noise" curation
+# signal (used alongside the Gopher rules, q98). zlib is stdlib, runs
+# in Arrow batches on the executors; NO SQL twin exists (DuckDB has no
+# zlib), so this is a documented rows-only entry — the VALUE gate is
+# the unit test pinning the signal's direction on constructed
+# repetitive/random texts, plus the in-plan keep flag replayed below.
+# Output: per-source aggregate of the flag so the row set is bounded
+# and stable.
+# =====================================================================
+def _q327_ratio_rows(docs: DataFrame) -> DataFrame:
+    import zlib
+
+    def run(batches):
+        for pdf in batches:
+            srcs, ratios = [], []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                raw = (text or "").encode("utf-8")
+                n = len(raw)
+                comp = len(zlib.compress(raw, 6)) if n else 0
+                srcs.append(src)
+                ratios.append((comp / n) if n else 1.0)
+            yield pd.DataFrame({"source": srcs, "ratio": ratios})
+
+    return docs.mapInPandas(run, schema="source string, ratio double")
+
+
+@q("q327_compression_filter")  # rows-only: zlib has no DuckDB twin
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    rows = _q327_ratio_rows(docs)
+    keep = (F.col("ratio") >= 0.25) & (F.col("ratio") <= 0.95)
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Segmented trend fit (q328): monthly revenue with ONE breakpoint —
+# for every candidate breakpoint in the month grid, exact per-segment
+# OLS from EXACT DECIMAL sufficient statistics (x bigint, y the exact
+# DECIMAL(18,2) monthly revenue; sxy/syy as width-safe decimal
+# products — raw double Σxy/Σy² at 1e18 magnitude was measured
+# order-divergent between engines, §6 cast-to-DECIMAL rule) and total
+# SSE as the order-fixed two-term double sum s0+s1; report the
+# breakpoint minimizing SSE. Month frame is calendar-bounded; the
+# candidate × month fan-out is months² (~7k cells).
+# =====================================================================
+@q(
+    "q328_segmented_trend",
+    """
+    WITH monthly AS (
+      SELECT (EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate)) AS m,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS y
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS x, y
+      FROM monthly
+    ),
+    cand AS (
+      SELECT x AS bp FROM idx
+      WHERE x >= 3 AND x <= (SELECT max(x) FROM idx) - 3
+    ),
+    segs AS (
+      SELECT c.bp, CASE WHEN i.x <= c.bp THEN 0 ELSE 1 END AS seg,
+             i.x, i.y
+      FROM cand c, idx i
+    ),
+    fit AS (
+      SELECT bp, seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(y AS DECIMAL(18,2))) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(CAST(x AS DECIMAL(6,0)) * CAST(y AS DECIMAL(18,2)))
+               AS sxy,
+             sum(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+               AS syy
+      FROM segs GROUP BY bp, seg
+    ),
+    sse AS (
+      SELECT bp, seg,
+             (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+               / (n * sxx - sx * sx) AS slope,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+               - pow(n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE), 2)
+                 / (n * (CAST(n * sxx - sx * sx AS DOUBLE))) AS seg_sse
+      FROM fit
+    ),
+    tot AS (
+      SELECT bp,
+             max(CASE WHEN seg = 0 THEN seg_sse END)
+               + max(CASE WHEN seg = 1 THEN seg_sse END) AS total_sse,
+             max(CASE WHEN seg = 0 THEN slope END) AS slope_before,
+             max(CASE WHEN seg = 1 THEN slope END) AS slope_after
+      FROM sse GROUP BY bp
+    ),
+    best AS (
+      SELECT *, row_number() OVER (ORDER BY total_sse, bp) AS rk
+      FROM tot
+    )
+    SELECT bp AS breakpoint_month,
+           ROUND(slope_before, 4) AS slope_before,
+           ROUND(slope_after, 4) AS slope_after,
+           ROUND(total_sse / 1000000000000.0, 6) AS sse_trillions
+    FROM best WHERE rk = 1
+    """,
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    # calendar-bounded frame: deliberate tiny 1-part window
+    idx = monthly.select(
+        F.row_number()
+        .over(Window.orderBy("m"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    ).localCheckpoint(eager=False)  # months-bounded; cand + segs read it
+    mx = idx.agg(F.max("x").alias("mx"))
+    cand = (
+        idx.crossJoin(F.broadcast(mx))
+        .where((F.col("x") >= 3) & (F.col("x") <= F.col("mx") - 3))
+        .select(F.col("x").alias("bp"))
+    )
+    segs = cand.crossJoin(idx).select(
+        "bp",
+        F.when(F.col("x") <= F.col("bp"), 0).otherwise(1).alias("seg"),
+        "x",
+        "y",
+    )
+    fit = segs.groupBy("bp", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(6,0)")
+            * F.col("y").cast("decimal(18,2)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("y").cast("decimal(19,2)")
+            * F.col("y").cast("decimal(19,2)")
+        ).alias("syy"),
+    )
+    nd = F.col("n")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx") * F.col("sy").cast("double")
+    ) / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+    seg_sse = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy") / nd
+        - F.pow(
+            nd * F.col("sxy").cast("double")
+            - F.col("sx") * F.col("sy").cast("double"),
+            2,
+        )
+        / (
+            nd
+            * (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+    )
+    sse = fit.select(
+        "bp", "seg", slope.alias("slope"), seg_sse.alias("seg_sse")
+    )
+    tot = sse.groupBy("bp").agg(
+        (
+            F.max(F.when(F.col("seg") == 0, F.col("seg_sse")))
+            + F.max(F.when(F.col("seg") == 1, F.col("seg_sse")))
+        ).alias("total_sse"),
+        F.max(F.when(F.col("seg") == 0, F.col("slope"))).alias(
+            "slope_before"
+        ),
+        F.max(F.when(F.col("seg") == 1, F.col("slope"))).alias(
+            "slope_after"
+        ),
+    )
+    w = Window.orderBy("total_sse", "bp")
+    return (
+        tot.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("bp").alias("breakpoint_month"),
+            F.round("slope_before", 4).alias("slope_before"),
+            F.round("slope_after", 4).alias("slope_after"),
+            F.round(F.col("total_sse") / 1e12, 6).alias("sse_trillions"),
+        )
+    )
+
+
+# =====================================================================
+# Overdispersion check (q329): are per-user event counts Poisson-like
+# or clumped? Variance-to-mean ratio + the index-of-dispersion
+# statistic D = (n−1)·s²/x̄ over the per-user count frame. Counts are
+# exact ints, so ALL moments are exact integer sums (no double sums
+# anywhere); the readouts are single double expressions ROUND-6.
+# =====================================================================
+@q(
+    "q329_overdispersion",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           CAST(s1 AS BIGINT) AS n_events,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_count,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1), 6) AS var_count,
+           ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / (n - 1)) / (CAST(s1 AS DOUBLE) / n), 6) AS vmr,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS dispersion_index
+    FROM mom
+    """,
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n")
+    var = (s2d - s1d * F.col("s1") / nd) / (nd - 1)
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.round(s1d / nd, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(var / (s1d / nd), 6).alias("vmr"),
+        F.round(
+            (s2d - s1d * F.col("s1") / nd) / (s1d / nd), 6
+        ).alias("dispersion_index"),
+    )

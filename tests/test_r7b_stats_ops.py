@@ -63,3 +63,27 @@ def test_mantel_haenszel_single_stratum_equals_crude(spark):
         df, F.col("st"), F.col("e") == 1, F.col("y") == 1
     ).collect()[0]
     assert out["or_mh"] == pytest.approx(out["or_crude"], abs=1e-6)
+
+
+def test_compression_filter_signal_direction(spark):
+    """q327's zlib signal: repetitive text compresses far more (low
+    ratio) than high-entropy text (ratio near/above the keep band).
+    No SQL twin exists (DuckDB has no zlib) — this test IS the value
+    gate for the rows-only q327 entry."""
+    from dbt_incremental_ci_spark.workload_q9 import _q327_ratio_rows
+
+    import random
+
+    rng = random.Random(7)
+    noisy = "".join(chr(rng.randint(33, 126)) for _ in range(4000))
+    rows = [
+        ("rep", "spam spam spam " * 300),
+        ("noise", noisy),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r["ratio"] for r in _q327_ratio_rows(df).collect()}
+    assert got["rep"] < 0.05          # boilerplate: hugely compressible
+    assert got["noise"] > 0.8         # random bytes: barely compressible
+    assert got["empty"] == 1.0        # guard value, counted as no-signal
+    assert got["rep"] < got["noise"]  # the filter's ordering premise
