@@ -366,6 +366,7 @@ EXTRA_QUERIES = [
     "q327_compression_filter",
     "q328_segmented_trend",
     "q329_overdispersion",
+    "q330_isotonic_calibration",
 ]
 
 

@@ -1682,3 +1682,34 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2d - s1d * F.col("s1") / nd) / (s1d / nd), 6
         ).alias("dispersion_index"),
     )
+
+
+# =====================================================================
+# Isotonic calibration (q330): monotone recalibration of the props.k
+# score against purchase outcomes via PAVA's closed MINIMAX form —
+# iso(k) = max_{i<=k} min_{j>=k} mean(i..j) — enumerated exactly over
+# the bounded 100-bin grid (operators/isotonic.py; the sequential
+# pooling sweep never touches the driver, and the DuckDB twin runs
+# the identical non-recursive SQL).
+# =====================================================================
+from dbt_incremental_ci_spark.operators.isotonic import (  # noqa: E402
+    isotonic_calibrate_binned,
+    isotonic_calibrate_binned_sql,
+)
+
+
+@q(
+    "q330_isotonic_calibration",
+    isotonic_calibrate_binned_sql(
+        "events",
+        "CAST(json_extract(props, '$.k') AS BIGINT)",
+        "event_type = 'purchase'",
+    ),
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        "kbin", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return isotonic_calibrate_binned(
+        ev, "kbin", F.col("event_type") == "purchase"
+    )

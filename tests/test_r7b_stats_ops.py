@@ -87,3 +87,49 @@ def test_compression_filter_signal_direction(spark):
     assert got["noise"] > 0.8         # random bytes: barely compressible
     assert got["empty"] == 1.0        # guard value, counted as no-signal
     assert got["rep"] < got["noise"]  # the filter's ordering premise
+
+
+def test_isotonic_minimax_known_pooling(spark):
+    # rates [0.3, 0.1, 0.2, 0.4] with n=10 each: PAVA pools the first
+    # three violators to (3+1+2)/30 = 0.2 -> iso = [.2, .2, .2, .4]
+    from dbt_incremental_ci_spark.operators.isotonic import (
+        isotonic_calibrate_binned,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = []
+    for b, k in [(1, 3), (2, 1), (3, 2), (4, 4)]:
+        rows += [(b, 1)] * k + [(b, 0)] * (10 - k)
+    df = spark.createDataFrame(rows, "b int, y int")
+    out = {
+        r["bin"]: r
+        for r in isotonic_calibrate_binned(
+            df, "b", F2.col("y") == 1
+        ).collect()
+    }
+    assert [out[b]["rate_iso"] for b in (1, 2, 3, 4)] == [
+        0.2, 0.2, 0.2, 0.4,
+    ]
+    assert out[1]["rate_raw"] == 0.3 and out[4]["n"] == 10
+
+
+def test_isotonic_monotone_and_identity(spark):
+    from dbt_incremental_ci_spark.operators.isotonic import (
+        isotonic_calibrate_binned,
+    )
+    from pyspark.sql import functions as F2
+
+    # already-monotone input is a fixed point of the fit
+    rows = []
+    for b, k in [(0, 1), (1, 4), (2, 6), (3, 9)]:
+        rows += [(b, 1)] * k + [(b, 0)] * (10 - k)
+    df = spark.createDataFrame(rows, "b int, y int")
+    got = sorted(
+        isotonic_calibrate_binned(df, "b", F2.col("y") == 1).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["rate_iso"] for r in got] == [r["rate_raw"] for r in got]
+    assert all(
+        got[i]["rate_iso"] <= got[i + 1]["rate_iso"]
+        for i in range(len(got) - 1)
+    )
