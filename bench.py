@@ -367,6 +367,8 @@ EXTRA_QUERIES = [
     "q328_segmented_trend",
     "q329_overdispersion",
     "q330_isotonic_calibration",
+    "q331_dedup_degree_histogram",
+    "q332_filter_waterfall",
 ]
 
 

@@ -1713,3 +1713,203 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibrate_binned(
         ev, "kbin", F.col("event_type") == "purchase"
     )
+
+
+# =====================================================================
+# Dedup-graph degree histogram (q331): how many documents have k
+# near-dup partners — the shape that decides whether near-duplication
+# is pairwise noise (degree 1) or template explosions (hub nodes).
+# Degrees from the q295/q320 pair set (banded candidates, exact
+# char-5-shingle Jaccard >= 0.7; same probabilistic-recall oracle
+# convention); histogram over the degree frame. Docs with NO partner
+# are counted as degree 0 via the total-minus-matched spine.
+# =====================================================================
+@q(
+    "q331_dedup_degree_histogram",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.7
+    ),
+    deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT id_a AS id FROM pairs
+            UNION ALL SELECT id_b FROM pairs)
+      GROUP BY 1
+    ),
+    hist AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY 1
+      UNION ALL
+      SELECT 0, (SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM deg)
+    )
+    SELECT degree, n_docs FROM hist WHERE n_docs > 0
+    """,
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    ).select("id_a", "id_b")
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .localCheckpoint(eager=False)  # pair-bounded; hist + count read it
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("nd")).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("nm")))
+    )
+    zero = totals.select(
+        F.lit(0).cast("bigint").alias("degree"),
+        (F.col("nd") - F.col("nm")).cast("bigint").alias("n_docs"),
+    )
+    return hist.unionByName(zero).where(F.col("n_docs") > 0)
+
+
+# =====================================================================
+# Filter-pipeline waterfall (q332): the cumulative doc/token survival
+# report across three curation stages — length band, exact-dedup
+# (digest-min keeper), alpha-ratio — the "where did my corpus go"
+# readout every pipeline run prints. One row per stage with
+# cumulative kept counts; all flags are exact column expressions
+# replayed identically in SQL.
+# =====================================================================
+@q(
+    "q332_filter_waterfall",
+    r"""
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             md5(text) AS dg,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                  AS BIGINT) AS n_alpha,
+             CAST(length(text) AS BIGINT) AS n_all
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, n_tokens,
+             (n_chars BETWEEN 100 AND 20000) AS f1,
+             (doc_id = min(doc_id) OVER (PARTITION BY dg)) AS f2,
+             (n_all > 0 AND n_alpha * 10 >= n_all * 6) AS f3
+      FROM base
+    ),
+    stages AS (
+      SELECT 1 AS stage, 'length_band' AS rule,
+             CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+             CAST(sum(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept
+      FROM flagged
+      UNION ALL
+      SELECT 2, 'exact_dedup',
+             CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f1 AND f2 THEN n_tokens ELSE 0 END) AS BIGINT)
+      FROM flagged
+      UNION ALL
+      SELECT 3, 'alpha_ratio',
+             CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN n_tokens ELSE 0 END)
+                  AS BIGINT)
+      FROM flagged
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(n_tokens) AS BIGINT) AS t0
+      FROM flagged
+    )
+    SELECT s.stage, s.rule, t.n0 AS docs_in, s.docs_kept,
+           s.tokens_kept,
+           CAST((s.docs_kept * 2000000 + t.n0) // (t.n0 * 2) AS BIGINT)
+             / 1000000.0 AS doc_share,
+           CAST((s.tokens_kept * 2000000 + t.t0) // (t.t0 * 2) AS BIGINT)
+             / 1000000.0 AS token_share
+    FROM stages s, tot t
+    """,
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("bigint").alias("n_tokens"),
+        F.md5("text").alias("dg"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.length("text").cast("bigint").alias("n_all"),
+    )
+    flagged = base.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_chars").between(100, 20000).alias("f1"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("dg"))
+        ).alias("f2"),
+        (
+            (F.col("n_all") > 0)
+            & (F.col("n_alpha") * 10 >= F.col("n_all") * 6)
+        ).alias("f3"),
+    ).localCheckpoint(eager=False)  # three stage reduces read it
+
+    def stage(num: int, rule: str, cond) -> DataFrame:
+        return flagged.agg(
+            F.lit(num).alias("stage"),
+            F.lit(rule).alias("rule"),
+            F.sum(cond.cast("int")).cast("bigint").alias("docs_kept"),
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+
+    f1, f2, f3 = F.col("f1"), F.col("f2"), F.col("f3")
+    stages = (
+        stage(1, "length_band", f1)
+        .unionByName(stage(2, "exact_dedup", f1 & f2))
+        .unionByName(stage(3, "alpha_ratio", f1 & f2 & f3))
+    )
+    tot = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum("n_tokens").cast("bigint").alias("t0"),
+    )
+    share = lambda kept, tot_c: (  # noqa: E731 — house DIV-half-up share
+        F.expr(
+            f"CAST(({kept} * 2000000 + {tot_c}) DIV ({tot_c} * 2) AS BIGINT)"
+        )
+        / 1e6
+    )
+    return stages.crossJoin(F.broadcast(tot)).select(
+        "stage",
+        "rule",
+        F.col("n0").alias("docs_in"),
+        "docs_kept",
+        "tokens_kept",
+        share("docs_kept", "n0").alias("doc_share"),
+        share("tokens_kept", "t0").alias("token_share"),
+    )
