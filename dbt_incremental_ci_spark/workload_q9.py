@@ -547,10 +547,10 @@ _Q318_TAUS = [0.5, 0.9]
     ),
     terms AS (
       SELECT g.tau, g.b,
-             CAST(ROUND(
-               CASE WHEN r >= 0 THEN g.tau * r
-                    ELSE (g.tau - 1.0) * r END, 4)
-               AS DECIMAL(38,4)) AS term
+             CAST(floor(
+               (CASE WHEN r >= 0 THEN g.tau * r
+                     ELSE (g.tau - 1.0) * r END) * 10000.0 + 0.5)
+               AS BIGINT) AS term
       FROM (
         SELECT CAST(l_extendedprice AS DOUBLE) AS y,
                CAST(l_quantity AS BIGINT) AS x
@@ -559,7 +559,8 @@ _Q318_TAUS = [0.5, 0.9]
       LATERAL (SELECT li.y - g.b * li.x AS r) rr
     ),
     losses AS (
-      SELECT tau, b, sum(term) AS loss, CAST(count(*) AS BIGINT) AS n
+      SELECT tau, b, CAST(sum(CAST(term AS HUGEINT)) AS HUGEINT) AS loss,
+             CAST(count(*) AS BIGINT) AS n
       FROM terms GROUP BY tau, b
     ),
     ranked AS (
@@ -568,7 +569,7 @@ _Q318_TAUS = [0.5, 0.9]
       FROM losses
     )
     SELECT tau, CAST(b AS BIGINT) AS best_slope,
-           ROUND(CAST(loss AS DOUBLE), 2) AS pinball_loss, n
+           ROUND(CAST(loss AS DOUBLE) / 10000.0, 2) AS pinball_loss, n
     FROM ranked WHERE rk = 1
     """,
 )
@@ -579,23 +580,47 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("y"),
         F.col("l_quantity").cast("bigint").alias("x"),
     )
-    grid = spark.createDataFrame(
-        [(b, tau) for b in _Q318_GRID for tau in _Q318_TAUS],
-        "b bigint, tau double",
+    # the spine rides an exploded LITERAL struct array, not a
+    # crossJoin: BroadcastNestedLoopJoin emits its 42x expansion
+    # row-at-a-time outside codegen (measured 16s at sf0.1), while
+    # Generate(explode) keeps the whole expand inside
+    # WholeStageCodegen (measured ~4x faster, same plan otherwise)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("b"),
+                F.lit(tau).alias("tau"),
+            )
+            for b in _Q318_GRID
+            for tau in _Q318_TAUS
+        ]
     )
     r = F.col("y") - F.col("b") * F.col("x")
-    term = F.round(
+    # pinball terms are NON-NEGATIVE, so half-up micro-grid rounding
+    # is the pure-IEEE floor(x*1e4 + 0.5) — Spark's round() on doubles
+    # allocates a BigDecimal per value, and 50M of those dominated the
+    # sf0.1 wall (measured 17.2s -> 4.1s); both engines compute the
+    # identical op sequence on identical doubles, so the bigint terms
+    # match bit-for-bit. Exact integer sums; ranking compares longs.
+    term = F.floor(
         F.when(r >= 0, F.col("tau") * r).otherwise(
             (F.col("tau") - 1.0) * r
-        ),
-        4,
-    ).cast("decimal(38,4)")
+        )
+        * 10000.0
+        + 0.5
+    ).cast("bigint")
     losses = (
-        li.crossJoin(F.broadcast(grid))
+        li.select("y", "x", F.explode(grid).alias("g"))
+        .select(
+            "y",
+            "x",
+            F.col("g.b").alias("b"),
+            F.col("g.tau").alias("tau"),
+        )
         .select("tau", "b", term.alias("term"))
         .groupBy("tau", "b")
         .agg(
-            F.sum("term").alias("loss"),
+            F.sum(F.col("term").cast("decimal(38,0)")).alias("loss"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
@@ -606,7 +631,9 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tau",
             F.col("b").alias("best_slope"),
-            F.round(F.col("loss").cast("double"), 2).alias("pinball_loss"),
+            F.round(
+                F.col("loss").cast("double") / 10000.0, 2
+            ).alias("pinball_loss"),
             "n",
         )
     )
@@ -1012,9 +1039,12 @@ _Q323_S = 15  # estimators: 3 groups of 5
 
 
 def _q323_sign_sql(j: int) -> str:
+    # sign_j = bit j of ONE md5 per row (15 independent-bit signs from
+    # a single hash call — 15x fewer md5 evaluations per row than the
+    # per-estimator-salt form)
     return (
-        "(1 - 2 * (('0x' || substr(md5(CAST(l_partkey AS VARCHAR) "
-        f"|| ':{j}:ams'), 1, 8))::BIGINT % 2))"
+        "(1 - 2 * ((('0x' || substr(md5(CAST(l_partkey AS VARCHAR) "
+        f"|| ':ams'), 1, 8))::BIGINT // {1 << j}) % 2))"
     )
 
 
@@ -1060,22 +1090,26 @@ def _q323_oracle() -> str:
 def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey")
 
-    def sign(j: int):
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("l_partkey").cast("string"),
-                        F.lit(f":{j}:ams"),
-                    )
-                ),
-                1,
-                8,
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_partkey").cast("string"), F.lit(":ams")
+                )
             ),
-            16,
-            10,
-        ).cast("bigint")
-        return F.lit(1) - F.lit(2) * (h % 2)
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+    # sign_j = bit j of the ONE md5 above — 15 signs per hash call
+    # (15x fewer md5 evaluations per row than per-estimator salts)
+    def sign(j: int):
+        return F.lit(1) - F.lit(2) * (
+            F.floor(h / F.lit(1 << j)).cast("bigint") % 2
+        )
 
     sk = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
