@@ -25,6 +25,22 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    # round-7 additions (q310+)
+    "q314_cochran_armitage": "1-row trend reduce over the score-sized (<=50) count frame (map-side partials)",
+    "q315_mantel_haenszel": "1-row MH reduce over the stratum-sized (5) 2x2 cell frame",
+    "q316_ipf_raking": "margin masses + 1-row totals over the category-bounded (source x lang) cell frame, repeated per unrolled IPF scaling",
+    "q317_chao1_richness": "1-row freq-of-freq reduce over the vocab-sized type-count frame (map-side partials)",
+    "q319_loso_source_value": "per-source/per-lang/1-row reduces over the (source x lang)-bounded cell frame",
+    "q320_cross_source_dups": "1-row pair total over the source^2-bounded duplication-matrix cells",
+    "q321_brier_decomposition": "1-row component reduces over the fixed 10-bin forecast grid",
+    "q323_ams_f2_joinsize": "1-row register reduce (15 mergeable sign-sums, map-side partials) + 1-row exact-F2 reduce over the per-key count frame",
+    "q324_eb_rate_shrinkage": "1-row method-of-moments fit over the brand-sized (25) rate frame",
+    "q325_hill_tail_index": "two-phase rank offset frame (O(partitions) rows) + 1-row x_k min + 1-row Hill reduce over the fixed k=500 slice",
+    "q326_wasserstein_drift": "cumsum/lead windows + 1-row totals over the 2-dp value grid (<=10^4 cells)",
+    "q328_segmented_trend": "month-frame row_number + 1-row month max + best-breakpoint rank over the months^2-bounded candidate frame",
+    "q329_overdispersion": "1-row moment reduce over the per-user count frame (map-side partials - O(tasks) rows funnel)",
+    "q331_dedup_degree_histogram": "degree histogram + 1-row doc/matched totals over the banded-pair-bounded degree frame",
+    "q332_filter_waterfall": "three 1-row stage reduces + 1-row token totals (map-side partials)",
     "q307_dedup_tokens_by_source": "source-sized (20-row) report sort",
     "q308_hellinger_distance": "1-row vocabulary-total + 1-row BC reduce over the vocab-sized count frame",
     "q309_truncation_impact": "3-row limit-spine report (constant fan-out) + sort",
