@@ -369,6 +369,8 @@ EXTRA_QUERIES = [
     "q330_isotonic_calibration",
     "q331_dedup_degree_histogram",
     "q332_filter_waterfall",
+    "q333_audio_decode_stats",
+    "q334_audio_frame_energy",
 ]
 
 

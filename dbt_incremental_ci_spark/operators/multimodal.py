@@ -6,9 +6,10 @@ iterator UDFs (``mapInPandas``: one Arrow batch in, one out, no
 per-row Python). Image decode is REAL for the uncompressed formats
 (BMP 24-bit BI_RGB and binary PPM P6, pure-numpy — see
 :func:`decode_image`, :func:`resize_images`,
-:func:`image_pixel_stats`); only COMPRESSED codecs (JPEG/PNG, whose
-libraries the container lacks) raise NotImplementedError, per
-payload. The feature/frame extractors keep their deterministic
+:func:`image_pixel_stats`), and audio decode is REAL for WAV 16-bit
+PCM (:func:`decode_wav_pcm16`, :func:`audio_sample_stats`); only
+COMPRESSED codecs (JPEG/PNG/MP3/OGG, whose libraries the container
+lacks) raise NotImplementedError, per payload. The feature/frame extractors keep their deterministic
 digest-based stubs (a real vision model is out of scope); swapping
 one in changes no Spark plumbing.
 
@@ -310,4 +311,121 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
 
     return ensure_min_parallelism(df).mapInPandas(
         run, schema=PIXEL_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------
+# Real in-sandbox AUDIO codec (round-7): WAV/RIFF with 16-bit PCM is
+# uncompressed — header parse + int16 samples, pure numpy. Same
+# narrowing as images: only compressed audio (MP3/OGG/AAC) raises.
+# ---------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array (RIFF/WAVE with
+    the canonical 44-byte header)."""
+    pcm = samples.astype("<i2").tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    return hdr + pcm
+
+
+def decode_wav_pcm16(content: bytes) -> tuple["np.ndarray", int]:
+    """Decode a mono/stereo 16-bit PCM WAV payload to
+    ``(samples int16 ndarray [n] or [n, ch], sample_rate)``. REAL for
+    uncompressed PCM (format tag 1); compressed codecs raise
+    NotImplementedError. Walks RIFF chunks, so extra chunks (LIST,
+    fact) are tolerated."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE payload; compressed audio containers "
+            "(MP3/OGG/AAC) need codec libraries absent from this "
+            "container"
+        )
+    pos, n = 12, len(content)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _, _, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only uncompressed 16-bit PCM decodes in-sandbox "
+            f"(got format tag {tag}, {bits}-bit)"
+        )
+    arr = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        arr = arr[: (len(arr) // channels) * channels].reshape(
+            -1, channels
+        )
+    return arr.copy(), rate
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples bigint, sum_s bigint, "
+    "sum_abs bigint, max_abs int, zero_crossings bigint, sum_sq bigint"
+)
+
+
+def audio_sample_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode proof: exact integer sample statistics from
+    decoded PCM — Σs, Σ|s|, max|s|, sign-flip (zero-crossing) count,
+    Σs² — every output an exact integer, so an oracle knowing the
+    sample formula verifies the RIFF walk + PCM decode bit-for-bit.
+    Undecodable payloads yield NULL stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr, rate = decode_wav_pcm16(bytes(b or b""))
+                except (NotImplementedError, ValueError, struct.error):
+                    rows.append(
+                        (mid, None, None, None, None, None, None, None)
+                    )
+                    continue
+                s = arr.astype(np.int64).ravel()
+                sign = s >= 0
+                zc = int((sign[1:] != sign[:-1]).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        len(s),
+                        int(s.sum()),
+                        int(np.abs(s).sum()),
+                        int(np.abs(s).max()) if len(s) else 0,
+                        zc,
+                        int((s * s).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "sum_s",
+                    "sum_abs", "max_abs", "zero_crossings", "sum_sq",
+                ],
+            )
+
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
     )

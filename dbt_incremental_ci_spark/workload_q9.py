@@ -1947,3 +1947,152 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("docs_kept", "n0").alias("doc_share"),
         share("tokens_kept", "t0").alias("token_share"),
     )
+
+
+# =====================================================================
+# Real audio decode proof (q333): deterministic sawtooth PCM per
+# document on the fixed audit slice, encoded as a REAL RIFF/WAVE
+# 16-bit PCM payload (44-byte canonical header), decoded by the
+# pure-numpy RIFF walker, reported as EXACT integer sample stats
+# (Σs, Σ|s|, max|s|, zero-crossings, Σs²). The oracle recomputes from
+# the sample FORMULA — endianness, header-offset and chunk-walk bugs
+# all shift the sums. The audio twin of q310.
+# =====================================================================
+def _q333_payloads(docs: DataFrame) -> DataFrame:
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 7 + i * 13) % 2001 - 1000).astype(np.int16)
+                payload = multimodal.encode_wav_pcm16(samples, 8000)
+                rows.append((d, "audio", payload, (None, None, 8000, None)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "meta"]
+            )
+
+    return docs.mapInPandas(run, schema=multimodal.MEDIA_SCHEMA)
+
+
+@q(
+    "q333_audio_decode_stats",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_Q310_CAP}
+    ),
+    spl AS (
+      SELECT media_id,
+             (media_id * 7 + i * 13) % 2001 - 1000 AS s,
+             i
+      FROM ids,
+           unnest(generate_series(0, 64 + media_id % 64 - 1)) AS g(i)
+    ),
+    flips AS (
+      SELECT media_id,
+             CASE WHEN (s >= 0) <> (lag(s) OVER (PARTITION BY media_id
+                                                 ORDER BY i) >= 0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM spl
+    )
+    SELECT spl.media_id,
+           8000 AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_s,
+           CAST(sum(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(max(ABS(s)) AS INT) AS max_abs,
+           CAST((SELECT sum(flip) FROM flips f
+                 WHERE f.media_id = spl.media_id) AS BIGINT)
+             AS zero_crossings,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq
+    FROM spl
+    GROUP BY spl.media_id
+    """,
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _Q310_CAP)
+    )
+    return multimodal.audio_sample_stats(_q333_payloads(docs))
+
+
+# =====================================================================
+# Audio frame energy / activity detection (q334): the decoded q333
+# PCM cut into 16-sample frames, per-frame EXACT energy Σs², frames
+# above a fixed activity threshold counted per clip — the VAD-shaped
+# windowed-energy readout (frame fan-out happens inside the Arrow
+# decode pass; the aggregate is per-clip). Oracle: closed form over
+# the sample formula with i DIV 16 framing.
+# =====================================================================
+@q(
+    "q334_audio_frame_energy",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_Q310_CAP}
+    ),
+    spl AS (
+      SELECT media_id,
+             (media_id * 7 + i * 13) % 2001 - 1000 AS s,
+             i // 16 AS frame
+      FROM ids,
+           unnest(generate_series(0, 64 + media_id % 64 - 1)) AS g(i)
+    ),
+    fr AS (
+      SELECT media_id, frame,
+             CAST(sum(s * s) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM spl GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN energy * 1 >= n * 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS active_frames,
+           CAST(max(energy) AS BIGINT) AS peak_energy
+    FROM fr
+    GROUP BY media_id
+    """,
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _Q310_CAP)
+    )
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                arr, _rate = multimodal.decode_wav_pcm16(bytes(b))
+                s = arr.astype(np.int64).ravel()
+                n_frames = (len(s) + 15) // 16
+                active = 0
+                peak = 0
+                for f in range(n_frames):
+                    seg = s[f * 16 : (f + 1) * 16]
+                    e = int((seg * seg).sum())
+                    peak = max(peak, e)
+                    if e >= len(seg) * 250000:
+                        active += 1
+                rows.append((mid, n_frames, active, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "active_frames", "peak_energy",
+                ],
+            )
+
+    return _q333_payloads(docs).mapInPandas(
+        frames,
+        schema=(
+            "media_id long, n_frames bigint, active_frames bigint, "
+            "peak_energy bigint"
+        ),
+    )

@@ -120,3 +120,57 @@ def test_pixel_stats_exact(spark):
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
         assert r["checksum"] == 3 * sr + 5 * sg + 7 * sb
     assert got[3]["fmt"] == "unsupported" and got[3]["n_pixels"] is None
+
+
+def test_wav_pcm16_roundtrip_exact():
+    import numpy as np
+
+    s = (np.arange(-500, 500, 7, dtype=np.int32) * 13 % 32003 - 16000).astype(
+        np.int16
+    )
+    arr, rate = mm.decode_wav_pcm16(mm.encode_wav_pcm16(s, 16000))
+    assert rate == 16000
+    assert np.array_equal(arr, s)
+
+
+def test_wav_decoder_walks_extra_chunks_and_rejects_compressed():
+    import struct
+
+    import numpy as np
+
+    s = np.array([1, -2, 3], dtype=np.int16)
+    payload = mm.encode_wav_pcm16(s, 8000)
+    # splice a LIST chunk between fmt and data: decoder must skip it
+    hdr, data = payload[:36], payload[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = (
+        payload[:12]
+        + payload[12:36]  # fmt chunk
+        + extra
+        + data  # data chunk
+    )
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    arr, rate = mm.decode_wav_pcm16(spliced)
+    assert np.array_equal(arr, s) and rate == 8000
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav_pcm16(b"\xff\xfbmp3frame")
+
+
+def test_audio_sample_stats_exact(spark):
+    import numpy as np
+
+    s = np.array([100, -200, 300, -400, 0, 5], dtype=np.int16)
+    rows = [
+        (1, "audio", bytes(mm.encode_wav_pcm16(s, 8000)), (None, None, 8000, None)),
+        (2, "audio", b"\xff\xfbjunk", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.audio_sample_stats(df).collect()}
+    r = got[1]
+    assert (r["n_samples"], r["sum_s"], r["sum_abs"], r["max_abs"]) == (
+        6, -195, 1005, 400,
+    )
+    # signs: + - + - + +  -> flips at 4 boundaries (0 counts as >= 0)
+    assert r["zero_crossings"] == 4
+    assert r["sum_sq"] == 100**2 + 200**2 + 300**2 + 400**2 + 0 + 25
+    assert got[2]["n_samples"] is None  # undecodable -> NULL stats
