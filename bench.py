@@ -371,6 +371,7 @@ EXTRA_QUERIES = [
     "q332_filter_waterfall",
     "q333_audio_decode_stats",
     "q334_audio_frame_energy",
+    "q335_video_frame_stats",
 ]
 
 

@@ -429,3 +429,160 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
     return ensure_min_parallelism(df).mapInPandas(
         run, schema=AUDIO_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------
+# Real in-sandbox VIDEO codec (round-7): uncompressed AVI — a RIFF
+# container (same walker family as WAV) whose 'movi' LIST carries raw
+# DIB frames ('00db': bottom-up BGR24, 4-byte-aligned rows, exactly
+# the BMP pixel layout). No codec library needed; compressed fourccs
+# raise. This makes all three media types (image/audio/video) decode
+# for REAL in-sandbox.
+# ---------------------------------------------------------------------
+
+
+def encode_avi_rgb24(
+    frames: list["np.ndarray"], fps: int = 10
+) -> bytes:
+    """Minimal spec-correct uncompressed AVI from (h, w, 3) uint8 RGB
+    frames (all same size): RIFF('AVI ' LIST hdrl(avih, LIST strl
+    (strh,strf)) LIST movi('00db'*n))."""
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(arr: "np.ndarray") -> bytes:
+        bgr = arr[::-1, :, ::-1]
+        if stride != w * 3:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = bgr.reshape(h, w * 3)
+            return rows.tobytes()
+        return bgr.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,
+        len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_size, 0xFFFFFFFF // 2, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rgb24(content: bytes) -> list["np.ndarray"]:
+    """Decode an uncompressed AVI to a list of (h, w, 3) uint8 RGB
+    frames (top-down). REAL for DIB ('00db') frames; compressed
+    streams raise NotImplementedError."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "not a RIFF/AVI payload; other video containers (MP4/MKV) "
+            "need codec libraries absent from this container"
+        )
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strf":
+                w, h_signed = struct.unpack_from("<ii", body, 4)
+                bpp = struct.unpack_from("<H", body, 14)[0]
+                compression = struct.unpack_from("<I", body, 16)[0]
+                if compression != 0 or bpp != 24:
+                    raise NotImplementedError(
+                        f"only uncompressed 24-bit DIB AVI decodes "
+                        f"in-sandbox (bpp={bpp}, "
+                        f"compression={compression})"
+                    )
+                h = abs(h_signed)
+            elif cid in (b"00db", b"00dc"):
+                if cid == b"00dc":
+                    raise NotImplementedError(
+                        "compressed ('00dc') AVI frames need codecs"
+                    )
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(content[12:])
+    if w is None or h is None:
+        raise ValueError("AVI missing strf header")
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for body in frames:
+        rows = np.frombuffer(
+            body, dtype=np.uint8, count=stride * h
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR → RGB
+    return out
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, checksum bigint"
+)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video decode proof: decode every AVI payload, keep every
+    ``every_n``-th frame (true keyframe-style sampling on DECODED
+    frames, upgrading the byte-chunk stub), and report the exact
+    integer channel sums + weighted checksum per sampled frame —
+    the 1→N fan-out shape with a value-verifiable body."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = decode_avi_rgb24(bytes(b or b""))
+                except (NotImplementedError, ValueError, struct.error):
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    arr = frames[idx].astype(np.int64)
+                    hh, ww, _ = arr.shape
+                    sr = int(arr[:, :, 0].sum())
+                    sg = int(arr[:, :, 1].sum())
+                    sb = int(arr[:, :, 2].sum())
+                    rows.append(
+                        (mid, idx, ww, hh, sr, sg, sb,
+                         3 * sr + 5 * sg + 7 * sb)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(
+        run, schema=VIDEO_FRAME_STATS_SCHEMA
+    )

@@ -2096,3 +2096,91 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_energy bigint"
         ),
     )
+
+
+# =====================================================================
+# Real video decode proof (q335): per-document uncompressed AVI
+# (RIFF container, raw '00db' DIB frames — the BMP pixel layout
+# inside the WAV-style chunk walker), 3 + d%3 gradient frames each,
+# REAL frame sampling every 2nd DECODED frame with exact per-frame
+# channel sums. The oracle enumerates the sampled frames and pixel
+# formula in closed form — container-offset, frame-order, stride and
+# channel bugs all hash-fail. Completes the image/audio/video triad.
+# =====================================================================
+_Q335_CAP = 200  # smaller slice: ~4 frames x WxH pixels per doc
+
+
+def _q335_payloads(docs: DataFrame) -> DataFrame:
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                frames = []
+                for fidx in range(3 + d % 3):
+                    y, x = np.mgrid[0:h, 0:w]
+                    frames.append(
+                        np.stack(
+                            [
+                                (d + 7 * x + 13 * y + 17 * fidx) % 256,
+                                (3 * d + 5 * x + y + 29 * fidx) % 256,
+                                (x * y + d + 23 * fidx) % 256,
+                            ],
+                            axis=-1,
+                        ).astype(np.uint8)
+                    )
+                payload = multimodal.encode_avi_rgb24(frames, fps=10)
+                rows.append((d, "video", payload, (w, h, None, None)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "content", "meta"]
+            )
+
+    return docs.mapInPandas(run, schema=multimodal.MEDIA_SCHEMA)
+
+
+@q(
+    "q335_video_frame_stats",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_Q335_CAP}
+    ),
+    fidx AS (
+      SELECT media_id,
+             CAST(4 + media_id % 5 AS BIGINT) AS w,
+             CAST(3 + media_id % 4 AS BIGINT) AS h,
+             f
+      FROM ids,
+           unnest(generate_series(0, 3 + media_id % 3 - 1)) AS g(f)
+      WHERE f % 2 = 0
+    ),
+    px AS (
+      SELECT media_id, f, w, h,
+             (media_id + 7 * x + 13 * y + 17 * f) % 256 AS r,
+             (3 * media_id + 5 * x + y + 29 * f) % 256 AS g2,
+             (x * y + media_id + 23 * f) % 256 AS b
+      FROM fidx,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g2) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(3 * r + 5 * g2 + 7 * b) AS BIGINT) AS checksum
+    FROM px
+    GROUP BY media_id, f
+    """,
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _Q335_CAP)
+    )
+    return multimodal.video_frame_stats(_q335_payloads(docs), every_n=2)

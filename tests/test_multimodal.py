@@ -174,3 +174,39 @@ def test_audio_sample_stats_exact(spark):
     assert r["zero_crossings"] == 4
     assert r["sum_sq"] == 100**2 + 200**2 + 300**2 + 400**2 + 0 + 25
     assert got[2]["n_samples"] is None  # undecodable -> NULL stats
+
+
+def test_avi_roundtrip_and_sampling(spark):
+    import numpy as np
+
+    def frame(seed, h=3, w=5):
+        y, x = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [(seed + x) % 256, (seed + y) % 256, (seed + x * y) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+
+    frames = [frame(s) for s in (1, 50, 99, 160, 255)]
+    payload = mm.encode_avi_rgb24(frames, fps=10)
+    out = mm.decode_avi_rgb24(payload)
+    assert len(out) == 5
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+    with pytest.raises(NotImplementedError):
+        mm.decode_avi_rgb24(b"\x00\x00\x00\x20ftypisom")
+
+    rows = [
+        (1, "video", bytes(payload), (5, 3, None, None)),
+        (2, "video", b"notavideo", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = sorted(
+        mm.video_frame_stats(df, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # undecodable row 2 contributes nothing; frames 0,2,4 sampled
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    a = frames[2].astype(np.int64)
+    r2 = got[1]
+    assert (r2["sum_r"], r2["sum_g"], r2["sum_b"]) == (
+        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()), int(a[:, :, 2].sum())
+    )
