@@ -372,6 +372,8 @@ EXTRA_QUERIES = [
     "q333_audio_decode_stats",
     "q334_audio_frame_energy",
     "q335_video_frame_stats",
+    "q336_multimodal_qa",
+    "q337_sprt_crossing",
 ]
 
 

@@ -2029,6 +2029,43 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decode pass; the aggregate is per-clip). Oracle: closed form over
 # the sample formula with i DIV 16 framing.
 # =====================================================================
+def _q334_frame_stats(payloads: DataFrame) -> DataFrame:
+    """16-sample frame energies over decoded PCM (shared by q334/q336)."""
+    import numpy as np
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                arr, _rate = multimodal.decode_wav_pcm16(bytes(b))
+                s = arr.astype(np.int64).ravel()
+                n_frames = (len(s) + 15) // 16
+                active = 0
+                peak = 0
+                for f in range(n_frames):
+                    seg = s[f * 16 : (f + 1) * 16]
+                    e = int((seg * seg).sum())
+                    peak = max(peak, e)
+                    if e >= len(seg) * 250000:
+                        active += 1
+                rows.append((mid, n_frames, active, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "active_frames", "peak_energy",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        frames,
+        schema=(
+            "media_id long, n_frames bigint, active_frames bigint, "
+            "peak_energy bigint"
+        ),
+    )
+
+
+
 @q(
     "q334_audio_frame_energy",
     f"""
@@ -2058,44 +2095,12 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     docs = (
         t(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") < _Q310_CAP)
     )
-
-    def frames(batches):
-        for pdf in batches:
-            rows = []
-            for mid, b in zip(pdf["media_id"], pdf["content"]):
-                arr, _rate = multimodal.decode_wav_pcm16(bytes(b))
-                s = arr.astype(np.int64).ravel()
-                n_frames = (len(s) + 15) // 16
-                active = 0
-                peak = 0
-                for f in range(n_frames):
-                    seg = s[f * 16 : (f + 1) * 16]
-                    e = int((seg * seg).sum())
-                    peak = max(peak, e)
-                    if e >= len(seg) * 250000:
-                        active += 1
-                rows.append((mid, n_frames, active, peak))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "n_frames", "active_frames", "peak_energy",
-                ],
-            )
-
-    return _q333_payloads(docs).mapInPandas(
-        frames,
-        schema=(
-            "media_id long, n_frames bigint, active_frames bigint, "
-            "peak_energy bigint"
-        ),
-    )
+    return _q334_frame_stats(_q333_payloads(docs))
 
 
 # =====================================================================
@@ -2184,3 +2189,236 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < _Q335_CAP)
     )
     return multimodal.video_frame_stats(_q335_payloads(docs), every_n=2)
+
+
+# =====================================================================
+# Multimodal QA gate (q336): the per-document release check across
+# all three REAL decode pipelines — image checksum parity class,
+# audio activity, video frame count — rolled into one corpus
+# pass/fail report (the shape of a multimodal dataset's preflight).
+# Joins are doc-keyed over the audit-slice frames produced by the
+# q310/q333/q335 pipelines; oracle composes the three closed forms.
+# =====================================================================
+@q(
+    "q336_multimodal_qa",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < {_Q335_CAP}
+    ),
+    -- image: q310 checksum formula
+    ipx AS (
+      SELECT media_id,
+             (media_id + 7 * x + 13 * y) % 256 AS r,
+             (3 * media_id + 5 * x + y) % 256 AS g,
+             (x * y + media_id) % 256 AS b
+      FROM (SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+            FROM ids) d,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    ),
+    img AS (
+      SELECT media_id,
+             CAST(sum(3 * r + 5 * g + 7 * b) AS BIGINT) AS icheck
+      FROM ipx GROUP BY 1
+    ),
+    -- audio: q334 active frames
+    spl AS (
+      SELECT media_id, (media_id * 7 + i * 13) % 2001 - 1000 AS s,
+             i // 16 AS frame
+      FROM ids,
+           unnest(generate_series(0, 64 + media_id % 64 - 1)) AS g(i)
+    ),
+    aud AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN energy >= n * 250000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS active
+      FROM (SELECT media_id, frame, sum(s * s) AS energy, count(*) AS n
+            FROM spl GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    vid AS (
+      SELECT media_id, CAST(3 + media_id % 3 AS BIGINT) AS n_frames
+      FROM ids
+    ),
+    joined AS (
+      SELECT i.media_id,
+             (img.icheck % 2 = 0) AS img_even,
+             aud.active >= 1 AS aud_ok,
+             vid.n_frames >= 4 AS vid_ok
+      FROM ids i
+      JOIN img ON img.media_id = i.media_id
+      JOIN aud ON aud.media_id = i.media_id
+      JOIN vid ON vid.media_id = i.media_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN img_even THEN 1 ELSE 0 END) AS BIGINT)
+             AS img_even_checksums,
+           CAST(sum(CASE WHEN aud_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS audio_active_docs,
+           CAST(sum(CASE WHEN vid_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS video_rich_docs,
+           CAST(sum(CASE WHEN img_even AND aud_ok AND vid_ok
+                    THEN 1 ELSE 0 END) AS BIGINT) AS qa_pass
+    FROM joined
+    """,
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _Q335_CAP)
+    )
+    img = multimodal.image_pixel_stats(_q310_payloads(docs)).select(
+        "media_id", (F.col("checksum") % 2 == 0).alias("img_even")
+    )
+    audio = _q334_frame_stats(_q333_payloads(docs)).select(
+        "media_id", (F.col("active_frames") >= 1).alias("aud_ok")
+    )
+    vid = (
+        multimodal.video_frame_stats(_q335_payloads(docs), every_n=1)
+        .groupBy("media_id")
+        .agg((F.count(F.lit(1)) >= 4).alias("vid_ok"))
+    )
+    joined = img.join(audio, "media_id").join(vid, "media_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("img_even").cast("int"))
+        .cast("bigint")
+        .alias("img_even_checksums"),
+        F.sum(F.col("aud_ok").cast("int"))
+        .cast("bigint")
+        .alias("audio_active_docs"),
+        F.sum(F.col("vid_ok").cast("int"))
+        .cast("bigint")
+        .alias("video_rich_docs"),
+        F.sum(
+            (F.col("img_even") & F.col("aud_ok") & F.col("vid_ok")).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("qa_pass"),
+    )
+
+
+# =====================================================================
+# Wald SPRT boundary crossing (q337): per-user sequential probability
+# ratio test on the purchase-vs-not event stream (H0: p=0.2, H1:
+# p=0.3; boundaries A/B at alpha=beta=0.05) — the "decide as the data
+# streams in" monitor. The cumulative LLR rides a PER-USER window
+# (state bounded by that user's events); LLR increments live on the
+# 1e-6 integer micro-grid so the running sum is EXACT and the first
+# boundary crossing is an integer comparison. Report: accept/reject/
+# undecided user counts + mean decision index (integer-space ratio).
+# =====================================================================
+# llr_hit = ln(0.3/0.2), llr_miss = ln(0.7/0.8), both ROUND-6 and
+# lifted onto the integer micro-grid as plan-time constants
+_Q337_HIT = 405465  # round(ln(1.5), 6) * 1e6
+_Q337_MISS = -133531  # round(ln(0.875), 6) * 1e6
+_Q337_UP = 2944439  # round(ln(0.95/0.05), 6) * 1e6
+_Q337_LO = -2944439  # round(ln(0.05/0.95), 6) * 1e6
+
+
+@q(
+    "q337_sprt_crossing",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN {_Q337_HIT} ELSE {_Q337_MISS} END AS llr
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id,
+             sum(llr) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS cum,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS idx
+      FROM ev
+    ),
+    crossings AS (
+      SELECT user_id, idx,
+             CASE WHEN cum >= {_Q337_UP} THEN 'accept_h1'
+                  WHEN cum <= {_Q337_LO} THEN 'accept_h0' END AS verdict,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY idx
+             ) AS cross_rank
+      FROM walk
+      WHERE cum >= {_Q337_UP} OR cum <= {_Q337_LO}
+    ),
+    first_cross AS (
+      SELECT user_id, idx, verdict FROM crossings WHERE cross_rank = 1
+    ),
+    users AS (SELECT DISTINCT user_id FROM ev)
+    SELECT
+      CAST((SELECT count(*) FROM users) AS BIGINT) AS n_users,
+      CAST(sum(CASE WHEN verdict = 'accept_h1' THEN 1 ELSE 0 END)
+           AS BIGINT) AS accept_h1,
+      CAST(sum(CASE WHEN verdict = 'accept_h0' THEN 1 ELSE 0 END)
+           AS BIGINT) AS accept_h0,
+      CAST((SELECT count(*) FROM users) - count(*) AS BIGINT)
+        AS undecided,
+      CAST((sum(idx) * 2000000 + count(*)) // (count(*) * 2) AS BIGINT)
+        / 1000000.0 AS mean_decision_idx
+    FROM first_cross
+    """,
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_Q337_HIT))
+        .otherwise(F.lit(_Q337_MISS))
+        .alias("llr"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("event_id")
+    walk = ev.select(
+        "user_id",
+        F.sum("llr").over(wu).alias("cum"),
+        F.row_number().over(wu).alias("idx"),
+    )
+    crossings = walk.where(
+        (F.col("cum") >= _Q337_UP) | (F.col("cum") <= _Q337_LO)
+    ).select(
+        "user_id",
+        "idx",
+        F.when(F.col("cum") >= _Q337_UP, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("verdict"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("idx"))
+        .alias("cross_rank"),
+    )
+    first_cross = crossings.where(F.col("cross_rank") == 1).localCheckpoint(
+        eager=False  # user-bounded; three reduces read it
+    )
+    n_users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    agg = first_cross.agg(
+        F.sum((F.col("verdict") == "accept_h1").cast("int"))
+        .cast("bigint")
+        .alias("accept_h1"),
+        F.sum((F.col("verdict") == "accept_h0").cast("int"))
+        .cast("bigint")
+        .alias("accept_h0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_decided"),
+        F.sum("idx").cast("bigint").alias("sum_idx"),
+    )
+    return n_users.crossJoin(F.broadcast(agg)).select(
+        "n_users",
+        "accept_h1",
+        "accept_h0",
+        (F.col("n_users") - F.col("n_decided"))
+        .cast("bigint")
+        .alias("undecided"),
+        (
+            F.expr(
+                "CAST((sum_idx * 2000000 + n_decided) "
+                "DIV (n_decided * 2) AS BIGINT)"
+            )
+            / 1e6
+        ).alias("mean_decision_idx"),
+    )
