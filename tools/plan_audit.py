@@ -26,6 +26,8 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-7 additions (q310+)
+    "q336_multimodal_qa": "1-row QA rollup over the fixed audit-slice (doc_id<200) modality frames",
+    "q337_sprt_crossing": "1-row crossing-count reduce over the per-user first-crossing frame + 1-row distinct-user count (map-side partials)",
     "q314_cochran_armitage": "1-row trend reduce over the score-sized (<=50) count frame (map-side partials)",
     "q315_mantel_haenszel": "1-row MH reduce over the stratum-sized (5) 2x2 cell frame",
     "q316_ipf_raking": "margin masses + 1-row totals over the category-bounded (source x lang) cell frame, repeated per unrolled IPF scaling",
