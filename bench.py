@@ -374,6 +374,7 @@ EXTRA_QUERIES = [
     "q335_video_frame_stats",
     "q336_multimodal_qa",
     "q337_sprt_crossing",
+    "q338_jackknife_ratio_se",
 ]
 
 

@@ -2422,3 +2422,108 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mean_decision_idx"),
     )
+
+
+# =====================================================================
+# Grouped jackknife for a ratio metric (q338): the standard error of
+# revenue-per-order via delete-one-nation jackknife — θ_(i) from
+# GLOBAL sums minus group i's sums (the q319 additive-sufficient-
+# statistics trick applied to variance estimation; no per-group
+# rescan), SE² = (g−1)/g · Σ(θ_(i) − θ̄_J)². Replicate θs are rounded
+# ratios of exact DECIMAL sums; the two jackknife moments fold as
+# ROUND-9 DECIMAL terms.
+# =====================================================================
+@q(
+    "q338_jackknife_ratio_se",
+    """
+    WITH cells AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(rev) AS DECIMAL(38,2)) AS rr
+      FROM cells
+    ),
+    reps AS (
+      SELECT ROUND(CAST(t.rr - c.rev AS DOUBLE)
+                   / CAST(t.nn - c.n AS DOUBLE), 9) AS theta
+      FROM cells c, tot t
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(CAST(ROUND(theta, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS s1,
+             CAST(sum(CAST(ROUND(theta * theta, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS s2
+      FROM reps
+    )
+    SELECT t.g AS n_groups, t.nn AS n_orders,
+           ROUND(CAST(t.rr AS DOUBLE) / t.nn, 6) AS theta_full,
+           ROUND(m.s1 / m.g, 6) AS theta_jack_mean,
+           ROUND(sqrt((CAST(m.g - 1 AS DOUBLE) / m.g)
+                      * (m.s2 - m.s1 * m.s1 / m.g)), 6) AS jackknife_se
+    FROM tot t, mom m
+    """,
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            ),
+        )
+        .localCheckpoint(eager=False)  # nation-bounded; tot + reps read it
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("rev").cast("decimal(38,2)").alias("rr"),
+    )
+    reps = cells.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "nn",
+        "rr",
+        F.round(
+            (F.col("rr") - F.col("rev")).cast("double")
+            / (F.col("nn") - F.col("n")).cast("double"),
+            9,
+        ).alias("theta"),
+    )
+    mom = reps.groupBy("g", "nn", "rr").agg(
+        F.sum(F.round(F.col("theta"), 9).cast("decimal(24,9)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.round(F.col("theta") * F.col("theta"), 9).cast(
+                "decimal(24,9)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    gd = F.col("g").cast("double")
+    return mom.select(
+        F.col("g").alias("n_groups"),
+        F.col("nn").alias("n_orders"),
+        F.round(F.col("rr").cast("double") / F.col("nn"), 6).alias(
+            "theta_full"
+        ),
+        F.round(F.col("s1") / gd, 6).alias("theta_jack_mean"),
+        F.round(
+            F.sqrt(
+                ((gd - 1) / gd)
+                * (F.col("s2") - F.col("s1") * F.col("s1") / gd)
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )
