@@ -26,6 +26,7 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-7 additions (q310+)
+    "q338_jackknife_ratio_se": "1-row totals + jackknife-moment reduce over the nation-sized (25) cell frame",
     "q336_multimodal_qa": "1-row QA rollup over the fixed audit-slice (doc_id<200) modality frames",
     "q337_sprt_crossing": "1-row crossing-count reduce over the per-user first-crossing frame + 1-row distinct-user count (map-side partials)",
     "q314_cochran_armitage": "1-row trend reduce over the score-sized (<=50) count frame (map-side partials)",
