@@ -32,13 +32,15 @@ the original single module had grown past 9k lines):
   accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
   blocking, assortativity, burstiness, RBO rank agreement, operating
   point, dedup impact)
-- ``workload_q9`` — q310+ (round-7 build: real image decode proofs
-  BMP/PPM (q310-q313), Cochran-Armitage, Mantel-Haenszel, IPF raking,
-  Chao1, quantile-reg grid, LOSO valuation, cross-source dup matrix,
-  Brier decomposition, QTE, AMS F2, EB shrinkage, Hill index,
-  Wasserstein-1, zlib compression filter, segmented trend,
-  overdispersion, isotonic PAVA, dedup degree histogram, filter
-  waterfall)
+- ``workload_q9`` — q310+ (round-7 build: REAL multimodal decode
+  proofs — BMP/PPM images (q310-q313), WAV/PCM16 audio (q333-q334),
+  uncompressed-AVI video (q335), joint QA gate (q336) — plus
+  Cochran-Armitage, Mantel-Haenszel, IPF raking, Chao1, quantile-reg
+  grid, LOSO valuation, cross-source dup matrix, Brier decomposition,
+  QTE, AMS F2, EB shrinkage, Hill index, Wasserstein-1, zlib
+  compression filter, segmented trend, overdispersion, isotonic PAVA,
+  dedup degree histogram, filter waterfall, SPRT crossing, grouped
+  jackknife)
 - ``workload_q8`` — q262+ (round-7 additions: link prediction CN/RA/AA,
   item-item co-occurrence cosine, Kruskal-Wallis, one-way ANOVA +
   Brown-Forsythe, effect sizes d/g/Cliff's δ, Spearman, ACF,
