@@ -42,7 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int(re.match(r"q(\d+)", name).group(1))
 
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    lead = [(k, v) for k, v in items if 278 <= num(k) <= 310]
+    lead = [(k, v) for k, v in items if 278 <= num(k) <= 309]
     lead += [(k, v) for k, v in items if 69 <= num(k) <= 86]
     nextup = [(k, v) for k, v in items if 87 <= num(k) <= 95]
     nextup += [(k, v) for k, v in items if num(k) >= 311]
