@@ -45,7 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lead = [(k, v) for k, v in items if 278 <= num(k) <= 309]
     lead += [(k, v) for k, v in items if 69 <= num(k) <= 86]
     nextup = [(k, v) for k, v in items if 87 <= num(k) <= 95]
-    nextup += [(k, v) for k, v in items if num(k) >= 311]
+    nextup += [(k, v) for k, v in items if num(k) >= 310]
     seen = {k for k, _ in lead} | {k for k, _ in nextup}
     rest = [(k, v) for k, v in items if k not in seen]
     return dict(lead + nextup + rest)
