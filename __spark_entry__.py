@@ -30,25 +30,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered by driver-verification need: the driver's CORRECTNESS
     window records the first 50 entries. Driver-recorded so far:
     q01–q50 (r02), q96–q145 (r03), q146–q184 + q51–q61 (r04),
-    q185–q227 + q62–q68 (r05), q228–q277 (r06). Round 7 leads with
-    the two never-driver-recorded bands — q278–q310 (33) + q69–q86
-    (17) = exactly 50 — per the round-6 judge's item 2; q87–q95 and
-    any round-7 additions queue next for the round-8 window. The
-    committed CORRECTNESS_LOCAL_r* artifacts cover every query
-    regardless of the window."""
+    q185–q227 + q62–q68 (r05), q228–q277 (r06), q278–q309 (32) +
+    q69–q86 (18) (r07). Round 8 leads with the last
+    never-driver-recorded bands — q87–q95 (9) + q310–q338 (29) plus
+    the round-8 additions q339+ — per the round-7 judge's item 1;
+    once this window records, every query name has an official
+    driver row. The committed CORRECTNESS_LOCAL_r* artifacts cover
+    every query regardless of the window."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    lead = [(k, v) for k, v in items if 278 <= num(k) <= 309]
-    lead += [(k, v) for k, v in items if 69 <= num(k) <= 86]
-    nextup = [(k, v) for k, v in items if 87 <= num(k) <= 95]
-    nextup += [(k, v) for k, v in items if num(k) >= 310]
-    seen = {k for k, _ in lead} | {k for k, _ in nextup}
+    lead = [(k, v) for k, v in items if 87 <= num(k) <= 95]
+    lead += [(k, v) for k, v in items if num(k) >= 310]
+    seen = {k for k, _ in lead}
     rest = [(k, v) for k, v in items if k not in seen]
-    return dict(lead + nextup + rest)
+    return dict(lead + rest)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -159,6 +159,17 @@ def nearest_centroid_confusion(
         model.setdefault(r["__c"], {})[r["dim"]] = r["__cv"]
         norms[r["__c"]] = r["__cn"]
     classes = sorted(model)
+    if not classes:  # empty input: no classes to score against
+        return df.sparkSession.createDataFrame(
+            [],
+            "label_true int, label_pred int, n bigint, share double",
+        )
+    # Vectors are assumed fixed-dimension (the embeddings table
+    # contract); the literal centroid arrays are keyed off the MAX
+    # observed dim so a sparse/ragged fit degrades to 0.0-filled
+    # missing dims instead of a KeyError. A ragged INPUT vector still
+    # null-pads through zip_with into a NULL cosine for that class —
+    # by design: a malformed row must not silently win the argmax.
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # Exact sums WITHOUT per-element BigDecimal work: each rounded
     # term is lifted onto its integer micro-grid (round(x,s)*10^s is
@@ -189,7 +200,8 @@ def nearest_centroid_confusion(
     def cos_for(c) -> Column:
         cv = F.array(
             *[
-                F.lit(float(model[c][d])) for d in range(len(model[c]))
+                F.lit(float(model[c].get(d, 0.0)))
+                for d in range(max(model[c]) + 1)
             ]
         )
         dot = (

