@@ -408,6 +408,14 @@ EXTRA_QUERIES = [
     "q340_temperature_scaling",
     "q341_confident_learning",
     "q342_ljung_box",
+    "q343_fairness_audit",
+    "q344_facility_location",
+    "q345_license_conflict",
+    "q346_av_sync_audit",
+    "q347_canary_probes",
+    "q348_skew_census",
+    "q349_weighted_reservoir",
+    "q350_weighted_kappa",
 ]
 
 

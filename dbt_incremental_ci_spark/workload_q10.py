@@ -537,3 +537,819 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qs, 6).alias("q_stat"),
         (F.round(qs, 6) > crit).alias("reject_whiteness"),
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Group-fairness audit (q343): demographic-parity and equalized-odds
+# gaps of a deterministic decision rule (order flagged when
+# o_totalprice > 150000) against the fulfillment outcome
+# (o_orderstatus = 'F'), sliced by customer market segment — the
+# standard pre-deployment disparity report. Everything is counts from
+# ONE hash aggregate (segments × {pred,outcome} cells); every rate is
+# the exact half-up integer-space DIV of two exact counts (q233
+# rule), and the gaps subtract in integer micro-space BEFORE the one
+# exact /1e6 — no float aggregation anywhere. Bound: n_pred·2e6 must
+# stay < 2^63, i.e. < ~4.6e12 flagged orders per segment — fine past
+# 100 TB; revisit with DECIMAL if a segment ever exceeds that.
+# =====================================================================
+@q(
+    "q343_fairness_audit",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(o.o_totalprice > 150000 AS INT) AS p,
+             CAST(o.o_orderstatus = 'F' AS INT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS BIGINT) AS np,
+             CAST(sum(y) AS BIGINT) AS ny,
+             CAST(sum(p * y) AS BIGINT) AS ntp,
+             CAST(sum(p * (1 - y)) AS BIGINT) AS nfp
+      FROM j GROUP BY segment
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS np,
+             CAST(sum(ny) AS BIGINT) AS ny,
+             CAST(sum(ntp) AS BIGINT) AS ntp
+      FROM seg
+    ),
+    micro AS (
+      SELECT s.segment, s.n,
+             (s.np * 2000000 + s.n) // (2 * s.n) AS sel_i,
+             (s.ntp * 2000000 + s.ny) // (2 * s.ny) AS tpr_i,
+             (s.nfp * 2000000 + (s.n - s.ny))
+               // (2 * (s.n - s.ny)) AS fpr_i,
+             (t.np * 2000000 + t.n) // (2 * t.n) AS osel_i,
+             (t.ntp * 2000000 + t.ny) // (2 * t.ny) AS otpr_i
+      FROM seg s, tot t
+    )
+    SELECT segment, n,
+           CAST(sel_i AS DOUBLE) / 1e6 AS sel_rate,
+           CAST(tpr_i AS DOUBLE) / 1e6 AS tpr,
+           CAST(fpr_i AS DOUBLE) / 1e6 AS fpr,
+           CAST(sel_i - osel_i AS DOUBLE) / 1e6 AS dp_gap,
+           CAST(tpr_i - otpr_i AS DOUBLE) / 1e6 AS eo_gap
+    FROM micro ORDER BY segment
+    """,
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("p"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    seg = j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("np"),
+        F.sum("y").cast("bigint").alias("ny"),
+        F.sum(F.col("p") * F.col("y")).cast("bigint").alias("ntp"),
+        F.sum(F.col("p") * (1 - F.col("y")))
+        .cast("bigint")
+        .alias("nfp"),
+    )
+    tot = seg.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("np").cast("bigint").alias("tnp"),
+        F.sum("ny").cast("bigint").alias("tny"),
+        F.sum("ntp").cast("bigint").alias("tntp"),
+    )
+    m = seg.crossJoin(F.broadcast(tot)).selectExpr(
+        "segment",
+        "n",
+        "(np * 2000000 + n) DIV (2 * n) AS sel_i",
+        "(ntp * 2000000 + ny) DIV (2 * ny) AS tpr_i",
+        "(nfp * 2000000 + (n - ny)) DIV (2 * (n - ny)) AS fpr_i",
+        "(tnp * 2000000 + tn) DIV (2 * tn) AS osel_i",
+        "(tntp * 2000000 + tny) DIV (2 * tny) AS otpr_i",
+    )
+    return m.select(
+        "segment",
+        "n",
+        (F.col("sel_i").cast("double") / 1e6).alias("sel_rate"),
+        (F.col("tpr_i").cast("double") / 1e6).alias("tpr"),
+        (F.col("fpr_i").cast("double") / 1e6).alias("fpr"),
+        ((F.col("sel_i") - F.col("osel_i")).cast("double") / 1e6).alias(
+            "dp_gap"
+        ),
+        ((F.col("tpr_i") - F.col("otpr_i")).cast("double") / 1e6).alias(
+            "eo_gap"
+        ),
+    ).orderBy("segment")
+
+
+# =====================================================================
+# License-conflict audit over the dedup graph (q345): when near-
+# duplicate documents carry DIFFERENT licenses, the whole cluster's
+# usability is in question — the provenance gate every corpus build
+# runs before training. Rides the q52 machinery unchanged (MinHash+
+# LSH banded pairs at Jaccard ≥ 0.7, large-star/small-star
+# components); licenses are a deterministic doc_id-derived label
+# (CASE doc_id % 4) declared identically on both sides. Only multi-
+# doc clusters are reported; the DuckDB twin replays components as
+# WITH RECURSIVE min-reachable-label over the brute-forced exact-
+# Jaccard edges (q52 oracle convention).
+# =====================================================================
+_Q345_LIC = (
+    "CASE doc_id % 4 WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-nc' "
+    "WHEN 2 THEN 'proprietary' ELSE 'public' END"
+)
+
+
+@q(
+    "q345_license_conflict",
+    rf"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ),
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             {_Q345_LIC} AS lic
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    cl AS (
+      SELECT component,
+             CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(count(DISTINCT lic) AS BIGINT) AS n_licenses,
+             CAST(sum(CASE WHEN lic IN ('cc-nc', 'proprietary')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_restrictive
+      FROM lab GROUP BY component
+    )
+    SELECT component, cluster_size, n_licenses,
+           n_licenses > 1 AS has_conflict,
+           n_restrictive
+    FROM cl WHERE cluster_size >= 2
+    ORDER BY component
+    """,
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import components as cc
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    )
+    comp = cc.dedup_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    lab = comp.selectExpr("doc_id", "component", f"{_Q345_LIC} AS lic")
+    cl = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.count_distinct("lic").cast("bigint").alias("n_licenses"),
+        F.sum(F.col("lic").isin("cc-nc", "proprietary").cast("int"))
+        .cast("bigint")
+        .alias("n_restrictive"),
+    )
+    return (
+        cl.where(F.col("cluster_size") >= 2)
+        .select(
+            "component",
+            "cluster_size",
+            "n_licenses",
+            (F.col("n_licenses") > 1).alias("has_conflict"),
+            "n_restrictive",
+        )
+        .orderBy("component")
+    )
+
+
+# =====================================================================
+# A/V duration-sync audit (q346): decode BOTH the WAV audio track and
+# the AVI video track of every doc on the audit slice (REAL codecs,
+# q333/q335 fixtures), derive each stream's duration in exact integer
+# microseconds (audio: n_samples·125 at 8 kHz; video: n_frames·100000
+# at fps=10 from the container), and flag docs whose tracks disagree
+# by more than 400 ms — the container-integrity check a multimodal
+# ingest runs before pairing streams. All integers; the oracle
+# recomputes both durations from the fixture id-formulas alone, so a
+# decode that miscounts samples OR frames flips flags and fails.
+# =====================================================================
+@q(
+    "q346_av_sync_audit",
+    """
+    WITH ids AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 500
+    )
+    SELECT media_id,
+           CAST((64 + media_id % 64) * 125 AS BIGINT) AS audio_us,
+           CAST((3 + media_id % 3) * 100000 AS BIGINT) AS video_us,
+           CAST(ABS((3 + media_id % 3) * 100000
+                    - (64 + media_id % 64) * 125) AS BIGINT)
+             AS delta_us,
+           ABS((3 + media_id % 3) * 100000
+               - (64 + media_id % 64) * 125) > 400000 AS out_of_sync
+    FROM ids ORDER BY media_id
+    """,
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.workload_q9 import (
+        _q333_payloads,
+        _q335_payloads,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+    )
+    aud = (
+        multimodal.audio_sample_stats(_q333_payloads(docs))
+        .where(F.col("n_samples").isNotNull())
+        .select(
+            "media_id",
+            (F.col("n_samples") * 125).cast("bigint").alias("audio_us"),
+        )
+    )
+    vid = (
+        multimodal.video_frame_stats(_q335_payloads(docs), every_n=1)
+        .groupBy("media_id")
+        .agg(
+            (F.count(F.lit(1)) * 100000).cast("bigint").alias("video_us")
+        )
+    )
+    j = aud.join(vid, "media_id")
+    delta = F.abs(F.col("video_us") - F.col("audio_us"))
+    return j.select(
+        "media_id",
+        "audio_us",
+        "video_us",
+        delta.cast("bigint").alias("delta_us"),
+        (delta > 400000).alias("out_of_sync"),
+    ).orderBy("media_id")
+
+
+# =====================================================================
+# Facility-location data-subset selection (q344): greedy submodular
+# maximization of F(S) = Σ_x max_{c∈S} max(0, cos6(x,c)) — "pick the
+# k candidate documents that best COVER the corpus in embedding
+# space", the classic coreset/data-valuation selector (Nemhauser
+# greedy, (1−1/e) guarantee). Shape for 100 TB: the candidate pool is
+# FIXED (vec_id < 64) so the similarity frame is corpus × 64 — linear
+# in the corpus, built ONCE via the posexplode dot-product join with
+# integer-grid partial products (order-free exact sums), then
+# localCheckpointed; each of the k rounds is one candidate-bounded
+# hash agg (64-row driver collect) plus a map-side coverage update.
+# Determinism: the FULL float sequence (round-10/round-12 lifts,
+# round-6 cosine, floor micro-grid) is mirrored op-for-op by the
+# Python replica that builds the oracle (SCALE.md 6w), so coverage
+# accounting is exact integer arithmetic on both sides. Lazy oracle,
+# sf0.01 fixture (q111/q119 trained-state convention).
+# =====================================================================
+_Q344_CANDS = 64
+_Q344_K = 8
+
+
+def _i10(col):
+    return F.round(F.round(col, 10) * F.lit(1e10), 0).cast("bigint")
+
+
+def _i12(col):
+    return F.round(F.round(col, 12) * F.lit(1e12), 0).cast("bigint")
+
+
+@q("q344_facility_location")
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+        .select(
+            F.col("vec_id").alias("x"),
+            F.transform("embedding", lambda v: v.cast("double")).alias(
+                "v"
+            ),
+        )
+    )
+    pts = emb.select("x", F.posexplode("v").alias("dim", "vx"))
+    norms = (
+        pts.groupBy("x")
+        .agg(F.sum(_i12(F.col("vx") * F.col("vx"))).alias("s12"))
+        .select(
+            "x",
+            F.sqrt(F.col("s12").cast("double") / F.lit(1e12)).alias(
+                "nx"
+            ),
+        )
+        .where(F.col("nx") > 0)
+    )
+    cands = pts.where(F.col("x") < _Q344_CANDS).select(
+        F.col("x").alias("c"), "dim", F.col("vx").alias("vc")
+    )
+    cnorms = norms.where(F.col("x") < _Q344_CANDS).select(
+        F.col("x").alias("c"), F.col("nx").alias("nc")
+    )
+    dots = (
+        pts.join(F.broadcast(cands), "dim")
+        .groupBy("x", "c")
+        .agg(F.sum(_i10(F.col("vx") * F.col("vc"))).alias("s10"))
+        .select("x", "c", (F.col("s10").cast("double") / F.lit(1e10)).alias("dot"))
+    )
+    sims = (
+        dots.join(norms, "x")
+        .join(F.broadcast(cnorms), "c")
+        .select(
+            "x",
+            "c",
+            F.round(
+                F.col("dot") / (F.col("nx") * F.col("nc")), 6
+            ).alias("cos6"),
+        )
+        .select(
+            "x",
+            "c",
+            F.greatest(
+                F.floor(F.col("cos6") * F.lit(1e6) + F.lit(0.5)),
+                F.lit(0).cast("bigint"),
+            ).alias("si"),
+        )
+        .where(F.col("si") > 0)
+    )
+    smat = sims.localCheckpoint()  # reused k×2 times; pin lineage
+    cur = norms.select("x", F.lit(0).cast("bigint").alias("cur"))
+    results = []
+    cov = 0
+    for step in range(1, _Q344_K + 1):
+        # candidate-bounded collect: ≤ 64 rows per round
+        gains = (
+            smat.join(cur, "x")
+            .where(F.col("si") > F.col("cur"))
+            .groupBy("c")
+            .agg(F.sum(F.col("si") - F.col("cur")).alias("g"))
+            .collect()
+        )
+        if not gains:
+            break
+        best = sorted(gains, key=lambda r: (-r["g"], r["c"]))[0]
+        chosen, gain = int(best["c"]), int(best["g"])
+        cov += gain
+        results.append((step, chosen, gain / 1e6, cov / 1e6))
+        upd = smat.where(F.col("c") == chosen).select(
+            "x", F.col("si").alias("sc")
+        )
+        cur = (
+            cur.join(upd, "x", "left")
+            .select(
+                "x",
+                F.greatest(
+                    F.col("cur"), F.coalesce(F.col("sc"), F.lit(0))
+                ).alias("cur"),
+            )
+            .localCheckpoint()  # k rounds: keep lineage linear (q316)
+        )
+    return spark.createDataFrame(
+        results, "step int, chosen_id bigint, gain double, coverage double"
+    )
+
+
+def _q344_replica(sf_dir: str = "/root/testdata/sf0.01"):
+    """Single-threaded replica of q344's EXACT op sequence (decimal
+    quantize = Spark's BigDecimal-HALF_UP-on-shortest-repr round)."""
+    import os as _os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ep = _os.path.join(sf_dir, "embeddings.parquet")
+    if not _os.path.exists(ep):
+        return None
+    import duckdb as _duck
+
+    con = _duck.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, embedding::DOUBLE[] FROM read_parquet('{ep}')
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+            ORDER BY vec_id"""
+    ).fetchall()
+    con.close()
+
+    def rnd(x: float, q: str) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal(q), ROUND_HALF_UP))
+
+    def i_lift(x: float, q: str, scale: float) -> int:
+        return int(
+            Decimal(repr(rnd(x, q) * scale)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+
+    norms = {}
+    for vid, v in rows:
+        s12 = sum(i_lift(a * a, "1E-12", 1e12) for a in v)
+        n = math.sqrt(s12 / 1e12)
+        if n > 0:
+            norms[vid] = n
+    cands = [(vid, list(v)) for vid, v in rows if vid < _Q344_CANDS and vid in norms]
+    si: dict[int, dict[int, int]] = {}
+    for vid, v in rows:
+        if vid not in norms:
+            continue
+        for c, w in cands:
+            s10 = sum(
+                i_lift(a * b, "1E-10", 1e10) for a, b in zip(v, w)
+            )
+            dot = s10 / 1e10
+            cos6 = rnd(dot / (norms[vid] * norms[c]), "1E-6")
+            s = max(0, math.floor(cos6 * 1e6 + 0.5))
+            if s > 0:
+                si.setdefault(vid, {})[c] = s
+    cur: dict[int, int] = {}
+    out = []
+    cov = 0
+    for step in range(1, _Q344_K + 1):
+        gains: dict[int, int] = {}
+        for x, row in si.items():
+            cx = cur.get(x, 0)
+            for c, s in row.items():
+                if s > cx:
+                    gains[c] = gains.get(c, 0) + s - cx
+        if not gains:
+            break
+        chosen = sorted(gains.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        c, g = chosen
+        cov += g
+        out.append((step, c, g / 1e6, cov / 1e6))
+        for x, row in si.items():
+            if c in row:
+                cur[x] = max(cur.get(x, 0), row[c])
+    return out
+
+
+def _q344_oracle() -> str | None:
+    out = _q344_replica()
+    if not out:
+        return None
+    vals = ",\n".join(
+        f"({s}, {c}, {format(g, '.17e')}, {format(cv, '.17e')})"
+        for s, c, g, cv in out
+    )
+    return f"""
+    SELECT CAST(step AS INT) AS step,
+           CAST(chosen_id AS BIGINT) AS chosen_id,
+           CAST(gain AS DOUBLE) AS gain,
+           CAST(coverage AS DOUBLE) AS coverage
+    FROM (VALUES {vals}) t(step, chosen_id, gain, coverage)
+    ORDER BY step
+    """
+
+
+from dbt_incremental_ci_spark.workload_base import _LAZY_ORACLES  # noqa: E402
+
+_LAZY_ORACLES["q344_facility_location"] = _q344_oracle
+
+
+# =====================================================================
+# Canary-probe extraction audit (q347): given a probe list (here:
+# 40-char substrings lifted from five fixed seed documents — the
+# "plant a canary, grep the corpus" memorization/contamination
+# check), count exact-substring hits across the whole corpus, the
+# spread across sources, and the earliest doc carrying each probe.
+# Shape for 100 TB: the probe set is bounded and BROADCAST; the
+# corpus side is one map-only contains() scan feeding a probe-bounded
+# hash agg — no corpus shuffle, no UDFs (instr/locate are JVM
+# expressions). Probes shorter than 20 chars (short seed docs) are
+# dropped identically on both sides.
+# =====================================================================
+_Q347_SEEDS = (3, 57, 111, 222, 333)
+
+
+@q(
+    "q347_canary_probes",
+    f"""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             substr(lower(text), 10, 40) AS probe
+      FROM documents
+      WHERE doc_id IN {_Q347_SEEDS}
+        AND strlen(substr(lower(text), 10, 40)) >= 20
+    )
+    SELECT p.probe_id,
+           CAST(strlen(p.probe) AS INT) AS probe_len,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(min(d.doc_id) AS BIGINT) AS first_doc_id
+    FROM probes p JOIN documents d
+      ON instr(lower(d.text), p.probe) > 0
+    GROUP BY p.probe_id, p.probe
+    ORDER BY p.probe_id
+    """,
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.lower(F.col("text")).alias("lt")
+    )
+    probes = (
+        docs.where(F.col("doc_id").isin(*_Q347_SEEDS))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.substring("lt", 10, 40).alias("probe"),
+        )
+        .where(F.length("probe") >= 20)
+    )
+    hits = docs.join(
+        F.broadcast(probes),
+        F.instr(F.col("lt"), F.col("probe")) > 0,
+    )
+    return (
+        hits.groupBy("probe_id", "probe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .select(
+            "probe_id",
+            F.length("probe").cast("int").alias("probe_len"),
+            "n_hits",
+            "n_sources",
+            "first_doc_id",
+        )
+        .orderBy("probe_id")
+    )
+
+
+# =====================================================================
+# Shuffle-key skew census (q348): the pre-join diagnostic a 100 TB
+# pipeline runs BEFORE shuffling on a key — per-key group sizes for
+# orders.o_custkey reduced to a freq-of-freq table (bounded by max
+# group size, never by key count), then exact p50/p90/p99 group
+# sizes via cumulative counts, top-key share, and the recommended
+# salting factor ceil(max_size·n_keys/n_rows) (capped 32) that
+# .q50-style salted joins consume. All integer/half-up-DIV exact;
+# the only windowed frame is distinct-size-bounded (1-part, bound
+# note: |distinct sizes| ≤ max group size).
+# =====================================================================
+@q(
+    "q348_skew_census",
+    """
+    WITH ks AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS sz
+      FROM orders GROUP BY o_custkey
+    ),
+    ff AS (
+      SELECT sz, CAST(count(*) AS BIGINT) AS n_keys FROM ks GROUP BY sz
+    ),
+    cum AS (
+      SELECT sz, n_keys,
+             sum(n_keys) OVER (ORDER BY sz) AS ck
+      FROM ff
+    ),
+    tot AS (
+      SELECT CAST(sum(n_keys) AS BIGINT) AS nk,
+             CAST(sum(sz * n_keys) AS BIGINT) AS nr,
+             CAST(max(sz) AS BIGINT) AS mx
+      FROM ff
+    ),
+    qs AS (
+      SELECT
+        (SELECT min(sz) FROM cum, tot WHERE ck * 2 >= nk) AS p50,
+        (SELECT min(sz) FROM cum, tot WHERE ck * 10 >= nk * 9) AS p90,
+        (SELECT min(sz) FROM cum, tot WHERE ck * 100 >= nk * 99) AS p99
+    )
+    SELECT t.nk AS n_keys, t.nr AS n_rows, t.mx AS max_size,
+           CAST((t.nr * 2000000 + t.nk) // (2 * t.nk) AS DOUBLE) / 1e6
+             AS mean_size,
+           CAST(q.p50 AS BIGINT) AS p50_size,
+           CAST(q.p90 AS BIGINT) AS p90_size,
+           CAST(q.p99 AS BIGINT) AS p99_size,
+           CAST((t.mx * 2000000 + t.nr) // (2 * t.nr) AS DOUBLE) / 1e6
+             AS top_key_share,
+           CAST(least(32, (t.mx * t.nk + t.nr - 1) // t.nr) AS INT)
+             AS recommended_salt
+    FROM tot t, qs q
+    """,
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ks = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    ff = ks.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    # distinct-size-bounded frame: 1-part window is deliberate
+    cum = ff.withColumn(
+        "ck", F.sum("n_keys").over(Window.orderBy("sz"))
+    ).localCheckpoint()
+    tot = ff.agg(
+        F.sum("n_keys").cast("bigint").alias("nk"),
+        F.sum(F.col("sz") * F.col("n_keys")).cast("bigint").alias("nr"),
+        F.max("sz").cast("bigint").alias("mx"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    qs = j.agg(
+        F.min(F.when(F.col("ck") * 2 >= F.col("nk"), F.col("sz"))).alias(
+            "p50"
+        ),
+        F.min(
+            F.when(F.col("ck") * 10 >= F.col("nk") * 9, F.col("sz"))
+        ).alias("p90"),
+        F.min(
+            F.when(F.col("ck") * 100 >= F.col("nk") * 99, F.col("sz"))
+        ).alias("p99"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(qs))
+        .selectExpr(
+            "nk AS n_keys",
+            "nr AS n_rows",
+            "mx AS max_size",
+            "CAST((nr * 2000000 + nk) DIV (2 * nk) AS DOUBLE) / 1e6"
+            " AS mean_size",
+            "CAST(p50 AS BIGINT) AS p50_size",
+            "CAST(p90 AS BIGINT) AS p90_size",
+            "CAST(p99 AS BIGINT) AS p99_size",
+            "CAST((mx * 2000000 + nr) DIV (2 * nr) AS DOUBLE) / 1e6"
+            " AS top_key_share",
+            "CAST(least(32, (mx * nk + nr - 1) DIV nr) AS INT)"
+            " AS recommended_salt",
+        )
+    )
+
+
+# =====================================================================
+# Weighted reservoir sample (q349): deterministic A-ES weighted
+# sampling WITHOUT replacement — per order, exponential key
+# e = −ln(u)/w with u the house md5-uniform (strictly interior via
+# the +0.5/2^32 shift) and w = o_totalprice; the k smallest keys per
+# priority class are the sample (Efraimidis-Spirakis 2006,
+# -ln(u)/w ordering ≡ u^(1/w) top-k). Keys are ROUNDED-9 BEFORE
+# ranking with the id tiebreak (house rank-on-rounded rule — ln is
+# the one cross-engine float op here). One window shuffle, partition
+# count = priority classes; everything upstream is map-only.
+# =====================================================================
+_Q349_K = 5
+
+
+@q(
+    "q349_weighted_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+             ROUND(-ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                          || ':res8'), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0)
+                   / o_totalprice, 9) AS e9
+      FROM orders WHERE o_totalprice > 0
+    ),
+    ranked AS (
+      SELECT priority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY priority
+                                     ORDER BY e9, o_orderkey) AS INT)
+               AS rk
+      FROM keyed
+    )
+    SELECT priority, rk, o_orderkey, o_totalprice
+    FROM ranked WHERE rk <= {_Q349_K}
+    ORDER BY priority, rk
+    """,
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":res8"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        "o_totalprice",
+        F.round(-F.log(u) / F.col("o_totalprice"), 9).alias("e9"),
+    )
+    w = Window.partitionBy("priority").orderBy("e9", "o_orderkey")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= _Q349_K)
+        .select("priority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("priority", "rk")
+    )
+
+
+# =====================================================================
+# Quadratic-weighted Cohen's kappa (q350): chance-corrected agreement
+# between two deterministic ordinal "raters" of every order — the
+# priority digit (0..4) and the totalprice band (0..4) — with
+# quadratic penalties w_ij = (i−j)², the standard ordinal
+# inter-annotator metric next to q224's Krippendorff alpha. The
+# corpus reduces to the 5×5 confusion matrix in one hash agg;
+# κ_w = 1 − N·Σw_ij·O_ij / Σw_ij·row_i·col_j stays an exact integer
+# ratio rounded half-up in micro-space. Bound: num·N·2e6 < 2^63
+# holds to ~3e8 rows per run; beyond that lift the two products to
+# DECIMAL(38,0) (q343-style bound note).
+# =====================================================================
+@q(
+    "q350_weighted_kappa",
+    """
+    WITH r AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) - 1 AS r1,
+             CAST(least(4, CAST(floor(o_totalprice / 120000)
+                  AS BIGINT)) AS INT) AS r2
+      FROM orders
+    ),
+    o AS (
+      SELECT r1, r2, CAST(count(*) AS BIGINT) AS n
+      FROM r GROUP BY r1, r2
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum((r1 - r2) * (r1 - r2) * n) AS BIGINT) AS num
+      FROM o
+    ),
+    marg AS (
+      SELECT a.r1, b.r2,
+             CAST(a.rn AS BIGINT) * b.cn AS e
+      FROM (SELECT r1, sum(n) AS rn FROM o GROUP BY r1) a,
+           (SELECT r2, sum(n) AS cn FROM o GROUP BY r2) b
+    ),
+    d AS (
+      SELECT CAST(sum((r1 - r2) * (r1 - r2) * e) AS BIGINT) AS den
+      FROM marg
+    )
+    SELECT m.nn AS n_rows, m.num AS disagree_w,
+           CAST(1000000 - (m.num * m.nn * 2000000 + d.den)
+                          // (2 * d.den) AS DOUBLE) / 1e6 AS kappa_w
+    FROM m, d
+    """,
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    r = orders.select(
+        (F.substring("o_orderpriority", 1, 1).cast("int") - 1).alias(
+            "r1"
+        ),
+        F.least(
+            F.lit(4),
+            F.floor(F.col("o_totalprice") / 120000).cast("bigint"),
+        )
+        .cast("int")
+        .alias("r2"),
+    )
+    o = r.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = o.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            (F.col("r1") - F.col("r2"))
+            * (F.col("r1") - F.col("r2"))
+            * F.col("n")
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    rn = o.groupBy("r1").agg(F.sum("n").alias("rn"))
+    cn = o.groupBy("r2").agg(F.sum("n").alias("cn"))
+    d = (
+        rn.crossJoin(cn)
+        .select(
+            (
+                (F.col("r1") - F.col("r2"))
+                * (F.col("r1") - F.col("r2"))
+                * (F.col("rn").cast("bigint") * F.col("cn"))
+            ).alias("we")
+        )
+        .agg(F.sum("we").cast("bigint").alias("den"))
+    )
+    return m.crossJoin(F.broadcast(d)).selectExpr(
+        "nn AS n_rows",
+        "num AS disagree_w",
+        "CAST(1000000 - (num * nn * 2000000 + den) DIV (2 * den)"
+        " AS DOUBLE) / 1e6 AS kappa_w",
+    )
