@@ -497,6 +497,16 @@ ACCEPTED_BASELINES = {
         "salting method cost under the noop sink (triaged r04/r05: "
         "count() unchanged vs r02 -> no plan regression)",
     ),
+    "q288_grid_density_clusters": (
+        4.3,
+        "first-execution JIT pays ~2x (8.7 -> 4.2 across reps, "
+        "SCALE.md 6z); plateau pinned, plan unchanged since r09",
+    ),
+    "q290_textrank": (
+        3.9,
+        "first-execution JIT pays ~2x (6.5 -> 3.8 across reps, "
+        "SCALE.md 6z); plateau pinned, plan unchanged since r09",
+    ),
 }
 
 
