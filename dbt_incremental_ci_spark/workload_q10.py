@@ -903,12 +903,13 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = []
     cov = 0
     for step in range(1, _Q344_K + 1):
-        # candidate-bounded collect: ≤ 64 rows per round
         gains = (
             smat.join(cur, "x")
             .where(F.col("si") > F.col("cur"))
             .groupBy("c")
             .agg(F.sum(F.col("si") - F.col("cur")).alias("g"))
+            # driver-bound: ≤ 64 rows (the fixed candidate pool) per
+            # greedy round — the argmax frame, never corpus-sized
             .collect()
         )
         if not gains:

@@ -210,3 +210,76 @@ def test_avi_roundtrip_and_sampling(spark):
     assert (r2["sum_r"], r2["sum_g"], r2["sum_b"]) == (
         int(a[:, :, 0].sum()), int(a[:, :, 1].sum()), int(a[:, :, 2].sum())
     )
+
+
+def test_corrupt_payload_mix_skips_not_crashes(spark):
+    """Round-7 ADVICE item 1: a truncated 'BM'-prefixed payload used to
+    raise struct.error THROUGH resize_images/image_pixel_stats and kill
+    the sweep; the audio/video walkers likewise on short RIFF. Every
+    decode entry point must SKIP malformed payloads (None/NULL row),
+    never crash."""
+    import numpy as np
+
+    arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    good_bmp = mm.encode_bmp(arr)
+    good_wav = mm.encode_wav_pcm16(
+        np.array([100, -100, 50], dtype=np.int16), 8000
+    )
+    rows = [
+        (1, "image", good_bmp, (4, 3, None, None)),
+        (2, "image", good_bmp[:10], (None, None, None, None)),  # struct.error class
+        (3, "image", b"P6\n4", (None, None, None, None)),  # truncated header
+        (4, "image", b"", (None, None, None, None)),
+        (5, "audio", good_wav, (None, None, 8000, None)),
+        (6, "audio", good_wav[:16], (None, None, None, None)),  # short chunk hdr
+        (7, "video", b"RIFF\x10\x00\x00\x00AVI ", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    img = df.filter("media_type = 'image'")
+    resized = mm.resize_images(img, 2, 2).collect()
+    assert {r["media_id"]: r["content"] is not None for r in resized} == {
+        1: True, 2: False, 3: False, 4: False,
+    }
+    stats = {r["media_id"]: r for r in mm.image_pixel_stats(img).collect()}
+    assert stats[1]["fmt"] == "bmp" and stats[1]["n_pixels"] == 12
+    assert all(stats[i]["fmt"] == "unsupported" for i in (2, 3, 4))
+    aud = {
+        r["media_id"]: r
+        for r in mm.audio_sample_stats(
+            df.filter("media_type = 'audio'")
+        ).collect()
+    }
+    assert aud[5]["n_samples"] == 3 and aud[6]["n_samples"] is None
+    vid = mm.video_frame_stats(df.filter("media_type = 'video'")).collect()
+    assert vid == []  # malformed AVI skipped, no crash
+
+
+def test_nearest_centroid_empty_and_sparse_model(spark):
+    """Round-7 ADVICE item 4: empty input must return an empty frame
+    (not crash building a zero-struct array), and the literal centroid
+    arrays key off max dim so a sparse fit degrades instead of
+    KeyErroring."""
+    from dbt_incremental_ci_spark.operators.embstats import (
+        nearest_centroid_confusion,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>, label int"
+    )
+    out = nearest_centroid_confusion(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "label_true", "label_pred", "n", "share",
+    ]
+    some = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.1, 0.9], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    rows = nearest_centroid_confusion(some).collect()
+    diag = {(r["label_true"], r["label_pred"]): r["n"] for r in rows}
+    assert diag[(0, 0)] == 2 and diag[(1, 1)] == 2
