@@ -416,6 +416,12 @@ EXTRA_QUERIES = [
     "q348_skew_census",
     "q349_weighted_reservoir",
     "q350_weighted_kappa",
+    "q351_shapley_reach",
+    "q352_burrows_delta",
+    "q353_shingle_curve",
+    "q354_tokenizer_fertility",
+    "q355_dp_histogram",
+    "q356_revenue_drawdown",
 ]
 
 

@@ -1354,3 +1354,583 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000000 - (num * nn * 2000000 + den) DIV (2 * den)"
         " AS DOUBLE) / 1e6 AS kappa_w",
     )
+
+
+# =====================================================================
+# Exact Shapley attribution of engagement surfaces (q351): which of
+# the five event types is actually responsible for user reach —
+# v(S) = #users touched by ≥1 type in coalition S, φ computed EXACTLY
+# from the classic permutation weights. Shape for 100 TB: the corpus
+# reduces ONCE to a 32-cell (per-user 5-bit type-mask → user count)
+# hash aggregate; everything after is arithmetic on coalition spines
+# (32×32 and 5×16 bounded joins) — no floats until the final display
+# DIVs (φ numerators stay integers scaled by 5! = 120). Both engines
+# enumerate identical masks from the same alphabetical bit order.
+# =====================================================================
+_Q351_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q351_shapley_reach",
+    f"""
+    WITH bits AS (
+      SELECT user_id,
+             bit_or(CASE event_type
+               {' '.join(f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(_Q351_TYPES))}
+               END) AS mask
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n FROM bits GROUP BY mask
+    ),
+    spine AS (SELECT unnest(generate_series(0, 31)) AS s),
+    v AS (
+      SELECT s, CAST(COALESCE(sum(CASE WHEN (c.mask & s.s) <> 0
+                              THEN c.n END), 0) AS BIGINT) AS vs
+      FROM spine s LEFT JOIN cells c ON TRUE
+      GROUP BY s
+    ),
+    players AS (
+      SELECT i, CAST({' '.join('')}1 << i AS INT) AS bit
+      FROM (SELECT unnest(generate_series(0, 4)) AS i)
+    ),
+    subs AS (
+      SELECT p.i, p.bit, s.s,
+             CASE bit_count(CAST(s.s AS BIGINT))
+               WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4
+               WHEN 3 THEN 6 WHEN 4 THEN 24 END AS w
+      FROM players p JOIN (SELECT s FROM spine) s
+        ON (s.s & p.bit) = 0
+    ),
+    phi AS (
+      SELECT i, bit,
+             CAST(sum(w * (vw.vs - vo.vs)) AS BIGINT) AS num
+      FROM subs
+      JOIN v vo ON vo.s = subs.s
+      JOIN v vw ON vw.s = (subs.s | subs.bit)
+      GROUP BY i, bit
+    )
+    SELECT CASE i {' '.join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_Q351_TYPES))} END
+             AS event_type,
+           CAST((num * 2000000 + 120) // 240 AS DOUBLE) / 1e6
+             AS shapley_users,
+           CAST((num * 2000000 + 120 * (SELECT vs FROM v WHERE s = 31))
+                // (240 * (SELECT vs FROM v WHERE s = 31))
+                AS DOUBLE) / 1e6 AS reach_share
+    FROM phi ORDER BY event_type
+    """,
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    bit = F.when(F.col("event_type") == _Q351_TYPES[0], 1)
+    for i, tp in enumerate(_Q351_TYPES[1:], start=1):
+        bit = bit.when(F.col("event_type") == tp, 1 << i)
+    bits = ev.groupBy("user_id").agg(F.bit_or(bit).alias("mask"))
+    cells = bits.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    spine = spark.createDataFrame([(s,) for s in range(32)], "s int")
+    v = (
+        spine.crossJoin(F.broadcast(cells))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & s) <> 0"), F.col("n")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("vs")
+        )
+    )
+    players = spark.createDataFrame(
+        [(i, 1 << i, tp) for i, tp in enumerate(_Q351_TYPES)],
+        "i int, bit int, event_type string",
+    )
+    wmap = {0: 24, 1: 6, 2: 4, 3: 6, 4: 24}
+    wcol = F.create_map(
+        *[F.lit(x) for kv in wmap.items() for x in kv]
+    )[F.bit_count(F.col("s").cast("bigint")).cast("int")]
+    subs = (
+        players.crossJoin(spine)
+        .where(F.expr("(s & bit) = 0"))
+        .withColumn("w", wcol)
+    )
+    vo = v.select(F.col("s").alias("so"), F.col("vs").alias("v0"))
+    vw = v.select(F.col("s").alias("sw"), F.col("vs").alias("v1"))
+    phi = (
+        subs.join(F.broadcast(vo), F.col("s") == F.col("so"))
+        .join(F.broadcast(vw), F.expr("(s | bit) = sw"))
+        .groupBy("i", "event_type")
+        .agg(
+            F.sum(F.col("w") * (F.col("v1") - F.col("v0")))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    vn = v.where(F.col("s") == 31).select(F.col("vs").alias("vtot"))
+    return (
+        phi.crossJoin(F.broadcast(vn))
+        .selectExpr(
+            "event_type",
+            "CAST((num * 2000000 + 120) DIV 240 AS DOUBLE) / 1e6"
+            " AS shapley_users",
+            "CAST((num * 2000000 + 120 * vtot) DIV (240 * vtot)"
+            " AS DOUBLE) / 1e6 AS reach_share",
+        )
+        .orderBy("event_type")
+    )
+
+
+# =====================================================================
+# Burrows' Delta stylometry (q352): the classic authorship-attribution
+# distance between SOURCES — relative frequencies of a FIXED
+# function-word list, z-scored across sources, Δ(a,b) = mean |z_a−z_b|
+# over the words. Shape: corpus reduces to (source × 10 words) counts
+# + per-source token totals in one pass; everything downstream is a
+# 20×10 bounded frame. Determinism: per-source frequencies live on
+# the nano-grid (half-up integer DIV), per-word variance comes from
+# exact HUGEINT/DECIMAL sums of those integers in ONE fixed double
+# sequence, and each |Δz| term is floor-lifted to 1e-9 before the
+# 10-term exact fold (both engines run identical IEEE ops on
+# identical integers). Word list pinned at build time, identical
+# literals both sides.
+# =====================================================================
+_Q352_WORDS = (
+    "join", "hash", "row", "batch", "scan",
+    "customer", "column", "filter", "small", "merge",
+)
+
+
+@q(
+    "q352_burrows_delta",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)),
+                     '\\s+')) AS tok
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS tt
+      FROM toks WHERE tok <> '' GROUP BY source
+    ),
+    wl(w) AS (VALUES {', '.join(f"('{w}')" for w in _Q352_WORDS)}),
+    cnt AS (
+      SELECT t.source, w.w,
+             CAST(COALESCE(sum(CASE WHEN t.tok = w.w THEN 1 END), 0)
+                  AS BIGINT) AS c
+      FROM toks t CROSS JOIN wl w
+      GROUP BY t.source, w.w
+    ),
+    f9 AS (
+      SELECT c.source, c.w,
+             (c.c * 2000000000 + t.tt) // (2 * t.tt) AS f
+      FROM cnt c JOIN tot t ON t.source = c.source
+    ),
+    stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(f) AS HUGEINT) AS s1,
+             CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS s2
+      FROM f9 GROUP BY w
+    ),
+    sig AS (
+      SELECT w,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / ns) / ns) AS sd
+      FROM stats
+    ),
+    terms AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.w,
+             CAST(FLOOR(CAST(ABS(a.f - b.f) AS DOUBLE) / 1e9
+                        / s.sd * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM f9 a
+      JOIN f9 b ON a.w = b.w AND a.source < b.source
+      JOIN sig s ON s.w = a.w AND s.sd > 0
+    )
+    SELECT source_a, source_b,
+           CAST(FLOOR(CAST(sum(t9) AS DOUBLE) / 1e9
+                      / count(*) * 1e6 + 0.5) AS DOUBLE) / 1e6
+             AS delta
+    FROM terms GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tt")
+    )
+    wl = spark.createDataFrame(
+        [(w,) for w in _Q352_WORDS], "w string"
+    )
+    cnt = (
+        toks.crossJoin(F.broadcast(wl))
+        .groupBy("source", "w")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("tok") == F.col("w"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    f9 = cnt.join(tot, "source").selectExpr(
+        "source",
+        "w",
+        "(c * 2000000000 + tt) DIV (2 * tt) AS f",
+    )
+    stats = f9.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum(F.col("f").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("f").cast("decimal(19,0)")
+            * F.col("f").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    sig = stats.select(
+        "w",
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("ns")
+            )
+            / F.col("ns")
+        ).alias("sd"),
+    ).where(F.col("sd") > 0)
+    a = f9.selectExpr("source AS source_a", "w", "f AS fa")
+    b = f9.selectExpr("source AS source_b", "w AS wb", "f AS fb")
+    terms = (
+        a.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(F.broadcast(sig), "w")
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(
+                F.abs(F.col("fa") - F.col("fb")).cast("double")
+                / F.lit(1e9)
+                / F.col("sd")
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("t9"),
+        )
+    )
+    return (
+        terms.groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.floor(
+                    F.sum("t9").cast("double")
+                    / F.lit(1e9)
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# =====================================================================
+# Shingle-size sensitivity curve (q353): how the char-k-shingle
+# duplication signal moves with k ∈ {3,5,8,13} — the measurement that
+# picks the dedup shingle size before a corpus sweep (short shingles
+# over-merge, long shingles under-merge). One corpus pass per k
+# (constant ×4 fan-out, the budgeted-fan-out class); distinct-vs-total
+# ratios by half-up integer DIV.
+# =====================================================================
+_Q353_KS = (3, 5, 8, 13)
+
+
+@q(
+    "q353_shingle_curve",
+    f"""
+    WITH ks(k) AS (VALUES {', '.join(f'({k})' for k in _Q353_KS)}),
+    sh AS (
+      SELECT ks.k, substr(lower(d.text), i, ks.k) AS s
+      FROM documents d
+      JOIN ks ON strlen(d.text) >= ks.k,
+      unnest(generate_series(1, strlen(d.text) - ks.k + 1)) AS g(i)
+    ),
+    agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(DISTINCT s) AS BIGINT) AS n_distinct
+      FROM sh GROUP BY k
+    )
+    SELECT k, n_shingles, n_distinct,
+           CAST(((n_shingles - n_distinct) * 2000000 + n_shingles)
+                // (2 * n_shingles) AS DOUBLE) / 1e6 AS dup_ratio
+    FROM agg ORDER BY k
+    """,
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("lt")
+    )
+    parts = []
+    for k in _Q353_KS:
+        parts.append(
+            docs.where(F.length("lt") >= k).select(
+                F.lit(k).alias("k"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(lt) - {k} + 1),"
+                        f" i -> substring(lt, i, {k}))"
+                    )
+                ).alias("s"),
+            )
+        )
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = sh.unionByName(p)
+    return (
+        sh.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count_distinct("s").cast("bigint").alias("n_distinct"),
+        )
+        .selectExpr(
+            "k",
+            "n_shingles",
+            "n_distinct",
+            "CAST(((n_shingles - n_distinct) * 2000000 + n_shingles)"
+            " DIV (2 * n_shingles) AS DOUBLE) / 1e6 AS dup_ratio",
+        )
+        .orderBy("k")
+    )
+
+
+# =====================================================================
+# Tokenizer-fertility census (q354): tokens per 100 chars and bytes
+# per token, per language — the multilingual budget planner (UTF-8
+# CJK text burns ~3 bytes/char, whitespace tokenization under-counts
+# it; this is the table that says so). One hash aggregate to language
+# cells; exact integer sums, half-up DIV ratios.
+# =====================================================================
+@q(
+    "q354_tokenizer_fertility",
+    """
+    WITH per AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split_regex(trim(text),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS toks,
+             CAST(strlen(text) AS BIGINT) AS chars,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS toks,
+             CAST(sum(chars) AS BIGINT) AS chars,
+             CAST(sum(bytes) AS BIGINT) AS bytes
+      FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, toks, chars, bytes,
+           CAST((toks * 100 * 2000000 + chars) // (2 * chars)
+                AS DOUBLE) / 1e6 AS toks_per_100_chars,
+           CAST((bytes * 2000000 + toks) // (2 * toks) AS DOUBLE)
+             / 1e6 AS bytes_per_token,
+           CAST((bytes * 2000000 + chars) // (2 * chars) AS DOUBLE)
+             / 1e6 AS bytes_per_char
+    FROM agg ORDER BY lang
+    """,
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("bigint")
+        .alias("toks"),
+        F.length("text").cast("bigint").alias("chars"),
+        F.octet_length("text").cast("bigint").alias("bytes"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("toks"),
+            F.sum("chars").cast("bigint").alias("chars"),
+            F.sum("bytes").cast("bigint").alias("bytes"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "toks",
+            "chars",
+            "bytes",
+            "CAST((toks * 100 * 2000000 + chars) DIV (2 * chars)"
+            " AS DOUBLE) / 1e6 AS toks_per_100_chars",
+            "CAST((bytes * 2000000 + toks) DIV (2 * toks) AS DOUBLE)"
+            " / 1e6 AS bytes_per_token",
+            "CAST((bytes * 2000000 + chars) DIV (2 * chars) AS DOUBLE)"
+            " / 1e6 AS bytes_per_char",
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
+# ε-differentially-private histogram release (q355): the source
+# histogram with deterministic hash-Laplace noise — inverse-CDF
+# Laplace(1/ε) on the house md5 uniform per cell (strictly interior
+# via the +0.5/2^32 shift), the published release shape for count
+# tables (parallel composition: whole table costs ε = 1). The ln
+# noise term follows the house ROUND-9 rule before the one exact add;
+# cells are source-bounded. True-count column kept alongside for the
+# audit (the release view would drop it).
+# =====================================================================
+@q(
+    "q355_dp_histogram",
+    """
+    WITH cells AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    noised AS (
+      SELECT source, n,
+             (('0x' || substr(md5(source || ':dp8'), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0 AS u
+      FROM cells
+    )
+    SELECT source, n,
+           ROUND(CASE WHEN u < 0.5
+                 THEN ln(2.0 * u) / 1.0
+                 ELSE -ln(2.0 * (1.0 - u)) / 1.0 END, 9) AS noise,
+           ROUND(n + ROUND(CASE WHEN u < 0.5
+                 THEN ln(2.0 * u) / 1.0
+                 ELSE -ln(2.0 * (1.0 - u)) / 1.0 END, 9), 3)
+             AS released_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM noised ORDER BY source
+    """,
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit(":dp8"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = F.round(
+        F.when(u < 0.5, F.log(2.0 * u) / F.lit(1.0)).otherwise(
+            -F.log(2.0 * (F.lit(1.0) - u)) / F.lit(1.0)
+        ),
+        9,
+    )
+    return cells.select(
+        "source",
+        "n",
+        noise.alias("noise"),
+        F.round(F.col("n") + noise, 3).alias("released_count"),
+        F.lit(1.0).cast("double").alias("epsilon"),
+    ).orderBy("source")
+
+
+# =====================================================================
+# Max drawdown of cumulative daily revenue per region (q356): the
+# Kadane-style running-peak analysis on the exact-cents daily revenue
+# series — ops/finance analytics over the star schema (region ←
+# nation ← customer ← orders). Exact bigint cents throughout; windows
+# partition by region and order by day (calendar-bounded frames).
+# =====================================================================
+@q(
+    "q356_revenue_drawdown",
+    """
+    WITH daily AS (
+      SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT region, day, cents,
+             sum(cents) OVER (PARTITION BY region ORDER BY day) AS cum
+      FROM daily
+    ),
+    dd AS (
+      SELECT region, day, cum,
+             max(cum) OVER (PARTITION BY region ORDER BY day) - cum
+               AS drawdown
+      FROM walk
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(drawdown) AS DOUBLE) / 100.0 AS max_drawdown
+    FROM dd GROUP BY region ORDER BY region
+    """,
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.workload_base import dec
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    daily = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum((dec("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wday = Window.partitionBy("region").orderBy("day")
+    walk = daily.withColumn("cum", F.sum("cents").over(wday))
+    dd = walk.withColumn(
+        "drawdown", F.max("cum").over(wday) - F.col("cum")
+    )
+    return (
+        dd.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+            (F.max("drawdown").cast("double") / 100.0).alias(
+                "max_drawdown"
+            ),
+        )
+        .orderBy("region")
+    )
