@@ -38,7 +38,9 @@ the original single module had grown past 9k lines):
   Ljung-Box whiteness test, fairness audit, weighted reservoir
   sampling, shuffle-key skew census, canary probe extraction,
   facility-location subset selection, license-conflict audit,
-  A/V sync check, weighted Cohen's kappa)
+  A/V sync check, weighted Cohen's kappa, exact Shapley reach
+  attribution, Burrows-delta stylometry, shingle-size curve,
+  tokenizer fertility, ε-DP histogram release, revenue drawdown)
 - ``workload_q9`` — q310+ (round-7 build: REAL multimodal decode
   proofs — BMP/PPM images (q310-q313), WAV/PCM16 audio (q333-q334),
   uncompressed-AVI video (q335), joint QA gate (q336) — plus

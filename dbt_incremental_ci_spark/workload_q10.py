@@ -1,14 +1,21 @@
-"""Workload band q339+ — round-8 additions.
+"""Workload band q339-q356 — round-8 additions.
 
 Negative-path multimodal QA (the round-7 judge's item 7: skip counts
 must be ORACLE-proven, not just unit-proven), model-calibration and
-label-noise tooling (temperature scaling, confident learning), and
-time-series / fairness / ops analytics. Every query keeps the house
+label-noise tooling (temperature scaling, confident learning,
+quadratic-weighted kappa), corpus-attribution analytics (exact
+Shapley reach, facility-location subset selection, license-conflict
+audit, canary probes), text/dedup measurement (Burrows-delta
+stylometry, shingle-size curve, tokenizer fertility), privacy
+release (ε-DP histogram), and ops analytics (shuffle-key skew
+census, weighted reservoir sampling, Ljung-Box, fairness audit,
+A/V sync, revenue drawdown). Every query keeps the house
 determinism rules (workload_base docstring, docs/SCALE.md §6t/§6u):
 cross-engine float risk is eliminated by plan-time Python-computed
-integer-grid constants (no in-engine ln/exp anywhere in this band),
-exact DECIMAL / bigint folds for every corpus-sized sum, and the
-half-up integer-space DIV rule for ratios of exact ints.
+integer-grid constants (the only in-engine ln sites — q349's A-ES
+keys and q355's Laplace noise — follow the ROUND-9-before-rank/sum
+rule), exact DECIMAL / bigint folds for every corpus-sized sum, and
+the half-up integer-space DIV rule for ratios of exact ints.
 
 No counterpart in the reference repo (its workload is the dbt-CI
 relational star schema, SRC/README.md); these extend the

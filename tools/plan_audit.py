@@ -26,6 +26,13 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-7 additions (q310+)
+    # round-8 additions (q339+)
+    "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
+    "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
+    "q341_confident_learning": "1-row threshold reduce over the <=200 (score x label) cell frame (map-side partials)",
+    "q343_fairness_audit": "1-row overall-rates reduce over the segment-sized (5) count frame",
+    "q348_skew_census": "freq-of-freq cumsum window + 1-row totals/quantile reduces over the distinct-group-size-bounded frame (|sizes| <= max group size, never key count)",
+    "q350_weighted_kappa": "1-row confusion + 1-row marginal-product reduces over the 5x5 ordinal cell frame",
     "q338_jackknife_ratio_se": "1-row totals + jackknife-moment reduce over the nation-sized (25) cell frame",
     "q336_multimodal_qa": "1-row QA rollup over the fixed audit-slice (doc_id<200) modality frames",
     "q337_sprt_crossing": "1-row crossing-count reduce over the per-user first-crossing frame + 1-row distinct-user count (map-side partials)",
