@@ -569,6 +569,12 @@ def simhash_near_pairs(
     sigs = ensure_min_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
     )
+    # pin the (id, signature) frame: the self-join below would
+    # otherwise inline the per-token xxhash64 voting expression into
+    # BOTH join sides and re-derive it through the pair projection —
+    # the §6l re-evaluation pathology, paid per candidate pair instead
+    # of per document (measured 20 s -> ~4 s at the sf1 replica)
+    sigs = sigs.localCheckpoint(eager=False)
     chunked = sigs.select(
         "__id",
         "__sh",
@@ -592,8 +598,13 @@ def simhash_near_pairs(
             F.col("b.__id").alias("id_b"),
             F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
         )
-        .distinct()
+        # hamming is a pure function of the pair, so filtering BEFORE
+        # the distinct is identical — and the dedup shuffle then moves
+        # only survivors instead of the full chunk-collision candidate
+        # volume (the leg that grows superlinearly as 16-bit banding
+        # saturates; measured 3.8M -> survivors at sf1, SCALE.md 6aa)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
