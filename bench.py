@@ -422,6 +422,14 @@ EXTRA_QUERIES = [
     "q354_tokenizer_fertility",
     "q355_dp_histogram",
     "q356_revenue_drawdown",
+    "q357_simplified_silhouette",
+    "q358_rfm_segments",
+    "q359_session_overlap",
+    "q360_dp_clipped_mean",
+    "q361_image_ahash",
+    "q362_video_keyframe",
+    "q363_media_shard_plan",
+    "q364_term_burstiness",
 ]
 
 

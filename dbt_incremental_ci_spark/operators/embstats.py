@@ -102,28 +102,22 @@ def dim_variance_profile_sql(
     """
 
 
-def nearest_centroid_confusion(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    label_col: str = "label",
-) -> DataFrame:
-    """Rocchio / nearest-class-centroid classification by cosine,
-    reported as a confusion matrix: fit per-class mean vectors,
-    assign every point to the most-cosine-similar centroid
-    (rounded-6 cosine, label-ascending tiebreak), count
-    (true, predicted) cells.
+def _fit_centroid_model(
+    df: DataFrame, vec_col: str, label_col: str
+) -> tuple[dict, dict]:
+    """Fit per-class mean vectors (terms rounded per the house grid)
+    and their L2 norms; returns ``(model, norms)`` with
+    ``model[c][dim] -> rounded-6 centroid value``.
 
-    Output: ``(label_true, label_pred, n, share)`` — share of the
-    true class (6 dp).
-    """
+    The fitted model is #classes × dims values — driver-bound by the
+    same convention as the IVF trained centroids (similarity.py):
+    collect it once and score MAP-ONLY via array expressions. The
+    only shuffle is the centroid fit itself (n×d → k×d, map-side
+    combinable)."""
     pts = df.select(
-        F.col(id_col).alias("__id"),
         F.col(label_col).alias("__lbl"),
         F.posexplode(F.col(vec_col)).alias("dim", "__v"),
-    ).select(
-        "__id", "__lbl", "dim", F.col("__v").cast("double").alias("__v")
-    )
+    ).select("__lbl", "dim", F.col("__v").cast("double").alias("__v"))
     cent = pts.groupBy(F.col("__lbl").alias("__c"), "dim").agg(
         F.round(
             F.sum(F.round(F.col("__v"), 6).cast("decimal(38,6)"))
@@ -141,16 +135,6 @@ def nearest_centroid_confusion(
             ).cast("double")
         ).alias("__cn")
     )
-    # The fitted model is #classes × dims values — driver-bound by the
-    # same convention as the IVF trained centroids (similarity.py):
-    # collect it once and score MAP-ONLY via array expressions. The
-    # r06 shape joined the exploded n×d frame against the centroids
-    # and re-aggregated (an n×d×k shuffle plus an n×k argmax window,
-    # all linear in the corpus); the only shuffles left now are the
-    # centroid fit (n×d → k×d, map-side combinable) and the k²-cell
-    # confusion aggregate. Numerics are unchanged: identical per-term
-    # rounding, DECIMAL sums (order-independent), rounded-6 cosine,
-    # label-ascending tiebreak.
     # driver-bound: #classes × dims rows (the fitted model)
     cent_rows = cent.join(cnorm, "__c").collect()
     model: dict = {}
@@ -158,32 +142,19 @@ def nearest_centroid_confusion(
     for r in cent_rows:
         model.setdefault(r["__c"], {})[r["dim"]] = r["__cv"]
         norms[r["__c"]] = r["__cn"]
-    classes = sorted(model)
-    if not classes:  # empty input: no classes to score against
-        return df.sparkSession.createDataFrame(
-            [],
-            "label_true int, label_pred int, n bigint, share double",
-        )
-    # Vectors are assumed fixed-dimension (the embeddings table
-    # contract); the literal centroid arrays are keyed off the MAX
-    # observed dim so a sparse/ragged fit degrades to 0.0-filled
-    # missing dims instead of a KeyError. A ragged INPUT vector still
-    # null-pads through zip_with into a NULL cosine for that class —
-    # by design: a malformed row must not silently win the argmax.
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    # Exact sums WITHOUT per-element BigDecimal work: each rounded
-    # term is lifted onto its integer micro-grid (round(x,s)*10^s is
-    # within ~1e-4 of an integer for unit-scale embeddings, so
-    # round(.,0) recovers it EXACTLY while |term|*10^s < 2^53), summed
-    # as plain longs (exact, order-free; |sum| < 2^53 so the double
-    # cast is exact), divided back by 10^s in one correctly-rounded
-    # double op — bit-equal to the DECIMAL-sum cast the oracle
-    # computes. The higher-order fold runs interpreted per element,
-    # but long ops there are ~3x cheaper than BigDecimal ones; a
-    # fully-unrolled flat Add chain (no lambdas, codegen-able) was
-    # also tried and planned 10x SLOWER — Catalyst analysis + codegen
-    # of the 640-term tree cost ~16s per build at ANY data size.
-    vn = F.sqrt(
+    return model, norms
+
+
+def _vn_expr(vec_d: Column) -> Column:
+    """Row L2 norm on the integer micro-grid — exact sums WITHOUT
+    per-element BigDecimal work: each rounded term is lifted onto its
+    integer micro-grid (round(x,s)*10^s is within ~1e-4 of an integer
+    for unit-scale embeddings, so round(.,0) recovers it EXACTLY while
+    |term|*10^s < 2^53), summed as plain longs (exact, order-free;
+    |sum| < 2^53 so the double cast is exact), divided back by 10^s in
+    one correctly-rounded double op — bit-equal to the DECIMAL-sum
+    cast the oracle computes."""
+    return F.sqrt(
         F.aggregate(
             F.transform(
                 vec_d,
@@ -197,28 +168,77 @@ def nearest_centroid_confusion(
         / F.lit(1e12)
     )
 
-    def cos_for(c) -> Column:
-        cv = F.array(
-            *[
-                F.lit(float(model[c].get(d, 0.0)))
-                for d in range(max(model[c]) + 1)
-            ]
-        )
-        dot = (
-            F.aggregate(
-                F.zip_with(
-                    vec_d,
-                    cv,
-                    lambda v, w: F.round(
-                        F.round(v * w, 10) * 1e10, 0
-                    ).cast("bigint"),
+
+def _cos_to_centroid(model: dict, norms: dict, c, vec_d: Column) -> Column:
+    """Rounded-6 cosine of the row vector (``vec_d``, with its norm in
+    column ``__vn``) against class ``c``'s collected centroid — the
+    literal centroid array is keyed off the MAX observed dim so a
+    sparse/ragged fit degrades to 0.0-filled missing dims instead of a
+    KeyError. A ragged INPUT vector still null-pads through zip_with
+    into a NULL cosine for that class — by design: a malformed row
+    must not silently win an argmax."""
+    cv = F.array(
+        *[
+            F.lit(float(model[c].get(d, 0.0)))
+            for d in range(max(model[c]) + 1)
+        ]
+    )
+    dot = (
+        F.aggregate(
+            F.zip_with(
+                vec_d,
+                cv,
+                lambda v, w: F.round(F.round(v * w, 10) * 1e10, 0).cast(
+                    "bigint"
                 ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / F.lit(1e10)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e10)
+    )
+    return F.round(dot / (F.col("__vn") * F.lit(float(norms[c]))), 6)
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Rocchio / nearest-class-centroid classification by cosine,
+    reported as a confusion matrix: fit per-class mean vectors,
+    assign every point to the most-cosine-similar centroid
+    (rounded-6 cosine, label-ascending tiebreak), count
+    (true, predicted) cells.
+
+    Output: ``(label_true, label_pred, n, share)`` — share of the
+    true class (6 dp).
+    """
+    # The r06 shape joined the exploded n×d frame against the
+    # centroids and re-aggregated (an n×d×k shuffle plus an n×k argmax
+    # window, all linear in the corpus); the collected-model MAP-ONLY
+    # scoring leaves only the centroid fit and the k²-cell confusion
+    # aggregate as shuffles. Numerics: identical per-term rounding,
+    # DECIMAL sums (order-independent), rounded-6 cosine,
+    # label-ascending tiebreak. The integer-micro-grid fold in
+    # _vn_expr/_cos_to_centroid runs interpreted per element, but long
+    # ops there are ~3x cheaper than BigDecimal ones; a fully-unrolled
+    # flat Add chain (no lambdas, codegen-able) was also tried and
+    # planned 10x SLOWER — Catalyst analysis + codegen of the 640-term
+    # tree cost ~16s per build at ANY data size.
+    model, norms = _fit_centroid_model(df, vec_col, label_col)
+    classes = sorted(model)
+    if not classes:  # empty input: no classes to score against
+        return df.sparkSession.createDataFrame(
+            [],
+            "label_true int, label_pred int, n bigint, share double",
         )
-        return F.round(dot / (F.col("__vn") * F.lit(float(norms[c]))), 6)
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = _vn_expr(vec_d)
+
+    def cos_for(c) -> Column:
+        return _cos_to_centroid(model, norms, c, vec_d)
 
     # argmax by (cosine desc, label asc) via struct array_max: ties on
     # the rounded cosine resolve to the LARGEST -c = smallest label
@@ -322,4 +342,164 @@ def nearest_centroid_confusion_sql(
            ROUND(CAST(n AS DOUBLE)
                  / SUM(n) OVER (PARTITION BY label_true), 6) AS share
     FROM cells
+    """
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Simplified silhouette per class (Hruschka et al.'s
+    centroid-based variant of Rousseeuw 1987): per point, a = cosine
+    distance (1 − cos) to the OWN class centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a) / max(a, b); reported as the
+    per-class mean plus the share of negative-silhouette points (the
+    "probably mislabeled / cluster bleed" fraction).
+
+    The classic silhouette is all-pairs (quadratic); the simplified
+    form replaces mean-pairwise distances with centroid distances —
+    one collected k×d model and MAP-ONLY scoring, linear in the
+    corpus. Distances ride the same rounded-6 cosine grid as
+    :func:`nearest_centroid_confusion`, so the DuckDB twin replays the
+    pipeline value-exact; s is rounded to 6 dp per point BEFORE the
+    DECIMAL-fold mean (order-free).
+
+    Output: ``(label, n, mean_silhouette, n_negative,
+    share_negative)``, one row per class.
+    """
+    model, norms = _fit_centroid_model(df, vec_col, label_col)
+    classes = sorted(model)
+    if len(classes) < 2:  # silhouette undefined without ≥2 clusters
+        return df.sparkSession.createDataFrame(
+            [],
+            "label int, n bigint, mean_silhouette double, "
+            "n_negative bigint, share_negative double",
+        )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
+        F.col(label_col).alias("__lbl"),
+        F.col(vec_col).alias(vec_col),
+        _vn_expr(vec_d).alias("__vn"),
+    )
+    own = None
+    for c in classes:
+        cos_c = _cos_to_centroid(model, norms, c, vec_d)
+        own = (
+            F.when(F.col("__lbl") == c, cos_c)
+            if own is None
+            else own.when(F.col("__lbl") == c, cos_c)
+        )
+    # array_max skips the NULL the own class contributes
+    other_best = F.array_max(
+        F.array(
+            *[
+                F.when(
+                    F.col("__lbl") != c,
+                    _cos_to_centroid(model, norms, c, vec_d),
+                )
+                for c in classes
+            ]
+        )
+    )
+    a = F.round(F.lit(1.0) - own, 6)
+    b = F.round(F.lit(1.0) - other_best, 6)
+    s = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+        F.lit(0.0)
+    )
+    pts = scored.select(
+        "__lbl", F.round(s, 6).alias("__s")
+    )
+    return pts.groupBy(F.col("__lbl").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("__s").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+        F.round(
+            F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("share_negative"),
+    )
+
+
+def simplified_silhouette_sql(
+    rows: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin of :func:`simplified_silhouette` (same pts/cent/
+    cnorm/dots/scored pipeline as the nearest-centroid twin)."""
+    return f"""
+    WITH pts AS (
+      SELECT {id_col} AS id, {label_col} AS lbl,
+             i - 1 AS dim, CAST({vec_col}[i] AS DOUBLE) AS v
+      FROM {rows},
+           unnest(generate_series(1, len({vec_col}))) AS g(i)
+    ),
+    cent AS (
+      SELECT lbl AS c, dim,
+             ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                     AS DOUBLE) / count(*), 6) AS cv
+      FROM pts GROUP BY lbl, dim
+    ),
+    cnorm AS (
+      SELECT c,
+             sqrt(CAST(SUM(CAST(ROUND(cv * cv, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS cn
+      FROM cent GROUP BY c
+    ),
+    vnorm AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS vn
+      FROM pts GROUP BY id
+    ),
+    dots AS (
+      SELECT p.id, p.lbl, c.c,
+             CAST(SUM(CAST(ROUND(p.v * c.cv, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS dt
+      FROM pts p JOIN cent c ON p.dim = c.dim
+      GROUP BY p.id, p.lbl, c.c
+    ),
+    scored AS (
+      SELECT d.id, d.lbl, d.c,
+             ROUND(d.dt / (v.vn * n.cn), 6) AS cos
+      FROM dots d
+      JOIN cnorm n ON d.c = n.c
+      JOIN vnorm v ON d.id = v.id
+    ),
+    ab AS (
+      SELECT o.id, o.lbl,
+             ROUND(1 - o.cos, 6) AS a,
+             ROUND(1 - x.b_cos, 6) AS b
+      FROM (SELECT id, lbl, cos FROM scored WHERE c = lbl) o
+      JOIN (SELECT id, max(cos) AS b_cos FROM scored
+            WHERE c != lbl GROUP BY id) x USING (id)
+    ),
+    s AS (
+      SELECT lbl,
+             ROUND(CASE WHEN greatest(a, b) > 0
+                   THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
+      FROM ab
+    )
+    SELECT CAST(lbl AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_silhouette,
+           CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           ROUND(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_negative
+    FROM s
+    GROUP BY lbl
     """

@@ -165,3 +165,78 @@ def max_concurrency_sql(
     FROM sel WHERE live = mx
     GROUP BY k, mx
     """
+
+
+def overlap_pairs(
+    intervals: DataFrame,
+    id_col: str = "iv_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval-overlap RANGE JOIN — where :func:`merge_intervals` /
+    :func:`max_concurrency` reduce overlaps per key, this PRODUCES the
+    overlapping pairs themselves, the range-join shape Spark lacks as
+    a built-in, expressed the scalable way: bucket each interval by
+    fixed-width buckets (``F.sequence`` explode, fan-out
+    ceil(len/bucket_width)+1 — pick ``bucket_width`` near the typical
+    interval length so it stays O(1)), equi-join on the bucket, verify
+    the exact predicate, and count each pair exactly once at the
+    bucket of the LATER start (every overlapping pair shares that
+    bucket by construction, so no distinct is needed — the standard
+    dedup trick for bucketed spatial/range joins).
+
+    All pairs of HALF-OPEN intervals [start, end) with
+    ``a.start < b.end AND b.start < a.end``, each once with
+    ``id_a < id_b``. Inputs: one row per interval, ``id_col`` unique,
+    start/end integer (any unit; ``bucket_width`` the same unit).
+    Extra columns survive prefixed ``a_``/``b_``.
+
+    Scale shape: the only shuffle is the bucket equi-join; no
+    all-pairs product ever reaches the planner. Skewed buckets (a hot
+    hour) are AQE's skew-join case; a broadcast never applies — both
+    sides are data-sized.
+
+    Output: ``id_a, id_b, ov_start, ov_end, overlap`` (> 0).
+    """
+    base_cols = [id_col, start_col, end_col]
+    extra = [c for c in intervals.columns if c not in base_cols]
+
+    def side(tag: str) -> DataFrame:
+        d = intervals.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(start_col).cast("bigint").alias(f"{tag}_s"),
+            F.col(end_col).cast("bigint").alias(f"{tag}_e"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in extra],
+        )
+        return d.withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{tag}_s") / bucket_width),
+                    F.floor((F.col(f"{tag}_e") - 1) / bucket_width),
+                )
+            ),
+        )
+
+    a, b = side("a"), side("b")
+    joined = a.join(b, "__bkt").where(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+    )
+    later_start = F.greatest(F.col("a_s"), F.col("b_s"))
+    once = joined.where(
+        F.col("__bkt") == F.floor(later_start / bucket_width)
+    )
+    return once.select(
+        F.col("a_id").alias("id_a"),
+        F.col("b_id").alias("id_b"),
+        later_start.alias("ov_start"),
+        F.least(F.col("a_e"), F.col("b_e")).alias("ov_end"),
+        (
+            F.least(F.col("a_e"), F.col("b_e")) - later_start
+        ).alias("overlap"),
+        *[F.col(f"a_{c}") for c in extra],
+        *[F.col(f"b_{c}") for c in extra],
+    )

@@ -586,3 +586,103 @@ def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
     return ensure_min_parallelism(df).mapInPandas(
         run, schema=VIDEO_FRAME_STATS_SCHEMA
     )
+
+
+AHASH_SCHEMA = (
+    "media_id long, fmt string, hash_hi bigint, hash_lo bigint, "
+    "popcount int"
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) from REAL decoded pixels: decode
+    (BMP/PPM), nearest-neighbor-sample a ``grid``×``grid`` luminance
+    grid (same index remap as :func:`resize_images`), set bit i when
+    the sampled cell is brighter than the grid mean, pack row-major.
+
+    All arithmetic is exact-integer so a formula oracle replays it:
+    "luminance" is the raw channel sum r+g+b (0..765) and the
+    brightness test is ``cell * grid² > Σcells`` (strict, integer —
+    no float mean). The 64-bit hash is emitted as two 32-bit halves
+    (``hash_hi`` = bits 32..63) because bit 63 would overflow a signed
+    BIGINT in either engine. Undecodable payloads are skipped (the
+    corpus-sweep contract); dup candidates are exact-equal
+    (hash_hi, hash_lo) groups or low-Hamming neighbors downstream.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(b or b"")
+                try:
+                    arr = decode_image(payload).astype(np.int64)
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    continue
+                fmt = "bmp" if payload[:2] == b"BM" else "ppm"
+                h, w, _ = arr.shape
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = arr[ys][:, xs].sum(axis=2)  # grid×grid, 0..765
+                total = int(cells.sum())
+                bits = (cells.reshape(-1) * (grid * grid)) > total
+                hi = lo = 0
+                for i, bit in enumerate(bits):
+                    if not bit:
+                        continue
+                    if i < 32:
+                        lo |= 1 << i
+                    else:
+                        hi |= 1 << (i - 32)
+                rows.append((mid, fmt, hi, lo, int(bits.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "hash_hi", "hash_lo", "popcount"],
+            )
+
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+KEYFRAME_SCHEMA = (
+    "media_id long, n_frames int, keyframe_idx int, max_l1 bigint"
+)
+
+
+def video_keyframe(df: DataFrame) -> DataFrame:
+    """Scene-change keyframe selection from REAL decoded frames: per
+    video, the frame maximizing the exact L1 pixel distance
+    Σ|p_t − p_{t−1}| over all RGB channels vs its predecessor
+    (frame-ascending tiebreak; single-frame videos report frame 0 with
+    L1 0). The per-pair distance is an exact integer, so a formula
+    oracle that regenerates both frames verifies the decode AND the
+    argmax. Undecodable payloads are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    frames = decode_avi_rgb24(bytes(b or b""))
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    continue
+                if not frames:
+                    continue
+                best_idx, best_l1 = 0, 0
+                prev = frames[0].astype(np.int64)
+                for idx in range(1, len(frames)):
+                    cur = frames[idx].astype(np.int64)
+                    l1 = int(np.abs(cur - prev).sum())
+                    if l1 > best_l1:
+                        best_idx, best_l1 = idx, l1
+                    prev = cur
+                rows.append((mid, len(frames), best_idx, best_l1))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "keyframe_idx", "max_l1"],
+            )
+
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=KEYFRAME_SCHEMA)

@@ -1,6 +1,6 @@
 """The engine's query workload — registration hub.
 
-The queries live in eight band modules (split round 5, verdict item 8;
+The queries live in eleven band modules (split round 5, verdict item 8;
 the original single module had grown past 9k lines):
 
 - ``workload_q1`` — q01-q50 (reference-parity relational band + first
@@ -32,6 +32,11 @@ the original single module had grown past 9k lines):
   accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
   blocking, assortativity, burstiness, RBO rank agreement, operating
   point, dedup impact)
+- ``workload_q11`` — q357+ (round-8 second batch: simplified
+  silhouette, RFM quintile segmentation, interval-overlap range join
+  (session concurrency), ε-DP clipped mean, perceptual image aHash,
+  scene-change keyframe selection, media shard planning off exact
+  encoder byte formulas, Church-Gale term burstiness)
 - ``workload_q10`` — q339+ (round-8 additions: negative-path
   multimodal QA with oracle-predicted skip counts, temperature-
   scaling calibration grid, confident-learning label-noise matrix,
@@ -63,7 +68,7 @@ the original single module had grown past 9k lines):
   dedup pair explanations, group conformal coverage, rich club,
   inter-event burstiness, TWAP, token-budget waterfilling)
 
-Importing this module imports all ten, which registers every query
+Importing this module imports all eleven, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -97,3 +102,4 @@ from dbt_incremental_ci_spark import workload_q7  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q8  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q9  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q10  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q11  # noqa: F401,E402

@@ -1,0 +1,138 @@
+"""Round-8 second-batch operators (q357–q364 band): interval-overlap
+range join, simplified silhouette, perceptual aHash, keyframe
+selection. Hand-computable cases; the closed-form corpus oracles live
+in the workload twins."""
+
+import numpy as np
+import pytest
+
+from dbt_incremental_ci_spark.operators import multimodal as mm
+from dbt_incremental_ci_spark.operators.embstats import (
+    simplified_silhouette,
+)
+from dbt_incremental_ci_spark.operators.intervals import overlap_pairs
+
+
+def test_overlap_pairs_hand_case(spark):
+    """Half-open semantics: touching intervals (end == start) do NOT
+    overlap; a pair spanning many shared buckets is still emitted
+    exactly once; overlap length is exact."""
+    rows = [
+        (1, 0, 100),      # overlaps 2 (50..100) and contains 3
+        (2, 50, 7300),    # spans 3 bucket boundaries vs 4
+        (3, 10, 20),      # inside 1
+        (4, 7200, 7400),  # overlaps 2 in a later bucket
+        (5, 100, 110),    # touches 1 at 100 -> NO overlap (half-open)
+    ]
+    df = spark.createDataFrame(rows, "iv_id int, start long, end long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["ov_start"], r["ov_end"], r["overlap"])
+        for r in overlap_pairs(df, bucket_width=3600).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 4), (2, 5)}
+    assert got[(1, 2)] == (50, 100, 50)
+    assert got[(1, 3)] == (10, 20, 10)
+    assert got[(2, 4)] == (7200, 7300, 100)
+    assert got[(2, 5)] == (100, 110, 10)  # 5 touches 1 but overlaps 2
+
+
+def test_overlap_pairs_extra_columns(spark):
+    rows = [(1, 0, 10, "u1"), (2, 5, 15, "u2")]
+    df = spark.createDataFrame(
+        rows, "iv_id int, start long, end long, owner string"
+    )
+    out = overlap_pairs(df, bucket_width=100).collect()
+    assert len(out) == 1
+    assert (out[0]["a_owner"], out[0]["b_owner"]) == ("u1", "u2")
+
+
+def test_image_ahash_hand_case(spark):
+    """Constant image -> no cell exceeds the mean (strict) -> zero
+    hash; half-bright image -> exactly the bright half's bits set,
+    matching an independent numpy recompute."""
+    flat = np.full((8, 8, 3), 7, dtype=np.uint8)
+    grad = np.zeros((8, 8, 3), dtype=np.uint8)
+    grad[:, 4:, :] = 200  # right half bright
+    rows = [
+        (1, "image", mm.encode_bmp(flat), (8, 8, None, None)),
+        (2, "image", mm.encode_ppm(grad), (8, 8, None, None)),
+        (3, "image", b"BM\x01\x02", (None, None, None, None)),  # corrupt
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.image_ahash(df).collect()}
+    assert set(got) == {1, 2}  # corrupt skipped
+    assert (got[1]["hash_hi"], got[1]["hash_lo"], got[1]["popcount"]) == (
+        0, 0, 0,
+    )
+    # independent recompute for the gradient image
+    cells = grad.astype(np.int64).sum(axis=2)
+    total = cells.sum()
+    bits = (cells.reshape(-1) * 64) > total
+    hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+    lo = sum(1 << i for i in range(32) if bits[i])
+    assert (got[2]["hash_hi"], got[2]["hash_lo"]) == (hi, lo)
+    assert got[2]["popcount"] == int(bits.sum()) == 32
+    assert got[2]["fmt"] == "ppm" and got[1]["fmt"] == "bmp"
+
+
+def test_image_ahash_samples_grid_not_topleft(spark):
+    """A 16x16 image whose bright pixels sit only at odd coordinates
+    hashes differently from its even-coordinate twin — proves the
+    nearest-neighbor remap indexes (i*h)//8, not a crop."""
+    odd = np.zeros((16, 16, 3), dtype=np.uint8)
+    odd[1::2, 1::2, :] = 255  # sampled indices are even -> all dark
+    df = spark.createDataFrame(
+        [(1, "image", mm.encode_bmp(odd), (16, 16, None, None))],
+        mm.MEDIA_SCHEMA,
+    )
+    r = mm.image_ahash(df).collect()[0]
+    assert r["popcount"] == 0  # grid samples rows/cols 0,2,4,... only
+
+
+def test_video_keyframe_hand_case(spark):
+    """Frame 2 differs most from frame 1; single-frame video reports
+    (0, 0); corrupt payload skipped."""
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    f1 = base.copy(); f1[0, 0, 0] = 10           # L1 vs f0 = 10
+    f2 = base.copy(); f2[:, :, 1] = 50           # L1 vs f1 = 16*50 + 10
+    vid = mm.encode_avi_rgb24([base, f1, f2], fps=10)
+    solo = mm.encode_avi_rgb24([base], fps=10)
+    rows = [
+        (1, "video", vid, (4, 4, None, None)),
+        (2, "video", solo, (4, 4, None, None)),
+        (3, "video", b"RIFF\x00\x00\x00\x00AVI ", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.video_keyframe(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["keyframe_idx"], got[1]["max_l1"]) == (2, 16 * 50 + 10)
+    assert got[1]["n_frames"] == 3
+    assert (got[2]["keyframe_idx"], got[2]["max_l1"]) == (0, 0)
+
+
+def test_simplified_silhouette_separated_clusters(spark):
+    """Two tight, far-apart clusters -> every point closer to its own
+    centroid: mean silhouette high, zero negatives; a planted
+    mislabeled point goes negative for its (wrong) class."""
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.0, 0.001 * i], 0))
+        rows.append((10 + i, [0.0, 1.0, 0.001 * i], 1))
+    rows.append((99, [1.0, 0.0, 0.0], 1))  # mislabeled into class 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in simplified_silhouette(df).collect()}
+    assert got[0]["n"] == 5 and got[1]["n"] == 6
+    assert got[0]["n_negative"] == 0
+    assert got[0]["mean_silhouette"] > 0.9
+    assert got[1]["n_negative"] == 1  # the planted point
+    assert got[1]["share_negative"] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_simplified_silhouette_single_class_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert simplified_silhouette(df).count() == 0

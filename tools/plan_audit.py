@@ -26,6 +26,15 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-7 additions (q310+)
+    # round-8 additions (q357+, second batch)
+    "q357_simplified_silhouette": "centroid-fit model frame (classes x dims rows) + per-class output cells (class-bounded)",
+    "q358_rfm_segments": "two-phase rank offsets: O(partitions) rows x3 + 1-row last-ts / user-count scalar reduces; output <= 125 segment cells",
+    "q359_session_overlap": "hour-of-day census: 24-cell frame",
+    "q360_dp_clipped_mean": "per-source cells: source-bounded frame",
+    "q361_image_ahash": "popcount census: <=65-cell frame over the fixed audit slice",
+    "q362_video_keyframe": "per-media argmax rows on the fixed audit slice (<=200)",
+    "q363_media_shard_plan": "modality rollup: 3-row frame",
+    "q364_term_burstiness": "vocab-bounded (df>=20) rank window + 1-row n_docs reduce",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
