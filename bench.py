@@ -430,6 +430,11 @@ EXTRA_QUERIES = [
     "q362_video_keyframe",
     "q363_media_shard_plan",
     "q364_term_burstiness",
+    "q365_cdc_chunk_dedup",
+    "q366_kneser_ney_bigram",
+    "q367_fixed_effects",
+    "q368_competing_risks",
+    "q369_power_iter_eigen",
 ]
 
 

@@ -327,3 +327,154 @@ def logrank_test_sql(
                              + 1.5976 * sqrt(chi2))), 10) AS p_value
     FROM fin
     """
+
+
+def competing_risks(
+    df: DataFrame,
+    duration_col: str,
+    cause_col: str,
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence functions for TWO competing
+    causes (cause 1 / cause 2; 0 = censored) — the correct replacement
+    for "1 − KM per cause" when events compete (naive per-cause KM
+    overstates every incidence because it treats the rival cause as
+    censoring).
+
+    Life table per integer duration (bounded by the observation
+    window, the :func:`kaplan_meier` class): overall survival
+    S(t) = Π(1 − d_tot/n) via the same exp-ln-cumsum device, and
+    CIF_k(t) = Σ_{s≤t} S(s−) · d_k(s)/n(s). Every ln/exp input is a
+    ratio of exact integers and every cumulative sum runs in the one
+    duration order, so the doubles replay bit-equal in DuckDB; CIFs
+    round to 6 dp at the edge. Extinction rows (d_tot = n) force
+    S to exactly 0.0 without evaluating ln(0).
+
+    Output per distinct duration, ascending: ``(duration, n_risk,
+    d_cause1, d_cause2, c_censored, cif1, cif2)``.
+    """
+    life = (
+        df.select(
+            F.col(duration_col).cast("bigint").alias("duration"),
+            F.col(cause_col).cast("int").alias("__k"),
+        )
+        .groupBy("duration")
+        .agg(
+            F.sum((F.col("__k") == 1).cast("int"))
+            .cast("bigint")
+            .alias("d_cause1"),
+            F.sum((F.col("__k") == 2).cast("int"))
+            .cast("bigint")
+            .alias("d_cause2"),
+            F.sum((F.col("__k") == 0).cast("int"))
+            .cast("bigint")
+            .alias("c_censored"),
+        )
+    )
+    # duration-bounded frame: the deliberate tiny 1-part window class
+    w_all = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prior = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sz = F.col("d_cause1") + F.col("d_cause2") + F.col("c_censored")
+    total = F.sum(sz).over(w_all)
+    prior = F.coalesce(F.sum(sz).over(w_prior), F.lit(0))
+    lt = life.withColumn(
+        "n_risk", (total - prior).cast("bigint")
+    ).withColumn("__dtot", F.col("d_cause1") + F.col("d_cause2"))
+    frac = F.col("__dtot").cast("double") / F.col("n_risk").cast("double")
+    term = F.when(
+        (F.col("__dtot") > 0) & (F.col("__dtot") < F.col("n_risk")),
+        F.log(F.lit(1.0) - frac),
+    ).otherwise(F.lit(0.0))
+    extinct_prior = F.coalesce(
+        F.max((F.col("__dtot") >= F.col("n_risk")).cast("int")).over(
+            w_prior
+        ),
+        F.lit(0),
+    )
+    s_prior = F.when(extinct_prior == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.sum(term).over(w_prior), F.lit(0.0)))
+    )
+    stepped = lt.withColumn(
+        "__inc1",
+        s_prior
+        * (F.col("d_cause1").cast("double") / F.col("n_risk").cast("double")),
+    ).withColumn(
+        "__inc2",
+        s_prior
+        * (F.col("d_cause2").cast("double") / F.col("n_risk").cast("double")),
+    )
+    return stepped.select(
+        "duration",
+        "n_risk",
+        "d_cause1",
+        "d_cause2",
+        "c_censored",
+        F.round(F.sum("__inc1").over(w_cum), 6).alias("cif1"),
+        F.round(F.sum("__inc2").over(w_cum), 6).alias("cif2"),
+    ).orderBy("duration")
+
+
+def competing_risks_sql(rows: str, duration_col: str, cause_col: str) -> str:
+    """DuckDB twin of :func:`competing_risks` — identical life table,
+    identical ln/exp expression shapes, identical cumulative order."""
+    return f"""
+    WITH life AS (
+      SELECT CAST({duration_col} AS BIGINT) AS duration,
+             CAST(sum(CASE WHEN {cause_col} = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d_cause1,
+             CAST(sum(CASE WHEN {cause_col} = 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d_cause2,
+             CAST(sum(CASE WHEN {cause_col} = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_censored
+      FROM {rows}
+      GROUP BY 1
+    ),
+    lt AS (
+      SELECT *,
+             CAST(sum(d_cause1 + d_cause2 + c_censored) OVER ()
+                  - COALESCE(sum(d_cause1 + d_cause2 + c_censored)
+                    OVER (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+             d_cause1 + d_cause2 AS dtot
+      FROM life
+    ),
+    terms AS (
+      SELECT *,
+             CASE WHEN dtot > 0 AND dtot < n_risk
+                  THEN ln(1.0 - CAST(dtot AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END AS term,
+             CASE WHEN dtot >= n_risk THEN 1 ELSE 0 END AS ext
+      FROM lt
+    ),
+    s AS (
+      SELECT *,
+             CASE WHEN COALESCE(max(ext) OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) = 1
+                  THEN 0.0
+                  ELSE exp(COALESCE(sum(term) OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0.0)) END AS s_prior
+      FROM terms
+    )
+    SELECT duration, n_risk, d_cause1, d_cause2, c_censored,
+           ROUND(sum(s_prior * (CAST(d_cause1 AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cif1,
+           ROUND(sum(s_prior * (CAST(d_cause2 AS DOUBLE)
+                 / CAST(n_risk AS DOUBLE)))
+             OVER (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cif2
+    FROM s ORDER BY duration
+    """

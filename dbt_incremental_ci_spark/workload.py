@@ -1,6 +1,6 @@
 """The engine's query workload — registration hub.
 
-The queries live in eleven band modules (split round 5, verdict item 8;
+The queries live in twelve band modules (split round 5, verdict item 8;
 the original single module had grown past 9k lines):
 
 - ``workload_q1`` — q01-q50 (reference-parity relational band + first
@@ -32,6 +32,9 @@ the original single module had grown past 9k lines):
   accuracy, two-hop, HLL overlap matrix, DAU/WAU, sorted-neighborhood
   blocking, assortativity, burstiness, RBO rank agreement, operating
   point, dedup impact)
+- ``workload_q12`` — q365+ (round-8 third batch: content-defined
+  chunk dedup, Kneser-Ney bigram LM, two-way fixed effects,
+  Aalen-Johansen competing risks, power-iteration top eigenpair)
 - ``workload_q11`` — q357+ (round-8 second batch: simplified
   silhouette, RFM quintile segmentation, interval-overlap range join
   (session concurrency), ε-DP clipped mean, perceptual image aHash,
@@ -68,7 +71,7 @@ the original single module had grown past 9k lines):
   dedup pair explanations, group conformal coverage, rich club,
   inter-event burstiness, TWAP, token-budget waterfilling)
 
-Importing this module imports all eleven, which registers every query
+Importing this module imports all twelve, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -103,3 +106,4 @@ from dbt_incremental_ci_spark import workload_q8  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q9  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q10  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q11  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q12  # noqa: F401,E402

@@ -1,0 +1,631 @@
+"""Workload band q365-q369 — round-8 third batch.
+
+Storage-level dedup (content-defined chunking with a rolling-window
+boundary rule — the rsync/LBFS trick that dedups shared substrings
+exact dedup misses), language modeling (Kneser-Ney smoothed bigram
+probabilities, the n-gram LM standard), panel econometrics (two-way
+fixed-effects within estimator), survival under competing events
+(Aalen-Johansen cumulative incidence), and a spectral corpus audit
+(power-iteration top eigenvector of the embedding covariance — the
+PCA step without a linear-algebra library).
+
+House determinism rules throughout (workload_base): exact integer /
+DECIMAL folds for corpus-sized sums, identically-shaped double
+expression trees on both engines for the few genuine float steps
+(ln/exp survival device, KN interpolation), rank tiebreaks by id.
+
+No counterpart in the reference repo (relational dbt-CI models only,
+SRC/README.md); these extend the training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_incremental_ci_spark.workload_base import (
+    events_table,
+    q,
+    t,
+)
+from dbt_incremental_ci_spark.operators.cdchunk import (  # noqa: E402
+    cdc_chunks,
+    cdc_chunks_sql,
+)
+from dbt_incremental_ci_spark.operators.collocations import _toks  # noqa: E402
+from dbt_incremental_ci_spark.operators.ngrams import (  # noqa: E402
+    shifted_ngram_arrays,
+)
+from dbt_incremental_ci_spark.operators.survival import (  # noqa: E402
+    competing_risks,
+    competing_risks_sql,
+)
+
+
+# =====================================================================
+# Content-defined chunk dedup (q365): the storage-level dedup CDC
+# (Muthitacharoen et al., LBFS 2001): a chunk boundary falls BEFORE
+# position p whenever the rolling 8-char window hash at p satisfies
+# hash % 32 == 0 (≈32-char expected chunks) — so shared substrings
+# chunk identically regardless of their offset, which is exactly what
+# fixed-size blocks cannot do. Census: chunk count, distinct chunks,
+# byte savings. The window hash is md5 of the 8-char slice (identical
+# in both engines); the explode is corpus×length — the shingle class
+# (q53/q353 precedent), map-side-combinable aggregates after.
+# =====================================================================
+@q(
+    "q365_cdc_chunk_dedup",
+    f"""
+    WITH {cdc_chunks_sql("documents", "doc_id", "text", 8, 32)},
+    g AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(ln) AS BIGINT) AS ln
+      FROM chunks GROUP BY h
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+    SELECT n_docs,
+           CAST(sum(n) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(n * ln) AS BIGINT) AS total_chars,
+           CAST(sum(ln) AS BIGINT) AS distinct_chars,
+           ROUND(100.0 * (sum(n * ln) - sum(ln))
+                 / CAST(sum(n * ln) AS DOUBLE), 6) AS savings_pct
+    FROM g, nd GROUP BY n_docs
+    """,
+)
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") >= 8)
+    )
+    chunks = cdc_chunks(
+        t(spark, sf_dir, "documents"), "doc_id", "text", window=8, mask=32
+    )
+    g = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("ln").alias("ln"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        g.agg(
+            F.sum("n").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            F.sum(F.col("n") * F.col("ln"))
+            .cast("bigint")
+            .alias("total_chars"),
+            F.sum("ln").cast("bigint").alias("distinct_chars"),
+            F.round(
+                100.0
+                * (F.sum(F.col("n") * F.col("ln")) - F.sum("ln"))
+                / F.sum(F.col("n") * F.col("ln")).cast("double"),
+                6,
+            ).alias("savings_pct"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "total_chars",
+            "distinct_chars",
+            "savings_pct",
+        )
+    )
+
+
+# =====================================================================
+# Kneser-Ney smoothed bigram LM (q366): interpolated KN with absolute
+# discount D = 0.75 —
+#   P_KN(w2|w1) = (c(w1w2) − D)/c(w1)
+#               + (D·N1+(w1·)/c(w1)) · (N1+(·w2)/N1+(··))
+# the continuation-probability backoff that beats Good-Turing for
+# n-gram LMs (Kneser & Ney 1995; Chen & Goodman 1998). All five
+# sufficient statistics are exact integers from two hash aggregates
+# over the shifted-slice bigram explode; the probability is ONE
+# identically-shaped double expression on both engines, rounded 6.
+# Top-20 bigrams by count (w1, w2 tiebreak); c(w1) is bigram-based
+# (Σ_w2 c(w1 w2)) per the standard formulation, so c12 ≤ c1 always
+# and c12 − D > 0 (no max(·,0) branch needed at D < 1).
+# =====================================================================
+@q(
+    "q366_kneser_ney_bigram",
+    r"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY w1, w2
+    ),
+    left_m AS (
+      SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS nfol
+      FROM c12 GROUP BY w1
+    ),
+    right_m AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS npre FROM c12 GROUP BY w2
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c12),
+    top AS (
+      SELECT w1, w2, n_pair,
+             CAST(row_number() OVER (ORDER BY n_pair DESC, w1, w2)
+               AS INT) AS rnk
+      FROM c12
+    )
+    SELECT t.w1, t.w2, t.n_pair, l.c1, l.nfol, r.npre, t.rnk,
+           ROUND((t.n_pair - 0.75) / l.c1
+                 + (0.75 * l.nfol / l.c1) * (r.npre / CAST(nt.ntypes
+                                                     AS DOUBLE)), 6)
+             AS pkn
+    FROM top t
+    JOIN left_m l ON t.w1 = l.w1
+    JOIN right_m r ON t.w2 = r.w2
+    CROSS JOIN nt
+    WHERE t.rnk <= 20
+    """,
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = _toks("text")
+    bigrams = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, shifted_ngram_arrays(toks, 2))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("__bg")
+    )
+    c12 = (
+        bigrams.select(
+            F.split_part(F.col("__bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("__bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    c12 = c12.localCheckpoint(eager=False)  # four readers below
+    left_m = c12.groupBy("w1").agg(
+        F.sum("n_pair").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("nfol"),
+    )
+    right_m = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("npre")
+    )
+    nt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("ntypes"))
+    # bigram-type (vocab-bounded) frame: deliberate tiny rank window
+    w = Window.orderBy(F.desc("n_pair"), F.asc("w1"), F.asc("w2"))
+    top = (
+        c12.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 20)
+    )
+    joined = (
+        top.join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(nt))
+    )
+    pkn = F.round(
+        (F.col("n_pair") - 0.75) / F.col("c1")
+        + (0.75 * F.col("nfol") / F.col("c1"))
+        * (F.col("npre") / F.col("ntypes").cast("double")),
+        6,
+    )
+    return joined.select(
+        "w1", "w2", "n_pair", "c1", "nfol", "npre", "rnk",
+        pkn.alias("pkn"),
+    )
+
+
+# =====================================================================
+# Two-way fixed-effects within estimator (q367): the panel regression
+# slope of extended price on quantity with supplier-nation AND
+# ship-month fixed effects absorbed by double demeaning
+# (x̃ = x − x̄_i − x̄_t + x̄) — the workhorse "control for entity and
+# time" estimator. Group means are rounded-6 doubles from exact
+# DECIMAL sums; demeaned products are rounded-4 and folded in
+# DECIMAL(38,4); the slope/R² are single double expressions over
+# those exact sums. Entity/period mean frames are 25- and
+# month-bounded → broadcast joins; one corpus pass + one reduce.
+# =====================================================================
+_Q367_ROWS = """(
+  SELECT s.s_nationkey AS ent,
+         CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+           AS per,
+         CAST(l.l_quantity AS DOUBLE) AS x,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS y
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)"""
+
+
+@q(
+    "q367_fixed_effects",
+    f"""
+    WITH rows_ AS {_Q367_ROWS},
+    em AS (
+      SELECT ent,
+             ROUND(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS xe,
+             ROUND(CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS ye
+      FROM rows_ GROUP BY ent
+    ),
+    pm AS (
+      SELECT per,
+             ROUND(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS xp,
+             ROUND(CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS yp
+      FROM rows_ GROUP BY per
+    ),
+    gm AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS xg,
+             ROUND(CAST(SUM(CAST(ROUND(y, 2) AS DECIMAL(38,2)))
+                     AS DOUBLE) / count(*), 6) AS yg
+      FROM rows_
+    ),
+    dm AS (
+      SELECT ROUND(r.x - em.xe - pm.xp + gm.xg, 6) AS xt,
+             ROUND(r.y - em.ye - pm.yp + gm.yg, 6) AS yt
+      FROM rows_ r
+      JOIN em ON r.ent = em.ent
+      JOIN pm ON r.per = pm.per
+      CROSS JOIN gm
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(xt * yt, 4) AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(xt * xt, 4) AS DECIMAL(38,4)))
+               AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(yt * yt, 4) AS DECIMAL(38,4)))
+               AS DOUBLE) AS syy
+      FROM dm
+    ),
+    cnt AS (
+      SELECT CAST(count(DISTINCT ent) AS BIGINT) AS n_entities,
+             CAST(count(DISTINCT per) AS BIGINT) AS n_periods
+      FROM rows_
+    )
+    SELECT n, n_entities, n_periods,
+           ROUND(sxy / sxx, 6) AS slope,
+           ROUND((sxy * sxy) / (sxx * syy), 6) AS within_r2
+    FROM s, cnt
+    """,
+)
+def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rows = li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey).select(
+        F.col("s_nationkey").alias("ent"),
+        (
+            F.year("l_shipdate") * 12 + F.month("l_shipdate")
+        ).cast("bigint").alias("per"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice")
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y"),
+    )
+
+    def means(df: DataFrame, keys: list[str], xn: str, yn: str):
+        return df.groupBy(*keys).agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 2).cast("decimal(38,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(xn),
+            F.round(
+                F.sum(F.round(F.col("y"), 2).cast("decimal(38,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias(yn),
+        )
+
+    em = means(rows, ["ent"], "xe", "ye")
+    pm = means(rows, ["per"], "xp", "yp")
+    gm = means(rows, [], "xg", "yg")
+    dm = (
+        rows.join(F.broadcast(em), "ent")
+        .join(F.broadcast(pm), "per")
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.round(
+                F.col("x") - F.col("xe") - F.col("xp") + F.col("xg"), 6
+            ).alias("xt"),
+            F.round(
+                F.col("y") - F.col("ye") - F.col("yp") + F.col("yg"), 6
+            ).alias("yt"),
+        )
+    )
+    s = dm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(F.col("xt") * F.col("yt"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("xt") * F.col("xt"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("yt") * F.col("yt"), 4).cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    cnt = rows.agg(
+        F.countDistinct("ent").cast("bigint").alias("n_entities"),
+        F.countDistinct("per").cast("bigint").alias("n_periods"),
+    )
+    return s.crossJoin(F.broadcast(cnt)).select(
+        "n",
+        "n_entities",
+        "n_periods",
+        F.round(F.col("sxy") / F.col("sxx"), 6).alias("slope"),
+        F.round(
+            (F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")),
+            6,
+        ).alias("within_r2"),
+    )
+
+
+# =====================================================================
+# Competing-risks cumulative incidence (q368): time from each user's
+# first event to their first PURCHASE (cause 1) or first ERROR
+# (cause 2), whichever comes first (tie → purchase), censored at the
+# last observed event — Aalen-Johansen CIFs per integer day
+# (operators/survival.competing_risks; the q228 life-table class:
+# the corpus reduces to one user-keyed aggregate, every window after
+# runs on the observation-window-bounded duration frame).
+# =====================================================================
+_Q368_SUBJECTS = """(
+  WITH per_user AS (
+    SELECT user_id,
+           min(epoch_us(ts)) AS t0,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS tp,
+           min(CASE WHEN event_type = 'error'
+                    THEN epoch_us(ts) END) AS te,
+           max(epoch_us(ts)) AS tl
+    FROM events GROUP BY 1
+  )
+  SELECT CASE
+           WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te)
+             THEN (tp - t0) // 86400000000
+           WHEN te IS NOT NULL
+             THEN (te - t0) // 86400000000
+           ELSE (tl - t0) // 86400000000
+         END AS duration,
+         CASE
+           WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+           WHEN te IS NOT NULL THEN 2
+           ELSE 0
+         END AS cause
+  FROM per_user
+)"""
+
+
+@q(
+    "q368_competing_risks",
+    competing_risks_sql(_Q368_SUBJECTS, "duration", "cause"),
+)
+def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts: bigint nanoseconds
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+        F.max("ts").alias("tl"),
+    )
+    first_p = F.col("tp").isNotNull() & (
+        F.col("te").isNull() | (F.col("tp") <= F.col("te"))
+    )
+    subjects = per_user.select(
+        F.when(
+            first_p,
+            F.expr("(tp - t0) DIV 86400000000000"),
+        )
+        .when(
+            F.col("te").isNotNull(),
+            F.expr("(te - t0) DIV 86400000000000"),
+        )
+        .otherwise(F.expr("(tl - t0) DIV 86400000000000"))
+        .alias("duration"),
+        F.when(first_p, 1)
+        .when(F.col("te").isNotNull(), 2)
+        .otherwise(0)
+        .alias("cause"),
+    )
+    return competing_risks(subjects, "duration", "cause")
+
+
+# =====================================================================
+# Power-iteration top eigenvector (q369): the leading eigenpair of
+# the 16×16 embedding covariance (q276's exact DECIMAL moments) from
+# TWO pinned power iterations off the all-ones start — v1 = M·1
+# normalized, v2 = M·v1, λ̂ = v1ᵀv2 (Rayleigh, v1 unit), loadings =
+# v2 normalized. Every matrix entry and vector element is rounded-6
+# before the next exact DECIMAL fold, so the whole iteration replays
+# bit-for-bit in SQL; all post-covariance frames are 16/256 rows
+# (model-sized). The PCA direction without any linalg library —
+# what you whiten/project against at 100 TB.
+# =====================================================================
+_Q369_DIMS = 16
+
+
+@q(
+    "q369_power_iter_eigen",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, i,
+             CAST(ROUND(v[i], 6) AS DECIMAL(18,6)) AS xi
+      FROM e, (SELECT unnest(generate_series(1, {_Q369_DIMS})) AS i)
+      WHERE len(v) >= {_Q369_DIMS}
+    ),
+    m AS (
+      SELECT a.i AS di, b.i AS dj,
+             ROUND(CAST(SUM(CAST(a.xi * b.xi AS DECIMAL(37,12)))
+                     AS DOUBLE) / count(*)
+                   - (CAST(SUM(a.xi) AS DOUBLE) / count(*))
+                     * (CAST(SUM(b.xi) AS DOUBLE) / count(*)),
+                   6) AS cov
+      FROM x a JOIN x b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v1r AS (
+      SELECT di,
+             CAST(SUM(CAST(cov AS DECIMAL(38,6))) AS DOUBLE) AS r
+      FROM m GROUP BY di
+    ),
+    n1 AS (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(r * r, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS nrm
+      FROM v1r
+    ),
+    v1 AS (
+      SELECT di, ROUND(r / nrm, 6) AS u FROM v1r, n1
+    ),
+    v2r AS (
+      SELECT m.di,
+             CAST(SUM(CAST(ROUND(m.cov * v1.u, 10) AS DECIMAL(38,10)))
+               AS DOUBLE) AS r
+      FROM m JOIN v1 ON m.dj = v1.di
+      GROUP BY m.di
+    ),
+    lam AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(v2r.r * v1.u, 10)
+                     AS DECIMAL(38,10))) AS DOUBLE), 6) AS eigenvalue
+      FROM v2r JOIN v1 ON v2r.di = v1.di
+    ),
+    n2 AS (
+      SELECT sqrt(CAST(SUM(CAST(ROUND(r * r, 12) AS DECIMAL(38,12)))
+               AS DOUBLE)) AS nrm
+      FROM v2r
+    ),
+    ld AS (
+      SELECT CAST(di AS INT) AS dim, ROUND(r / nrm, 6) AS loading
+      FROM v2r, n2
+    )
+    SELECT dim, loading, eigenvalue, rnk FROM (
+      SELECT dim, loading, eigenvalue,
+             CAST(row_number() OVER (ORDER BY abs(loading) DESC, dim)
+               AS INT) AS rnk
+      FROM ld, lam
+    ) WHERE rnk <= 8
+    """,
+)
+def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = (
+        emb.filter(F.size("embedding") >= _Q369_DIMS)
+        .select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, _Q369_DIMS)).alias(
+                "__p", "__val"
+            ),
+        )
+        .select(
+            "vec_id",
+            (F.col("__p") + 1).alias("i"),
+            F.round(F.col("__val").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("xi"),
+        )
+        .localCheckpoint(eager=False)  # both matrix sides read it
+    )
+    a = x.select("vec_id", F.col("i").alias("di"), F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("dj"), F.col("xi").alias("xb"))
+    nd = F.count(F.lit(1)).cast("double")
+    m = (
+        a.join(b, "vec_id")
+        .groupBy("di", "dj")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("xa") * F.col("xb")).cast("decimal(37,12)")
+                ).cast("double")
+                / nd
+                - (F.sum("xa").cast("double") / nd)
+                * (F.sum("xb").cast("double") / nd),
+                6,
+            ).alias("cov")
+        )
+        .localCheckpoint(eager=False)  # v1 and v2 both read it
+    )
+    v1r = m.groupBy("di").agg(
+        F.sum(F.col("cov").cast("decimal(38,6)")).cast("double").alias("r")
+    )
+    n1 = v1r.agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("r") * F.col("r"), 12).cast("decimal(38,12)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    v1 = v1r.crossJoin(F.broadcast(n1)).select(
+        "di", F.round(F.col("r") / F.col("nrm"), 6).alias("u")
+    )
+    v2r = (
+        m.join(
+            F.broadcast(v1.select(F.col("di").alias("dj"), "u")), "dj"
+        )
+        .groupBy("di")
+        .agg(
+            F.sum(
+                F.round(F.col("cov") * F.col("u"), 10).cast(
+                    "decimal(38,10)"
+                )
+            )
+            .cast("double")
+            .alias("r")
+        )
+    ).localCheckpoint(eager=False)  # lambda, norm, loadings all read it
+    lam = (
+        v2r.join(F.broadcast(v1), "di")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("r") * F.col("u"), 10).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("eigenvalue")
+        )
+    )
+    n2 = v2r.agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("r") * F.col("r"), 12).cast("decimal(38,12)")
+            ).cast("double")
+        ).alias("nrm")
+    )
+    ld = v2r.crossJoin(F.broadcast(n2)).select(
+        F.col("di").cast("int").alias("dim"),
+        F.round(F.col("r") / F.col("nrm"), 6).alias("loading"),
+    )
+    # 16-row frame: deliberate tiny rank window
+    w = Window.orderBy(F.abs(F.col("loading")).desc(), F.asc("dim"))
+    return (
+        ld.crossJoin(F.broadcast(lam))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 8)
+        .select("dim", "loading", "eigenvalue", "rnk")
+    )

@@ -136,3 +136,75 @@ def test_simplified_silhouette_single_class_empty(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert simplified_silhouette(df).count() == 0
+
+
+def test_cdc_chunks_offset_invariance(spark):
+    """The CDC property fixed-size blocking lacks: a shared substring
+    chunks identically at DIFFERENT offsets, so its interior chunks
+    dedup across the two documents."""
+    from dbt_incremental_ci_spark.operators.cdchunk import cdc_chunks
+
+    # varied (non-periodic) shared text so interior chunks are distinct
+    shared = " ".join(f"tok{i}word{i * 7 % 13}" for i in range(60))
+    rows = [
+        (1, "AAAA " + shared + " tail-one"),
+        (2, "a completely different and longer prefix here "
+            + shared + " other tail"),
+        (3, "short but distinct text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = cdc_chunks(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    # interior chunks of the shared span must coincide
+    common = by_doc[1] & by_doc[2]
+    assert len(common) >= 3
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # chunks tile each document exactly: lengths sum to doc length
+    lens = {}
+    for r in ch:
+        lens[r["doc_id"]] = lens.get(r["doc_id"], 0) + r["ln"]
+    assert lens == {1: len(rows[0][1]), 2: len(rows[1][1]),
+                    3: len(rows[2][1])}
+
+
+def test_competing_risks_hand_case(spark):
+    """4 subjects: day 1 one purchase + one error (n=4), day 2 one
+    censor, day 3 one purchase (n=1, extinction). Hand CIFs:
+    cif1(1)=0.25, cif2(1)=0.25; day 3: S(2-)=0.5 -> cif1=0.75."""
+    from dbt_incremental_ci_spark.operators.survival import (
+        competing_risks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 0), (3, 1)], "duration long, cause int"
+    )
+    got = {r["duration"]: r for r in competing_risks(
+        df, "duration", "cause").collect()}
+    assert got[1]["n_risk"] == 4 and got[1]["d_cause1"] == 1
+    assert got[1]["cif1"] == pytest.approx(0.25)
+    assert got[1]["cif2"] == pytest.approx(0.25)
+    assert got[2]["c_censored"] == 1
+    assert got[2]["cif1"] == pytest.approx(0.25)  # censoring adds nothing
+    assert got[3]["n_risk"] == 1
+    assert got[3]["cif1"] == pytest.approx(0.75)  # S(2-)=0.5 * 1/1
+    assert got[3]["cif2"] == pytest.approx(0.25)
+
+
+def test_competing_risks_vs_km_when_single_cause(spark):
+    """With no cause-2 events, cif1 must equal 1 - KM survival."""
+    from dbt_incremental_ci_spark.operators.survival import (
+        competing_risks,
+        kaplan_meier,
+    )
+
+    rows = [(d % 7, 1 if d % 3 else 0) for d in range(40)]
+    df = spark.createDataFrame(rows, "duration long, event int")
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(
+        df, "duration", "event").collect()}
+    cr = {r["duration"]: r["cif1"] for r in competing_risks(
+        df.selectExpr("duration", "event AS cause"), "duration", "cause"
+    ).collect()}
+    for day, s in km.items():
+        assert cr[day] == pytest.approx(1.0 - s, abs=2e-6)

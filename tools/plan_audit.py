@@ -35,6 +35,12 @@ ONE_PART_NOTES = {
     "q362_video_keyframe": "per-media argmax rows on the fixed audit slice (<=200)",
     "q363_media_shard_plan": "modality rollup: 3-row frame",
     "q364_term_burstiness": "vocab-bounded (df>=20) rank window + 1-row n_docs reduce",
+    # round-8 additions (q365+, third batch)
+    "q365_cdc_chunk_dedup": "1-row dedup census + 1-row doc count over the chunk-hash frame (map-side partials)",
+    "q366_kneser_ney_bigram": "bigram-type (vocab-bounded) rank window + 1-row type-count scalar",
+    "q367_fixed_effects": "entity (25) / period (months) mean frames + 1-row moment and count reduces",
+    "q368_competing_risks": "life table: duration-bounded frame windows (q228 class)",
+    "q369_power_iter_eigen": "covariance matrix and iteration vectors: 256-/16-row model-sized frames + 1-row norms/Rayleigh scalars",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
