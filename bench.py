@@ -435,6 +435,9 @@ EXTRA_QUERIES = [
     "q367_fixed_effects",
     "q368_competing_risks",
     "q369_power_iter_eigen",
+    "q370_audio_autocorr",
+    "q371_chunk_contamination",
+    "q372_iv_wald",
 ]
 
 

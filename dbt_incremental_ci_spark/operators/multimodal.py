@@ -686,3 +686,50 @@ def video_keyframe(df: DataFrame) -> DataFrame:
     from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
 
     return ensure_min_parallelism(df).mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
+AUTOCORR_SCHEMA = (
+    "media_id long, n_samples bigint, best_lag int, best_autocorr bigint"
+)
+
+
+def audio_autocorr_lag(
+    df: DataFrame, min_lag: int = 2, max_lag: int = 16
+) -> DataFrame:
+    """Period detection from REAL decoded PCM: per audio payload, the
+    lag in [min_lag, max_lag] maximizing the exact integer
+    autocorrelation Σ s_i·s_{i+lag} (the spectral-free pitch/period
+    estimator; lag-ascending tiebreak). int16 samples in int64
+    arithmetic keep every sum exact, so a formula oracle replays the
+    argmax bit-for-bit. Undecodable payloads are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    s, _rate = decode_wav_pcm16(bytes(b or b""))
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    continue
+                s = s.astype(np.int64)
+                n = len(s)
+                best_lag, best_r = min_lag, None
+                for lag in range(min_lag, max_lag + 1):
+                    if lag >= n:
+                        break
+                    r = int((s[:-lag] * s[lag:]).sum())
+                    if best_r is None or r > best_r:
+                        best_lag, best_r = lag, r
+                if best_r is None:
+                    continue  # too short for any lag
+                rows.append((mid, n, best_lag, best_r))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "best_lag", "best_autocorr",
+                ],
+            )
+
+    from dbt_incremental_ci_spark.operators.scaling import ensure_min_parallelism
+
+    return ensure_min_parallelism(df).mapInPandas(run, schema=AUTOCORR_SCHEMA)

@@ -34,7 +34,9 @@ the original single module had grown past 9k lines):
   point, dedup impact)
 - ``workload_q12`` — q365+ (round-8 third batch: content-defined
   chunk dedup, Kneser-Ney bigram LM, two-way fixed effects,
-  Aalen-Johansen competing risks, power-iteration top eigenpair)
+  Aalen-Johansen competing risks, power-iteration top eigenpair,
+  audio autocorrelation period detection, cross-source chunk
+  contamination, IV/Wald LATE estimator)
 - ``workload_q11`` — q357+ (round-8 second batch: simplified
   silhouette, RFM quintile segmentation, interval-overlap range join
   (session concurrency), ε-DP clipped mean, perceptual image aHash,

@@ -629,3 +629,200 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 8)
         .select("dim", "loading", "eigenvalue", "rnk")
     )
+
+
+# =====================================================================
+# Audio period detection (q370): per REAL decoded WAV of the q333
+# slice, the lag in [2,16] maximizing the exact integer
+# autocorrelation Σ s_i·s_{i+lag} — the spectral-free pitch/period
+# estimator (multimodal.audio_autocorr_lag). The q333 sawtooth has
+# period gcd-structure in its (d·7 + 13i) generator, so best lags
+# vary by doc; the oracle regenerates every (lag, product) pair from
+# the sample formula and replays the argmax — a decoder that drops,
+# reorders, or sign-flips samples moves a product and fails the hash.
+# =====================================================================
+_Q370_CAP = 500  # the q333 audio audit slice
+
+
+@q(
+    "q370_audio_autocorr",
+    f"""
+    WITH ids AS (
+      SELECT doc_id AS media_id, 64 + doc_id % 64 AS n
+      FROM documents WHERE doc_id < {_Q370_CAP}
+    ),
+    prods AS (
+      SELECT media_id, n, lag,
+             sum(((media_id * 7 + i * 13) % 2001 - 1000)
+                 * ((media_id * 7 + (i + lag) * 13) % 2001 - 1000))
+               AS r
+      FROM ids,
+           unnest(generate_series(2, 16)) AS gl(lag),
+           unnest(generate_series(0, n - 1)) AS gi(i)
+      WHERE i + lag <= n - 1
+      GROUP BY media_id, n, lag
+    ),
+    best AS (
+      SELECT media_id, n, lag, r,
+             row_number() OVER (PARTITION BY media_id
+                                ORDER BY r DESC, lag) AS rn
+      FROM prods
+    )
+    SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(lag AS INT) AS best_lag,
+           CAST(r AS BIGINT) AS best_autocorr
+    FROM best WHERE rn = 1
+    """,
+)
+def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.workload_q9 import _q333_payloads
+    from dbt_incremental_ci_spark.operators import multimodal
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _Q370_CAP)
+    )
+    return multimodal.audio_autocorr_lag(
+        _q333_payloads(docs), min_lag=2, max_lag=16
+    )
+
+
+# =====================================================================
+# Cross-source chunk contamination (q371): q320 counts whole-document
+# duplicates across sources; this drops to SUB-document granularity —
+# for every source pair, the number of distinct CDC chunks (q365's
+# content-defined split) they share. Catches partial copying /
+# boilerplate bleeding between sources that whole-doc hashing misses.
+# Shape: distinct (chunk, source) projection, hash self-join on the
+# chunk key with source_a < source_b — fan-out per chunk bounded by
+# sources² (≤400), output ≤ C(|sources|,2) rows.
+# =====================================================================
+@q(
+    "q371_chunk_contamination",
+    f"""
+    WITH {cdc_chunks_sql("documents", "doc_id", "text", 8, 32)},
+    cs AS (
+      SELECT DISTINCT c.h, d2.source
+      FROM chunks c JOIN documents d2 ON c.id = d2.doc_id
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_chunks
+    FROM cs a JOIN cs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, "doc_id", "text", window=8, mask=32)
+    cs = (
+        chunks.join(docs.select("doc_id", "source"), "doc_id")
+        .select("h", "source")
+        .distinct()
+    )
+    a = cs.select(F.col("h"), F.col("source").alias("source_a"))
+    b = cs.select(F.col("h"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_chunks"))
+    )
+
+
+# =====================================================================
+# Instrumental-variable Wald estimator (q372): the causal effect of
+# clicking on purchase value when clicking is confounded, using the
+# user-parity instrument z = user_id % 2 — LATE = (ȳ₁−ȳ₀)/(x̄₁−x̄₀)
+# (Wald 1940; Angrist-Imbens-Rubin LATE). Complements the causal band
+# (CEM q293 / DR-OPE q230 / CUPED q247 / QTE q322) with the
+# instrument-based identification none of them provide. One user-
+# keyed hash agg → one 2-cell reduce; every mean is a double division
+# of exact DECIMAL/bigint sums, identical trees both engines.
+# =====================================================================
+@q(
+    "q372_iv_wald",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS z,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value, 2) AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT z, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(y) AS sy
+      FROM per_user GROUP BY z
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN z = 1 THEN n END) AS n1,
+        max(CASE WHEN z = 0 THEN n END) AS n0,
+        max(CASE WHEN z = 1 THEN sx END) AS sx1,
+        max(CASE WHEN z = 0 THEN sx END) AS sx0,
+        max(CASE WHEN z = 1 THEN sy END) AS sy1,
+        max(CASE WHEN z = 0 THEN sy END) AS sy0
+      FROM cells
+    )
+    SELECT n1, n0,
+           ROUND(CAST(sy1 AS DOUBLE) / n1
+                 - CAST(sy0 AS DOUBLE) / n0, 6) AS itt_effect,
+           ROUND(CAST(sx1 AS DOUBLE) / n1
+                 - CAST(sx0 AS DOUBLE) / n0, 6) AS first_stage,
+           CASE WHEN CAST(sx1 AS DOUBLE) / n1
+                     - CAST(sx0 AS DOUBLE) / n0 <> 0
+                THEN ROUND((CAST(sy1 AS DOUBLE) / n1
+                            - CAST(sy0 AS DOUBLE) / n0)
+                           / (CAST(sx1 AS DOUBLE) / n1
+                              - CAST(sx0 AS DOUBLE) / n0), 6)
+           END AS late_wald
+    FROM wide
+    """,
+)
+def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value"), 2).cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("y"),
+    ).withColumn("z", F.col("user_id") % 2)
+    cells = per_user.groupBy("z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("z") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("z") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("z") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("z") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("z") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("z") == 0, F.col("sy"))).alias("sy0"),
+    )
+    y1 = F.col("sy1").cast("double") / F.col("n1")
+    y0 = F.col("sy0").cast("double") / F.col("n0")
+    x1 = F.col("sx1").cast("double") / F.col("n1")
+    x0 = F.col("sx0").cast("double") / F.col("n0")
+    return wide.select(
+        "n1",
+        "n0",
+        F.round(y1 - y0, 6).alias("itt_effect"),
+        F.round(x1 - x0, 6).alias("first_stage"),
+        # a zero first stage (e.g. every user clicked) -> LATE
+        # undefined, NULL on both engines instead of a div-by-zero
+        F.when(
+            (x1 - x0) != 0, F.round((y1 - y0) / (x1 - x0), 6)
+        ).alias("late_wald"),
+    )

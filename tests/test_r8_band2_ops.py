@@ -208,3 +208,26 @@ def test_competing_risks_vs_km_when_single_cause(spark):
     ).collect()}
     for day, s in km.items():
         assert cr[day] == pytest.approx(1.0 - s, abs=2e-6)
+
+
+def test_audio_autocorr_hand_period(spark):
+    """A pure square wave of period 8 must pick lag 8 (the exact
+    integer autocorrelation peaks at the true period)."""
+    sq = np.tile(
+        np.array([500] * 4 + [-500] * 4, dtype=np.int16), 12
+    )
+    wav = mm.encode_wav_pcm16(sq, 8000)
+    short = mm.encode_wav_pcm16(np.array([1], dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", wav, (None, None, 8000, None)),
+            (2, "audio", short, (None, None, 8000, None)),  # < min lag
+            (3, "audio", b"ID3\x03", (None, None, None, None)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in mm.audio_autocorr_lag(df).collect()}
+    assert set(got) == {1}  # too-short and undecodable both skipped
+    assert got[1]["best_lag"] == 8
+    s = sq.astype(np.int64)
+    assert got[1]["best_autocorr"] == int((s[:-8] * s[8:]).sum())

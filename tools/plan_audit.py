@@ -41,6 +41,9 @@ ONE_PART_NOTES = {
     "q367_fixed_effects": "entity (25) / period (months) mean frames + 1-row moment and count reduces",
     "q368_competing_risks": "life table: duration-bounded frame windows (q228 class)",
     "q369_power_iter_eigen": "covariance matrix and iteration vectors: 256-/16-row model-sized frames + 1-row norms/Rayleigh scalars",
+    "q370_audio_autocorr": "per-media argmax rows on the fixed audit slice (<=500)",
+    "q371_chunk_contamination": "source-pair census: <=C(|sources|,2) cells",
+    "q372_iv_wald": "2-cell instrument reduce + 1-row Wald ratio",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
