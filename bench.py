@@ -438,6 +438,7 @@ EXTRA_QUERIES = [
     "q370_audio_autocorr",
     "q371_chunk_contamination",
     "q372_iv_wald",
+    "q373_diff_in_diff",
 ]
 
 

@@ -1,4 +1,4 @@
-"""Workload band q365-q369 — round-8 third batch.
+"""Workload band q365-q373 — round-8 third batch.
 
 Storage-level dedup (content-defined chunking with a rolling-window
 boundary rule — the rsync/LBFS trick that dedups shared substrings
@@ -825,4 +825,111 @@ def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             (x1 - x0) != 0, F.round((y1 - y0) / (x1 - x0), 6)
         ).alias("late_wald"),
+    )
+
+
+# =====================================================================
+# Difference-in-differences (q373): the two-period, two-group causal
+# workhorse missing from the causal band (CEM/DR-OPE/CUPED/QTE/IV):
+# treat = odd users, post = events in the second half of the
+# observation window (split at the midpoint timestamp, a corpus
+# scalar); outcome = per-(user, period) purchase value. DiD =
+# (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) — the
+# parallel-trends estimator. One user-period hash agg → a 4-cell
+# reduce; every mean is a double division of exact DECIMAL sums.
+# =====================================================================
+@q(
+    "q373_diff_in_diff",
+    """
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, user_id % 2 AS treat,
+             CASE WHEN epoch_us(ts) * 2 >= lo + hi THEN 1 ELSE 0 END
+               AS post,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value, 2) AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END AS v
+      FROM events, bounds
+    ),
+    up AS (
+      SELECT user_id, treat, post, sum(v) AS y
+      FROM per GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT treat, post, CAST(count(*) AS BIGINT) AS n, sum(y) AS sy
+      FROM up GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treat = 1 AND post = 1 THEN CAST(sy AS DOUBLE)
+            / n END) AS tp,
+        max(CASE WHEN treat = 1 AND post = 0 THEN CAST(sy AS DOUBLE)
+            / n END) AS tr,
+        max(CASE WHEN treat = 0 AND post = 1 THEN CAST(sy AS DOUBLE)
+            / n END) AS cp,
+        max(CASE WHEN treat = 0 AND post = 0 THEN CAST(sy AS DOUBLE)
+            / n END) AS cr,
+        CAST(sum(n) AS BIGINT) AS n_user_periods
+      FROM cells
+    )
+    SELECT n_user_periods,
+           ROUND(tp - tr, 6) AS treat_delta,
+           ROUND(cp - cr, 6) AS control_delta,
+           ROUND((tp - tr) - (cp - cr), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)  # ts: bigint nanoseconds
+    bounds = ev.agg(
+        F.min("ts").alias("__lo"), F.max("ts").alias("__hi")
+    )
+    per = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(
+            F.col("ts") * 2 >= F.col("__lo") + F.col("__hi"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value"), 2).cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("v"),
+    )
+    up = per.groupBy("user_id", "treat", "post").agg(
+        F.sum("v").alias("y")
+    )
+    cells = up.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+
+    def cell(tr: int, po: int):
+        return F.max(
+            F.when(
+                (F.col("treat") == tr) & (F.col("post") == po),
+                F.col("sy").cast("double") / F.col("n"),
+            )
+        )
+
+    wide = cells.agg(
+        cell(1, 1).alias("tp"),
+        cell(1, 0).alias("tr"),
+        cell(0, 1).alias("cp"),
+        cell(0, 0).alias("cr"),
+        F.sum("n").cast("bigint").alias("n_user_periods"),
+    )
+    return wide.select(
+        "n_user_periods",
+        F.round(F.col("tp") - F.col("tr"), 6).alias("treat_delta"),
+        F.round(F.col("cp") - F.col("cr"), 6).alias("control_delta"),
+        F.round(
+            (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")), 6
+        ).alias("did_estimate"),
     )

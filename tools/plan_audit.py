@@ -44,6 +44,7 @@ ONE_PART_NOTES = {
     "q370_audio_autocorr": "per-media argmax rows on the fixed audit slice (<=500)",
     "q371_chunk_contamination": "source-pair census: <=C(|sources|,2) cells",
     "q372_iv_wald": "2-cell instrument reduce + 1-row Wald ratio",
+    "q373_diff_in_diff": "1-row ts-bounds scalar + 4-cell DiD reduce",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
