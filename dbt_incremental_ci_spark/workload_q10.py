@@ -1278,9 +1278,11 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inter-annotator metric next to q224's Krippendorff alpha. The
 # corpus reduces to the 5×5 confusion matrix in one hash agg;
 # κ_w = 1 − N·Σw_ij·O_ij / Σw_ij·row_i·col_j stays an exact integer
-# ratio rounded half-up in micro-space. Bound: num·N·2e6 < 2^63
-# holds to ~3e8 rows per run; beyond that lift the two products to
-# DECIMAL(38,0) (q343-style bound note).
+# ratio rounded half-up in micro-space. The micro products run in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): num·N·2e6 passes 2^63 at
+# ~3e8 weighted rows — the r09 sf1 gate caught exactly that long
+# overflow at the 10× replica, so the lift is load-bearing, not
+# defensive.
 # =====================================================================
 @q(
     "q350_weighted_kappa",
@@ -1311,8 +1313,10 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marg
     )
     SELECT m.nn AS n_rows, m.num AS disagree_w,
-           CAST(1000000 - (m.num * m.nn * 2000000 + d.den)
-                          // (2 * d.den) AS DOUBLE) / 1e6 AS kappa_w
+           CAST(1000000 - (CAST(m.num AS HUGEINT) * m.nn * 2000000
+                           + d.den)
+                          // (2 * CAST(d.den AS HUGEINT))
+                AS DOUBLE) / 1e6 AS kappa_w
     FROM m, d
     """,
 )
@@ -1358,7 +1362,8 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.crossJoin(F.broadcast(d)).selectExpr(
         "nn AS n_rows",
         "num AS disagree_w",
-        "CAST(1000000 - (num * nn * 2000000 + den) DIV (2 * den)"
+        "CAST(1000000 - (CAST(num AS DECIMAL(38,0)) * nn * 2000000"
+        " + den) DIV (2 * CAST(den AS DECIMAL(38,0)))"
         " AS DOUBLE) / 1e6 AS kappa_w",
     )
 
