@@ -530,6 +530,14 @@ ACCEPTED_BASELINES = {
         "first-execution JIT pays ~2x (6.5 -> 3.8 across reps, "
         "SCALE.md 6z); plateau pinned, plan unchanged since r09",
     ),
+    "q146_bfs_levels": (
+        5.5,
+        "iterative localCheckpoint BFS is the q288/q290 session-"
+        "variance class (SCALE.md 6z): r13 warm 5.5 s vs r10 record "
+        "4.82 s with ZERO commits touching bfs.py/its query since "
+        "r10 and an isolated best-of-3 at 6.7 s on the same box — "
+        "cross-session JIT/GC plateau spread, not a plan change",
+    ),
 }
 
 
