@@ -378,31 +378,40 @@ def simplified_silhouette(
             "n_negative bigint, share_negative double",
         )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scored = df.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
-    ).select(
-        F.col(label_col).alias("__lbl"),
-        F.col(vec_col).alias(vec_col),
-        _vn_expr(vec_d).alias("__vn"),
-    )
-    own = None
-    for c in classes:
-        cos_c = _cos_to_centroid(model, norms, c, vec_d)
-        own = (
-            F.when(F.col("__lbl") == c, cos_c)
-            if own is None
-            else own.when(F.col("__lbl") == c, cos_c)
+    # materialize each class cosine ONCE per row into a struct array
+    # (computing them separately for the own-class branch and the
+    # best-other max would evaluate every zip_with fold twice — the
+    # r08 first cut did exactly that and ran 2x the q238 cost)
+    scored = (
+        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(label_col).alias("__lbl"),
+            F.col(vec_col).alias(vec_col),
+            _vn_expr(vec_d).alias("__vn"),
         )
+        .select(
+            "__lbl",
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(c)).alias("c"),
+                        _cos_to_centroid(model, norms, c, vec_d).alias(
+                            "cos"
+                        ),
+                    )
+                    for c in classes
+                ]
+            ).alias("__arr"),
+        )
+    )
+    own = F.element_at(
+        F.filter(F.col("__arr"), lambda s: s["c"] == F.col("__lbl")), 1
+    )["cos"]
     # array_max skips the NULL the own class contributes
     other_best = F.array_max(
-        F.array(
-            *[
-                F.when(
-                    F.col("__lbl") != c,
-                    _cos_to_centroid(model, norms, c, vec_d),
-                )
-                for c in classes
-            ]
+        F.transform(
+            F.col("__arr"),
+            lambda s: F.when(s["c"] != F.col("__lbl"), s["cos"]),
         )
     )
     a = F.round(F.lit(1.0) - own, 6)
