@@ -439,6 +439,8 @@ EXTRA_QUERIES = [
     "q371_chunk_contamination",
     "q372_iv_wald",
     "q373_diff_in_diff",
+    "q374_geometric_median",
+    "q375_fd_histogram",
 ]
 
 

@@ -36,7 +36,8 @@ the original single module had grown past 9k lines):
   chunk dedup, Kneser-Ney bigram LM, two-way fixed effects,
   Aalen-Johansen competing risks, power-iteration top eigenpair,
   audio autocorrelation period detection, cross-source chunk
-  contamination, IV/Wald LATE estimator, difference-in-differences)
+  contamination, IV/Wald LATE estimator, difference-in-differences,
+  Weiszfeld geometric median, Freedman-Diaconis adaptive histogram)
 - ``workload_q11`` — q357+ (round-8 second batch: simplified
   silhouette, RFM quintile segmentation, interval-overlap range join
   (session concurrency), ε-DP clipped mean, perceptual image aHash,

@@ -1,4 +1,4 @@
-"""Workload band q365-q373 — round-8 third batch.
+"""Workload band q365-q375 — round-8 third batch.
 
 Storage-level dedup (content-defined chunking with a rolling-window
 boundary rule — the rsync/LBFS trick that dedups shared substrings
@@ -932,4 +932,276 @@ def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr")), 6
         ).alias("did_estimate"),
+    )
+
+
+# =====================================================================
+# Geometric median per embedding class (q374): the Weiszfeld robust
+# centroid — v_{t+1} = Σ(x_i/d_i)/Σ(1/d_i), d_i = ‖x_i − v_t‖ — run
+# for TWO pinned iterations from the class mean over the first 16
+# dims. The mean is what every centroid op here uses (q238/q357);
+# the geometric median is its outlier-robust replacement (one
+# corrupted embedding can drag a mean arbitrarily far; it moves the
+# median by at most its weight share) — so delta = gm − mean is a
+# per-dimension contamination signal. Per-term rounding (d at 9 dp,
+# weight terms at 9 dp, coordinates at 6 dp per iteration) makes the
+# whole fixed-point sequence replay exactly in DuckDB; rows at
+# d = 0 are excluded from both sums (the standard Weiszfeld fix).
+# Shape: two corpus passes (one per iteration), each a broadcast
+# join against the k×16 estimate frame + one hash agg; all
+# post-corpus frames are model-sized.
+# =====================================================================
+_Q374_DIMS = 16
+
+
+def _q374_iter_sql(prev: str, out: str) -> str:
+    """One Weiszfeld scaling: x joined to the ``prev`` estimate,
+    per-row distance, weighted coordinate means into ``out``."""
+    return f"""
+    {out}_d AS (
+      SELECT x.lbl, x.vid,
+             ROUND(sqrt(CAST(SUM(CAST(ROUND((x.xi - p.v)
+                                            * (x.xi - p.v), 12)
+                     AS DECIMAL(38,12))) AS DOUBLE)), 9) AS dd
+      FROM x JOIN {prev} p ON x.lbl = p.lbl AND x.dim = p.dim
+      GROUP BY x.lbl, x.vid
+    ),
+    {out} AS (
+      SELECT x.lbl, x.dim,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(x.xi AS DOUBLE) / d.dd, 9)
+                     AS DECIMAL(38,9))) AS DOUBLE)
+                   / CAST(SUM(CAST(ROUND(1.0 / d.dd, 9)
+                     AS DECIMAL(38,9))) AS DOUBLE), 6) AS v
+      FROM x JOIN {out}_d d ON x.lbl = d.lbl AND x.vid = d.vid
+      WHERE d.dd > 0
+      GROUP BY x.lbl, x.dim
+    )"""
+
+
+@q(
+    "q374_geometric_median",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id AS vid, label AS lbl, i - 1 AS dim,
+             ROUND(v[i], 6) AS xi
+      FROM e, (SELECT unnest(generate_series(1, {_Q374_DIMS})) AS i)
+      WHERE len(v) >= {_Q374_DIMS}
+    ),
+    v0 AS (
+      SELECT lbl, dim,
+             ROUND(CAST(SUM(CAST(xi AS DECIMAL(38,6))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM x GROUP BY lbl, dim
+    ),
+    {_q374_iter_sql("v0", "v1")},
+    {_q374_iter_sql("v1", "v2")}
+    SELECT CAST(v2.lbl AS INT) AS label, CAST(v2.dim AS INT) AS dim,
+           v2.v AS gmedian, v0.v AS mean,
+           ROUND(v2.v - v0.v, 6) AS delta
+    FROM v2 JOIN v0 ON v2.lbl = v0.lbl AND v2.dim = v0.dim
+    """,
+)
+def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = (
+        emb.filter(F.size("embedding") >= _Q374_DIMS)
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.col("label").alias("lbl"),
+            F.posexplode(F.slice("embedding", 1, _Q374_DIMS)).alias(
+                "dim", "__val"
+            ),
+        )
+        .select(
+            "vid",
+            "lbl",
+            "dim",
+            F.round(F.col("__val").cast("double"), 6).alias("xi"),
+        )
+        .localCheckpoint(eager=False)  # three readers (v0 + 2 passes)
+    )
+    v0 = x.groupBy("lbl", "dim").agg(
+        F.round(
+            F.sum(F.col("xi").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    ).localCheckpoint(eager=False)  # iteration input + final join
+
+    def weiszfeld(prev: DataFrame) -> DataFrame:
+        d = (
+            x.join(F.broadcast(prev), ["lbl", "dim"])
+            .groupBy("lbl", "vid")
+            .agg(
+                F.round(
+                    F.sqrt(
+                        F.sum(
+                            F.round(
+                                (F.col("xi") - F.col("v"))
+                                * (F.col("xi") - F.col("v")),
+                                12,
+                            ).cast("decimal(38,12)")
+                        ).cast("double")
+                    ),
+                    9,
+                ).alias("dd")
+            )
+        )
+        return (
+            x.join(d.where(F.col("dd") > 0), ["lbl", "vid"])
+            .groupBy("lbl", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("xi").cast("double") / F.col("dd"), 9
+                        ).cast("decimal(38,9)")
+                    ).cast("double")
+                    / F.sum(
+                        F.round(F.lit(1.0) / F.col("dd"), 9).cast(
+                            "decimal(38,9)"
+                        )
+                    ).cast("double")
+                ).alias("__raw")
+            )
+            .select(
+                "lbl", "dim", F.round(F.col("__raw"), 6).alias("v")
+            )
+        )
+
+    v1 = weiszfeld(v0).localCheckpoint(eager=False)
+    v2 = weiszfeld(v1)
+    return (
+        v2.select("lbl", "dim", F.col("v").alias("gmedian"))
+        .join(
+            F.broadcast(v0.select("lbl", "dim", F.col("v").alias("mean"))),
+            ["lbl", "dim"],
+        )
+        .select(
+            F.col("lbl").cast("int").alias("label"),
+            F.col("dim").cast("int").alias("dim"),
+            "gmedian",
+            "mean",
+            F.round(F.col("gmedian") - F.col("mean"), 6).alias("delta"),
+        )
+    )
+
+
+# =====================================================================
+# Freedman-Diaconis adaptive histogram (q375): bin width from the
+# data itself — h = 2·IQR / ∛n — instead of q145's fixed 20 bins.
+# Everything stays EXACT-INTEGER: prices in cents, the IQR in
+# quarter-cents (the (n−1)·q positions land on exact binary quarters,
+# so IQR·4 is an integer recoverable by round), the cube root as the
+# exact integer ⌊∛n⌋ (libm pow is NOT cross-engine deterministic at
+# the ulp — the float estimate is corrected by ±1 integer compares),
+# and the width by half-up integer DIV. The IQR rides the scalable
+# exact-quantile machinery (ranks.exact_quantiles — no single-task
+# sort); binning is one map-only pass + a hash agg; output is the
+# FD-optimal O(∛n) bin census with exact dollar edges.
+# =====================================================================
+from dbt_incremental_ci_spark.operators.ranks import (  # noqa: E402
+    exact_quantiles_sql,
+)
+
+_Q375_QQ = exact_quantiles_sql(
+    "(SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+    "AS BIGINT) AS c FROM lineitem "
+    "WHERE l_extendedprice IS NOT NULL)",
+    "c",
+    [0.25, 0.75],
+)
+
+
+@q(
+    "q375_fd_histogram",
+    f"""
+    WITH cents AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    qq AS ({_Q375_QQ}),
+    w AS (
+      SELECT max(CASE WHEN q = 0.25 THEN quantile END) AS q25,
+             max(CASE WHEN q = 0.75 THEN quantile END) AS q75,
+             max(n) AS n
+      FROM qq
+    ),
+    k0 AS (
+      SELECT *, CAST(power(CAST(n AS DOUBLE), 1.0 / 3) AS BIGINT) AS kf
+      FROM w
+    ),
+    k AS (
+      SELECT *,
+             kf + (CASE WHEN (kf + 1) * (kf + 1) * (kf + 1) <= n
+                   THEN 1 ELSE 0 END)
+                - (CASE WHEN kf * kf * kf > n THEN 1 ELSE 0 END)
+               AS icbrt,
+             CAST(ROUND((q75 - q25) * 4, 0) AS BIGINT) AS iqr_qc
+      FROM k0
+    ),
+    h AS (
+      SELECT greatest(1, (2 * iqr_qc + 2 * icbrt)
+                         // (4 * icbrt)) AS h_cents
+      FROM k
+    ),
+    lo AS (SELECT min(c) AS mn FROM cents)
+    SELECT CAST((c - mn) // h_cents AS BIGINT) AS bin,
+           ROUND((mn + ((c - mn) // h_cents) * h_cents) / 100.0, 2)
+             AS lo_dollars,
+           CAST(max(h_cents) AS BIGINT) AS h_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM cents, h, lo
+    GROUP BY 1, 2
+    """,
+)
+def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.ranks import exact_quantiles
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = li.where(F.col("l_extendedprice").isNotNull()).select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    )
+    qq = exact_quantiles(cents, "c", [0.25, 0.75])
+    w = qq.agg(
+        F.max(F.when(F.col("q") == 0.25, F.col("quantile"))).alias("q25"),
+        F.max(F.when(F.col("q") == 0.75, F.col("quantile"))).alias("q75"),
+        F.max("n").alias("n"),
+    )
+    kf = F.pow(F.col("n").cast("double"), 1.0 / 3).cast("bigint")
+    k = w.select(
+        "q25",
+        "q75",
+        "n",
+        (
+            kf
+            + F.when(
+                (kf + 1) * (kf + 1) * (kf + 1) <= F.col("n"), 1
+            ).otherwise(0)
+            - F.when(kf * kf * kf > F.col("n"), 1).otherwise(0)
+        ).alias("icbrt"),
+        F.round((F.col("q75") - F.col("q25")) * 4, 0)
+        .cast("bigint")
+        .alias("iqr_qc"),
+    )
+    h = k.selectExpr(
+        "greatest(1, (2 * iqr_qc + 2 * icbrt) DIV (4 * icbrt)) AS h_cents"
+    )
+    lo = cents.agg(F.min("c").alias("mn"))
+    binned = cents.crossJoin(F.broadcast(h)).crossJoin(F.broadcast(lo))
+    bin_ = F.expr("(c - mn) DIV h_cents")
+    return binned.groupBy(
+        bin_.cast("bigint").alias("bin"),
+        F.round(
+            (F.col("mn") + bin_ * F.col("h_cents")) / 100.0, 2
+        ).alias("lo_dollars"),
+    ).agg(
+        F.max("h_cents").cast("bigint").alias("h_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )

@@ -45,6 +45,8 @@ ONE_PART_NOTES = {
     "q371_chunk_contamination": "source-pair census: <=C(|sources|,2) cells",
     "q372_iv_wald": "2-cell instrument reduce + 1-row Wald ratio",
     "q373_diff_in_diff": "1-row ts-bounds scalar + 4-cell DiD reduce",
+    "q374_geometric_median": "Weiszfeld estimate frames: k x 16 model-sized, per-iteration broadcast",
+    "q375_fd_histogram": "exact-quantile spine probes (O(partitions) offsets) + 1-row width/min scalars; output O(cbrt(n)) bins",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
