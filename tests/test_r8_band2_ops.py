@@ -231,3 +231,46 @@ def test_audio_autocorr_hand_period(spark):
     assert got[1]["best_lag"] == 8
     s = sq.astype(np.int64)
     assert got[1]["best_autocorr"] == int((s[:-8] * s[8:]).sum())
+
+
+def test_cdc_chunks_tiling_property(spark):
+    """Hypothesis: for ANY document (unicode included), CDC chunks
+    tile the text exactly — lengths sum to the doc length and
+    re-chunking is deterministic (same hashes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from dbt_incremental_ci_spark.operators.cdchunk import cdc_chunks
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), min_codepoint=32
+                ),
+                min_size=8,
+                max_size=400,
+            ),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def check(texts):
+        rows = [(i, s) for i, s in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ch = cdc_chunks(df, "doc_id", "text").collect()
+        lens: dict = {}
+        hashes: dict = {}
+        for r in ch:
+            lens[r["doc_id"]] = lens.get(r["doc_id"], 0) + r["ln"]
+            hashes.setdefault(r["doc_id"], []).append(r["h"])
+        assert lens == {i: len(s) for i, s in rows}
+        ch2 = cdc_chunks(df, "doc_id", "text").collect()
+        hashes2: dict = {}
+        for r in ch2:
+            hashes2.setdefault(r["doc_id"], []).append(r["h"])
+        assert {k: sorted(v) for k, v in hashes.items()} == {
+            k: sorted(v) for k, v in hashes2.items()
+        }
+
+    check()
