@@ -1,0 +1,91 @@
+"""Standing plan contracts over EVERY workload query — the pytest
+twin of docs/PLAN_AUDIT.md (which is an artifact, regenerated per
+round; this fails CI the moment a regression lands):
+
+1. No CartesianProduct reaches the planner except the whitelisted
+   bounded-spine sites (q351's 32x32 coalition grid). An accidental
+   all-pairs product over corpus-sized inputs is THE scale killer
+   this engine's dedup/ANN design exists to avoid.
+2. Every query whose physical plan funnels through an
+   `Exchange SinglePartition` carries a bound note in
+   tools/plan_audit.py ONE_PART_NOTES or matches a known-benign
+   builtin pattern — a data-sized single-task funnel must never land
+   silently.
+3. No row-at-a-time Python UDF (`BatchEvalPython`) anywhere — Python
+   reaches plans only as Arrow batches (mapInPandas /
+   ArrowEvalPython) at the deliberate multimodal/decode operators.
+
+Plans are built WITHOUT executing (queryExecution().sparkPlan), so
+the whole sweep is planning-cost only; the handful of operators that
+fit a model at DataFrame-construction time (collected centroids etc.)
+run their small fit jobs at sf0.001.
+"""
+
+import re
+
+import pytest
+
+from dbt_incremental_ci_spark import workload
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# bounded-spine cartesians: both sides are fixed constant grids
+CARTESIAN_WHITELIST = {
+    "q351_shapley_reach",  # 32x32 coalition spine (constant)
+}
+
+# benign 1-part shapes that need no per-query note: a plan whose ONLY
+# single-partition funnel is the final global aggregate's 1-row merge
+_GLOBAL_AGG_RE = re.compile(
+    r"Exchange SinglePartition[^\n]*\n(?:[^\n]*\n)?[^\n]*HashAggregate"
+)
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    plans = {}
+    for name in sorted(workload.QUERIES):
+        df = workload.QUERIES[name](spark, SF_DIR)
+        plans[name] = df._jdf.queryExecution().sparkPlan().toString()
+    return plans
+
+
+def test_no_unwhitelisted_cartesian(all_plans):
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if "CartesianProduct" in p and n not in CARTESIAN_WHITELIST
+    ]
+    assert offenders == [], (
+        f"CartesianProduct reached the planner in {offenders} — "
+        "either a missing join key (bug) or a new bounded spine "
+        "(whitelist it WITH a bound argument)"
+    )
+
+
+def test_every_one_part_exchange_is_bounded(all_plans):
+    from tools.plan_audit import ONE_PART_NOTES
+
+    offenders = []
+    for n, p in all_plans.items():
+        n_one = p.count("Exchange SinglePartition")
+        if n_one == 0 or n in ONE_PART_NOTES:
+            continue
+        # benign: every 1-part funnel in this plan is a global-agg
+        # 1-row merge (the scalar-reduce class)
+        if len(_GLOBAL_AGG_RE.findall(p)) >= n_one:
+            continue
+        offenders.append(n)
+    assert offenders == [], (
+        f"single-partition exchanges without a bound note: {offenders} "
+        "— add ONE_PART_NOTES entries in tools/plan_audit.py stating "
+        "why each funneled frame is bounded"
+    )
+
+
+def test_no_row_python_udfs(all_plans):
+    offenders = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], (
+        f"row-at-a-time Python UDFs in {offenders} — use Arrow "
+        "(pandas_udf / mapInPandas) or built-in expressions"
+    )
