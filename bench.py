@@ -441,6 +441,9 @@ EXTRA_QUERIES = [
     "q373_diff_in_diff",
     "q374_geometric_median",
     "q375_fd_histogram",
+    "q376_bloom_fpr_curve",
+    "q377_loso_rank_stability",
+    "q378_session_gap_curve",
 ]
 
 

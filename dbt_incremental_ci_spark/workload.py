@@ -37,7 +37,8 @@ the original single module had grown past 9k lines):
   Aalen-Johansen competing risks, power-iteration top eigenpair,
   audio autocorrelation period detection, cross-source chunk
   contamination, IV/Wald LATE estimator, difference-in-differences,
-  Weiszfeld geometric median, Freedman-Diaconis adaptive histogram)
+  Weiszfeld geometric median, Freedman-Diaconis adaptive histogram,
+  Bloom FPR curve, LOSO rank stability, session-gap sensitivity)
 - ``workload_q11`` — q357+ (round-8 second batch: simplified
   silhouette, RFM quintile segmentation, interval-overlap range join
   (session concurrency), ε-DP clipped mean, perceptual image aHash,

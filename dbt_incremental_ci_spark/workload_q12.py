@@ -1,4 +1,4 @@
-"""Workload band q365-q375 — round-8 third batch.
+"""Workload band q365-q378 — round-8 third batch.
 
 Storage-level dedup (content-defined chunking with a rolling-window
 boundary rule — the rsync/LBFS trick that dedups shared substrings
@@ -1204,4 +1204,328 @@ def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.max("h_cents").cast("bigint").alias("h_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
+# =====================================================================
+# Bloom-filter FPR curve (q376): measured vs estimated false-positive
+# rate across three filter sizes (k = 4 salts fixed) — completes the
+# sketch-accuracy trio next to q252 (count-min) and q291 (HLL).
+# Members = doc_id % 3 != 0, probes = the true NON-members, so every
+# might_contain hit is a false positive by construction. The
+# theoretical plug-in uses the MEASURED bit density: fpr ≈ (bits/m)^k
+# written as explicit x·x·x·x (libm pow is not ulp-deterministic
+# cross-engine; four multiplications are). Bits-set and probe counts
+# are exact integers; rates are half-up micro DIVs. Per-m work: one
+# n·k explode into an ≤m-row distinct + a broadcast probe join.
+# =====================================================================
+def _q376_block(m: int) -> str:
+    from dbt_incremental_ci_spark.operators.bloom import position_sql
+
+    member_pos = "\n        UNION ALL ".join(
+        f"SELECT {position_sql('doc_id', m, 'fprc', i)} AS bit_pos "
+        "FROM members"
+        for i in range(4)
+    )
+    probe_pos = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {position_sql('doc_id', m, 'fprc', i)} "
+        "AS bit_pos FROM probes"
+        for i in range(4)
+    )
+    return f"""
+    SELECT {m} AS m, bs.bits_set, pr.n_probes, pr.n_fp
+    FROM (
+      SELECT CAST(count(*) AS BIGINT) AS bits_set FROM (
+        SELECT DISTINCT bit_pos FROM ({member_pos})
+      )
+    ) bs, (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN mc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fp
+      FROM (
+        SELECT doc_id,
+               count(*) = sum(CASE WHEN b.bit_pos IS NOT NULL
+                              THEN 1 ELSE 0 END) AS mc
+        FROM ({probe_pos}) pp
+        LEFT JOIN (SELECT DISTINCT bit_pos FROM ({member_pos})) b
+          USING (bit_pos)
+        GROUP BY doc_id
+      )
+    ) pr
+    """
+
+
+_Q376_MS = [512, 2048, 8192]
+
+
+def _q376_oracle() -> str:
+    blocks = "\n    UNION ALL\n".join(_q376_block(m) for m in _Q376_MS)
+    return f"""
+    WITH members AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    probes AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    raw AS (
+    {blocks}
+    )
+    SELECT CAST(m AS INT) AS m, CAST(4 AS INT) AS k, bits_set,
+           n_probes, n_fp,
+           ROUND(CAST(bits_set AS DOUBLE) / m, 6) AS load_factor,
+           CAST((n_fp * 2000000 + n_probes) // (2 * n_probes)
+                AS DOUBLE) / 1e6 AS fpr_measured,
+           ROUND((CAST(bits_set AS DOUBLE) / m)
+                 * (CAST(bits_set AS DOUBLE) / m)
+                 * (CAST(bits_set AS DOUBLE) / m)
+                 * (CAST(bits_set AS DOUBLE) / m), 9) AS fpr_estimate
+    FROM raw
+    """
+
+
+@q("q376_bloom_fpr_curve", _q376_oracle())
+def q376(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import bloom
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 3 != 0)
+    probes = docs.filter(F.col("doc_id") % 3 == 0)
+    outs = []
+    for m in _Q376_MS:
+        bits = bloom.bloom_build(members, m=m, k=4, salt="fprc")
+        bs = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+        probed = bloom.bloom_might_contain(
+            bits, probes, m=m, k=4, salt="fprc"
+        )
+        pr = probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum(F.col("might_contain").cast("int"))
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+        outs.append(
+            bs.crossJoin(F.broadcast(pr)).select(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(4).cast("int").alias("k"),
+                "bits_set",
+                "n_probes",
+                "n_fp",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    lf = F.col("bits_set").cast("double") / F.col("m")
+    return u.select(
+        "m",
+        "k",
+        "bits_set",
+        "n_probes",
+        "n_fp",
+        F.round(lf, 6).alias("load_factor"),
+        F.expr(
+            "CAST((n_fp * 2000000 + n_probes) DIV (2 * n_probes)"
+            " AS DOUBLE) / 1e6"
+        ).alias("fpr_measured"),
+        F.round(lf * lf * lf * lf, 9).alias("fpr_estimate"),
+    )
+
+
+# =====================================================================
+# Leave-one-source-out rank stability (q377): is the corpus-wide
+# top-10 term ranking an artifact of one source? For every held-out
+# source, the top-10 recomputed from total − that source's counts
+# (NO second corpus pass — the (term × source) count frame already
+# contains every scenario), reported as overlap@10 with the full
+# ranking. The q319 LOSO idea applied to rankings; low overlap for a
+# source = that source dominates the vocabulary (a mixture red flag).
+# Frames: one corpus hash agg → vocab×|sources| candidates; per-source
+# rank windows partition by the held-out source.
+# =====================================================================
+@q(
+    "q377_loso_rank_stability",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    ts AS (
+      SELECT source, w AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(toks) AS w FROM tk)
+      GROUP BY source, w
+    ),
+    tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM ts GROUP BY term),
+    full_top AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY ct DESC, term) AS rn
+        FROM tot
+      ) WHERE rn <= 10
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    loso AS (
+      SELECT s.source, t.term,
+             t.ct - COALESCE(x.c, 0) AS cm
+      FROM srcs s CROSS JOIN tot t
+      LEFT JOIN ts x ON x.source = s.source AND x.term = t.term
+    ),
+    loso_top AS (
+      SELECT source, term FROM (
+        SELECT source, term,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY cm DESC, term) AS rn
+        FROM loso
+      ) WHERE rn <= 10
+    )
+    SELECT lt.source,
+           CAST(sum(CASE WHEN ft.term IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS overlap_at_10,
+           ROUND(sum(CASE WHEN ft.term IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0, 6) AS stability
+    FROM loso_top lt LEFT JOIN full_top ft ON lt.term = ft.term
+    GROUP BY lt.source
+    """,
+)
+def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.text import tokens as _tok
+
+    docs = t(spark, sf_dir, "documents")
+    ts = (
+        docs.select(
+            "source",
+            F.explode(
+                _tok(F.trim(F.lower(F.col("text"))))
+            ).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # totals + per-source scenarios
+    )
+    tot = ts.groupBy("term").agg(F.sum("c").cast("bigint").alias("ct"))
+    # vocab-bounded frame: deliberate tiny rank window
+    w_full = Window.orderBy(F.desc("ct"), F.asc("term"))
+    full_top = (
+        tot.withColumn("rn", F.row_number().over(w_full))
+        .where(F.col("rn") <= 10)
+        .select("term")
+    )
+    srcs = docs.select("source").distinct()
+    loso = (
+        srcs.crossJoin(tot)
+        .join(ts, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            (F.col("ct") - F.coalesce(F.col("c"), F.lit(0))).alias("cm"),
+        )
+    )
+    w_s = Window.partitionBy("source").orderBy(F.desc("cm"), F.asc("term"))
+    loso_top = (
+        loso.withColumn("rn", F.row_number().over(w_s))
+        .where(F.col("rn") <= 10)
+        .select("source", "term")
+    )
+    return (
+        loso_top.join(
+            F.broadcast(full_top.withColumn("__hit", F.lit(1))),
+            "term",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("overlap_at_10"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6
+            ).alias("stability"),
+        )
+    )
+
+
+# =====================================================================
+# Sessionization-gap sensitivity curve (q378): the q182 session
+# metrics recomputed at 10/30/60-minute inactivity gaps in ONE pass —
+# the parameter-sensitivity census (q353's shingle curve for events)
+# that picks the gap before a pipeline bakes it in. Constant ×3
+# fan-out via a gap spine crossJoin; windows partition by (gap, user).
+# =====================================================================
+@q(
+    "q378_session_gap_curve",
+    """
+    WITH gaps AS (SELECT unnest([600, 1800, 3600]) AS gap),
+    flagged AS (
+      SELECT g.gap, e.user_id,
+             epoch_ns(e.ts) // 1000000000 AS sec, e.event_id,
+             CASE WHEN lag(e.ts) OVER (PARTITION BY g.gap, e.user_id
+                                       ORDER BY e.ts, e.event_id)
+                    IS NULL THEN 1
+                  WHEN date_diff('second',
+                       lag(e.ts) OVER (PARTITION BY g.gap, e.user_id
+                                       ORDER BY e.ts, e.event_id),
+                       e.ts) > g.gap THEN 1
+                  ELSE 0 END AS is_new
+      FROM events e CROSS JOIN gaps g
+    ),
+    sess AS (
+      SELECT gap, user_id, sec,
+             sum(is_new) OVER (PARTITION BY gap, user_id
+                               ORDER BY sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per AS (
+      SELECT gap, user_id, sid, count(*) AS n_ev,
+             max(sec) - min(sec) AS dur
+      FROM sess GROUP BY gap, user_id, sid
+    )
+    SELECT CAST(gap AS INT) AS gap_sec,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           ROUND(sum(n_ev) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_events_per_session,
+           ROUND(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+           ROUND(sum(dur) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_session_sec
+    FROM per GROUP BY gap
+    """,
+)
+def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        "sec", F.expr("CAST(ts DIV 1000000000 AS BIGINT)")
+    )
+    gaps = ev.sparkSession.createDataFrame(
+        [(600,), (1800,), (3600,)], "gap int"
+    )
+    e = ev.crossJoin(F.broadcast(gaps))
+    w = Window.partitionBy("gap", "user_id").orderBy("ts", "event_id")
+    prev_sec = F.lag("sec").over(w)
+    is_new = (
+        F.when(prev_sec.isNull(), 1)
+        .when(F.col("sec") - prev_sec > F.col("gap"), 1)
+        .otherwise(0)
+    )
+    ws = (
+        Window.partitionBy("gap", "user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = e.withColumn("__new", is_new).withColumn(
+        "sid", F.sum("__new").over(ws)
+    )
+    per = sess.groupBy("gap", "user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("sec") - F.min("sec")).alias("dur"),
+    )
+    return per.groupBy(F.col("gap").cast("int").alias("gap_sec")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum("n_ev") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("dur") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_session_sec"),
     )

@@ -47,6 +47,9 @@ ONE_PART_NOTES = {
     "q373_diff_in_diff": "1-row ts-bounds scalar + 4-cell DiD reduce",
     "q374_geometric_median": "Weiszfeld estimate frames: k x 16 model-sized, per-iteration broadcast",
     "q375_fd_histogram": "exact-quantile spine probes (O(partitions) offsets) + 1-row width/min scalars; output O(cbrt(n)) bins",
+    "q376_bloom_fpr_curve": "per-m 1-row bits-set and probe-rate reduces over the <=m-row filter frames (x3 constant fan-out)",
+    "q377_loso_rank_stability": "vocab-bounded full-top rank window + 1-row-per-source overlap census",
+    "q378_session_gap_curve": "3-row gap census over the per-(gap,user,session) frame",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
