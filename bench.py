@@ -444,6 +444,8 @@ EXTRA_QUERIES = [
     "q376_bloom_fpr_curve",
     "q377_loso_rank_stability",
     "q378_session_gap_curve",
+    "q379_fightin_words",
+    "q380_dedup_transitivity",
 ]
 
 

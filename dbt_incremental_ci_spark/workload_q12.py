@@ -1,4 +1,4 @@
-"""Workload band q365-q378 — round-8 third batch.
+"""Workload band q365-q380 — round-8 third batch.
 
 Storage-level dedup (content-defined chunking with a rolling-window
 boundary rule — the rsync/LBFS trick that dedups shared substrings
@@ -1528,4 +1528,258 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("dur") / F.count(F.lit(1)).cast("double"), 6
         ).alias("avg_session_sec"),
+    )
+
+
+# =====================================================================
+# Fightin' Words distinctive terms (q379): Monroe, Colaresi &
+# Quinn (2008) — log-odds-ratio with a Dirichlet prior and its
+# asymptotic variance, THE corpus-comparison method that fixes what
+# raw log-odds and tf-idf both get wrong (rare-word explosion /
+# frequent-word suppression). Corpora: even vs odd doc_id halves;
+# z(w) = [ln-odds_1(w) − ln-odds_2(w)] / √(1/(c1+a) + 1/(c2+a)),
+# a = 0.5. Sufficient statistics are exact integers from one hash
+# agg; each ln/√ rides the ROUND-9 grid before the one combining
+# expression (house ln rule), z rounds to 6. Top-15 per direction
+# over the (c1+c2 ≥ 20)-filtered vocab-bounded frame.
+# =====================================================================
+@q(
+    "q379_fightin_words",
+    r"""
+    WITH tk AS (
+      SELECT doc_id % 2 AS grp,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    cnt AS (
+      SELECT grp, w AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT grp, unnest(toks) AS w FROM tk)
+      GROUP BY grp, w
+    ),
+    wide AS (
+      SELECT term,
+             CAST(COALESCE(max(CASE WHEN grp = 0 THEN c END), 0)
+               AS BIGINT) AS c1,
+             CAST(COALESCE(max(CASE WHEN grp = 1 THEN c END), 0)
+               AS BIGINT) AS c2
+      FROM cnt GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS vsz
+      FROM wide
+    ),
+    z AS (
+      SELECT term, c1, c2,
+             ROUND((ROUND(ln((c1 + 0.5)
+                           / (n1 + 0.5 * vsz - c1 - 0.5)), 9)
+                    - ROUND(ln((c2 + 0.5)
+                             / (n2 + 0.5 * vsz - c2 - 0.5)), 9))
+                   / ROUND(sqrt(1.0 / (c1 + 0.5)
+                                + 1.0 / (c2 + 0.5)), 9), 6) AS z
+      FROM wide, tot WHERE c1 + c2 >= 20
+    )
+    SELECT * FROM (
+      SELECT 'even' AS direction, term, c1, c2, z,
+             CAST(row_number() OVER (ORDER BY z DESC, term) AS INT)
+               AS rnk
+      FROM z
+    ) WHERE rnk <= 15
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'odd' AS direction, term, c1, c2, z,
+             CAST(row_number() OVER (ORDER BY z ASC, term) AS INT)
+               AS rnk
+      FROM z
+    ) WHERE rnk <= 15
+    """,
+)
+def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.text import tokens as _tok
+
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("grp"),
+            F.explode(_tok(F.trim(F.lower(F.col("text"))))).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wide = cnt.groupBy("term").agg(
+        F.coalesce(F.max(F.when(F.col("grp") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.coalesce(F.max(F.when(F.col("grp") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+    ).localCheckpoint(eager=False)  # totals + z both read it
+    tot = wide.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("vsz"),
+    )
+    zf = (
+        wide.where(F.col("c1") + F.col("c2") >= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "c1",
+            "c2",
+            F.round(
+                (
+                    F.round(
+                        F.log(
+                            (F.col("c1") + 0.5)
+                            / (
+                                F.col("n1")
+                                + 0.5 * F.col("vsz")
+                                - F.col("c1")
+                                - 0.5
+                            )
+                        ),
+                        9,
+                    )
+                    - F.round(
+                        F.log(
+                            (F.col("c2") + 0.5)
+                            / (
+                                F.col("n2")
+                                + 0.5 * F.col("vsz")
+                                - F.col("c2")
+                                - 0.5
+                            )
+                        ),
+                        9,
+                    )
+                )
+                / F.round(
+                    F.sqrt(
+                        1.0 / (F.col("c1") + 0.5)
+                        + 1.0 / (F.col("c2") + 0.5)
+                    ),
+                    9,
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+    # vocab-bounded frame: deliberate tiny rank windows
+    w_even = Window.orderBy(F.desc("z"), F.asc("term"))
+    w_odd = Window.orderBy(F.asc("z"), F.asc("term"))
+    even = (
+        zf.withColumn("rnk", F.row_number().over(w_even).cast("int"))
+        .where(F.col("rnk") <= 15)
+        .select(F.lit("even").alias("direction"), "term", "c1", "c2", "z", "rnk")
+    )
+    odd = (
+        zf.withColumn("rnk", F.row_number().over(w_odd).cast("int"))
+        .where(F.col("rnk") <= 15)
+        .select(F.lit("odd").alias("direction"), "term", "c1", "c2", "z", "rnk")
+    )
+    return even.unionByName(odd)
+
+
+# =====================================================================
+# Dedup-threshold transitivity audit (q380): near-duplication at a
+# sound threshold should be (nearly) transitive — a ~ b and b ~ c but
+# NOT a ~ c means the threshold sits inside a similarity gradient and
+# connected-component "clusters" will chain unrelated docs. Wedges
+# from the q331 pair set (banded candidates, exact Jaccard ≥ 0.7),
+# closure checked by anti-probing the pair set; reports the global
+# closure rate. Fan-out bounded by node degree (the q331 histogram is
+# the companion diagnostic).
+# =====================================================================
+@q(
+    "q380_dedup_transitivity",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.7
+    ),
+    und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    wedges AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+    ),
+    closed AS (
+      SELECT w.a, w.b, w.c,
+             CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS cl
+      FROM wedges w
+      LEFT JOIN pairs p ON p.id_a = w.a AND p.id_b = w.c
+    )
+    SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_wedges,
+           CAST(sum(cl) AS BIGINT) AS n_closed,
+           CAST(CASE WHEN count(*) = 0 THEN NULL
+                ELSE (sum(cl) * 2000000 + count(*)) // (2 * count(*))
+                END AS DOUBLE) / 1e6 AS closure_rate
+    FROM closed
+    """,
+)
+def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # wedge sides + closure probe
+    )
+    und = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    wedges = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .where(F.col("e1.u") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("c"),
+            F.lit(1).alias("__cl"),
+        ),
+        ["a", "c"],
+        "left",
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    agg = closed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("__cl"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_closed"),
+    )
+    return npairs.crossJoin(F.broadcast(agg)).selectExpr(
+        "n_pairs",
+        "n_wedges",
+        "n_closed",
+        "CAST(CASE WHEN n_wedges = 0 THEN NULL"
+        " ELSE (n_closed * 2000000 + n_wedges) DIV (2 * n_wedges)"
+        " END AS DOUBLE) / 1e6 AS closure_rate",
     )

@@ -50,6 +50,8 @@ ONE_PART_NOTES = {
     "q376_bloom_fpr_curve": "per-m 1-row bits-set and probe-rate reduces over the <=m-row filter frames (x3 constant fan-out)",
     "q377_loso_rank_stability": "vocab-bounded full-top rank window + 1-row-per-source overlap census",
     "q378_session_gap_curve": "3-row gap census over the per-(gap,user,session) frame",
+    "q379_fightin_words": "vocab-bounded z frame + two top-15 rank windows + 1-row totals scalar",
+    "q380_dedup_transitivity": "1-row pair count + 1-row wedge/closure reduce over the degree-bounded wedge frame",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
