@@ -1438,10 +1438,20 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, tp in enumerate(_Q351_TYPES[1:], start=1):
         bit = bit.when(F.col("event_type") == tp, 1 << i)
     bits = ev.groupBy("user_id").agg(F.bit_or(bit).alias("mask"))
+    # ≤32-row frame; pinned so the CORPUS mask aggregate behind it
+    # runs once — vo/vw/vn all read v below, and without the pin each
+    # re-derived the full user groupBy (measured 12→3 s at sf0.1)
     cells = bits.groupBy("mask").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    spine = spark.createDataFrame([(s,) for s in range(32)], "s int")
+    ).localCheckpoint(eager=False)
+    # single-partition spines: local-relation crossJoins inherit BOTH
+    # sides' partitioning — two 32-partition locals planned a
+    # 1024-task CartesianProduct whose pure task-scheduling overhead
+    # was ~12 s (measured; the work itself is 160 rows). coalesce(1)
+    # + broadcast makes every spine product a 1-task BNL.
+    spine = spark.createDataFrame(
+        [(s,) for s in range(32)], "s int"
+    ).coalesce(1)
     v = (
         spine.crossJoin(F.broadcast(cells))
         .groupBy("s")
@@ -1457,17 +1467,17 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vs")
         )
-    )
+    ).localCheckpoint(eager=False)  # 32 rows; three readers (vo/vw/vn)
     players = spark.createDataFrame(
         [(i, 1 << i, tp) for i, tp in enumerate(_Q351_TYPES)],
         "i int, bit int, event_type string",
-    )
+    ).coalesce(1)
     wmap = {0: 24, 1: 6, 2: 4, 3: 6, 4: 24}
     wcol = F.create_map(
         *[F.lit(x) for kv in wmap.items() for x in kv]
     )[F.bit_count(F.col("s").cast("bigint")).cast("int")]
     subs = (
-        players.crossJoin(spine)
+        players.crossJoin(F.broadcast(spine))
         .where(F.expr("(s & bit) = 0"))
         .withColumn("w", wcol)
     )

@@ -29,10 +29,13 @@ from dbt_incremental_ci_spark import workload
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# bounded-spine cartesians: both sides are fixed constant grids
-CARTESIAN_WHITELIST = {
-    "q351_shapley_reach",  # 32x32 coalition spine (constant)
-}
+# bounded-spine cartesians: both sides fixed constant grids. Empty
+# since the q351 fix (its 32x32 coalition spine cartesian planned a
+# 1024-TASK product — 32-partition locals on both sides — whose pure
+# scheduling overhead was ~12 s; coalesce(1)+broadcast made it a
+# 1-task BNL). Lesson: even a constant-grid cartesian must pin one
+# side's partitioning; whitelist future entries only WITH that check.
+CARTESIAN_WHITELIST: set = set()
 
 # benign 1-part shapes that need no per-query note: a plan whose ONLY
 # single-partition funnel is the final global aggregate's 1-row merge
