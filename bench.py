@@ -446,6 +446,7 @@ EXTRA_QUERIES = [
     "q378_session_gap_curve",
     "q379_fightin_words",
     "q380_dedup_transitivity",
+    "q381_qini_uplift",
 ]
 
 

@@ -39,7 +39,8 @@ the original single module had grown past 9k lines):
   contamination, IV/Wald LATE estimator, difference-in-differences,
   Weiszfeld geometric median, Freedman-Diaconis adaptive histogram,
   Bloom FPR curve, LOSO rank stability, session-gap sensitivity,
-  Fightin'-Words log-odds terms, dedup transitivity audit)
+  Fightin'-Words log-odds terms, dedup transitivity audit, Qini
+  uplift curve)
 - ``workload_q11`` — q357+ (round-8 second batch: simplified
   silhouette, RFM quintile segmentation, interval-overlap range join
   (session concurrency), ε-DP clipped mean, perceptual image aHash,

@@ -1,4 +1,4 @@
-"""Workload band q365-q380 — round-8 third batch.
+"""Workload band q365-q381 — round-8 third batch.
 
 Storage-level dedup (content-defined chunking with a rolling-window
 boundary rule — the rsync/LBFS trick that dedups shared substrings
@@ -1782,4 +1782,126 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN n_wedges = 0 THEN NULL"
         " ELSE (n_closed * 2000000 + n_wedges) DIV (2 * n_wedges)"
         " END AS DOUBLE) / 1e6 AS closure_rate",
+    )
+
+
+# =====================================================================
+# Qini uplift curve (q381): the standard uplift-model evaluation
+# (Radcliffe 2007) missing from the causal band — users ranked by a
+# targeting score (the props.k signal), cumulative incremental
+# purchases at each decile: qini(d) = Y_t(d) − Y_c(d)·N_t(d)/N_c(d).
+# Treatment = user parity (the q372/q373 instrument), outcome = any
+# purchase. Deciles are INTEGER rank arithmetic on the two-phase
+# user-frame total order (no quantile interpolation); cumulative
+# sums run on the 10-row decile frame; the one ratio per row is a
+# single double expression over exact integers, rounded 6.
+# =====================================================================
+@q(
+    "q381_qini_uplift",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS treat,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y,
+             max(CAST(json_extract(props, '$.k') AS BIGINT)) AS score
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+             count(*) OVER () AS nu
+      FROM per_user
+    ),
+    dec AS (
+      SELECT CAST(((rn - 1) * 10) // nu AS INT) AS decile, treat, y
+      FROM ranked
+    ),
+    cells AS (
+      SELECT decile,
+             CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS yt,
+             CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS yc
+      FROM dec GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             sum(nt) OVER w AS nt_c, sum(nc) OVER w AS nc_c,
+             sum(yt) OVER w AS yt_c, sum(yc) OVER w AS yc_c
+      FROM cells
+      WINDOW w AS (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, CAST(nt_c AS BIGINT) AS nt_cum,
+           CAST(nc_c AS BIGINT) AS nc_cum,
+           CAST(yt_c AS BIGINT) AS yt_cum,
+           CAST(yc_c AS BIGINT) AS yc_cum,
+           ROUND(yt_c - yc_c * (CAST(nt_c AS DOUBLE)
+                                / CAST(nc_c AS DOUBLE)), 6) AS qini
+    FROM cum
+    """,
+)
+def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+
+    ev = events_table(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+        F.max(
+            F.get_json_object("props", "$.k").cast("bigint")
+        ).alias("score"),
+    ).withColumn("treat", F.col("user_id") % 2)
+    ranked = two_phase_row_number(
+        per_user, [F.desc("score"), F.asc("user_id")], out_col="rn"
+    )
+    nu = per_user.agg(F.count(F.lit(1)).alias("__nu"))
+    dec = ranked.crossJoin(F.broadcast(nu)).selectExpr(
+        "CAST(((rn - 1) * 10) DIV __nu AS INT) AS decile", "treat", "y"
+    )
+    cells = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("yt"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("yc"),
+    )
+    # 10-row decile frame: deliberate tiny cumulative window
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cells.select(
+        "decile",
+        F.sum("nt").over(w).cast("bigint").alias("nt_cum"),
+        F.sum("nc").over(w).cast("bigint").alias("nc_cum"),
+        F.sum("yt").over(w).cast("bigint").alias("yt_cum"),
+        F.sum("yc").over(w).cast("bigint").alias("yc_cum"),
+    ).select(
+        "decile",
+        "nt_cum",
+        "nc_cum",
+        "yt_cum",
+        "yc_cum",
+        F.round(
+            F.col("yt_cum")
+            - F.col("yc_cum")
+            * (
+                F.col("nt_cum").cast("double")
+                / F.col("nc_cum").cast("double")
+            ),
+            6,
+        ).alias("qini"),
     )

@@ -52,6 +52,7 @@ ONE_PART_NOTES = {
     "q378_session_gap_curve": "3-row gap census over the per-(gap,user,session) frame",
     "q379_fightin_words": "vocab-bounded z frame + two top-15 rank windows + 1-row totals scalar",
     "q380_dedup_transitivity": "1-row pair count + 1-row wedge/closure reduce over the degree-bounded wedge frame",
+    "q381_qini_uplift": "two-phase rank offsets (O(partitions)) + 10-row decile cumulative window + 1-row user count",
     # round-8 additions (q339+)
     "q339_multimodal_negative_qa": "two 1-row modality rollups (image + audio skip/survivor counts) over the fixed audit slice",
     "q340_temperature_scaling": "8-row T-grid rank window (the corpus reduced to <=200 cells upstream, map-side partials)",
