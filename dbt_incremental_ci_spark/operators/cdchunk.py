@@ -38,11 +38,22 @@ def cdc_chunks(
     d = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__tx")
     ).where(F.length("__tx") >= window)
+    # Guard the position range: for a document of length exactly
+    # ``window`` the upper bound is 1, and Spark's sequence(2, 1)
+    # DESCENDS ([2, 1] — step defaults to -1 when start > stop) while
+    # DuckDB's generate_series(2, 1) is empty; the two spurious
+    # positions fired the hash-mask cut for ~6% of such docs, chunking
+    # them differently across engines (round-8 ADVICE item 1). Emit no
+    # interior positions for those docs — they still get their
+    # whole-doc chunk from the ``finals`` branch below.
     pos = d.select(
         "__id",
         "__tx",
         F.explode(
-            F.sequence(F.lit(2), F.length("__tx") - (window - 1))
+            F.when(
+                F.length("__tx") - (window - 1) >= 2,
+                F.sequence(F.lit(2), F.length("__tx") - (window - 1)),
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("p"),
     )
     cut = pos.where(

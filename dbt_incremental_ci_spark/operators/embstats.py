@@ -368,6 +368,19 @@ def simplified_silhouette(
 
     Output: ``(label, n, mean_silhouette, n_negative,
     share_negative)``, one row per class.
+
+    FIXED-DIMENSION CONTRACT (round-8 ADVICE item 4): every vector
+    must have the corpus's embedding dimensionality. A ragged/short
+    vector null-pads through ``zip_with`` to a NULL cosine in Spark,
+    while the DuckDB twin's dim inner-join silently computes a
+    partial-dot cosine — a cross-engine divergence. Spark-side we
+    enforce the contract cheaply: rows whose OWN-class cosine is NULL
+    (only possible via a ragged vector or a non-finite component) are
+    dropped from the score frame, so they can never enter ``n`` with
+    a fabricated s = 0. The twin keeps the inner-join form; callers
+    feeding mixed-dimension corpora must pre-filter to one dim on
+    both engines (the testdata ``embeddings`` table is fixed-dim by
+    construction).
     """
     model, norms = _fit_centroid_model(df, vec_col, label_col)
     classes = sorted(model)
@@ -419,7 +432,10 @@ def simplified_silhouette(
     s = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
         F.lit(0.0)
     )
-    pts = scored.select(
+    # fixed-dim contract guard (see docstring): a ragged vector makes
+    # the own-class cosine NULL — drop the row rather than count a
+    # fabricated s = 0 into the class mean
+    pts = scored.where(own.isNotNull()).select(
         "__lbl", F.round(s, 6).alias("__s")
     )
     return pts.groupBy(F.col("__lbl").cast("int").alias("label")).agg(

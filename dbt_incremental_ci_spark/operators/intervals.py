@@ -202,6 +202,16 @@ def overlap_pairs(
     base_cols = [id_col, start_col, end_col]
     extra = [c for c in intervals.columns if c not in base_cols]
 
+    # Degenerate/empty intervals (end <= start) violate the half-open
+    # contract: a start on a bucket boundary makes the F.sequence below
+    # DESCEND (floor((e-1)/W) < floor(s/W)), and empty intervals could
+    # emit pairs with overlap == 0 against the docstring's "> 0"
+    # (round-8 ADVICE item 2). Drop them up front — an empty [s, s)
+    # interval overlaps nothing under the strict predicate anyway.
+    intervals = intervals.where(
+        F.col(end_col).cast("bigint") > F.col(start_col).cast("bigint")
+    )
+
     def side(tag: str) -> DataFrame:
         d = intervals.select(
             F.col(id_col).alias(f"{tag}_id"),

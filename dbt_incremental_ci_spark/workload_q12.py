@@ -1691,6 +1691,20 @@ def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure checked by anti-probing the pair set; reports the global
 # closure rate. Fan-out bounded by node degree (the q331 histogram is
 # the companion diagnostic).
+#
+# Oracle convention, wedge-squared (round-8 ADVICE item 3): the Spark
+# pair set is banding + signature-estimate prefilter (probabilistic
+# recall) vs DuckDB's exact all-pairs, and the wedge self-join SQUARES
+# any missed pair's effect on counts. The recall argument still holds:
+# auto-tuned banding admits pairs down to J≈(1/b)^(1/r)≈0.5 and the
+# estimate prefilter cuts at threshold−0.2 (>3σ for 64 hashes), so a
+# true J≥0.7 pair is missed with p≪1e-3; amplification by the ≤degree
+# wedge fan-out keeps the expected count divergence ≪1 at any SF where
+# degrees are sub-thousand. Belt-and-braces, the shipped SFs are
+# verified EXACTLY: tests/test_r8_band2_ops.py::
+# test_q380_pair_set_matches_exact_oracle asserts the Spark pair SET
+# (not just counts) equals DuckDB's exact all-pairs set at sf0.001,
+# and the sf0.01 correctness gate matches all four output values.
 # =====================================================================
 @q(
     "q380_dedup_transitivity",

@@ -76,3 +76,22 @@ def test_end_before_start_rejected(spark):
     df = spark.createDataFrame([(1, 10, 5)], ["k", "s", "e"])
     with pytest.raises(Exception, match="end < start"):
         intervals.merge_intervals(df, "k", "s", "e").collect()
+
+
+def test_overlap_pairs_degenerate_intervals_dropped(spark):
+    """Empty intervals (end <= start) must neither crash the bucketing
+    (descending F.sequence when start sits on a bucket boundary) nor
+    emit overlap == 0 pairs (round-8 ADVICE item 2)."""
+    from dbt_incremental_ci_spark.operators.intervals import overlap_pairs
+
+    rows = [
+        (1, 0, 10),    # real
+        (2, 5, 15),    # overlaps 1
+        (3, 12, 12),   # empty, start on bucket boundary (width 4: 12/4=3)
+        (4, 20, 18),   # inverted
+        (5, 8, 8),     # empty at a shared point inside interval 1
+    ]
+    df = spark.createDataFrame(rows, "iv_id long, start long, end long")
+    got = overlap_pairs(df, bucket_width=4).collect()
+    assert [(r["id_a"], r["id_b"], r["overlap"]) for r in got] == [(1, 2, 5)]
+    assert all(r["overlap"] > 0 for r in got)

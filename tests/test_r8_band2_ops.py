@@ -274,3 +274,116 @@ def test_cdc_chunks_tiling_property(spark):
         }
 
     check()
+
+
+def test_cdc_chunks_window_length_doc_matches_duckdb(spark):
+    """Cross-engine regression (round-8 ADVICE item 1): a document of
+    length exactly ``window`` (8) hits sequence(2, 1), which DESCENDS
+    in Spark ([2, 1]) but is empty in DuckDB — before the guard,
+    'hoyauvxt' chunked as (1, 7) in Spark vs (8) in DuckDB. Both
+    engines must now emit the single whole-doc chunk, and longer docs
+    must keep chunking identically."""
+    import duckdb
+
+    from dbt_incremental_ci_spark.operators.cdchunk import (
+        cdc_chunks,
+        cdc_chunks_sql,
+    )
+
+    rows = [
+        (1, "hoyauvxt"),                     # length == window: the bug
+        (2, "abcdefgh"),                     # length == window
+        (3, "exactly nine"),                 # window + a few
+        (4, " ".join(f"w{i}x{i * 3 % 7}" for i in range(40))),  # long
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["h"], r["ln"])
+        for r in cdc_chunks(df, "doc_id", "text").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {cdc_chunks_sql('documents', 'doc_id', 'text', 8, 32)} "
+            "SELECT id, h, ln FROM chunks"
+        ).fetchall()
+    )
+    assert got == want
+    # the two window-length docs each produced exactly one whole chunk
+    assert [(d, ln) for d, _h, ln in got if d in (1, 2)] == [(1, 8), (2, 8)]
+
+
+def test_q380_pair_set_matches_exact_oracle(spark):
+    """q380's wedge census squares any recall miss in the banded pair
+    set (round-8 ADVICE item 3) — so verify the Spark pair SET, not
+    just the output counts, against DuckDB's exact all-pairs Jaccard
+    at sf0.001."""
+    import duckdb
+
+    from dbt_incremental_ci_spark.operators import dedup
+    from dbt_incremental_ci_spark.workload import t
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = t(spark, sf_dir, "documents")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.7
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = set(
+        con.execute(
+            """
+            WITH sh AS (
+              SELECT doc_id,
+                     CASE WHEN strlen(lower(text)) >= 5 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, strlen(lower(text)) - 4),
+                         i -> substr(lower(text), i, 5)))
+                     ELSE [lower(text)] END AS s
+              FROM documents
+            )
+            SELECT a.doc_id, b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.7
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_simplified_silhouette_ragged_vector_dropped(spark):
+    """Fixed-dimension contract guard (round-8 ADVICE item 4): a
+    ragged vector null-pads to a NULL own-class cosine and must be
+    DROPPED, not scored as s = 0 inside n."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 0.9], 1),
+        (5, [0.5], 0),  # ragged: wrong dimensionality
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in simplified_silhouette(df).collect()}
+    # centroid model still sees the ragged row, but the score frame
+    # must exclude it: class 0 scores exactly its 2 well-formed rows
+    assert got[0]["n"] == 2
+    assert got[1]["n"] == 2
