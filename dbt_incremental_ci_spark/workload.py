@@ -77,7 +77,7 @@ the original single module had grown past 9k lines):
   dedup pair explanations, group conformal coverage, rich club,
   inter-event burstiness, TWAP, token-budget waterfilling)
 
-Importing this module imports all twelve, which registers every query
+Importing this module imports all thirteen, which registers every query
 into the shared ``QUERIES``/``ORACLES`` registries defined in
 ``workload_base`` (the @q decorator). External surface is unchanged:
 ``workload.QUERIES``, ``workload.get_oracles``, ``workload.t``,
@@ -113,3 +113,4 @@ from dbt_incremental_ci_spark import workload_q9  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q10  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q11  # noqa: F401,E402
 from dbt_incremental_ci_spark import workload_q12  # noqa: F401,E402
+from dbt_incremental_ci_spark import workload_q13  # noqa: F401,E402
