@@ -450,6 +450,10 @@ EXTRA_QUERIES = [
     "q382_lm_doc_quality",
     "q383_split_leakage",
     "q384_pca2_explained",
+    "q385_packing_audit",
+    "q386_good_turing_mass",
+    "q387_mixture_weights",
+    "q388_dedup_retention",
 ]
 
 

@@ -578,3 +578,358 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# =====================================================================
+# Context-window packing audit (q385): the pre-training batching
+# question — how much of each source survives a 2048-token context
+# budget, and how many packed windows does it fill? Exact integers
+# only: per source, docs / whitespace tokens / docs over budget /
+# tokens lost to truncation / the packed-window lower bound
+# ceil(usable / 2048) / the fill ratio of those windows on the 1e-6
+# half-up grid. (True first-fit packing is inherently sequential;
+# the ceil lower bound and truncation loss are the scale-stable
+# numbers a planner actually uses.) One corpus pass, category-bounded
+# reduce.
+# =====================================================================
+_Q385_CTX = 2048
+
+
+@q(
+    "q385_packing_audit",
+    rf"""
+    WITH tk AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                  '\s+'), t -> t <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN ntok > {_Q385_CTX} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_over_budget,
+             CAST(sum(CASE WHEN ntok > {_Q385_CTX}
+                      THEN ntok - {_Q385_CTX} ELSE 0 END) AS BIGINT)
+               AS truncated_tokens,
+             CAST(sum(CASE WHEN ntok > {_Q385_CTX} THEN {_Q385_CTX}
+                      ELSE ntok END) AS BIGINT) AS usable_tokens
+      FROM tk GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_over_budget, truncated_tokens,
+           (usable_tokens + {_Q385_CTX - 1}) // {_Q385_CTX} AS windows_lb,
+           CAST((usable_tokens * 2000000
+                 + ((usable_tokens + {_Q385_CTX - 1}) // {_Q385_CTX})
+                   * {_Q385_CTX})
+                // (2 * ((usable_tokens + {_Q385_CTX - 1})
+                         // {_Q385_CTX}) * {_Q385_CTX})
+             AS DOUBLE) / 1e6 AS fill_ratio
+    FROM s ORDER BY source
+    """,
+)
+def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ctx = _Q385_CTX
+    tk = docs.select(
+        "source", F.size(_toks("text")).cast("bigint").alias("ntok")
+    )
+    s = tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("ntok") > ctx, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_budget"),
+        F.sum(
+            F.when(F.col("ntok") > ctx, F.col("ntok") - ctx).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("truncated_tokens"),
+        F.sum(F.least(F.col("ntok"), F.lit(ctx).cast("bigint")))
+        .cast("bigint")
+        .alias("usable_tokens"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_over_budget",
+        "truncated_tokens",
+        f"(usable_tokens + {ctx - 1}) DIV {ctx} AS windows_lb",
+        f"CAST((usable_tokens * 2000000"
+        f" + ((usable_tokens + {ctx - 1}) DIV {ctx}) * {ctx})"
+        f" DIV (2 * ((usable_tokens + {ctx - 1}) DIV {ctx}) * {ctx})"
+        f" AS DOUBLE) / 1e6 AS fill_ratio",
+    ).orderBy("source")
+
+
+# =====================================================================
+# Good-Turing unseen mass + Chao1 vocabulary estimate (q386): the
+# corpus-coverage audit — what probability mass belongs to words the
+# corpus has NEVER seen (Good-Turing: P0 = N1/N, the singleton share)
+# and how big is the true vocabulary (Chao1: V + N1²/(2·N2)) — the
+# two standard "is this corpus big enough / still growing" numbers
+# (Gale & Sampson 1995; Chao 1984). Per source. Exact integer
+# sufficient statistics (token count, vocab size, singleton/doubleton
+# type counts) from two hash aggs; both ratios on the 1e-6 half-up
+# integer grid; Chao1 NULL where N2 = 0 (estimator undefined).
+# =====================================================================
+@q(
+    "q386_good_turing_mass",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split_regex(
+               trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM cnt GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n1, n2,
+           CAST((n1 * 2000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+             / 1e6 AS p_unseen,
+           CASE WHEN n2 > 0 THEN
+             CAST(vocab AS DOUBLE)
+             + CAST((n1 * n1 * 1000000 + n2) // (2 * n2) AS DOUBLE)
+               / 1e6
+           END AS chao1_vocab
+    FROM s ORDER BY source
+    """,
+)
+def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(_toks("text")).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return s.selectExpr(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        "CAST((n1 * 2000000 + n_tokens) DIV (2 * n_tokens) AS DOUBLE)"
+        " / 1e6 AS p_unseen",
+        "CASE WHEN n2 > 0 THEN CAST(vocab AS DOUBLE)"
+        " + CAST((n1 * n1 * 1000000 + n2) DIV (2 * n2) AS DOUBLE) / 1e6"
+        " END AS chao1_vocab",
+    ).orderBy("source")
+
+
+# =====================================================================
+# Temperature-scaled mixture weights (q387): the multilingual/
+# multi-source sampling standard (α = 0.5 — upsample small sources,
+# damp the head): w_s ∝ n_s^α over per-source token counts, vs the
+# raw proportional share. Determinism: sqrt is IEEE-exact-rounded in
+# both engines; each sqrt is rounded-6 and lifted to the 1e-6 integer
+# grid BEFORE the cross-source sum, so the normalizing constant is an
+# exact integer (float sum order never matters); both shares are
+# half-up integer divisions. Category-bounded everything after the
+# one corpus pass.
+# =====================================================================
+@q(
+    "q387_mixture_weights",
+    r"""
+    WITH tk AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split_regex(
+                  trim(lower(text)), '\s+'), t -> t <> '')))
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    g AS (
+      SELECT source, n_tokens,
+             CAST(floor(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) * 1e6
+                        + 0.5) AS BIGINT) AS sq6
+      FROM tk
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS nt,
+             CAST(sum(sq6) AS BIGINT) AS st
+      FROM g
+    )
+    SELECT source, n_tokens,
+           CAST((n_tokens * 2000000 + tot.nt) // (2 * tot.nt)
+             AS DOUBLE) / 1e6 AS raw_share,
+           CAST((sq6 * 2000000 + tot.st) // (2 * tot.st) AS DOUBLE)
+             / 1e6 AS temperature_share
+    FROM g CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.groupBy("source").agg(
+        F.sum(F.size(_toks("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    g = tk.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("sq6"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").cast("bigint").alias("nt"),
+        F.sum("sq6").cast("bigint").alias("st"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "CAST((n_tokens * 2000000 + nt) DIV (2 * nt) AS DOUBLE)"
+            " / 1e6 AS raw_share",
+            "CAST((sq6 * 2000000 + st) DIV (2 * st) AS DOUBLE) / 1e6"
+            " AS temperature_share",
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Dedup retention plan (q388): what dedup actually DOES to the corpus
+# — group near-duplicates into connected components (large-star/
+# small-star over the q331 banded pair set), keep ONE representative
+# per component by the standard "longest text, id tiebreak" rule
+# (richer than q52's min-id survivor), and report the per-source
+# retention ledger: docs before/after, drop count, and the kept share
+# of characters on the 1e-6 grid (how much DATA survives, not just
+# how many docs). Component fan-out is the q52/q320 machinery; the
+# keep-rule is one per-component max_by; reduces are source-bounded.
+# =====================================================================
+@q(
+    "q388_dedup_retention",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(lower(text)) >= 5 THEN
+               list_distinct(list_transform(
+                 generate_series(1, strlen(lower(text)) - 4),
+                 i -> substr(lower(text), i, 5)))
+             ELSE [lower(text)] END AS s
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, d.source,
+             CAST(strlen(d.text) AS BIGINT) AS nchars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    keep AS (
+      SELECT component,
+             (SELECT l2.doc_id FROM lab l2
+              WHERE l2.component = lab.component
+              ORDER BY l2.nchars DESC, l2.doc_id ASC LIMIT 1) AS kept_id
+      FROM lab GROUP BY component
+    ),
+    marked AS (
+      SELECT l.source, l.nchars,
+             CASE WHEN l.doc_id = k.kept_id THEN 1 ELSE 0 END AS kept
+      FROM lab l JOIN keep k ON l.component = k.component
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+           CAST((sum(kept * nchars) * 2000000 + sum(nchars))
+                // (2 * sum(nchars)) AS DOUBLE) / 1e6
+             AS kept_char_share
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_incremental_ci_spark.operators import components as cc
+    from dbt_incremental_ci_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.7
+    ).select("id_a", "id_b")
+    comp = cc.dedup_components(
+        docs.select("doc_id"), pairs, "doc_id"
+    ).select("doc_id", "component")
+    lab = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("nchars")
+    ).join(comp, "doc_id")
+    # keep-rule: longest text per component, doc_id tiebreak — a
+    # per-component top-1 window (frame bounded by component size)
+    w = Window.partitionBy("component").orderBy(
+        F.desc("nchars"), F.asc("doc_id")
+    )
+    marked = lab.withColumn(
+        "kept",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.col("kept") * F.col("nchars"))
+            .cast("bigint")
+            .alias("__kc"),
+            F.sum("nchars").cast("bigint").alias("__tc"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            "CAST((__kc * 2000000 + __tc) DIV (2 * __tc) AS DOUBLE)"
+            " / 1e6 AS kept_char_share",
+        )
+        .orderBy("source")
+    )
