@@ -25,6 +25,11 @@ JOIN_RE = re.compile(
 # task is sample-, partition-count-, or output-sized, never data-sized.
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
+    # round-9 additions (q382+)
+    "q382_lm_doc_quality": "1-row LM normalizer (bigram-type count) broadcast into the probability table",
+    "q383_split_leakage": "1-row total-pairs scalar reduce broadcast into the 6-cell split matrix",
+    "q384_pca2_explained": "power-iteration model algebra: 1-row norm/Rayleigh/trace reduces + 16-row eigenvector frames (all model-sized, 16x16 covariance)",
+    "q387_mixture_weights": "1-row normalizer (token total + integer-lifted sqrt total) over the source-bounded frame",
     # round-7 additions (q310+)
     # round-8 additions (q357+, second batch)
     "q357_simplified_silhouette": "centroid-fit model frame (classes x dims rows) + per-class output cells (class-bounded)",
