@@ -888,7 +888,7 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "v", nx_expr.alias("nc"))
         .where(F.col("nc") > 0)
         .orderBy("x")
-        .collect()
+        .collect()  # driver-bound: ≤64 candidate rows × 16 doubles
     )
     if not cand_rows:
         return spark.createDataFrame(
