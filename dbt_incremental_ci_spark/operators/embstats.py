@@ -433,26 +433,38 @@ def simplified_silhouette(
         F.lit(0.0)
     )
     # fixed-dim contract guard (see docstring): a ragged vector makes
-    # the own-class cosine NULL — drop the row rather than count a
-    # fabricated s = 0 into the class mean
-    pts = scored.where(own.isNotNull()).select(
-        "__lbl", F.round(s, 6).alias("__s")
+    # the own-class cosine NULL — NULL out s for that row INSIDE the
+    # projection instead of filtering on own.isNotNull(): a Filter
+    # would be pushed below the Project, and since codegen's
+    # common-subexpression elimination does not span operators, the
+    # per-row cosine array would be built TWICE (measured 3.6 → 6.7 s
+    # at sf0.1 before this form — the same double-fold pathology the
+    # round-8 q357 fix removed). NULLs then fall out of the aggregates
+    # (count/sum skip them) at zero extra cost.
+    pts = scored.select(
+        "__lbl",
+        F.when(own.isNotNull(), F.round(s, 6)).alias("__s"),
     )
-    return pts.groupBy(F.col("__lbl").cast("int").alias("label")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(
-            F.sum(F.col("__s").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_silhouette"),
-        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_negative"),
-        F.round(
+    return (
+        pts.groupBy(F.col("__lbl").cast("int").alias("label"))
+        .agg(
+            F.count(F.col("__s")).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("__s").cast("decimal(38,6)")).cast("double")
+                / F.count(F.col("__s")),
+                6,
+            ).alias("mean_silhouette"),
             F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("share_negative"),
+            .cast("bigint")
+            .alias("n_negative"),
+            F.round(
+                F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
+                / F.count(F.col("__s")).cast("double"),
+                6,
+            ).alias("share_negative"),
+        )
+        # a class whose every vector is ragged has no scored points
+        .where(F.col("n") > 0)
     )
 
 
