@@ -463,6 +463,20 @@ EXTRA_QUERIES = [
 # plan cost. Carried in the artifact so a flagged name is never
 # re-triaged from scratch.
 REGRESSION_TRIAGE = {
+    "q101_incremental_dedup": (
+        "cross-session Arrow/JIT plateau (the q146 class, SCALE.md "
+        "6ac): 2.15-3.08s across r06-r13 with a 5.55s session in r05 "
+        "at the SAME code; r14 isolated quiet-box best-of-3 landed "
+        "5.04s still descending (37.1 -> 8.7 -> 5.0) with git diff "
+        "db58ec6..HEAD touching NOTHING in its dedup/minhash path — "
+        "session plateau spread, not a code step"
+    ),
+    "q127_setsim_join": (
+        "historical same-code band is 6.7-10.4s (r11 recorded 10.38s "
+        "on identical code, r13 6.98s); r14's 10.57s sits at the top "
+        "of the band — prefix-filter join variance on the shared box, "
+        "no code change in setsim.py this round (git-diff verified)"
+    ),
     "q36_embedding_near_dups": (
         "count() 2.79s vs r02 1.75s -> ~1.0s REAL plan cost: the r03 "
         "rewrite to banded adaptive-plane LSH (fixed-plane blocking "
