@@ -454,6 +454,8 @@ EXTRA_QUERIES = [
     "q386_good_turing_mass",
     "q387_mixture_weights",
     "q388_dedup_retention",
+    "q389_snapshot_drift",
+    "q390_quality_retention",
 ]
 
 

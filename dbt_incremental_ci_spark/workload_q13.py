@@ -933,3 +933,240 @@ def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# =====================================================================
+# Corpus snapshot drift (q389): the recurring-crawl monitoring
+# numbers — treat the even/odd doc_id halves as two corpus snapshots
+# and report vocabulary Jaccard overlap, the OOV token share of
+# snapshot B against A's vocabulary (how much of the new crawl the
+# old tokenizer has never seen), and the total-variation distance of
+# the two unigram distributions over the top-50 combined terms (the
+# head-mass shift). All drift numbers are exact-integer: per-term
+# probabilities on the 1e-6 half-up grid over full snapshot totals,
+# TV = Σ|pa−qb| / 2 on those integers; no logs, no float sums. The
+# rank window runs on the count≥5 vocab-bounded frame (q364
+# convention).
+# =====================================================================
+@q(
+    "q389_snapshot_drift",
+    r"""
+    WITH tok AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT snap, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY snap, tok
+    ),
+    piv AS (
+      SELECT tok,
+             CAST(COALESCE(sum(CASE WHEN snap = 'a' THEN c END), 0)
+               AS BIGINT) AS ca,
+             CAST(COALESCE(sum(CASE WHEN snap = 'b' THEN c END), 0)
+               AS BIGINT) AS cb
+      FROM cnt GROUP BY tok
+    ),
+    vstats AS (
+      SELECT CAST(count(*) FILTER (WHERE ca > 0) AS BIGINT) AS va,
+             CAST(count(*) FILTER (WHERE cb > 0) AS BIGINT) AS vb,
+             CAST(count(*) FILTER (WHERE ca > 0 AND cb > 0) AS BIGINT)
+               AS vboth,
+             CAST(sum(CASE WHEN ca = 0 THEN cb ELSE 0 END) AS BIGINT)
+               AS oov_b,
+             CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+      FROM piv
+    ),
+    top AS (
+      SELECT ca, cb,
+             row_number() OVER (ORDER BY ca + cb DESC, tok) AS rnk
+      FROM piv WHERE ca + cb >= 5
+    ),
+    tv AS (
+      SELECT CAST(sum(abs((ca * 2000000 + v.na) // (2 * v.na)
+                        - (cb * 2000000 + v.nb) // (2 * v.nb)))
+               AS BIGINT) AS sabs
+      FROM top, vstats v WHERE rnk <= 50
+    )
+    SELECT v.va AS vocab_a, v.vb AS vocab_b,
+           CAST((v.vboth * 2000000 + (v.va + v.vb - v.vboth))
+                // (2 * (v.va + v.vb - v.vboth)) AS DOUBLE) / 1e6
+             AS vocab_jaccard,
+           CAST((v.oov_b * 2000000 + v.nb) // (2 * v.nb) AS DOUBLE)
+             / 1e6 AS oov_token_share_b,
+           CAST(tv.sabs AS DOUBLE) / 2e6 AS tv_distance_top50
+    FROM vstats v, tv
+    """,
+)
+def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("snap"),
+        F.explode(_toks("text")).alias("tok"),
+    )
+    cnt = tok.groupBy("snap", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    piv = (
+        cnt.groupBy("tok")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("snap") == "a", F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.coalesce(F.sum(F.when(F.col("snap") == "b", F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # vstats + top both read it
+    )
+    vstats = piv.agg(
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0)).cast("bigint").alias("va"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0)).cast("bigint").alias("vb"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("vboth"),
+        F.sum(F.when(F.col("ca") == 0, F.col("cb")).otherwise(0))
+        .cast("bigint")
+        .alias("oov_b"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    # count>=5 vocab-bounded rank window (q364 convention)
+    w = Window.orderBy(F.desc(F.col("ca") + F.col("cb")), F.asc("tok"))
+    top = (
+        piv.where(F.col("ca") + F.col("cb") >= 5)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+    )
+    tv = top.crossJoin(F.broadcast(vstats)).selectExpr(
+        "abs((ca * 2000000 + na) DIV (2 * na)"
+        " - (cb * 2000000 + nb) DIV (2 * nb)) AS d"
+    ).agg(F.sum("d").cast("bigint").alias("sabs"))
+    return vstats.crossJoin(F.broadcast(tv)).selectExpr(
+        "va AS vocab_a",
+        "vb AS vocab_b",
+        "CAST((vboth * 2000000 + (va + vb - vboth))"
+        " DIV (2 * (va + vb - vboth)) AS DOUBLE) / 1e6 AS vocab_jaccard",
+        "CAST((oov_b * 2000000 + nb) DIV (2 * nb) AS DOUBLE) / 1e6"
+        " AS oov_token_share_b",
+        "CAST(sabs AS DOUBLE) / 2e6 AS tv_distance_top50",
+    )
+
+
+# =====================================================================
+# Quality-threshold retention curve (q390): the curation planning
+# chart — rank every document by Flesch reading ease (the q195
+# readability score; NULL-score docs last, doc_id tiebreak), cut into
+# integer-rank deciles (two-phase total order, q381 convention), and
+# report per decile how many documents and tokens survive plus the
+# cumulative token share: "if we keep only the top-k quality deciles,
+# how much data is left". Exact integer token sums; cumulative window
+# on the 10-row decile frame; share on the 1e-6 half-up grid.
+# =====================================================================
+@q(
+    "q390_quality_retention",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS syllables,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                  '\s+'), t -> t <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ntok,
+             CASE WHEN words > 0
+                  THEN ROUND(206.835
+                             - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                             - 84.6 * (CAST(syllables AS DOUBLE) / words),
+                             3)
+             END AS flesch,
+             CASE WHEN words > 0 THEN 0 ELSE 1 END AS fnull
+      FROM c
+    ),
+    r AS (
+      SELECT ntok,
+             row_number() OVER (ORDER BY fnull, flesch DESC, doc_id)
+               AS rn,
+             (SELECT count(*) FROM s) AS n
+      FROM s
+    ),
+    cells AS (
+      SELECT CAST(((rn - 1) * 10) // n AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens
+      FROM r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM cells)
+    SELECT decile, n_docs, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) * 2000000 + tot.tt)
+                // (2 * tot.tt) AS DOUBLE) / 1e6 AS cum_token_share
+    FROM cells, tot ORDER BY decile
+    """,
+)
+def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_incremental_ci_spark.operators.ranks import (
+        two_phase_row_number,
+    )
+    from dbt_incremental_ci_spark.operators.text import (
+        flesch_reading_ease,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.size(_toks("text")).cast("bigint").alias("ntok"),
+        flesch_reading_ease("text").alias("flesch"),
+    ).withColumn(
+        "fnull", F.when(F.col("flesch").isNull(), 1).otherwise(0)
+    )
+    ranked = two_phase_row_number(
+        s,
+        [F.asc("fnull"), F.desc("flesch"), F.asc("doc_id")],
+        out_col="rn",
+    )
+    n = s.agg(F.count(F.lit(1)).alias("__n"))
+    cells = (
+        ranked.crossJoin(F.broadcast(n))
+        .selectExpr("CAST(((rn - 1) * 10) DIV __n AS INT) AS decile", "ntok")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = cells.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
+    # 10-row decile frame: deliberate tiny cumulative window
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("__cum"),
+            "tt",
+        )
+        .selectExpr(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "CAST((__cum * 2000000 + tt) DIV (2 * tt) AS DOUBLE) / 1e6"
+            " AS cum_token_share",
+        )
+        .orderBy("decile")
+    )

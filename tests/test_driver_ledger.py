@@ -17,7 +17,7 @@ REPO = Path(__file__).resolve().parents[1]
 
 # Names queued for the round-10 driver window (too many missing names to
 # fit one 50-slot window; shrink/remove as artifacts land).
-NEXT_ROUND_QUEUE = {n for n in range(196, 228)} | set(range(382, 389))
+NEXT_ROUND_QUEUE = {n for n in range(196, 228)} | set(range(382, 391))
 
 
 def _qnum(name: str) -> int:

@@ -26,6 +26,8 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-9 additions (q382+)
+    "q389_snapshot_drift": "count>=5 vocab-bounded top-50 rank window + 1-row vstats/tv scalar reduces",
+    "q390_quality_retention": "two-phase rank offsets (O(partitions) rows) + 10-row decile cumulative window + 1-row doc-count/token-total reduces",
     "q382_lm_doc_quality": "1-row LM normalizer (bigram-type count) broadcast into the probability table",
     "q383_split_leakage": "1-row total-pairs scalar reduce broadcast into the 6-cell split matrix",
     "q384_pca2_explained": "power-iteration model algebra: 1-row norm/Rayleigh/trace reduces + 16-row eigenvector frames (all model-sized, 16x16 covariance)",
