@@ -30,25 +30,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Ordered by driver-verification need: the driver's CORRECTNESS
     window records the first 50 entries. Driver-recorded so far:
     q01–q50 (r02), q96–q145 (r03), q146–q184 + q51–q61 (r04),
-    q228–q277 (r06), q278–q309 (32) + q69–q86 (18) (r07),
-    q87–q95 + q310–q350 (r08). The round-5 window (q185–q227 +
-    q62–q68) was never committed to git, so those names plus q48
-    and the round-8 additions q351–q381 have no driver row in a
-    committed artifact (round-8 judge item 1). Round 9 therefore
-    leads with q351–q381 (31) + q48 + q62–q68 (7) + q185–q195 (11)
-    = 50; q196–q227 queue for round 10, after which every name has
-    committed driver evidence. The committed CORRECTNESS_LOCAL_r*
-    artifacts cover every query regardless of the window."""
+    q228–q277 (r06), q278–q309 + q69–q86 (r07), q87–q95 +
+    q310–q350 (r08), q351–q381 + q48 + q62–q68 + q185–q195 (r09).
+    Round 10 leads with the final 41 never-driver-recorded names —
+    q196–q227 (32) + q382–q390 (9) — which closes the evidence
+    ledger: after this window lands, every one of the 391 names has
+    a committed driver row. The remaining 9 slots re-verify the
+    queries this round touches (q112/q127/q140 perf rebuilds), the
+    round-9-touched set (q344/q351/q357/q365/q380), and the q101
+    plateau watch-list entry.
+
+    Steady state (round 11+): once no name is missing a committed
+    driver row, the window re-verifies the 50 least-recently
+    driver-recorded names, derived from the committed
+    CORRECTNESS_r*.json artifacts (newest artifact containing a
+    name = its last-verified round), so driver evidence ages out on
+    a ~8-round horizon instead of freezing at first recording."""
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
+    reverify = {101, 112, 127, 140, 344, 351, 357, 365, 380}
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    lead = [(k, v) for k, v in items if 351 <= num(k) <= 381]
-    lead += [(k, v) for k, v in items if num(k) == 48]
-    lead += [(k, v) for k, v in items if 62 <= num(k) <= 68]
-    lead += [(k, v) for k, v in items if 185 <= num(k) <= 195]
+    lead = [(k, v) for k, v in items if 196 <= num(k) <= 227]
+    lead += [(k, v) for k, v in items if 382 <= num(k) <= 390]
+    lead += [(k, v) for k, v in items if num(k) in reverify]
     seen = {k for k, _ in lead}
     rest = [(k, v) for k, v in items if k not in seen]
     return dict(lead + rest)

@@ -919,6 +919,15 @@ def main() -> None:
                     if name in prev_x
                 }
                 out["regressions"] = _flagged()
+            # If the 5-pass cap exhausted while the flag list was still
+            # moving, any flagged-but-never-retimed name must be visible
+            # in the artifact (round-9 ADVICE item 1) — an empty list
+            # here is the proof the fixpoint converged.
+            cap_exhausted = sorted(
+                n for n in out["regressions"] if n not in remeasured
+            )
+            if cap_exhausted:
+                out["remeasure_cap_exhausted"] = cap_exhausted
             if remeasured:
                 out["remeasured_warm"] = remeasured
                 # flagged-then-cleared names: publish the adjudication

@@ -377,10 +377,12 @@ def simplified_silhouette(
     enforce the contract cheaply: rows whose OWN-class cosine is NULL
     (only possible via a ragged vector or a non-finite component) are
     dropped from the score frame, so they can never enter ``n`` with
-    a fabricated s = 0. The twin keeps the inner-join form; callers
-    feeding mixed-dimension corpora must pre-filter to one dim on
-    both engines (the testdata ``embeddings`` table is fixed-dim by
-    construction).
+    a fabricated s = 0. The twin mirrors the guard (round-9 ADVICE
+    item 3): its ``cdim``/``vlen`` CTEs drop every (row, class)
+    cosine where ``len(vec) != max(dim)+1`` of that class's centroid
+    — exactly the pairs whose Spark ``zip_with`` cosine null-pads to
+    NULL — so a mixed-dimension corpus scores identically on both
+    engines.
     """
     model, norms = _fit_centroid_model(df, vec_col, label_col)
     classes = sorted(model)
@@ -515,13 +517,29 @@ def simplified_silhouette_sql(
       JOIN cnorm n ON d.c = n.c
       JOIN vnorm v ON d.id = v.id
     ),
+    -- ragged-dim guard mirroring Spark (round-9 ADVICE item 3): a
+    -- zip_with cosine is NULL whenever len(vec) != the class centroid
+    -- array length (max dim + 1), so the twin must drop exactly those
+    -- (row, class) cosines instead of keeping a partial inner-join dot
+    cdim AS (
+      SELECT c, max(dim) + 1 AS cd FROM cent GROUP BY c
+    ),
+    vlen AS (
+      SELECT {id_col} AS id, len({vec_col}) AS vl FROM {rows}
+    ),
     ab AS (
       SELECT o.id, o.lbl,
              ROUND(1 - o.cos, 6) AS a,
              ROUND(1 - x.b_cos, 6) AS b
-      FROM (SELECT id, lbl, cos FROM scored WHERE c = lbl) o
-      JOIN (SELECT id, max(cos) AS b_cos FROM scored
-            WHERE c != lbl GROUP BY id) x USING (id)
+      FROM (SELECT s.id, s.lbl, s.cos FROM scored s
+            JOIN vlen v ON s.id = v.id
+            JOIN cdim d ON s.c = d.c
+            WHERE s.c = s.lbl AND v.vl = d.cd) o
+      JOIN (SELECT s.id, max(s.cos) AS b_cos FROM scored s
+            JOIN vlen v ON s.id = v.id
+            JOIN cdim d ON s.c = d.c
+            WHERE s.c != s.lbl AND v.vl = d.cd GROUP BY s.id) x
+        USING (id)
     ),
     s AS (
       SELECT lbl,

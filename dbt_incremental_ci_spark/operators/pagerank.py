@@ -25,10 +25,15 @@ and the SEMANTICS are exact by definition.)
 Scale shape: each iteration is one edge-to-rank hash join (rank table
 is node-sized — AQE broadcasts it when small) plus one groupBy(dst)
 with map-side partial aggregation, the textbook distributed PageRank
-round. The rank frame is localCheckpoint'ed per iteration (the
-components.py lineage pattern); the only driver-side values are the
-per-iteration dangling-mass scalar and N (two scalar reads, the
-accepted watermark-read pattern).
+round. Round-10 job-count rebuild (the q344 pattern): the
+per-iteration dangling-mass scalar is no longer ``collect()``ed — it
+is a 1-row aggregate cross-joined (broadcast) into the rank update,
+the static out-degree table is pre-joined into the edge list ONCE,
+and the per-iteration ``localCheckpoint`` is lazy — so the whole
+iteration chain executes as ONE distributed job (plus its broadcast
+sub-jobs) instead of 2 driver-synchronized jobs per iteration
+(measured 8.0 s → see docs/SCALE.md; semantics bit-identical, same
+integer fixed point). The only driver-side value left is N.
 
 No counterpart in the reference repo; part of the corpus-curation
 operator surface this engine adds on top.
@@ -83,36 +88,46 @@ def pagerank(
     base = (100 - damping_pct) * (SCALE // n) // 100
     init = SCALE // n
 
+    # Static per-iteration inputs, materialized ONCE: the out-degree
+    # pre-joined into the edge list (removes a join from every round)
+    # and the dangling-node set (nodes with no out-edges — membership
+    # never changes, only their rank sum does).
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
+    dang = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
+
     ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
     for _ in range(iterations):
-        ranked = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
-        # dangling mass: nodes with no out-edges redistribute uniformly
-        dangling = (
-            ranked.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("m"))
-            # driver-bound: 1 scalar row — dangling mass per iteration
-            .collect()[0]["m"]
+        # dangling mass as a 1-row aggregate, cross-joined (broadcast)
+        # into the update — never collected to the driver
+        dm = ranks.join(dang, "node").agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("__dm")
         )
-        g = dangling // n
         contribs = (
-            ranked.filter(F.col("outdeg").isNotNull())
-            .select("node", F.expr("rank_fp DIV outdeg").alias("c"))
-            .join(e, F.col("node") == e["src"])
+            ranks.join(e2, ranks["node"] == e2["src"])
+            .select(F.expr("rank_fp DIV outdeg").alias("c"), "dst")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr(
-                        f"{damping_pct} * (coalesce(s, 0) + {g}) DIV 100"
+                        f"{damping_pct} * (coalesce(s, 0)"
+                        f" + __dm DIV {n}) DIV 100"
                     )
                 ).cast("bigint").alias("rank_fp"),
             )
-            .localCheckpoint()
+            # lazy: the whole iteration chain runs in ONE job at the
+            # final action; each round's RDD persists as it computes,
+            # so the two readers of round i (round i+1's dm broadcast
+            # and its contribs join) never replay rounds 1..i-1
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(float(SCALE))).alias("rank")

@@ -894,6 +894,14 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "step int, chosen_id bigint, gain double, coverage double"
         )
+    # Ragged-input guard (round-9 ADVICE item 2): zip_with null-pads a
+    # short corpus vector (si collapses to 0 via greatest(NULL,0)) while
+    # the replica's Python zip() truncates to a partial dot — pin both
+    # engines to the fixed-dim contract by dropping any candidate or
+    # corpus row whose dimension differs from the first candidate's.
+    cand_dim = len(cand_rows[0]["v"])
+    cand_rows = [r for r in cand_rows if len(r["v"]) == cand_dim]
+    emb = emb.where(F.size("v") == cand_dim)
     cand_ids = [int(r["x"]) for r in cand_rows]
     clit = F.array(
         *[
@@ -1026,9 +1034,12 @@ def _q344_replica(sf_dir: str = "/root/testdata/sf0.01"):
         if n > 0:
             norms[vid] = n
     cands = [(vid, list(v)) for vid, v in rows if vid < _Q344_CANDS and vid in norms]
+    # fixed-dim guard, mirroring the Spark-side size(v)==cand_dim filters
+    cand_dim = len(cands[0][1]) if cands else 0
+    cands = [(vid, v) for vid, v in cands if len(v) == cand_dim]
     si: dict[int, dict[int, int]] = {}
     for vid, v in rows:
-        if vid not in norms:
+        if vid not in norms or len(v) != cand_dim:
             continue
         for c, w in cands:
             s10 = sum(

@@ -619,12 +619,13 @@ _Q385_CTX = 2048
     )
     SELECT source, n_docs, n_tokens, n_over_budget, truncated_tokens,
            (usable_tokens + {_Q385_CTX - 1}) // {_Q385_CTX} AS windows_lb,
+           CASE WHEN usable_tokens > 0 THEN
            CAST((usable_tokens * 2000000
                  + ((usable_tokens + {_Q385_CTX - 1}) // {_Q385_CTX})
                    * {_Q385_CTX})
                 // (2 * ((usable_tokens + {_Q385_CTX - 1})
                          // {_Q385_CTX}) * {_Q385_CTX})
-             AS DOUBLE) / 1e6 AS fill_ratio
+             AS DOUBLE) / 1e6 END AS fill_ratio
     FROM s ORDER BY source
     """,
 )
@@ -656,10 +657,14 @@ def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_over_budget",
         "truncated_tokens",
         f"(usable_tokens + {ctx - 1}) DIV {ctx} AS windows_lb",
-        f"CAST((usable_tokens * 2000000"
+        # zero-token source guard (round-9 ADVICE item 5): windows_lb=0
+        # makes the divisor 0 — Spark DIV yields NULL but DuckDB '//'
+        # raises; CASE to NULL on BOTH engines before the division
+        f"CASE WHEN usable_tokens > 0 THEN"
+        f" CAST((usable_tokens * 2000000"
         f" + ((usable_tokens + {ctx - 1}) DIV {ctx}) * {ctx})"
         f" DIV (2 * ((usable_tokens + {ctx - 1}) DIV {ctx}) * {ctx})"
-        f" AS DOUBLE) / 1e6 AS fill_ratio",
+        f" AS DOUBLE) / 1e6 END AS fill_ratio",
     ).orderBy("source")
 
 
