@@ -99,21 +99,26 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", F.col("u")).alias("m"))
     )
+    # no trailing distinct: _small_star's ``directed.distinct()``
+    # dedupes this output anyway, and large-star edges only ever feed
+    # small-star — dropping it removes one |E|-shuffle per round
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round: orient edges large→small; every node u connects
     its (all smaller) neighbors and itself to min(Γ(u))."""
+    # no distinct on the reoriented edges: min() is duplicate-
+    # insensitive and the output distinct below dedupes relinked rows,
+    # so the exchange it would cost per round buys nothing
     directed = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    )
     mins = directed.groupBy("u").agg(F.min("v").alias("m"))
     relinked = (
         directed.join(mins, "u")
@@ -144,10 +149,10 @@ def connected_components_logn(
     chain converges in ~a dozen rounds here vs 10^4 label-prop rounds.
     Per round: two groupBy-min shuffles + a join, all |E|-sized; the
     edge frame is localCheckpointed so round N never replays rounds
-    1..N-1. Convergence = the star-edge set reaches a fixpoint
-    (``exceptAll`` emptiness on |E|-sized frames, the same scalar-probe
-    class as the min-label loop). ``stats['rounds']``, when a dict is
-    passed, records the measured round count.
+    1..N-1. Convergence = the round output IS a star forest (one
+    aggregated emptiness probe on the |E|-sized output — the same
+    scalar-probe class as the min-label loop). ``stats['rounds']``,
+    when a dict is passed, records the measured round count.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -160,13 +165,31 @@ def connected_components_logn(
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    for rounds in range(1, max_iter + 1):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        converged = (
-            nxt.exceptAll(e).isEmpty() and e.exceptAll(nxt).isEmpty()
+    # Convergence probe (round-10 job audit): the fixpoints of
+    # alternating large/small star are exactly the STAR FORESTS
+    # (Kiveris et al. §3), and an oriented edge set is a star forest
+    # ⟺ no node appears as both a child (u) and a parent (v) AND
+    # every child has exactly one parent. That is ONE aggregated
+    # emptiness probe on the just-checkpointed round output — EXACT,
+    # and it detects the fixpoint the round it is PRODUCED, where the
+    # old nxt-vs-e two-frame exceptAll comparison needed one more
+    # full round to prove output == input.
+    def _is_star_forest(f: DataFrame) -> bool:
+        roles = f.select(
+            F.col("u").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+        ).unionAll(
+            f.select(F.col("v").alias("n"), F.lit(0), F.lit(1))
         )
-        e = nxt
-        if converged:
+        bad = (
+            roles.groupBy("n")
+            .agg(F.sum("c").alias("nc"), F.sum("p").alias("np"))
+            .where(((F.col("nc") > 0) & (F.col("np") > 0)) | (F.col("nc") > 1))
+        )
+        return bad.isEmpty()
+
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        if _is_star_forest(e):
             if stats is not None:
                 stats["rounds"] = rounds
             # fixpoint e is a star forest: (node → component root) for
@@ -197,6 +220,11 @@ def dedup_components(
     loop then scales with corpus size instead of log(corpus size).
     The star algorithm's round count is diameter-independent, so one
     code path is safe for both graph families."""
+    # the pair pipeline feeds TWO readers inside the components run
+    # (the edge set's eager checkpoint and the node set) — a lazy
+    # checkpoint makes the first materialization persist it so the
+    # second reader never replays the upstream pair-generation plan
+    pairs = pairs.select(pair_a, pair_b).localCheckpoint(eager=False)
     comp = connected_components_logn(pairs, src=pair_a, dst=pair_b)
     return (
         df.join(comp, on=df[id_col] == comp.node, how="left")
