@@ -42,23 +42,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Steady state (round 11+): once no name is missing a committed
     driver row, the window re-verifies the 50 least-recently
-    driver-recorded names, derived from the committed
-    CORRECTNESS_r*.json artifacts (newest artifact containing a
-    name = its last-verified round), so driver evidence ages out on
-    a ~8-round horizon instead of freezing at first recording."""
+    driver-recorded names, derived from the CORRECTNESS_r*.json
+    artifacts on disk (newest artifact round containing a name = its
+    last-verified round — NOT a hand-list), so driver evidence ages
+    out on a ~8-round horizon instead of freezing at first
+    recording. The missing-names branch below self-deactivates the
+    moment the round-10 artifact lands."""
+    import glob
+    import json
+    import os
     import re
 
     def num(name: str) -> int:
         return int(re.match(r"q(\d+)", name).group(1))
 
-    reverify = {101, 112, 127, 140, 344, 351, 357, 365, 380}
     items = sorted(workload.QUERIES.items(), key=lambda kv: (num(kv[0]), kv[0]))
-    lead = [(k, v) for k, v in items if 196 <= num(k) <= 227]
-    lead += [(k, v) for k, v in items if 382 <= num(k) <= 390]
-    lead += [(k, v) for k, v in items if num(k) in reverify]
-    seen = {k for k, _ in lead}
-    rest = [(k, v) for k, v in items if k not in seen]
-    return dict(lead + rest)
+
+    # last driver-recorded round per name, from the artifacts on disk
+    # (they are git-tracked — tests/test_driver_ledger.py enforces it)
+    last_round: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            names = list(json.load(open(path)))
+        except Exception:  # noqa: BLE001 — a corrupt artifact never breaks entry
+            continue
+        for n in names:
+            last_round[n] = max(last_round.get(n, 0), rnd)
+
+    missing = [k for k, _ in items if k not in last_round]
+    if missing:
+        # catch-up branch: every unrecorded name leads; remaining
+        # slots re-verify this round's touched queries and watch-list
+        reverify = {101, 112, 127, 140, 344, 351, 357, 365, 380}
+        lead = missing + [
+            k for k, _ in items
+            if k not in missing and num(k) in reverify
+        ]
+    else:
+        # steady state: 50 least-recently driver-recorded names
+        lead = [
+            k for k, _ in sorted(
+                items, key=lambda kv: (last_round.get(kv[0], 0), num(kv[0]), kv[0])
+            )
+        ][:50]
+    lead_set = set(lead)
+    d = {k: dict(items)[k] for k in lead}
+    d.update({k: v for k, v in items if k not in lead_set})
+    return d
 
 
 def oracle_sql() -> dict[str, str]:

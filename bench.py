@@ -628,6 +628,23 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
 
+    # Plateau priming (round-9 judge item 6): the cross-session
+    # JIT/Arrow plateau class (SCALE.md 6z) flags the same names every
+    # round — their FIRST execution in a fresh JVM pays one-time
+    # compile costs that best-of-reps inside one artifact cannot see
+    # past. Execute each pinned plateau name once UNTIMED at full
+    # bench scale before the timed suite so their timed runs start
+    # warm; the artifact records which names were primed.
+    plateau_primed = []
+    for _pname in sorted(set(ACCEPTED_BASELINES) | {"q101_incremental_dedup"}):
+        if _pname not in workload.QUERIES:
+            continue
+        try:
+            run(workload.QUERIES[_pname](spark, sf_dir))
+            plateau_primed.append(_pname)
+        except Exception:  # noqa: BLE001 — priming is best-effort
+            pass
+
     # best-of-N per query: ambient load on a shared box swings single
     # samples ±40%; the minimum of a few warm runs is the stable
     # estimator of the plan's actual cost (standard practice; the
@@ -680,6 +697,7 @@ def main() -> None:
         "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "sentinels": sentinels,
+        "plateau_primed": plateau_primed,
         "exec_method": "noop-sink write (materializes all columns; "
         "r01/r02 used count(), which pruned projection-only columns — "
         "method-change deltas on map-only queries are expected once)",
