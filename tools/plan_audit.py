@@ -26,6 +26,8 @@ JOIN_RE = re.compile(
 # Queries with a 1-part exchange and no entry here print UNEXPLAINED.
 ONE_PART_NOTES = {
     # round-9 additions (q382+)
+    # round-10 additions
+    "q127_setsim_join": "Catalyst-injected runtime Bloom-filter builds (InjectRuntimeFilter, might_contain subqueries) over the candidate id projections feeding the size re-attach joins — fixed-size Bloom register merges (O(1) state per task), not data-sized funnels",
     "q389_snapshot_drift": "count>=5 vocab-bounded top-50 rank window + 1-row vstats/tv scalar reduces",
     "q390_quality_retention": "two-phase rank offsets (O(partitions) rows) + 10-row decile cumulative window + 1-row doc-count/token-total reduces",
     "q382_lm_doc_quality": "1-row LM normalizer (bigram-type count) broadcast into the probability table",
