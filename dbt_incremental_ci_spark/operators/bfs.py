@@ -15,13 +15,19 @@ Scale design:
   - One shuffle-join per level; rounds = eccentricity of the source
     set, not |V|. The frontier starts small and the anti-join keeps
     it to NEW nodes only, so total work across all rounds is O(|E|).
-  - `visited` is |V|-sized and `localCheckpoint`ed per round to
-    truncate lineage (round N's plan must not replay rounds 1..N-1).
-  - The emptiness probe is a count() on the frontier — a scalar read,
-    the same deliberate pattern as the recursion loop's probe.
+  - Each level's settled frame is `localCheckpoint`ed ONCE when it is
+    produced; `visited` is their lazy union — reading persisted
+    blocks, never re-materialized (round-10: the old per-round
+    re-checkpoint of the whole union rewrote O(|V|) rows every level,
+    one extra job per round for pure bookkeeping).
+  - The emptiness probe is a count() on the just-persisted frontier —
+    a block-scan scalar read, the same deliberate pattern as the
+    recursion loop's probe.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,24 +58,62 @@ def bfs_levels(
         )
     e = e.distinct().localCheckpoint(eager=True)
 
-    visited = (
+    level0 = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
-    for lvl in range(1, max_iter + 1):
-        nxt = (
+    levels = [level0]
+    frontier = level0
+    lvl = 0
+    # Two levels per driver round (round-10): the per-round scheduler
+    # latency — not the edge work — dominates a deep frontier walk
+    # (the q146 tree has eccentricity ~15), so each round settles
+    # level L+1 AND level L+2 in one materialization: n1 = N(frontier)
+    # minus seen, n2 = N(n1) minus seen minus n1 (exact — every L+2
+    # node has an L+1 neighbor by definition). Same O(|E|) total join
+    # work, half the driver-synchronized rounds; the level split of a
+    # round is read back from ONE 2-row groupBy collect on the
+    # persisted frame.
+    rounds = 0
+    while lvl < max_iter:
+        seen = reduce(
+            lambda x, y: x.unionByName(y),
+            [f.select("node") for f in levels],
+        )
+        n1 = (
             frontier.join(e, frontier["node"] == e["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("level", F.lit(lvl))
-            .localCheckpoint(eager=True)
+            .join(seen, "node", "left_anti")
+            .withColumn("level", F.lit(lvl + 1))
+            .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
-            return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    raise RuntimeError(f"bfs did not terminate in {max_iter} rounds")
+        n2 = (
+            n1.join(e, n1["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .join(n1.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(lvl + 2))
+        )
+        both = n1.unionByName(n2).localCheckpoint(eager=True)
+        # driver-bound: <= 2 rows (count per settled level this round)
+        cnts = {
+            r["level"]: r["n"]
+            for r in both.groupBy("level").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if not cnts:
+            return reduce(lambda x, y: x.unionByName(y), levels)
+        levels.append(both)
+        if cnts.get(lvl + 2, 0) > 0:
+            frontier = both.where(F.col("level") == lvl + 2)
+            lvl += 2
+        else:
+            frontier = both
+            lvl += 1
+        rounds += 1
+        if rounds > max_iter:
+            break
+    raise RuntimeError(f"bfs did not terminate in {max_iter} levels")
