@@ -89,6 +89,33 @@ def test_window_leads_with_unrecorded_names():
     )
 
 
+def test_window_order_policy_branches():
+    """Unit test of the pure window policy (__spark_entry__.window_order)
+    — the steady-state branch only activates once every name has a
+    committed driver row, so it must be proven here BEFORE that round
+    arrives."""
+    sys.path.insert(0, str(REPO))
+    from __spark_entry__ import window_order
+
+    names = [f"q{n:03d}_x" for n in range(1, 101)]
+
+    # catch-up: unrecorded names lead, then re-verify picks, no dups
+    recorded = {n: 2 for n in names if not n.startswith("q09")}
+    order = window_order(names, recorded, reverify={1, 2})
+    missing = [n for n in names if n.startswith("q09")]
+    assert order[: len(missing)] == missing
+    assert order[len(missing) : len(missing) + 2] == ["q001_x", "q002_x"]
+    assert sorted(order) == sorted(names) and len(set(order)) == len(names)
+
+    # steady state: least-recently recorded lead, ties by number
+    recorded = {n: 2 for n in names}
+    for n in names[:30]:
+        recorded[n] = 9  # first 30 freshly re-verified
+    order = window_order(names, recorded, reverify={1, 2})
+    assert order[:50] == names[30:80]  # the 70 round-2 names, oldest first
+    assert sorted(order) == sorted(names)
+
+
 def test_latest_artifacts_on_disk_are_git_tracked():
     """Round-9 judge item 1: the round-5 and round-9 driver artifacts both
     sat untracked in the working tree — one crash away from erasing driver
