@@ -90,15 +90,20 @@ def bfs_levels(
             .withColumn("level", F.lit(lvl + 1))
             .localCheckpoint(eager=False)
         )
-        n2 = (
-            n1.join(e, n1["node"] == e["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(seen, "node", "left_anti")
-            .join(n1.select("node"), "node", "left_anti")
-            .withColumn("level", F.lit(lvl + 2))
-        )
-        both = n1.unionByName(n2).localCheckpoint(eager=True)
+        if lvl + 2 <= max_iter:
+            n2 = (
+                n1.join(e, n1["node"] == e["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(seen, "node", "left_anti")
+                .join(n1.select("node"), "node", "left_anti")
+                .withColumn("level", F.lit(lvl + 2))
+            )
+            both = n1.unionByName(n2).localCheckpoint(eager=True)
+        else:
+            # the max_iter level contract: never settle past it, even
+            # when the 2-step round lands on the boundary
+            both = n1.localCheckpoint(eager=True)
         # driver-bound: <= 2 rows (count per settled level this round)
         cnts = {
             r["level"]: r["n"]

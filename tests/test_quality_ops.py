@@ -148,6 +148,26 @@ def test_bfs_multi_source_takes_min_distance(spark):
     assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_bfs_max_iter_boundary_and_overflow(spark):
+    """The 2-step rounds must never settle a level past max_iter (the
+    round-10 rebuild lands on the boundary when max_iter is odd), and
+    a graph deeper than max_iter must still raise."""
+    chain = [(i, i + 1) for i in range(1, 8)]  # path 1..8, depth 7
+    e = _edges(spark, chain)
+    # one spare level to PROVE termination (the historical contract:
+    # the frontier must empty within max_iter levels)
+    out = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1]), max_iter=8).collect()
+    }
+    assert out == {n: n - 1 for n in range(1, 9)}
+    # max_iter at/below the depth: must raise — and never settle a
+    # level past max_iter on the way (both parities exercised)
+    for cap in (7, 5, 4):
+        with pytest.raises(RuntimeError):
+            bfs_levels(e, _sources(spark, [1]), max_iter=cap).collect()
+
+
 def test_bfs_directed_vs_undirected(spark):
     e = _edges(spark, [(2, 1), (2, 3)])
     undirected = {
