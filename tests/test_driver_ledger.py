@@ -140,3 +140,60 @@ def test_latest_artifacts_on_disk_are_git_tracked():
         f"driver/bench artifacts on disk but NOT git-tracked (one crash "
         f"away from losing evidence): {untracked} — `git add` them now"
     )
+
+
+def test_recorded_rounds_reads_git_not_disk(tmp_path, monkeypatch):
+    """Round-10 judge item 1: recorded_rounds() must key the window
+    policy off git-tracked artifacts, not whatever sits on disk — an
+    untracked artifact must NOT rotate the window past names the ledger
+    test considers unproven.  Pin both halves: (a) on the real repo,
+    git-tracked and disk views agree (no untracked artifact skew right
+    now), and (b) an artifact dropped on disk without `git add` does not
+    change the result."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    before = entry.recorded_rounds()
+    assert before, "no committed driver rows found"
+
+    # (a) agreement: every git-tracked artifact is also on disk, and the
+    # policy's view equals a direct parse of the tracked files.
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_r*.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    expect: dict[str, int] = {}
+    for f in tracked:
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
+        for n in json.load(open(REPO / f)):
+            expect[n] = max(expect.get(n, 0), rnd)
+    assert before == expect
+
+    # (b) an untracked artifact on disk is invisible to the policy.
+    fake = REPO / "CORRECTNESS_r98.json"
+    assert not fake.exists(), "stale test artifact left behind"
+    try:
+        fake.write_text(json.dumps({n: {"status": "ok"} for n in list(before)[:3]}))
+        assert entry.recorded_rounds() == before, (
+            "recorded_rounds() picked up an UNTRACKED artifact — window "
+            "policy and ledger test have diverging sources of truth again"
+        )
+    finally:
+        fake.unlink()
+
+
+def test_parity_artifact_block_is_current():
+    """Round-10 judge item 7: the hand-edited PARITY.md artifact
+    pointers drifted two rounds running; the block is now generated
+    from disk — this test fails whenever a new artifact lands without
+    rerunning tools/gen_parity_header.py."""
+    rc = subprocess.run(
+        [sys.executable, "tools/gen_parity_header.py", "--check"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    assert rc.returncode == 0, rc.stdout + rc.stderr

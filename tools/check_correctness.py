@@ -4,7 +4,14 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir; compares row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+    python tools/check_correctness.py [--json OUT.json] [--smoke] [sf_dir] [query ...]
+
+``--smoke`` runs the committed smoke set (round-10 judge item 6): the
+current round's touched query paths plus the bench watch-list plus a
+cross-band sample — the exact set the round-10 judge re-verified by
+hand — in under ~4 minutes, so perf commits can be re-verified without
+waiting for the full 391-query sweep.  Update SMOKE each round to the
+paths that round touches.
 
 ``--json`` additionally writes a driver-CORRECTNESS-shaped artifact
 (per-query rows/schema/hash match booleans) so a full local run over
@@ -34,15 +41,41 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+# The committed smoke set: round-touched paths + bench watch-list +
+# cross-band sample.  Round 11 touches q146 (k-step BFS), q127 (setsim
+# alpha guard), q357 (embstats NULL-semantics mirror), q140 (components),
+# q344 (workload_q10 replica anchor); watch-list is the four r17
+# bench flags (q353/q357/q375/q384); the rest is the judge's cross-band
+# sample from round 10.
+SMOKE = [
+    "q03_top_revenue_orders", "q24_recursive_hierarchy",
+    "q32_minhash_near_dups", "q50_salted_join",
+    "q101_incremental_dedup", "q106_curation_v2", "q112_pagerank",
+    "q127_setsim_join", "q129_triangle_census", "q140_entity_resolution",
+    "q146_bfs_levels", "q196_moments_profile", "q204_ndcg",
+    "q221_lsh_banding_eval", "q295_dedup_pair_report",
+    "q344_facility_location", "q351_shapley_reach", "q353_shingle_curve",
+    "q357_simplified_silhouette", "q375_fd_histogram",
+    "q384_pca2_explained", "q385_packing_audit", "q388_dedup_retention",
+    "q390_quality_retention",
+]
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    smoke = False
+    if "--smoke" in argv:
+        smoke = True
+        argv.remove("--smoke")
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if smoke:
+        only |= set(SMOKE)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = get_spark(shuffle_partitions=16)
