@@ -99,9 +99,10 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", F.col("u")).alias("m"))
     )
-    # no trailing distinct: _small_star's ``directed.distinct()``
-    # dedupes this output anyway, and large-star edges only ever feed
-    # small-star — dropping it removes one |E|-shuffle per round
+    # no trailing distinct: large-star edges only ever feed
+    # _small_star, whose min() aggregation is duplicate-insensitive and
+    # whose final output ``.distinct()`` is the single dedup point —
+    # dropping it removes one |E|-shuffle per round
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))

@@ -443,9 +443,21 @@ def simplified_silhouette(
     # at sf0.1 before this form — the same double-fold pathology the
     # round-8 q357 fix removed). NULLs then fall out of the aggregates
     # (count/sum skip them) at zero extra cost.
+    #
+    # other_best NULL (round-10 ADVICE): a row matching its own class's
+    # centroid dim but NO other class's has b NULL.  When a > 0 the
+    # NULL propagates through (b-a)/greatest and s is already NULL,
+    # but at a == 0 (own cosine exactly 1.0) ``greatest(0, NULL) = 0``
+    # fails the ``> 0`` branch and the .otherwise(0.0) would COUNT the
+    # row with s = 0 — while the DuckDB twin's inner join on the
+    # other-class cosine subquery drops it.  Silhouette is undefined
+    # without a reachable second cluster, so NULL (drop) is the chosen
+    # semantics, mirrored here by also guarding on other_best.
     pts = scored.select(
         "__lbl",
-        F.when(own.isNotNull(), F.round(s, 6)).alias("__s"),
+        F.when(
+            own.isNotNull() & other_best.isNotNull(), F.round(s, 6)
+        ).alias("__s"),
     )
     return (
         pts.groupBy(F.col("__lbl").cast("int").alias("label"))

@@ -1034,6 +1034,11 @@ def _q344_replica(sf_dir: str = "/root/testdata/sf0.01"):
         if n > 0:
             norms[vid] = n
     cands = [(vid, list(v)) for vid, v in rows if vid < _Q344_CANDS and vid in norms]
+    # Anchor the dim guard to the MIN-vec_id candidate, matching the
+    # Spark side's orderBy("x") anchor (round-10 ADVICE): the SQL above
+    # already orders by vec_id, but sort explicitly so the anchor
+    # cannot silently become parquet row order if that query changes.
+    cands.sort(key=lambda t: t[0])
     # fixed-dim guard, mirroring the Spark-side size(v)==cand_dim filters
     cand_dim = len(cands[0][1]) if cands else 0
     cands = [(vid, v) for vid, v in cands if len(v) == cand_dim]

@@ -181,3 +181,21 @@ def test_ceil_mul_exact_on_float_hostile_thresholds(spark):
         exact = math.ceil(Fraction(t) * r["sz"])
         assert r["c"] <= exact, (r["sz"], r["c"], exact)
         assert r["c"] >= exact - 1
+
+
+def test_jaccard_join_pathological_threshold_denominator(spark):
+    """Round-10 ADVICE (setsim.py positional filter): a threshold like
+    1/3 rationalizes from its decimal string to a ~1e16 denominator;
+    ``num * (sz_a + sz_b)`` then overflows int64 and wraps silently
+    under non-ANSI Spark, so the positional filter could drop TRUE
+    pairs.  The fix skips the positional filter (pruning only) when the
+    denominator exceeds the _ceil_mul cap — the result must stay exact
+    vs brute force."""
+    rows = _random_corpus(seed=13)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 1 / 3  # str() -> '0.3333333333333333', denominator 10**16
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim.jaccard_set_join(df, threshold=t).collect()
+    }
+    assert got == _brute_jaccard(rows, t)
