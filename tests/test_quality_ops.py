@@ -219,3 +219,41 @@ def test_ewma_over_max_len_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="ewma: key history exceeds max_len"):
         ewma(df, "k", ["t"], "x", alpha=0.5, max_len=1_000).collect()
+
+
+def test_bfs_step_is_result_invariant(spark):
+    """The k-step scheduling knob (round-11 generalization of the
+    round-10 2-step) must never change the result: every step value
+    yields the same (node, level) map, including when a round's last
+    sub-level empties mid-chain (m < j early return) and when a round
+    lands on the max_iter boundary."""
+    # branching graph with a cycle: levels 0..4, cross edges
+    e = _edges(
+        spark,
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 2)],
+    )
+    want = {
+        r.node: r.level
+        for r in bfs_levels(e, _sources(spark, [1]), step=1).collect()
+    }
+    assert want == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3, 6: 2}
+    for step in (2, 3, 4, 7):
+        got = {
+            r.node: r.level
+            for r in bfs_levels(
+                e, _sources(spark, [1]), step=step
+            ).collect()
+        }
+        assert got == want, f"step={step} diverged"
+    # boundary parity: max_iter not a multiple of step
+    got = {
+        r.node: r.level
+        for r in bfs_levels(
+            e, _sources(spark, [1]), step=4, max_iter=5
+        ).collect()
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bfs_levels(e, _sources(spark, [1]), step=0)
