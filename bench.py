@@ -657,16 +657,39 @@ def main() -> None:
     # artifact always parses.
     errors: dict[str, str] = {}
 
+    # Per-query session hygiene (round-10 judge item 2): BENCH_FULL_r17
+    # shipped four warm-sustained late-suite flags (q353/q357/q375/q384)
+    # with zero code changes on their paths, improvements clustered
+    # early, and box_drift saying the box was FAST — the signature of
+    # state accumulating across 350+ queries in one long-lived session
+    # (persisted localCheckpoint blocks pinning executor memory, cache
+    # entries, GC pressure). Clear both caches after every query's reps
+    # so each query starts from the same session state regardless of
+    # suite position. The hygiene runs OUTSIDE the timed window; fresh
+    # DataFrames never reuse a prior query's checkpoint blocks (new RDD
+    # ids per call), so dropping them is semantics-free.
+    def _hygiene() -> None:
+        try:
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in jmap.values():
+                jrdd.unpersist()
+        except Exception:  # noqa: BLE001 — hygiene is best-effort
+            pass
+
     def best_of(name: str) -> float | None:
         best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            try:
-                run(workload.QUERIES[name](spark, sf_dir))
-            except Exception as exc:  # noqa: BLE001 — isolate, record, move on
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                return None
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                try:
+                    run(workload.QUERIES[name](spark, sf_dir))
+                except Exception as exc:  # noqa: BLE001 — isolate, record, move on
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    return None
+                best = min(best, time.time() - t0)
+        finally:
+            _hygiene()
         return round(best, 3)
 
     # Sentinels first (fixed code, fixed cost): their round-over-round
@@ -685,8 +708,20 @@ def main() -> None:
         if _best != float("inf"):
             sentinels[_sname] = round(_best, 3)
 
-    timings = {n: t for n in BENCH_QUERIES if (t := best_of(n)) is not None}
-    extra = {n: t for n in EXTRA_QUERIES if (t := best_of(n)) is not None}
+    # Suite-order control for the position-dependence experiment
+    # (round-10 judge item 2): SPARK_GRAFT_BENCH_ORDER=reverse times
+    # the extras suite back-to-front. If a "regression" follows suite
+    # POSITION rather than query NAME across the two orders, it is
+    # session-state contamination, not a plan change.
+    suite_order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "forward")
+    bench_names = list(BENCH_QUERIES)
+    extra_names = list(EXTRA_QUERIES)
+    if suite_order == "reverse":
+        bench_names.reverse()
+        extra_names.reverse()
+
+    timings = {n: t for n in bench_names if (t := best_of(n)) is not None}
+    extra = {n: t for n in extra_names if (t := best_of(n)) is not None}
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -698,6 +733,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "sentinels": sentinels,
         "plateau_primed": plateau_primed,
+        "suite_order": suite_order,
+        "query_hygiene": "clearCache+unpersist after each query's reps",
         "exec_method": "noop-sink write (materializes all columns; "
         "r01/r02 used count(), which pruned projection-only columns — "
         "method-change deltas on map-only queries are expected once)",
