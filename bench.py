@@ -1099,7 +1099,19 @@ def main() -> None:
     # provably < 1500 chars at any query count — headline value, the
     # 13-query headline dict (bounded), error/regression counts, and a
     # pointer to the full artifact.
-    full_path = os.path.join(here, f"BENCH_FULL_r{int(round_n):02d}.json")
+    # Numbered BENCH_FULL artifacts are ROUND evidence: only official
+    # runs (bench scale sf0.1, or an explicit SPARK_GRAFT_ROUND) mint
+    # one. A smoke run at another SF previously wrote the next round
+    # number (a sanity run at sf0.001 minted BENCH_FULL_r18 — junk
+    # that bumps the round counter and trips the custody ledger test);
+    # those now land in bench_scratch.json (gitignored, overwritten).
+    official = str(out["sf"]) == "0.1" or "SPARK_GRAFT_ROUND" in os.environ
+    full_path = os.path.join(
+        here,
+        f"BENCH_FULL_r{int(round_n):02d}.json"
+        if official
+        else "bench_scratch.json",
+    )
     with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 
