@@ -579,6 +579,14 @@ ACCEPTED_BASELINES = {
         "r10 and an isolated best-of-3 at 6.7 s on the same box — "
         "cross-session JIT/GC plateau spread, not a plan change",
     ),
+    "q375_fd_histogram": (
+        5.7,
+        "position-dependent even under per-query hygiene (SCALE.md "
+        "6an): r18 reverse (early position) 4.33 s vs r19 forward "
+        "(late position) 5.50 s on the same HEAD, both orders with "
+        "empty regression lists; sentinel-adjusted ~3.7-4.7 vs the "
+        "3.99 r16 base, plan unchanged (BNL x7 1-row scalar probes)",
+    ),
 }
 
 
