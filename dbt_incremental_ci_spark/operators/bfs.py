@@ -143,11 +143,11 @@ def bfs_levels(
         batch = reduce(
             lambda x, y: x.unionByName(y), ns
         ).localCheckpoint(eager=False)
-        # driver-bound: <= k rows (count per settled level this round)
         cnts = {
             r["level"]: r["n"]
             for r in batch.groupBy("level")
             .agg(F.count(F.lit(1)).alias("n"))
+            # driver-bound: <= k rows (count per settled level, round)
             .collect()
         }
         if not cnts:
