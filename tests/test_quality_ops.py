@@ -257,3 +257,50 @@ def test_bfs_step_is_result_invariant(spark):
 
     with _pytest.raises(ValueError):
         bfs_levels(e, _sources(spark, [1]), step=0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 14), st.integers(1, 14)),
+        min_size=1,
+        max_size=25,
+    ),
+    srcs=st.lists(st.integers(1, 14), min_size=1, max_size=3),
+    step=st.integers(1, 5),
+    data=st.data(),
+)
+def test_bfs_matches_python_reference(spark, edges, srcs, step, data):
+    """Property: on arbitrary small graphs (self-loops, parallel
+    edges, disconnected pieces), bfs_levels at any step equals a
+    plain Python BFS — min hop distance from the source set, with
+    unreachable nodes absent."""
+    directed = data.draw(st.booleans())
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        if not directed:
+            adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {s: 0 for s in srcs}
+    dq = deque(srcs)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+
+    e = _edges(spark, edges)
+    got = {
+        r.node: r.level
+        for r in bfs_levels(
+            e, _sources(spark, srcs), directed=directed, step=step
+        ).collect()
+    }
+    assert got == want
