@@ -41,23 +41,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     plateau watch-list entry.
 
     Steady state (round 11+): once no name is missing a committed
-    driver row, the window re-verifies the 50 least-recently
-    driver-recorded names, derived from the **git-tracked**
-    CORRECTNESS_r*.json artifacts (newest artifact round containing a name = its
-    last-verified round — NOT a hand-list), so driver evidence ages
-    out on a ~8-round horizon instead of freezing at first
-    recording. The missing-names branch below self-deactivates the
-    moment the round-10 artifact lands."""
+    driver row, the window leads with REVERIFY_PICKS — the query
+    paths the current round's code changes touch — and fills the
+    remaining slots with the least-recently driver-recorded names,
+    derived from the **git-tracked** CORRECTNESS_r*.json artifacts
+    (newest artifact round containing a name = its last-verified
+    round — NOT a hand-list). Changed code gets fresh driver
+    evidence the same round; untouched evidence still ages out on a
+    rolling horizon instead of freezing at first recording."""
     order = window_order(
         sorted(workload.QUERIES), recorded_rounds(), REVERIFY_PICKS
     )
     return {k: workload.QUERIES[k] for k in order}
 
 
-# Round-10 re-verification picks for the catch-up branch: the queries
-# this round's perf rebuilds touched plus the q101 plateau watch-list
-# entry. Ignored once every name has a committed driver row.
-REVERIFY_PICKS = {101, 112, 127, 140, 344, 351, 357, 365, 380}
+# Per-round re-verification picks: the query paths THIS round's code
+# changes touch (plus bench watch-list names). In catch-up mode they
+# fill the slots after unrecorded names; in steady state (round 11+)
+# they take the head of the window BEFORE the least-recently-recorded
+# rotation fills the rest — changed code always gets fresh driver
+# evidence the same round it changes. Round 11: q146 (k-step BFS),
+# q127 (positional-filter guard), q357 (silhouette NULL mirror), q344
+# (replica anchor), q140 (components comment), plus the r17
+# adjudication watch-list q353/q375/q384 and the perf-band anchors
+# q101/q112.
+REVERIFY_PICKS = {101, 112, 127, 140, 146, 344, 353, 357, 375, 384}
 
 
 def recorded_rounds() -> dict[str, int]:
@@ -112,9 +120,11 @@ def window_order(
     """Pure window-ordering policy (unit-tested in
     tests/test_driver_ledger.py): while any name lacks a driver row,
     unrecorded names lead followed by the re-verification picks; once
-    all are recorded, the 50 least-recently recorded names lead
-    (ties broken by query number), so evidence ages out instead of
-    freezing at first recording."""
+    all are recorded, the re-verification picks (this round's touched
+    paths) lead and the 50-slot window is filled with the
+    least-recently recorded names (ties broken by query number), so
+    changed code gets fresh driver evidence the same round while old
+    evidence still ages out on a rolling horizon."""
     import re
 
     def num(name: str) -> int:
@@ -127,9 +137,12 @@ def window_order(
             n for n in ordered if n not in missing and num(n) in reverify
         ]
     else:
-        lead = sorted(
-            ordered, key=lambda n: (last_round.get(n, 0), num(n), n)
-        )[:50]
+        picks = [n for n in ordered if num(n) in reverify]
+        rest = sorted(
+            (n for n in ordered if num(n) not in reverify),
+            key=lambda n: (last_round.get(n, 0), num(n), n),
+        )
+        lead = (picks + rest)[:50]
     lead_set = set(lead)
     return lead + [n for n in ordered if n not in lead_set]
 

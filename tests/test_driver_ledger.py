@@ -107,12 +107,15 @@ def test_window_order_policy_branches():
     assert order[len(missing) : len(missing) + 2] == ["q001_x", "q002_x"]
     assert sorted(order) == sorted(names) and len(set(order)) == len(names)
 
-    # steady state: least-recently recorded lead, ties by number
+    # steady state: the round's re-verify picks lead (touched code
+    # gets fresh driver evidence the same round), then the
+    # least-recently recorded names fill the window, ties by number
     recorded = {n: 2 for n in names}
     for n in names[:30]:
         recorded[n] = 9  # first 30 freshly re-verified
     order = window_order(names, recorded, reverify={1, 2})
-    assert order[:50] == names[30:80]  # the 70 round-2 names, oldest first
+    assert order[:2] == ["q001_x", "q002_x"]  # picks first, even if fresh
+    assert order[2:50] == names[30:78]  # round-2 names, oldest first
     assert sorted(order) == sorted(names)
 
 
