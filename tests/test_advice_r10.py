@@ -83,3 +83,55 @@ def test_q344_replica_anchor_is_min_vec_id(tmp_path):
     chosen = {c for _s, c, _g, _cv in out}
     assert 1 not in chosen, "the dim-4 row-order-first candidate must be dropped"
     assert chosen, "dim-3 candidates must survive and be chosen"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # label
+            st.integers(2, 4),  # dimension
+            st.integers(0, 10**6),  # value seed
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_silhouette_twin_agreement_on_random_mixed_dim(spark, rows):
+    """Property: on arbitrary mixed-dimension corpora (ragged classes,
+    singleton classes, off-dimension rows with no reachable other
+    class) the Spark simplified_silhouette and its DuckDB twin agree
+    exactly — the round-9 cdim/vlen guard plus the round-10
+    other_best-NULL guard together close every known corner."""
+    import duckdb as _duck
+
+    data = []
+    for i, (lbl, dim, seed) in enumerate(rows):
+        vec = [round(((seed >> (4 * k)) % 16) / 8.0 - 1.0, 6) for k in range(dim)]
+        if all(x == 0.0 for x in vec):
+            vec[0] = 0.5
+        data.append((i, vec, lbl))
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    )
+    got = sorted(tuple(r) for r in simplified_silhouette(df).collect())
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE emb AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {[round(float(x), 6) for x in v]}::DOUBLE[], {c})"
+            for i, v, c in data
+        )
+        + ") t(vec_id, embedding, label)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(simplified_silhouette_sql("emb")).fetchall()
+    )
+    con.close()
+    assert got == want
