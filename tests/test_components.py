@@ -124,3 +124,52 @@ def test_dedup_components_survives_sequential_id_chains(spark):
     assert agg["n_comp"] == 1
     assert agg["n_surv"] == 1
     assert agg["surv_id"] == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 16), st.integers(1, 16)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_logn_matches_union_find_reference(spark, edges):
+    """Property: on arbitrary small graphs (self-loops, parallel
+    edges, arbitrary direction) the large-star/small-star components
+    equal a plain union-find — every node labeled with its
+    component's minimum id (round-11 hardening after the round-10
+    distinct removals and the convergence-probe rewrite)."""
+    from dbt_incremental_ci_spark.operators.components import (
+        connected_components_logn,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u), parent.setdefault(v, v)
+        parent[find(u)] = find(v)
+    want = {}
+    roots: dict[int, int] = {}
+    for n in sorted(parent):
+        roots.setdefault(find(n), n)  # min id first (sorted order)
+    for n in parent:
+        want[n] = roots[find(n)]
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_logn(e).collect()
+    }
+    assert got == want
