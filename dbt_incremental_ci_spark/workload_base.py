@@ -68,6 +68,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Unlock CPU parallelism on expression-heavy pipelines whose scan
+    yields fewer partitions than cores (round-11, guide §2.5 input
+    skew / §6 input split size).
+
+    The local test inputs are single-row-group parquet files, so a
+    Spark scan produces ONE working task no matter how many byte
+    splits are planned — every per-row-expensive stage downstream
+    (decimal folds, tokenize+explode, big codegen aggregates) runs
+    single-threaded on a 32-core box. A round-robin repartition to
+    ``defaultParallelism`` costs one exchange of the (projected,
+    narrow) input — tens of MB here — and buys cores× parallelism on
+    the expensive stage.
+
+    SCALE-ADAPTIVE by construction, not a local-mode constant: the
+    repartition is applied only when the planned partition count is
+    below ``defaultParallelism``. On a real cluster reading real
+    inputs (thousands of splits ≥ cores) this is a structural no-op —
+    the data keeps its scan partitioning and no exchange is added.
+    Apply AFTER projecting the needed columns so the exchange carries
+    the narrow frame (guide §2.3), and only on measured CPU-bound
+    paths — an exchange under a cheap map pipeline is pure overhead.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract: ``ts`` is ALWAYS BIGINT nanoseconds-since-epoch,
     whatever the file's physical type — queries do exact integer

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from dbt_incremental_ci_spark.workload_base import (
     events_table,
+    fan_out,
     q,
     t,
 )
@@ -312,30 +313,53 @@ def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    # the decimal folds below are the measured cost (profiled at
+    # sf0.1: a plain count pass reads 0.47 s, the same pass with two
+    # DECIMAL(38,2) sums 1.25 s) and the local scan is single-split —
+    # fan the narrow 4-column frame out across cores (no-op on a
+    # cluster-sized input)
+    rows = fan_out(rows, spark)
 
-    def means(df: DataFrame, keys: list[str], xn: str, yn: str):
-        return df.groupBy(*keys).agg(
+    # One (ent, per) cell rollup replaces FIVE full passes over the
+    # joined lineitem frame (em, pm, gm, countDistinct — guide §2.3
+    # "aggregate before you shuffle" / §1.2 algorithm-first): the
+    # DECIMAL(38,2) sums are exact and associative, so per-cell sums
+    # roll up to bit-identical per-entity / per-period / grand sums,
+    # and the cell frame is entities × months (~2.1k rows at any
+    # scale), lazily checkpointed once and shared by all four
+    # readers. The corpus is now touched exactly twice: the cell
+    # build and the demeaning reduce.
+    cells = (
+        rows.groupBy("ent", "per")
+        .agg(
+            F.sum(F.round(F.col("x"), 2).cast("decimal(38,2)")).alias("__sx"),
+            F.sum(F.round(F.col("y"), 2).cast("decimal(38,2)")).alias("__sy"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def means(keys: list[str], xn: str, yn: str):
+        return cells.groupBy(*keys).agg(
             F.round(
-                F.sum(F.round(F.col("x"), 2).cast("decimal(38,2)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
+                F.sum("__sx").cast("double") / F.sum("__n"), 6
             ).alias(xn),
             F.round(
-                F.sum(F.round(F.col("y"), 2).cast("decimal(38,2)"))
-                .cast("double")
-                / F.count(F.lit(1)),
-                6,
+                F.sum("__sy").cast("double") / F.sum("__n"), 6
             ).alias(yn),
         )
 
-    em = means(rows, ["ent"], "xe", "ye")
-    pm = means(rows, ["per"], "xp", "yp")
-    gm = means(rows, [], "xg", "yg")
+    em = means(["ent"], "xe", "ye")
+    pm = means(["per"], "xp", "yp")
+    gm = means([], "xg", "yg")
+    # fuse the three mean frames into ONE (ent, per)-keyed broadcast
+    # (entities × months ≈ 2.1k rows) so the demeaning pass pays a
+    # single broadcast build + join instead of three sequential
+    # broadcast rounds (guide §2.4: each broadcast is its own job on
+    # the critical path; the values joined are bit-identical)
+    meta = em.crossJoin(F.broadcast(pm)).crossJoin(F.broadcast(gm))
     dm = (
-        rows.join(F.broadcast(em), "ent")
-        .join(F.broadcast(pm), "per")
-        .crossJoin(F.broadcast(gm))
+        rows.join(F.broadcast(meta), ["ent", "per"])
         .select(
             F.round(
                 F.col("x") - F.col("xe") - F.col("xp") + F.col("xg"), 6
@@ -363,7 +387,7 @@ def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("syy"),
     )
-    cnt = rows.agg(
+    cnt = cells.agg(
         F.countDistinct("ent").cast("bigint").alias("n_entities"),
         F.countDistinct("per").cast("bigint").alias("n_periods"),
     )

@@ -984,32 +984,89 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 rework (guide §2.4 remove shuffles / §2.3 aggregate
+    # early): the r10 shape joined a degree table back onto the edge
+    # list and then SELF-JOINED the capped edges on part — 12
+    # exchanges, with the edge set shuffled three more times after
+    # the distinct. Everything after the distinct is per-part work,
+    # so it now rides ONE part partitioning: a window count computes
+    # the degree (no join, no per-group array before the cap — a
+    # billion-supplier hub part streams through the sort-based window
+    # and is dropped by the filter, never collected), the capped
+    # suppliers collapse to a ≤40-element set per part, and the
+    # co-supplier pairs are exploded IN the partition. Catalyst's
+    # ReuseExchange shares the scans of the capped frame (parts_per
+    # and the pair branch read the same exchanges).
     li = t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
     ).distinct()
-    deg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("__d"))
+    w = Window.partitionBy("part")
     # part-degree cap: a hub part supplied by everyone contributes
     # deg² pairs and ~0 signal — dropped identically in the oracle
-    kept = edges.join(deg, "part").filter(F.col("__d") <= 40).select(
-        "part", "supp"
+    kept = (
+        edges.repartition("part")
+        .withColumn("__d", F.count(F.lit(1)).over(w))
+        .filter(F.col("__d") <= 40)
+        .select("part", "supp")
     )
-    a = kept.select("part", F.col("supp").alias("s"))
-    b = kept.select("part", F.col("supp").alias("co"))
-    pairs = (
-        a.join(b, "part")
-        .filter(F.col("s") != F.col("co"))
-        .select("s", "co")
+    # pairs are exploded CANONICAL (u < v via the sorted set + sliced
+    # inner transform) — half the pair volume of the directed form —
+    # and deduped once; each distinct unordered pair then contributes
+    # 1 to each endpoint's partner count (measured across tails at
+    # sf0.1: canonical+distinct+endpoint-sum 3.4 s median vs directed
+    # countDistinct 5.0 s vs directed distinct+count 4.8 s, identical
+    # output all three)
+    grouped = kept.groupBy("part").agg(
+        F.sort_array(F.collect_set("supp")).alias("__ss")
+    )
+    dp = (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__ss",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "__ss",
+                                i + F.lit(2),
+                                F.size(F.col("__ss")) - i - F.lit(1),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("u"), y.alias("v")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.u", "__p.v")
         .distinct()
+    )
+    cu = dp.groupBy(F.col("u").alias("s")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    cv = dp.groupBy(F.col("v").alias("s")).agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    cocnt = cu.join(cv, "s", "full").select(
+        "s",
+        (
+            F.coalesce("__c1", F.lit(0)) + F.coalesce("__c2", F.lit(0))
+        ).cast("bigint").alias("__nco"),
     )
     parts_per = kept.groupBy(F.col("supp").alias("s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts")
     )
     return (
-        parts_per.join(pairs, "s", "left")
-        .groupBy("s", "n_parts")
-        .agg(F.count("co").cast("bigint").alias("n_co_suppliers"))
-        .select(F.col("s").alias("supp"), "n_parts", "n_co_suppliers")
+        parts_per.join(cocnt, "s", "left")
+        .select(
+            F.col("s").alias("supp"),
+            "n_parts",
+            F.coalesce(F.col("__nco"), F.lit(0).cast("bigint")).alias(
+                "n_co_suppliers"
+            ),
+        )
     )
 
 
@@ -1138,21 +1195,50 @@ _COSUPP_EDGES = """(
     degree_assortativity_sql(_COSUPP_EDGES, "id_a", "id_b"),
 )
 def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-11 rework, same shape as q253 (see the comment there):
+    # window degree + per-part pair explosion replace the degree join
+    # and the part self-join. Pairs are emitted already canonical
+    # (u < v via the sorted set and a sliced inner transform) and NOT
+    # pre-distinct'ed — degree_assortativity's canonical_edges runs
+    # the one distinct this plan needs, where the r10 shape paid a
+    # directed distinct AND the canonical distinct (two full pair
+    # shuffles; min()/distinct are duplicate-insensitive, so the
+    # result is unchanged).
     li = t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
     ).distinct()
-    deg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("__d"))
-    kept = edges.join(deg, "part").filter(F.col("__d") <= 40).select(
-        "part", "supp"
+    w = Window.partitionBy("part")
+    kept = (
+        edges.repartition("part")
+        .withColumn("__d", F.count(F.lit(1)).over(w))
+        .filter(F.col("__d") <= 40)
+        .select("part", "supp")
     )
-    a = kept.select("part", F.col("supp").alias("id_a"))
-    b = kept.select("part", F.col("supp").alias("id_b"))
+    grouped = kept.groupBy("part").agg(
+        F.sort_array(F.collect_set("supp")).alias("__ss")
+    )
     pairs = (
-        a.join(b, "part")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__ss",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "__ss",
+                                i + F.lit(2),
+                                F.size(F.col("__ss")) - i - F.lit(1),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
     )
     return degree_assortativity(pairs, "id_a", "id_b")
 

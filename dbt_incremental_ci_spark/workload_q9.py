@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from dbt_incremental_ci_spark.workload_base import (
     _LAZY_ORACLES,
     events_table,
+    fan_out,
     q,
     t,
 )
@@ -581,48 +582,74 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("y"),
         F.col("l_quantity").cast("bigint").alias("x"),
     )
-    # the spine rides an exploded LITERAL struct array, not a
-    # crossJoin: BroadcastNestedLoopJoin emits its 42x expansion
-    # row-at-a-time outside codegen (measured 16s at sf0.1), while
-    # Generate(explode) keeps the whole expand inside
-    # WholeStageCodegen (measured ~4x faster, same plan otherwise)
-    grid = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("bigint").alias("b"),
-                F.lit(tau).alias("tau"),
+    # 42 decimal folds per row are the measured cost — fan the
+    # 16-byte (x, y) frame out across cores before the aggregate
+    # (no-op when the scan already has >= cores splits)
+    li = fan_out(li, spark)
+    # The 42-cell grid is evaluated as 42 COLUMNAR sums in ONE
+    # grouping-free aggregate instead of a 42x row explosion
+    # (round-11, guide §2.3): the r10 shape Generated 252M rows at
+    # sf0.1 and pushed each through a (tau, b) hash-agg probe just to
+    # produce 42 numbers. Computing the 42 pinball terms as parallel
+    # sum expressions over the 6M-row scan does the identical decimal
+    # arithmetic (sums of the same bigint terms, order-free) with no
+    # row expansion and no shuffle of the expanded frame; the 42
+    # result rows are re-assembled by exploding a literal struct
+    # array over the 1-row aggregate. Paired same-session A/B at
+    # sf0.1: 4.79 -> 2.93 s, and ~2.4 s with the fan-out on top.
+    def term(b: int, tau: float) -> F.Column:
+        r = F.col("y") - F.lit(b).cast("bigint") * F.col("x")
+        # pinball terms are NON-NEGATIVE, so half-up micro-grid
+        # rounding is the pure-IEEE floor(x*1e4 + 0.5) — Spark's
+        # round() on doubles allocates a BigDecimal per value, and
+        # 50M of those dominated the sf0.1 wall (measured 17.2s ->
+        # 4.1s in r10); both engines compute the identical op
+        # sequence on identical doubles, so the bigint terms match
+        # bit-for-bit. Exact integer sums; ranking compares longs.
+        return F.floor(
+            F.when(r >= 0, F.lit(tau) * r).otherwise(
+                (F.lit(tau) - 1.0) * r
             )
-            for b in _Q318_GRID
-            for tau in _Q318_TAUS
-        ]
+            * 10000.0
+            + 0.5
+        ).cast("bigint")
+
+    cells = [(b, tau) for b in _Q318_GRID for tau in _Q318_TAUS]
+    one = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        *[
+            F.sum(term(b, tau).cast("decimal(38,0)")).alias(
+                f"__l_{b}_{int(tau * 10)}"
+            )
+            for b, tau in cells
+        ],
     )
-    r = F.col("y") - F.col("b") * F.col("x")
-    # pinball terms are NON-NEGATIVE, so half-up micro-grid rounding
-    # is the pure-IEEE floor(x*1e4 + 0.5) — Spark's round() on doubles
-    # allocates a BigDecimal per value, and 50M of those dominated the
-    # sf0.1 wall (measured 17.2s -> 4.1s); both engines compute the
-    # identical op sequence on identical doubles, so the bigint terms
-    # match bit-for-bit. Exact integer sums; ranking compares longs.
-    term = F.floor(
-        F.when(r >= 0, F.col("tau") * r).otherwise(
-            (F.col("tau") - 1.0) * r
-        )
-        * 10000.0
-        + 0.5
-    ).cast("bigint")
     losses = (
-        li.select("y", "x", F.explode(grid).alias("g"))
-        .select(
-            "y",
-            "x",
-            F.col("g.b").alias("b"),
-            F.col("g.tau").alias("tau"),
+        one.select(
+            "__n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tau).alias("tau"),
+                            F.lit(b).cast("bigint").alias("b"),
+                            F.col(f"__l_{b}_{int(tau * 10)}").alias(
+                                "loss"
+                            ),
+                        )
+                        for b, tau in cells
+                    ]
+                )
+            ).alias("__g"),
         )
-        .select("tau", "b", term.alias("term"))
-        .groupBy("tau", "b")
-        .agg(
-            F.sum(F.col("term").cast("decimal(38,0)")).alias("loss"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
+        # empty-input parity with the r10 groupBy shape (zero rows,
+        # not 42 NULL-loss rows)
+        .where(F.col("__n") > 0)
+        .select(
+            F.col("__g.tau").alias("tau"),
+            F.col("__g.b").alias("b"),
+            F.col("__g.loss").alias("loss"),
+            F.col("__n").alias("n"),
         )
     )
     w = Window.partitionBy("tau").orderBy("loss", "b")
