@@ -186,6 +186,16 @@ def item_cooccurrence_cosine(
     ``c_ij ≥ min_support``; cosine is one IEEE expression over exact
     integers, rounded 6.
     """
+    # Round-11 measured NEGATIVE result (kept as the self-join on
+    # purpose): rewriting this prefix in the q253 shape — window-count
+    # size cap + sorted per-basket item set + in-partition canonical
+    # pair explosion via nested array transforms — measured 3.4×
+    # SLOWER here (paired A/B at sf0.1: explosion 10.2 s median vs
+    # join 2.97 s). The explosion wins only when the per-group sets
+    # are tiny (q253's co-supplier sets: median degree ~4, cap 40);
+    # at basket sizes near this cap (128) the O(|basket|²) struct
+    # array built per basket costs far more than the join's streamed
+    # pair generation. Do not re-try blind.
     inc = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()

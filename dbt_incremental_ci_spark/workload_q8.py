@@ -1155,6 +1155,11 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("b"), F.col("l_partkey").alias("i"))
         .distinct()
     )
+    # NOTE (round-11): the q253-style in-partition pair explosion was
+    # tried on this prefix and measured 3.4× SLOWER (see
+    # operators/linkpred.py item_cooccurrence_cosine) — at ~128-item
+    # baskets the per-basket O(sz²) struct array costs more than the
+    # join's streamed pairs. The self-join stays on purpose.
     sizes = inc.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
     kept = (
         inc.join(sizes, "b")
@@ -2459,10 +2464,24 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_incremental_ci_spark.operators import dedup
 
     docs = t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=0.7
-    ).select("id_a", "id_b")
-    sh = docs.select(
+    # the pair frame is tiny (banded candidates that survive exact
+    # verification) and read THREE times below (two report joins +
+    # the member-id semi-join) — checkpoint it once
+    pairs = (
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    # Round-11 (guide §1.2 "don't compute things you throw away",
+    # measured at sf0.1: shingling the full corpus cost 3.3 s of the
+    # query's 5 s while only ~10% of docs appear in any pair):
+    # restrict the exact-shingle report input to pair MEMBERS with a
+    # semi-join before the O(len·k) shingle/array_distinct work, so
+    # the expensive arrays are built only for rows the report uses.
+    members = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    sh = docs.join(members, "doc_id", "semi").select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chr"),
         dedup.char_shingles("text", k=5, distinct=True).alias("s"),
@@ -2477,29 +2496,41 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chr").alias("cb"),
         F.col("s").alias("sb"),
     )
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sa", "sb"))
-    na, nb = F.size("sa"), F.size("sb")
+    # materialize the intersection SIZE once per pair (the r10 shape
+    # re-evaluated array_intersect in five expressions; one projection
+    # makes the reuse explicit instead of relying on codegen CSE)
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "ca",
+            "cb",
+            F.size("sa").cast("bigint").alias("na"),
+            F.size("sb").cast("bigint").alias("nb"),
+            F.size(F.array_intersect("sa", "sb"))
+            .cast("bigint")
+            .alias("inter"),
+        )
+    )
     out = joined.select(
         "id_a",
         "id_b",
-        inter.cast("bigint").alias("n_common"),
-        (na - inter).cast("bigint").alias("only_a"),
-        (nb - inter).cast("bigint").alias("only_b"),
+        F.col("inter").alias("n_common"),
+        (F.col("na") - F.col("inter")).alias("only_a"),
+        (F.col("nb") - F.col("inter")).alias("only_b"),
         (
             F.expr(
-                "CAST((size(array_intersect(sa, sb)) * 2000000 "
-                "+ (size(sa) + size(sb) - size(array_intersect(sa, sb)))) "
-                "DIV ((size(sa) + size(sb) "
-                "- size(array_intersect(sa, sb))) * 2) AS BIGINT)"
+                "CAST((inter * 2000000 + (na + nb - inter)) "
+                "DIV ((na + nb - inter) * 2) AS BIGINT)"
             ).cast("double")
             / 1_000_000.0
         ).alias("jaccard"),
         (
             F.expr(
-                "CAST((size(array_intersect(sa, sb)) * 2000000 "
-                "+ LEAST(size(sa), size(sb))) "
-                "DIV (LEAST(size(sa), size(sb)) * 2) AS BIGINT)"
+                "CAST((inter * 2000000 + LEAST(na, nb)) "
+                "DIV (LEAST(na, nb) * 2) AS BIGINT)"
             ).cast("double")
             / 1_000_000.0
         ).alias("containment"),
