@@ -211,6 +211,10 @@ def lsh_banding_eval(
             f"zero-overlap pairs), got {threshold}"
         )
     rows_per_band = m // bands
+    from dbt_incremental_ci_spark.operators.scaling import (
+        ensure_min_parallelism,
+    )
+
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(
@@ -220,7 +224,10 @@ def lsh_banding_eval(
             )
         ).alias("__toks"),
     ).where(F.size("__toks") > 0)
-    toks = toks.localCheckpoint(eager=False)
+    # round-11: the audit slice arrives as a single scan split, so the
+    # m-per-token md5 register work below ran on one core — spread the
+    # checkpointed token frame first (no-op at cluster split counts)
+    toks = ensure_min_parallelism(toks).localCheckpoint(eager=False)
     # one exploded (doc, token) frame feeds BOTH the register build
     # and the inverted-index truth join below
     tl = toks.select(

@@ -69,32 +69,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Unlock CPU parallelism on expression-heavy pipelines whose scan
-    yields fewer partitions than cores (round-11, guide §2.5 input
-    skew / §6 input split size).
-
-    The local test inputs are single-row-group parquet files, so a
-    Spark scan produces ONE working task no matter how many byte
-    splits are planned — every per-row-expensive stage downstream
-    (decimal folds, tokenize+explode, big codegen aggregates) runs
-    single-threaded on a 32-core box. A round-robin repartition to
-    ``defaultParallelism`` costs one exchange of the (projected,
-    narrow) input — tens of MB here — and buys cores× parallelism on
-    the expensive stage.
-
-    SCALE-ADAPTIVE by construction, not a local-mode constant: the
-    repartition is applied only when the planned partition count is
-    below ``defaultParallelism``. On a real cluster reading real
-    inputs (thousands of splits ≥ cores) this is a structural no-op —
-    the data keeps its scan partitioning and no exchange is added.
-    Apply AFTER projecting the needed columns so the exchange carries
-    the narrow frame (guide §2.3), and only on measured CPU-bound
-    paths — an exchange under a cheap map pipeline is pure overhead.
+    """Workload-side alias of
+    :func:`~dbt_incremental_ci_spark.operators.scaling.ensure_min_parallelism`
+    (round-11, guide §2.5/§6): unlock CPU parallelism on
+    expression-heavy pipelines whose scan yields fewer partitions
+    than cores. The local test inputs are single-row-group parquet
+    files, so a scan produces ONE working task — every per-row-
+    expensive stage downstream (decimal folds, tokenize+explode, big
+    codegen aggregates) runs single-threaded on a 32-core box.
+    Scale-adaptive by construction: on cluster-sized inputs (splits ≥
+    cores) it is a structural no-op. Apply AFTER projecting the
+    needed columns (guide §2.3) and only on measured CPU-bound paths
+    — an exchange under a cheap map pipeline is pure overhead
+    (measured: a plain scan+sum goes 0.33 → 1.0 s under it).
     """
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism)
+    from dbt_incremental_ci_spark.operators.scaling import (
+        ensure_min_parallelism,
+    )
+
+    return ensure_min_parallelism(df)
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

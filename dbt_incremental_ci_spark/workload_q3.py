@@ -34,6 +34,7 @@ from dbt_incremental_ci_spark.workload_base import (
     d,
     dec,
     events_table,
+    fan_out,
     get_oracles,
     q,
     t,
@@ -350,7 +351,17 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     evals = docs.filter(F.col("doc_id") % 41 == 0).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 41 != 0)
-    g = text.gopher_quality(corpus).filter("gopher_keep")
+    # Round-11: the gopher pass tokenizes each document ~6 times (one
+    # per rule column) and was re-executed by THREE downstream
+    # branches (the decontamination subtree, the LM scoring pass, and
+    # the final keep join) — checkpoint it once; fan the corpus out
+    # first so the token expressions use all cores on a single-split
+    # local scan (no-op at cluster scale).
+    g = (
+        text.gopher_quality(fan_out(corpus, spark))
+        .filter("gopher_keep")
+        .localCheckpoint(eager=False)
+    )
     flagged = decontam.contaminated(
         g.select("doc_id", "text"), evals, n=5, min_overlap=3
     )
