@@ -242,10 +242,24 @@ def nearest_centroid_confusion(
 
     # argmax by (cosine desc, label asc) via struct array_max: ties on
     # the rounded cosine resolve to the LARGEST -c = smallest label
+    from dbt_incremental_ci_spark.operators.scaling import (
+        ensure_min_parallelism,
+    )
+
     pred = (
-        df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        # round-11: the per-row k-centroid integer-micro cosine fold is
+        # the query's cost and runs pre-shuffle — spread the projected
+        # (label, vec) frame so a single-split local scan doesn't pin
+        # it to one core (no-op at cluster split counts)
+        ensure_min_parallelism(
+            df.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(
+                F.col(label_col).alias("__lbl"),
+                F.col(vec_col).alias(vec_col),
+            )
+        )
         .select(
-            F.col(label_col).alias("__lbl"),
+            "__lbl",
             F.col(vec_col).alias(vec_col),
             vn.alias("__vn"),
         )

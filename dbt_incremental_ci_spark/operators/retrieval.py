@@ -222,7 +222,19 @@ def maxsim_topk(
         )
         joined = q.join(pairs, "__q").join(d, "__d")
     else:
-        joined = q.crossJoin(d)
+        # round-11: the brute baseline's token-pair cosines run in the
+        # nested-loop join's stream-side tasks; both sides arrive as
+        # single-split scans locally, so the whole quadratic scoring
+        # pass ran one-core — spread both sides first (no-op at
+        # cluster split counts; the planner broadcasts the other side
+        # whichever it picks)
+        from dbt_incremental_ci_spark.operators.scaling import (
+            ensure_min_parallelism,
+        )
+
+        joined = ensure_min_parallelism(q).crossJoin(
+            ensure_min_parallelism(d)
+        )
     dp = F.round(dot(F.col("__qv"), F.col("__dv")), 6)
     per_qtok = (
         joined.select("__q", "__qt", "__d", dp.alias("__dp"))
