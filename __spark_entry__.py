@@ -60,12 +60,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # fill the slots after unrecorded names; in steady state (round 11+)
 # they take the head of the window BEFORE the least-recently-recorded
 # rotation fills the rest — changed code always gets fresh driver
-# evidence the same round it changes. Round 11: q146 (k-step BFS),
-# q127 (positional-filter guard), q357 (silhouette NULL mirror), q344
-# (replica anchor), q140 (components comment), plus the r17
-# adjudication watch-list q353/q375/q384 and the perf-band anchors
-# q101/q112.
-REVERIFY_PICKS = {101, 112, 127, 140, 146, 344, 353, 357, 375, 384}
+# evidence the same round it changes. Round 11, first half: q146
+# (k-step BFS), q127 (positional-filter guard), q357 (silhouette NULL
+# mirror), q344 (replica anchor), q140 (components comment), the r17
+# adjudication watch-list q353/q375/q384, and the perf-band anchors
+# q101/q112. Second half (the optimization session's touched paths):
+# q318/q367 (columnar grid + cell rollup), q253/q257 (window degree +
+# in-partition pairs), q295 (member semi-join), q77/q285/q286/q374/
+# q375 (exact_quantiles conditional-min probes), q106 (gopher
+# checkpoint), q221 (register fan-out), q132/q238 (brute-scorer
+# fan-out), q263/q280 (pair-explosion revert — re-prove unchanged).
+REVERIFY_PICKS = {
+    77, 101, 106, 112, 127, 132, 140, 146, 221, 238, 253, 257, 263,
+    280, 285, 286, 295, 318, 344, 353, 357, 367, 374, 375, 384,
+}
 
 
 def recorded_rounds() -> dict[str, int]:

@@ -42,20 +42,31 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 # The committed smoke set: round-touched paths + bench watch-list +
-# cross-band sample.  Round 11 touches q146 (k-step BFS), q127 (setsim
-# alpha guard), q357 (embstats NULL-semantics mirror), q140 (components),
-# q344 (workload_q10 replica anchor); watch-list is the four r17
-# bench flags (q353/q357/q375/q384); the rest is the judge's cross-band
-# sample from round 10.
+# cross-band sample.  Round 11 first half touches q146 (k-step BFS),
+# q127 (setsim alpha guard), q357 (embstats NULL-semantics mirror),
+# q140 (components), q344 (workload_q10 replica anchor); the
+# optimization half adds its touched paths (q318/q367/q253/q257/q295/
+# q77/q106/q221/q132/q238 + the exact_quantiles riders and the
+# q263/q280 revert); watch-list is the four r17 bench flags
+# (q353/q357/q375/q384); the rest is the judge's cross-band sample
+# from round 10.
 SMOKE = [
     "q03_top_revenue_orders", "q24_recursive_hierarchy",
     "q32_minhash_near_dups", "q50_salted_join",
+    "q77_equidepth_bins",
     "q101_incremental_dedup", "q106_curation_v2", "q112_pagerank",
-    "q127_setsim_join", "q129_triangle_census", "q140_entity_resolution",
+    "q127_setsim_join", "q129_triangle_census",
+    "q132_maxsim_topk", "q140_entity_resolution",
     "q146_bfs_levels", "q196_moments_profile", "q204_ndcg",
-    "q221_lsh_banding_eval", "q295_dedup_pair_report",
+    "q221_lsh_banding_eval", "q238_nearest_centroid",
+    "q253_two_hop_neighbors", "q257_degree_assortativity",
+    "q263_item_cooccurrence", "q280_rec_coverage",
+    "q285_time_to_convert", "q286_key_skew_audit",
+    "q295_dedup_pair_report",
+    "q318_quantile_reg_grid",
     "q344_facility_location", "q351_shapley_reach", "q353_shingle_curve",
-    "q357_simplified_silhouette", "q375_fd_histogram",
+    "q357_simplified_silhouette", "q367_fixed_effects",
+    "q374_geometric_median", "q375_fd_histogram",
     "q384_pca2_explained", "q385_packing_audit", "q388_dedup_retention",
     "q390_quality_retention",
 ]

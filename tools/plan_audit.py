@@ -76,6 +76,7 @@ ONE_PART_NOTES = {
     "q315_mantel_haenszel": "1-row MH reduce over the stratum-sized (5) 2x2 cell frame",
     "q316_ipf_raking": "margin masses + 1-row totals over the category-bounded (source x lang) cell frame, repeated per unrolled IPF scaling",
     "q317_chao1_richness": "1-row freq-of-freq reduce over the vocab-sized type-count frame (map-side partials)",
+    "q318_quantile_reg_grid": "grouping-free 42-cell loss aggregate (round-11 columnar rewrite): per-task partial rows of 42 decimal sums merge into ONE 1-row final — O(partitions) rows, never data-sized",
     "q319_loso_source_value": "per-source/per-lang/1-row reduces over the (source x lang)-bounded cell frame",
     "q320_cross_source_dups": "1-row pair total over the source^2-bounded duplication-matrix cells",
     "q321_brier_decomposition": "1-row component reduces over the fixed 10-bin forecast grid",
