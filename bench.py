@@ -1128,6 +1128,16 @@ def main() -> None:
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
+        # round-12 (VERDICT r11 item 7): the sentinels are FIXED-code
+        # probes and sentinel_cpu is a fixed-total-work job (150M-row
+        # codegen sum over defaultParallelism splits), so its runtime
+        # MUST scale ~linearly with $SPARK_GRAFT_CPUS — putting the
+        # trio in the compact line makes core-scaling provable from
+        # the driver-captured output alone (the low-core rerun's
+        # sentinel_cpu reads ~cores_ratio × the 32-core run's), where
+        # before only the full artifact carried them. ~90 bytes.
+        "sentinels": sentinels,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
         "queries": timings,  # headline band only: 13 names, bounded size
         "n_extra": len(extra),
         "extra_total": round(sum(extra.values()), 3),

@@ -176,11 +176,26 @@ def connected_components_logn(
     # old nxt-vs-e two-frame exceptAll comparison needed one more
     # full round to prove output == input.
     def _is_star_forest(f: DataFrame) -> bool:
+        # one scan, not a two-leg union (round-12): the union read the
+        # just-checkpointed round output twice per probe; exploding the
+        # (child, parent) role pair per edge emits the identical role
+        # rows from a single pass
         roles = f.select(
-            F.col("u").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
-        ).unionAll(
-            f.select(F.col("v").alias("n"), F.lit(0), F.lit(1))
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("n"),
+                        F.lit(1).alias("c"),
+                        F.lit(0).alias("p"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("n"),
+                        F.lit(0).alias("c"),
+                        F.lit(1).alias("p"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.n", "r.c", "r.p")
         bad = (
             roles.groupBy("n")
             .agg(F.sum("c").alias("nc"), F.sum("p").alias("np"))
@@ -189,7 +204,13 @@ def connected_components_logn(
         return bad.isEmpty()
 
     for rounds in range(1, max_iter + 1):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy: the probe job below is the round's ONE job — it
+        # computes the round and persists the checkpoint blocks as a
+        # side effect (the old eager checkpoint ran the same chain as
+        # a separate job: two driver-synced jobs per round for no
+        # extra information); the single-pass probe reads the round
+        # output exactly once, so nothing is double-computed
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         if _is_star_forest(e):
             if stats is not None:
                 stats["rounds"] = rounds

@@ -45,7 +45,32 @@ def hits_scores(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     ).distinct().localCheckpoint(eager=False)
-    hubs = e.select("src").distinct().select(
+    # Round-12 iteration shape (guide §2.4 — share one exchange across
+    # all rounds): the per-round joins key the SAME edge frame by src
+    # (auth round) and by dst (hub round), and each round's groupBy
+    # re-keys it again. Two pre-hashed copies of the edge frame — one
+    # per key — are materialized ONCE; with the node-sized score frame
+    # broadcast (size-gated below), every round's join preserves the
+    # edge frame's partitioning and its groupBy aggregates in place:
+    # zero per-round exchanges instead of two. The node/edge counts
+    # come from one aggregate pass over the already-checkpointed edge
+    # frame; past the broadcast cap the hint is withheld and the round
+    # plans exactly as before (AQE picks the join), so a billion-node
+    # score table is never forced onto the driver.
+    cnt = e.agg(
+        F.countDistinct("src").alias("ns"),
+        F.countDistinct("dst").alias("nd"),
+        # driver-bound: 1 row, 2 scalars (node counts for the gate)
+    ).first()
+    _BCAST_CAP = 4_000_000  # (string, double) score rows ≈ tens of MB
+    n_max = max(int(cnt["ns"] or 0), int(cnt["nd"] or 0))
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_max <= _BCAST_CAP else df
+
+    e_dst = e.repartition("dst").localCheckpoint(eager=False)
+    e_src = e.repartition("src").localCheckpoint(eager=False)
+    hubs = e_src.select("src").distinct().select(
         "src", F.lit(1.0).alias("h")
     )
     for _ in range(iterations):
@@ -53,7 +78,7 @@ def hits_scores(
         # decimal fold: scores are round-9 doubles in [0,1]; a raw
         # double sum folds in task order (the SCALE.md 6q flake class)
         auth = (
-            e.join(hubs, "src")
+            e_dst.join(_hint(hubs), "src")
             .groupBy("dst")
             .agg(
                 F.sum(F.col("h").cast("decimal(28,9)")).alias("__a")
@@ -74,7 +99,7 @@ def hits_scores(
         )
         # hub = sum of pointed authorities' scores, max-normalized
         hub = (
-            e.join(auth, "dst")
+            e_src.join(_hint(auth), "dst")
             .groupBy("src")
             .agg(
                 F.sum(F.col("a").cast("decimal(28,9)")).alias("__h")

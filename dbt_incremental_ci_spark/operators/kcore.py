@@ -40,13 +40,20 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    step: int = 3,
 ) -> DataFrame:
     """(node, degree): every node of the k-core of the undirected
     simple graph induced by ``edges`` (self-loops dropped, duplicate
     edges collapsed), with its degree WITHIN the core. Empty output if
-    the core is empty. Raises after ``max_iter`` peel rounds."""
+    the core is empty. Raises after ``max_iter`` peel rounds.
+
+    ``step`` = peel rounds settled per driver-synchronized probe (a
+    pure scheduling knob, never visible in the result — regression-
+    tested across step parities)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -55,17 +62,58 @@ def kcore(
                 F.col("u") != F.col("v")
             )
         )
+        # hash by u BEFORE the dedup: HashPartitioning(u) satisfies the
+        # distinct's ClusteredDistribution(u, v), so the dedup adds no
+        # second exchange — and every later peel round's groupBy("u")
+        # and anti-join on u then reuse this one partitioning for the
+        # whole run (guide §2.4: one exchange shared across rounds).
+        .repartition("u")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
-        weak = deg.where(F.col("degree") < k).select("u")
+    # Size-gated broadcast hint (round-12, the bfs.py pattern): every
+    # weak-node frame is a subset of the node set, so one exact node
+    # count — a scalar the first degree pass pays for anyway — proves
+    # all of them fit broadcast for the whole run. Hinting them keeps
+    # the anti-joins build-side-broadcast (the v-side anti-join would
+    # otherwise re-hash the live edge frame by v every round) and
+    # skips AQE's per-stage stats detour. Past the cap no hint is
+    # emitted and rounds plan exactly as before.
+    n_nodes = e.select("u").distinct().count()
+    _BCAST_CAP = 4_000_000
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_nodes <= _BCAST_CAP else df
+
+    # step peel rounds settle per driver-synchronized probe (round-12,
+    # the bfs.py k-step pattern): deleting every degree<k node at once
+    # is idempotent AT the fixpoint (a round that deletes nothing
+    # re-derives the same degrees), so unrolling a few rounds blind and
+    # probing only the LAST round's weak frame returns the identical
+    # fixpoint — rounds past convergence are no-ops by construction.
+    # Each sub-round is a lazy localCheckpoint persisted by the probe
+    # job, so the next batch never replays this one; the probe is the
+    # batch's ONE driver sync instead of two jobs (eager checkpoint +
+    # isEmpty) per round.
+    rounds = 0
+    while rounds < max_iter:
+        j = min(step, max_iter - rounds)
+        deg = None
+        for _ in range(j):
+            deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+            weak = (
+                deg.where(F.col("degree") < k)
+                .select("u")
+                .localCheckpoint(eager=False)
+            )
+            e = (
+                e.join(_hint(weak), "u", "left_anti")
+                .join(_hint(weak.select(F.col("u").alias("v"))), "v", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+        rounds += j
         if weak.isEmpty():
+            # the LAST unrolled round deleted nothing, so its input was
+            # already the fixpoint and its deg is the core's degrees
             return deg.select(F.col("u").alias("node"), "degree")
-        e = (
-            e.join(weak, "u", "left_anti")
-            .join(weak.select(F.col("u").alias("v")), "v", "left_anti")
-            .localCheckpoint(eager=True)
-        )
     raise RuntimeError(f"k-core peeling did not converge in {max_iter} rounds")

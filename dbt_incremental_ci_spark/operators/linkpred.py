@@ -196,12 +196,28 @@ def item_cooccurrence_cosine(
     # at basket sizes near this cap (128) the O(|basket|²) struct
     # array built per basket costs far more than the join's streamed
     # pair generation. Do not re-try blind.
-    inc = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    sizes = inc.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+    # Round-12 prefix alignment (guide §2.4, the WINNING half of the
+    # q253 rework — the pair explosion stays reverted per the note
+    # above): hash the incidence frame by basket ONCE, then the
+    # distinct (ClusteredDistribution(__b,__i) is satisfied by
+    # HashPartitioning(__b)), the size cap (a partition-local window
+    # count instead of a groupBy + join back), and BOTH sides of the
+    # pair self-join all reuse that single exchange. A degenerate
+    # mega-basket streams through the sort-based window and is dropped
+    # by the cap — never collected per-group.
+    from pyspark.sql import Window
+
+    inc = (
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .repartition("__b")
+        .dropDuplicates(["__b", "__i"])
+    )
     kept = (
-        inc.join(sizes, "__b")
+        inc.withColumn(
+            "__sz", F.count(F.lit(1)).over(Window.partitionBy("__b"))
+        )
         .filter(F.col("__sz") <= max_basket_items)
         .select("__b", "__i")
         .localCheckpoint(eager=False)  # pairs + margins both read it

@@ -88,33 +88,72 @@ def pagerank(
     base = (100 - damping_pct) * (SCALE // n) // 100
     init = SCALE // n
 
+    # Size-gated broadcast hint (round-12, the bfs.py `_hint` pattern):
+    # every per-iteration frame except the pre-joined edge list is
+    # node-sized, and N is already a known driver scalar — so while the
+    # graph is provably under the broadcast ceiling, hint every
+    # node-sized join side explicitly. That turns each iteration into
+    # broadcast joins + one partition-local aggregate (zero exchanges,
+    # see below) and skips AQE's per-stage stats detour. Past the
+    # ceiling the hint is withheld and the joins plan exactly as
+    # before — a billion-node rank table is never forced onto the
+    # driver.
+    _BCAST_CAP = 4_000_000  # rows of (bigint, bigint) ≈ 64 MB
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n <= _BCAST_CAP else df
+
     # Static per-iteration inputs, materialized ONCE: the out-degree
     # pre-joined into the edge list (removes a join from every round)
     # and the dangling-node set (nodes with no out-edges — membership
-    # never changes, only their rank sum does).
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
-    dang = nodes.join(
-        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    # never changes, only their rank sum does). Partitioning is chosen
+    # from the same gate (guide §2.4 — share one exchange across all
+    # iterations): under the cap the rank side broadcasts, so the
+    # contribs join preserves the edge frame's partitioning and
+    # pre-hashing it by dst makes every iteration's groupBy(dst)
+    # exchange-free; over the cap the join is shuffle-based on
+    # src/node, so pre-hashing by src saves the edge side of that
+    # exchange every iteration instead.
+    e2 = (
+        e.join(outdeg, "src")
+        .repartition("dst" if n <= _BCAST_CAP else "src")
+        .localCheckpoint(eager=False)
+    )
+    # Dangling membership never changes, so it rides the rank frame as
+    # a boolean computed ONCE (round-12): the per-iteration dangling
+    # mass becomes a grouping-free aggregate over the persisted rank
+    # frame — no join, no re-broadcast of the dangling set every round
+    # (the old shape paid one node-sized broadcast build per iteration
+    # for a static set).
+    nodes2 = nodes.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(True).alias("__od")),
+        "node",
+        "left",
+    ).select(
+        "node", F.col("__od").isNull().alias("__dang")
     ).localCheckpoint(eager=False)
 
-    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+    ranks = nodes2.withColumn("rank_fp", F.lit(init).cast("bigint"))
     for _ in range(iterations):
         # dangling mass as a 1-row aggregate, cross-joined (broadcast)
         # into the update — never collected to the driver
-        dm = ranks.join(dang, "node").agg(
+        dm = ranks.where(F.col("__dang")).agg(
             F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("__dm")
         )
         contribs = (
-            ranks.join(e2, ranks["node"] == e2["src"])
+            e2.join(_hint(ranks), ranks["node"] == e2["src"])
             .select(F.expr("rank_fp DIV outdeg").alias("c"), "dst")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes2.join(
+                _hint(contribs), nodes2["node"] == contribs["dst"], "left"
+            )
             .crossJoin(F.broadcast(dm))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(base)
                     + F.expr(

@@ -134,6 +134,14 @@ def exact_quantiles(
     """
     from dbt_incremental_ci_spark.operators.packing import global_cumsum
 
+    if not qs:
+        # round-11 ADVICE: the wide 1-row aggregate below is built with
+        # one expression per requested quantile, so qs=[] would call
+        # .agg() with zero expressions and raise at plan time; the old
+        # join shape returned an empty frame — preserve that contract.
+        return df.sparkSession.createDataFrame(
+            [], "q double, n bigint, quantile double"
+        )
     g = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame
 
 def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition ``df`` up to ``defaultParallelism ×
-    factor`` partitions iff it is currently planned with fewer."""
+    factor`` partitions iff it is currently planned with fewer.
+
+    Cost note (round-11 ADVICE): the ``df.rdd.getNumPartitions()``
+    gate forces full physical planning of the subtree on the driver,
+    pre-AQE — a per-call-site build-time cost, and on exchanged
+    subtrees the planned count can disagree with the AQE-executed
+    count, making the no-op guard a heuristic (harmless to results —
+    both branches compute the same rows). Call it on cheap, scan-
+    rooted inputs (project first), not on deep joined subtrees."""
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -68,7 +68,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
     """Workload-side alias of
     :func:`~dbt_incremental_ci_spark.operators.scaling.ensure_min_parallelism`
     (round-11, guide §2.5/§6): unlock CPU parallelism on

@@ -969,6 +969,15 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else F.lit(0).cast("bigint")
             )
         )
+        # Round-12 MEASURED NEGATIVE result (do not re-try blind): the
+        # q318 columnar-cells rewrite — 64 grouping-free sums of
+        # greatest(element_at(sarr, j) − cur, 0) instead of this
+        # posexplode + 64-key hash agg — read paired medratio 1.63
+        # WORSE at sf0.1. Unlike q318 (whose explode pushed 42× the
+        # corpus through an exchange), this explode feeds a map-side-
+        # combined 64-key agg whose exchange carries 64 rows/task;
+        # the transform's tight array loop beats 64 separate aggregate
+        # buffers each re-deriving `cur` per expression.
         rows = (
             wide.select(
                 F.posexplode(

@@ -318,7 +318,7 @@ def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(38,2) sums 1.25 s) and the local scan is single-split —
     # fan the narrow 4-column frame out across cores (no-op on a
     # cluster-sized input)
-    rows = fan_out(rows, spark)
+    rows = fan_out(rows)
 
     # One (ent, per) cell rollup replaces FIVE full passes over the
     # joined lineitem frame (em, pm, gm, countDistinct — guide §2.3

@@ -358,7 +358,7 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first so the token expressions use all cores on a single-split
     # local scan (no-op at cluster scale).
     g = (
-        text.gopher_quality(fan_out(corpus, spark))
+        text.gopher_quality(fan_out(corpus))
         .filter("gopher_keep")
         .localCheckpoint(eager=False)
     )

@@ -1153,16 +1153,21 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("b"), F.col("l_partkey").alias("i"))
-        .distinct()
+        .repartition("b")
+        .dropDuplicates(["b", "i"])
     )
     # NOTE (round-11): the q253-style in-partition pair explosion was
     # tried on this prefix and measured 3.4× SLOWER (see
     # operators/linkpred.py item_cooccurrence_cosine) — at ~128-item
     # baskets the per-basket O(sz²) struct array costs more than the
     # join's streamed pairs. The self-join stays on purpose.
-    sizes = inc.groupBy("b").agg(F.count(F.lit(1)).alias("sz"))
+    # Round-12 (guide §2.4, mirroring item_cooccurrence_cosine): one
+    # hash-by-basket exchange feeds the distinct, the window size cap,
+    # and both self-join sides.
     kept = (
-        inc.join(sizes, "b")
+        inc.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("b"))
+        )
         .filter(F.col("sz") <= 128)
         .select("b", "i")
         .localCheckpoint(eager=False)

@@ -585,7 +585,7 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 42 decimal folds per row are the measured cost — fan the
     # 16-byte (x, y) frame out across cores before the aggregate
     # (no-op when the scan already has >= cores splits)
-    li = fan_out(li, spark)
+    li = fan_out(li)
     # The 42-cell grid is evaluated as 42 COLUMNAR sums in ONE
     # grouping-free aggregate instead of a 42x row explosion
     # (round-11, guide §2.3): the r10 shape Generated 252M rows at
@@ -615,13 +615,15 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
 
     cells = [(b, tau) for b in _Q318_GRID for tau in _Q318_TAUS]
+    # cell aliases keyed by INDEX (round-11 ADVICE): a float-derived
+    # token like int(tau*10) collides for taus sharing a first decimal
+    # digit (0.2 vs 0.25), which would make the later F.col() reference
+    # ambiguous if the grid ever changes
     one = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         *[
-            F.sum(term(b, tau).cast("decimal(38,0)")).alias(
-                f"__l_{b}_{int(tau * 10)}"
-            )
-            for b, tau in cells
+            F.sum(term(b, tau).cast("decimal(38,0)")).alias(f"__l_{j}")
+            for j, (b, tau) in enumerate(cells)
         ],
     )
     losses = (
@@ -633,11 +635,9 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.struct(
                             F.lit(tau).alias("tau"),
                             F.lit(b).cast("bigint").alias("b"),
-                            F.col(f"__l_{b}_{int(tau * 10)}").alias(
-                                "loss"
-                            ),
+                            F.col(f"__l_{j}").alias("loss"),
                         )
-                        for b, tau in cells
+                        for j, (b, tau) in enumerate(cells)
                     ]
                 )
             ).alias("__g"),

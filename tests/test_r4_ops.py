@@ -322,3 +322,30 @@ def test_scalar_quantize_8bit_roundtrip(spark):
     assert out[1]["mse"] == 0.0 and out[2]["mse"] == 0.0
     err = 0.5 - 128 * (1.0 / 255.0)
     assert abs(out[3]["mse"] - round(err * err / 3, 9)) < 1e-12
+
+
+def test_kcore_step_invariance(spark):
+    """Round-12: j peel rounds settle per driver probe (the bfs.py
+    k-step pattern). The fixpoint — and the returned core degrees —
+    must be identical for every step, including steps that overshoot
+    convergence (idempotent no-op rounds) and steps that land exactly
+    on it."""
+    from dbt_incremental_ci_spark.operators.kcore import kcore
+
+    # clique (converges fast) + long chain (peels one level per round:
+    # many real rounds, exercising every step/convergence parity)
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    chain = [(5, 10)] + [(10 + i, 11 + i) for i in range(7)]
+    edges = spark.createDataFrame(clique + chain, ["src", "dst"])
+    expected = None
+    for step in (1, 2, 3, 5, 8):
+        out = sorted(
+            (r["node"], r["degree"])
+            for r in kcore(edges, 2, step=step).collect()
+        )
+        if expected is None:
+            expected = out
+        assert out == expected, f"step={step} diverged"
+    # the chain peels away entirely at k=2 (endpoints fall one per
+    # round); only the clique survives
+    assert {n for n, _ in expected} == {1, 2, 3, 4, 5}
