@@ -117,10 +117,10 @@ def exact_quantiles(
     into one task and sorts there — fine on a bounded frame, fatal on
     a corpus (the q77 plan at 100 TB). The scalable exact shape is the
     Mann-Whitney machinery: ONE map-side-combinable aggregate to
-    distinct-value counts, :func:`~.packing.global_cumsum` for rank
-    offsets, then each requested quantile probes the cumulative table
-    for its two bracketing order statistics (a constant-size spine ×
-    distinct-values range join — Catalyst broadcasts the spine).
+    distinct-value counts, per-range-bucket count totals with an
+    O(buckets) prefix for rank offsets, then each requested quantile's
+    two bracketing order statistics come from a cumulative window run
+    over its HOME BUCKET's rows only (round-12 — see the inline note).
 
     Determinism: the target position is computed in DOUBLE exactly
     as both engines' own implementations do (pos = (n−1)·q —
@@ -132,8 +132,6 @@ def exact_quantiles(
     ``(q, n, quantile)`` — quantile UNROUNDED (callers round to
     their grid).
     """
-    from dbt_incremental_ci_spark.operators.packing import global_cumsum
-
     if not qs:
         # round-11 ADVICE: the wide 1-row aggregate below is built with
         # one expression per requested quantile, so qs=[] would call
@@ -142,116 +140,171 @@ def exact_quantiles(
         return df.sparkSession.createDataFrame(
             [], "q double, n bigint, quantile double"
         )
+    spark = df.sparkSession
     g = (
         df.select(F.col(value_col).cast("double").alias("__v"))
         .filter(F.col("__v").isNotNull())
         .groupBy("__v")
         .agg(F.count(F.lit(1)).alias("__cnt"))
-        .localCheckpoint(eager=False)  # cumsum + total both read it
+        .localCheckpoint(eager=False)  # stats + totals + probe all read it
     )
-    c = global_cumsum(g, "__v", "__cnt", out_col="__cum").localCheckpoint(
-        eager=False  # probed once per bracketing side
+    # Round-12 (guide §1.2 — don't compute what you throw away, §2.4 —
+    # fewer sync points): the old shape computed a FULL distinct-value
+    # cumulative sum (global_cumsum: per-bucket window over every row,
+    # offsets joined back — profiled 2.3–3.3 s of q77's ~5 s at sf0.1
+    # on 583k distinct prices) and then threaded n and the 2k probe
+    # ranks through a ladder of 1-row broadcasts (tot → rank table →
+    # conditional-min pass), ~4 sequential broadcast materializations
+    # of pure latency. All of those scalars are O(num_partitions)-
+    # bounded, so they now ride DRIVER-BOUND reads (the sanctioned
+    # two-phase-rank-offsets class — never data-sized):
+    #   job 1: one aggregate over g → deterministic range-bucket
+    #          boundaries (percentile of a 1-in-20 xxhash64 slice),
+    #          the sampled distinct-count estimate, and the exact n;
+    #   job 2: per-bucket count totals (O(buckets) rows) → exclusive
+    #          offsets, computed in exact Python ints;
+    #   job 3: the ONE data-sized job — a cumulative window over the
+    #          probed buckets' rows only, with every rank/offset a
+    #          literal, folding to the 2k bracketing mins.
+    # EXACT: buckets are ranges of __v (every v in bucket b+1 exceeds
+    # every v in bucket b), so the first bucket whose end-cumulative
+    # reaches rank r contains min(v | cum ≥ r), and inside it
+    # local-cum + offset IS the global cumulative. Bucket BOUNDARIES
+    # only regroup exact integer count sums — any deterministic choice
+    # gives identical output.
+    n_parts = spark.sparkContext.defaultParallelism
+    ps = [i / n_parts for i in range(1, n_parts)]
+    in_sample = F.pmod(F.xxhash64(F.col("__v")), F.lit(20)) == 0
+    srow = g.agg(
+        F.percentile(F.when(in_sample, F.col("__v")), F.lit(ps)).alias("b"),
+        F.count(F.when(in_sample, F.lit(1))).alias("sc"),
+        F.sum("__cnt").alias("n"),
+        # driver-bound: 1 row — O(num_partitions) bounds + 2 scalars
+    ).first()
+    n = int(srow["n"] or 0)
+    if n == 0:
+        # empty-input parity with the old join shape: zero rows
+        return spark.createDataFrame(
+            [], "q double, n bigint, quantile double"
+        )
+    bounds, est_distinct = srow["b"], 20 * int(srow["sc"] or 0)
+    if not bounds:
+        # tiny input: the 1-in-20 sample came up empty — exact bounds
+        # of the full (small) input keep the parallel path
+        # driver-bound: O(num_partitions) bounds, one row (tiny-input fallback)
+        bounds = g.agg(
+            F.percentile(F.col("__v"), F.lit(ps)).alias("b")
+        ).first()["b"]
+    bucket = F.lit(0)
+    for b in sorted({float(x) for x in (bounds or [])}):
+        bucket = bucket + (F.col("__v") > F.lit(b)).cast("int")
+    bucketed = g.withColumn("__b", bucket)
+    offrows = sorted(
+        (r["__b"], int(r["__t"]))
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum("__cnt").alias("__t"))
+        # driver-bound: O(buckets) ≤ num_partitions rows (count totals)
+        .collect()
     )
-    tot = g.agg(F.sum("__cnt").alias("__n"))
-    spine = df.sparkSession.createDataFrame(
-        [(float(x),) for x in qs], "q double"
+    offs: dict[int, int] = {}
+    acc = 0
+    for b, tcnt in offrows:
+        offs[b] = acc
+        acc += tcnt
+    # probe positions in DOUBLE, exactly as both engines' own
+    # implementations do: pos = (n-1)*q, kf = floor(pos), frac =
+    # pos - kf — Python floats ARE IEEE binary64, so float(n-1)*q /
+    # math.floor reproduce the old Spark double column bit-for-bit.
+    # (An integer-micro "exact" position was tried and DIVERGES from
+    # F.percentile / quantile_cont whenever (n-1)*q rounds — e.g.
+    # 3*0.1; hypothesis-found.)
+    import math
+
+    probes = []
+    for i, qv in enumerate(qs):
+        qd = float(qv)
+        posd = float(n - 1) * qd
+        kf = math.floor(posd)
+        frac = posd - kf
+        lo = int(kf) + 1
+        hi = lo + (1 if frac > 0 else 0)
+        probes.append((i, qd, lo, hi, frac))
+
+    def _home_bucket(rank: int) -> int | None:
+        # first bucket whose end-cumulative reaches the rank
+        for b, tcnt in offrows:
+            if offs[b] + tcnt >= rank:
+                return b
+        return None
+
+    # Prune gate (measured, round-12): restricting the window to the
+    # probed home buckets only amortizes when it drops materially more
+    # rows than the extra filter costs — paired A/B read 1.05–1.11 on
+    # the small-table riders (q285/q286/q374) vs wins on the
+    # ~583k-distinct price callers (q77/q375). Below the gate the SAME
+    # machinery windows every bucket — the full cumulative table.
+    if est_distinct >= 200_000:
+        pbset = sorted(
+            {
+                hb
+                for _, _, lo, hi, _ in probes
+                for r in (lo, hi)
+                if (hb := _home_bucket(r)) is not None
+            }
+        )
+        cw = bucketed.where(F.col("__b").isin(pbset))
+    else:
+        cw = bucketed
+    off_expr = None
+    for b, _ in offrows:
+        off_expr = (
+            F.when(F.col("__b") == F.lit(b), F.lit(offs[b]))
+            if off_expr is None
+            else off_expr.when(F.col("__b") == F.lit(b), F.lit(offs[b]))
+        )
+    off_expr = off_expr.otherwise(F.lit(0)) if off_expr is not None else F.lit(0)
+    lw = Window.partitionBy("__b").orderBy("__v")
+    cum = (
+        cw.withColumn("__lc", F.sum("__cnt").over(lw))
+        .withColumn("__cum", F.col("__lc") + off_expr.cast("bigint"))
     )
-    # position in DOUBLE, exactly as both engines' implementations do:
-    # pos = (n-1)*q, kf = floor(pos), frac = pos - kf. An integer-micro
-    # "exact" position was tried and DIVERGES from F.percentile /
-    # quantile_cont whenever (n-1)*q rounds (e.g. 3*0.1 — hypothesis-
-    # found); matching the engines' own IEEE expression IS the
-    # deterministic choice.
-    pos = (F.col("__n") - 1).cast("double") * F.col("q")
-    tq = spine.crossJoin(F.broadcast(tot)).select(
-        "q",
-        "__n",
-        F.floor(pos).cast("bigint").alias("__kf"),
-        (pos - F.floor(pos)).alias("__frac"),
-    )
-    # Round-11 (guide §2.4): the order-statistic probes used to be a
-    # range join per bracketing side — a BroadcastNestedLoopJoin of
-    # the k-row probe spine against the WHOLE cumulative table,
-    # emitting every (probe, cum ≥ rank) match (half the distinct
-    # values per probe on average) into a re-aggregating min. The
-    # ranks are just 2k scalars derived from (n, q) with q known at
-    # build time, so they now ride ONE wide 1-row broadcast and all
-    # 2k bracketing values come from a single conditional-min pass
-    # over the cumulative table (min(v | cum ≥ rank_i) — identical
-    # semantics, no join fan-out, one scan instead of two). Paired
-    # A/B at sf0.1 on q77 (3 quantiles over the lineitem price
-    # distinct values): medratio 0.906 over 5 pairs — a real but
-    # modest win at this scale (the distinct-value aggregate and
-    # cumsum dominate); the structural point is removing the
-    # BNL probe-fan-out, which grows with the distinct-value count.
-    tqw = tq.agg(
-        F.max("__n").alias("__n"),
+    br = cum.agg(
         *[
             expr
-            for i, _ in enumerate(qs)
-            for expr in (
-                F.max(
-                    F.when(F.col("q") == F.lit(float(qs[i])), F.col("__kf") + 1)
-                ).alias(f"__lo_{i}"),
-                F.max(
-                    F.when(
-                        F.col("q") == F.lit(float(qs[i])),
-                        F.col("__kf")
-                        + 1
-                        + F.when(F.col("__frac") > 0, 1).otherwise(0),
-                    )
-                ).alias(f"__hi_{i}"),
-                F.max(
-                    F.when(F.col("q") == F.lit(float(qs[i])), F.col("__frac"))
-                ).alias(f"__frac_{i}"),
-            )
-        ],
-    )
-    br = c.crossJoin(F.broadcast(tqw)).agg(
-        *[
-            expr
-            for i, _ in enumerate(qs)
+            for i, _, lo, hi, _ in probes
             for expr in (
                 F.min(
-                    F.when(F.col("__cum") >= F.col(f"__lo_{i}"), F.col("__v"))
+                    F.when(F.col("__cum") >= F.lit(lo), F.col("__v"))
                 ).alias(f"__vlo_{i}"),
                 F.min(
-                    F.when(F.col("__cum") >= F.col(f"__hi_{i}"), F.col("__v"))
+                    F.when(F.col("__cum") >= F.lit(hi), F.col("__v"))
                 ).alias(f"__vhi_{i}"),
             )
         ],
     )
-    return (
-        br.crossJoin(F.broadcast(tqw))
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(float(qv)).alias("q"),
-                            F.col("__n").cast("bigint").alias("n"),
-                            # lo*(1-d) + hi*d — the EXACT expression
-                            # form BOTH Spark's percentile and DuckDB's
-                            # quantile_cont evaluate; lo + d*(hi-lo) is
-                            # mathematically equal but rounds one ulp
-                            # differently on extreme magnitudes
-                            # (hypothesis-found)
-                            (
-                                F.col(f"__vlo_{i}")
-                                * (F.lit(1.0) - F.col(f"__frac_{i}"))
-                                + F.col(f"__vhi_{i}") * F.col(f"__frac_{i}")
-                            ).alias("quantile"),
-                        )
-                        for i, qv in enumerate(qs)
-                    ]
-                )
-            ).alias("__r")
-        )
-        # empty-input parity with the join shape (zero rows, not k
-        # NULL rows: __n is NULL when the value frame is empty)
-        .where(F.col("__r.n").isNotNull())
-        .select("__r.q", "__r.n", "__r.quantile")
-    )
+    return br.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qd).alias("q"),
+                        F.lit(n).cast("bigint").alias("n"),
+                        # lo*(1-d) + hi*d — the EXACT expression form
+                        # BOTH Spark's percentile and DuckDB's
+                        # quantile_cont evaluate; lo + d*(hi-lo) is
+                        # mathematically equal but rounds one ulp
+                        # differently on extreme magnitudes
+                        # (hypothesis-found)
+                        (
+                            F.col(f"__vlo_{i}") * F.lit(1.0 - frac)
+                            + F.col(f"__vhi_{i}") * F.lit(frac)
+                        ).alias("quantile"),
+                    )
+                    for i, qd, lo, hi, frac in probes
+                ]
+            )
+        ).alias("__r")
+    ).select("__r.q", "__r.n", "__r.quantile")
 
 
 def exact_quantiles_sql(
