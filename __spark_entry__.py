@@ -70,9 +70,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # q375 (exact_quantiles conditional-min probes), q106 (gopher
 # checkpoint), q221 (register fan-out), q132/q238 (brute-scorer
 # fan-out), q263/q280 (pair-explosion revert — re-prove unchanged).
+# Round 12 (optimization round 2): q112/q290 (pagerank gated hints +
+# dangling flag), q222 (HITS pre-hashed edge copies), q150 (k-core
+# k-step peel batches), q52/q140/q227/q288/q345/q388 (components
+# single-pass probe + lazy round checkpoints), q263/q280 (basket
+# prefix window + shared exchange), q77/q285/q286/q374/q375
+# (exact_quantiles driver-scalar ranks + probed-bucket window),
+# q318 (cell aliases re-keyed), q344 (columnar-round negative result,
+# reverted — re-prove unchanged).
 REVERIFY_PICKS = {
-    77, 101, 106, 112, 127, 132, 140, 146, 221, 238, 253, 257, 263,
-    280, 285, 286, 295, 318, 344, 353, 357, 367, 374, 375, 384,
+    52, 77, 112, 140, 150, 222, 227, 263, 280, 285, 286, 288, 290,
+    318, 344, 345, 374, 375, 388,
 }
 
 

@@ -101,3 +101,24 @@ def test_no_row_python_udfs(all_plans):
         f"row-at-a-time Python UDFs in {offenders} — use Arrow "
         "(pandas_udf / mapInPandas) or built-in expressions"
     )
+
+
+def test_every_global_window_is_bounded():
+    """Round-12 (VERDICT r11 item 9): every Window without a
+    partitionBy funnels its frame into one task; the static sweep
+    requires an explicit domain-bound note per code site — an
+    UNEXPLAINED site is a new data-sized global window."""
+    import tools.global_window_audit as gwa
+
+    sites = gwa.scan()
+    unexplained = [
+        f"{rel}:{line} [{func}]"
+        for rel, line, func, note in sites
+        if note == "UNEXPLAINED"
+    ]
+    assert sites, "sweep found no global-window sites — scanner broken?"
+    assert unexplained == [], (
+        "global windows with no bound note (add to "
+        "tools/global_window_audit.py GLOBAL_WINDOW_NOTES with a real "
+        f"domain bound): {unexplained}"
+    )

@@ -50,21 +50,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 # q263/q280 revert); watch-list is the four r17 bench flags
 # (q353/q357/q375/q384); the rest is the judge's cross-band sample
 # from round 10.
+# Round 12 adds its touched paths: the iterative band (q112/q290
+# pagerank, q222 HITS, q150 k-core), the components users
+# (q52/q227/q288/q345 — q140/q388 already present), the basket prefix
+# (q263/q280), the exact_quantiles riders (q77/q285/q286/q374/q375),
+# and keeps the q344/q318 negative-result/alias paths.
 SMOKE = [
     "q03_top_revenue_orders", "q24_recursive_hierarchy",
     "q32_minhash_near_dups", "q50_salted_join",
+    "q52_dedup_components",
     "q77_equidepth_bins",
     "q101_incremental_dedup", "q106_curation_v2", "q112_pagerank",
     "q127_setsim_join", "q129_triangle_census",
     "q132_maxsim_topk", "q140_entity_resolution",
-    "q146_bfs_levels", "q196_moments_profile", "q204_ndcg",
-    "q221_lsh_banding_eval", "q238_nearest_centroid",
+    "q146_bfs_levels", "q150_kcore", "q196_moments_profile", "q204_ndcg",
+    "q221_lsh_banding_eval", "q222_hits", "q227_cluster_size_profile",
+    "q238_nearest_centroid",
     "q253_two_hop_neighbors", "q257_degree_assortativity",
     "q263_item_cooccurrence", "q280_rec_coverage",
     "q285_time_to_convert", "q286_key_skew_audit",
+    "q288_grid_density_clusters", "q290_textrank",
     "q295_dedup_pair_report",
     "q318_quantile_reg_grid",
-    "q344_facility_location", "q351_shapley_reach", "q353_shingle_curve",
+    "q344_facility_location", "q345_license_conflict",
+    "q351_shapley_reach", "q353_shingle_curve",
     "q357_simplified_silhouette", "q367_fixed_effects",
     "q374_geometric_median", "q375_fd_histogram",
     "q384_pca2_explained", "q385_packing_audit", "q388_dedup_retention",

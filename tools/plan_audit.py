@@ -7,6 +7,7 @@ Usage: python tools/plan_audit.py [sf_dir] > docs/PLAN_AUDIT.md
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -309,6 +310,12 @@ def audit(sf_dir: str) -> None:
     )
     for name, cnt, note in one_part_rows:
         print(f"- `{name}` ({cnt}): {note}")
+    # round-12 (VERDICT r11 item 9): static global-window bounds sweep
+    # appended so one regeneration carries both accountings
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import global_window_audit
+
+    global_window_audit.main()
 
 
 if __name__ == "__main__":
