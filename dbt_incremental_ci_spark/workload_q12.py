@@ -1193,32 +1193,42 @@ def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c")
     )
     qq = exact_quantiles(cents, "c", [0.25, 0.75])
-    w = qq.agg(
+    # Round-12 (the exact_quantiles driver-scalar lesson): the width
+    # chain w → icbrt → iqr → h was a ladder of 1-row frames riding a
+    # broadcast round; every value in it is a SCALAR of the quantile
+    # output, so it is one driver-bound read + exact Python integer
+    # arithmetic. Exactness: icbrt's ±1 integer correction makes
+    # ⌊∛n⌋ independent of pow's ulp (the same argument the Spark
+    # expression relied on); (q75−q25)·4 is an exact integer by the
+    # quarter-cent grid construction, so the half-up round is exact;
+    # the rest is int DIV. Identical h_cents, one broadcast round
+    # fewer in the binning pass.
+    import math as _math
+
+    # driver-bound: 1 row — two quantile doubles + n
+    wrow = qq.agg(
         F.max(F.when(F.col("q") == 0.25, F.col("quantile"))).alias("q25"),
         F.max(F.when(F.col("q") == 0.75, F.col("quantile"))).alias("q75"),
         F.max("n").alias("n"),
-    )
-    kf = F.pow(F.col("n").cast("double"), 1.0 / 3).cast("bigint")
-    k = w.select(
-        "q25",
-        "q75",
-        "n",
-        (
+    ).first()
+    if wrow["n"] is None:
+        # empty input: the binning groupBy below runs over zero rows —
+        # the width value is never observed; keep the plan shape
+        h_cents = 1
+    else:
+        n = int(wrow["n"])
+        kf = int(float(n) ** (1.0 / 3))
+        icbrt = (
             kf
-            + F.when(
-                (kf + 1) * (kf + 1) * (kf + 1) <= F.col("n"), 1
-            ).otherwise(0)
-            - F.when(kf * kf * kf > F.col("n"), 1).otherwise(0)
-        ).alias("icbrt"),
-        F.round((F.col("q75") - F.col("q25")) * 4, 0)
-        .cast("bigint")
-        .alias("iqr_qc"),
-    )
-    h = k.selectExpr(
-        "greatest(1, (2 * iqr_qc + 2 * icbrt) DIV (4 * icbrt)) AS h_cents"
-    )
+            + (1 if (kf + 1) ** 3 <= n else 0)
+            - (1 if kf**3 > n else 0)
+        )
+        iqr_qc = int(_math.floor((wrow["q75"] - wrow["q25"]) * 4 + 0.5))
+        h_cents = max(1, (2 * iqr_qc + 2 * icbrt) // (4 * icbrt))
     lo = cents.agg(F.min("c").alias("mn"))
-    binned = cents.crossJoin(F.broadcast(h)).crossJoin(F.broadcast(lo))
+    binned = cents.crossJoin(F.broadcast(lo)).withColumn(
+        "h_cents", F.lit(h_cents).cast("bigint")
+    )
     bin_ = F.expr("(c - mn) DIV h_cents")
     return binned.groupBy(
         bin_.cast("bigint").alias("bin"),
