@@ -100,6 +100,15 @@ def global_cumsum(
     # step over O(num_partitions) rows — never data-sized. Staying in
     # the plan (vs collect + createDataFrame) saves driver round trips
     # and keeps lineage in one job.
+    # Round-12 MEASURED NEGATIVE result (do not re-try blind): the
+    # exact_quantiles driver-scalar rewrite — collect the O(buckets)
+    # totals and inline offsets as a literal CASE — read paired
+    # 1.06–1.17 WORSE here (q136/q42/q264): a bucket-count-deep CASE
+    # evaluated per DATA row loses to the broadcast-hash probe, and
+    # the extra driver round trip costs more than the in-plan
+    # broadcast sub-job it replaces. It paid in exact_quantiles only
+    # because the ladder there was several broadcasts deep and the
+    # CASE lands on probed-bucket rows, not the whole frame.
     totals = bucketed.groupBy("__b").agg(F.sum(value_col).alias("__total"))
     tw = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     off_df = totals.select(

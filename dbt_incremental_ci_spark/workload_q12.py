@@ -1205,11 +1205,11 @@ def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer in the binning pass.
     import math as _math
 
-    # driver-bound: 1 row — two quantile doubles + n
     wrow = qq.agg(
         F.max(F.when(F.col("q") == 0.25, F.col("quantile"))).alias("q25"),
         F.max(F.when(F.col("q") == 0.75, F.col("quantile"))).alias("q75"),
         F.max("n").alias("n"),
+        # driver-bound: 1 row — two quantile doubles + n
     ).first()
     if wrow["n"] is None:
         # empty input: the binning groupBy below runs over zero rows —
