@@ -619,6 +619,18 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token like int(tau*10) collides for taus sharing a first decimal
     # digit (0.2 vs 0.25), which would make the later F.col() reference
     # ambiguous if the grid ever changes
+    # Round-12 MEASURED NEGATIVE result (VERDICT r11 item 6, attempted
+    # with the overflow proof written first — do not re-try blind):
+    # folding the 42 per-row decimal(38,0) accumulators into BIGINT
+    # per-partition partials (groupBy(spark_partition_id()) — exact:
+    # |term| < 2.35e9 by the value domain, so a partial wraps only
+    # past 3.9e9 rows/partition, far above any sane split; the
+    # cross-partition total stays decimal because 10^12 rows × ~10^8
+    # avg term exceeds int64) measured paired medratio 1.11 WORSE at
+    # sf0.1 — the grouping-free 42-sum flat buffer beats the hashed
+    # per-pid aggregate + extra exchange, i.e. the decimal adds are no
+    # longer the bottleneck the r11 profile saw before the fan-out
+    # spread them across cores. Kept as the single flat aggregate.
     one = li.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n"),
         *[
